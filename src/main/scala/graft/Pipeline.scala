@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AudienceMetrics, IncrementalMerge, PanelAsOf, Sessionize}
+import graft.sources.ViewingData
+
+/** The reference's full ETL DAG (etl-ddl-backfill.sql), composed from
+  * the operator library: normalize → union sources → panel as-of →
+  * weight join → sessionize → audience metrics. Each stage is a pure
+  * DataFrame transform so the whole DAG is one Catalyst plan — filters
+  * and pruning flow through every stage into the two parquet scans.
+  */
+object Pipeline {
+
+  val ViewingCols: Seq[String] = Seq(
+    "source_table", "event_id", "smba_id", "content_id", "title",
+    "application", "duration", "exposure_start_ts", "exposure_end_ts",
+    "dma", "metadata_date")
+
+  /** raw_viewing_events (etl-ddl-backfill.sql:16-62): ACR ∪ STB with a
+    * source tag; STB lacks `application`. */
+  def viewingEvents(spark: SparkSession, dir: String): DataFrame = {
+    val a = ViewingData.acr(spark, dir)
+      .withColumn("source_table", lit("ACR"))
+      .select(ViewingCols.map(col): _*)
+    val s = ViewingData.stb(spark, dir)
+      .withColumn("source_table", lit("STB"))
+      .withColumn("application", lit(null).cast("string"))
+      .select(ViewingCols.map(col): _*)
+    a.unionByName(s)
+  }
+
+  def panelWindows(spark: SparkSession, dir: String): DataFrame =
+    PanelAsOf.windows(ViewingData.panelMondays(spark, dir))
+
+  /** events_with_panel: as-of panel assignment via broadcast date map. */
+  def withPanel(spark: SparkSession, dir: String): DataFrame =
+    PanelAsOf.assign(viewingEvents(spark, dir), panelWindows(spark, dir), "metadata_date")
+
+  /** weighted_events (etl-ddl-backfill.sql:91-117): join weekly weights
+    * on (member, panel monday); drop events without panel/household/
+    * weight. Weights ≪ events → broadcast join, no fact shuffle. */
+  def weightedEvents(spark: SparkSession, dir: String): DataFrame = {
+    val g = ViewingData.geoWeights(spark, dir)
+      .withColumnRenamed("metadata_date", "g_date")
+    val e = withPanel(spark, dir)
+    e.join(
+        broadcast(g),
+        e("smba_id") === g("smba_id") && e("panel_monday") === g("g_date"),
+        "left")
+      .drop(g("smba_id")).drop("g_date")
+      .filter(
+        col("panel_monday").isNotNull &&
+        col("hh_id").isNotNull &&
+        col("geo_weight").isNotNull)
+      .withColumnRenamed("geo_weight", "panel_weight")
+  }
+
+  val SessionKeys: Seq[String] = Seq("hh_id", "title", "content_id")
+  val SessionGroupCols: Seq[String] =
+    Seq("dma", "source_table", "application", "panel_monday", "panel_weight")
+  val SessionOutCols: Seq[String] = Seq(
+    "hh_id", "dma", "source_table", "application", "title", "content_id",
+    "panel_monday", "session_id", "panel_weight",
+    "session_start_ts", "session_end_ts", "total_duration")
+
+  /** viewing_sessions (etl-ddl-backfill.sql:119-186). Tie-break the
+    * reference's ORDER BY exposure_start_ts with (end, member, event id)
+    * for a deterministic total order. */
+  def sessions(weighted: DataFrame): DataFrame =
+    Sessionize.sessions(
+      weighted,
+      keys = SessionKeys,
+      startCol = "exposure_start_ts",
+      endCol = "exposure_end_ts",
+      durationCol = "duration",
+      gapSeconds = 300L,
+      minSessionSeconds = 180L,
+      tieBreakers = Seq("exposure_end_ts", "smba_id", "event_id"),
+      groupCols = SessionGroupCols)
+      .select(SessionOutCols.map(col): _*)
+
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    sessions(weightedEvents(spark, dir))
+
+  /** v_audience_metrics rollup (etl-ddl-backfill.sql:188-218). */
+  def audienceMetrics(spark: SparkSession, dir: String): DataFrame =
+    AudienceMetrics.reachAndFrequency(sessions(spark, dir), Seq("title", "content_id"))
+
+  /** Insert-only incremental merge demo (etl-dag.sql task_update_raw_events):
+    * target = events at/before the watermark; batch = a re-delivered
+    * overlapping slice; result = target + genuinely new rows. */
+  def incrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ve = viewingEvents(spark, dir)
+    val maxD = broadcast(ve.agg(max(col("metadata_date")).as("max_d")))
+    val target = ve.crossJoin(maxD)
+      .filter(col("metadata_date") <= date_sub(col("max_d"), 7)).drop("max_d")
+    val batch = ve.crossJoin(maxD)
+      .filter(col("metadata_date") > date_sub(col("max_d"), 10)).drop("max_d")
+    IncrementalMerge.insertOnly(target, batch, Seq("smba_id", "exposure_start_ts"))
+  }
+
+  /** Sessions-stage incremental rebuild (etl-dag.sql:92-120): recompute
+    * sessions only for groups touched by the fresh slice. */
+  def affectedRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val weighted = weightedEvents(spark, dir)
+    val maxD = broadcast(weighted.agg(max(col("metadata_date")).as("max_d")))
+    val batch = weighted.crossJoin(maxD)
+      .filter(col("metadata_date") > date_sub(col("max_d"), 5)).drop("max_d")
+    val keys = IncrementalMerge.affectedKeys(batch, SessionKeys)
+    sessions(weighted.join(broadcast(keys), SessionKeys, "left_semi"))
+  }
+
+  /** Control-table watermark (etl-dag.sql:125-140). */
+  def watermark(spark: SparkSession, dir: String): DataFrame =
+    IncrementalMerge.watermark(
+      Seq(ViewingData.acr(spark, dir), ViewingData.stb(spark, dir)),
+      "metadata_date")
+}

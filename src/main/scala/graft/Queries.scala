@@ -1,0 +1,465 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.ViewingData
+
+/** One registry row per SURVEY.md §2 operator: the Spark implementation
+  * and (when SQL-expressible) a DuckDB oracle over the same parquet
+  * tables. Column names/types are aligned pairwise — the driver sorts
+  * columns by name and hash-compares values. Double-typed aggregates
+  * are rounded on BOTH sides to absorb summation-order FP jitter;
+  * integral measures (durations, weights) keep sums exact.
+  */
+case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    ViewingData.table(spark, dir, name)
+
+  /** Date columns serialize differently across parquet/pandas/DuckDB
+    * readers (date32 vs datetime64) — emit ISO strings from BOTH the
+    * Spark queries and the oracles so the driver's hash compare sees
+    * one canonical representation. Internal pipeline stays DATE-typed. */
+  private def datesAsStrings(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DateType
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      if (f.dataType == DateType) acc.withColumn(f.name, col(f.name).cast("string"))
+      else acc
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Shared oracle CTEs: the reference ETL chain re-expressed in DuckDB
+  // SQL (semantically the correlated-subquery form of
+  // etl-ddl-backfill.sql), over the same domain mapping as
+  // sources.ViewingData / Pipeline.
+  // ---------------------------------------------------------------------
+  private val veCte: String =
+    """WITH norm AS (
+  SELECT event_id,
+         CAST(user_id AS VARCHAR) AS smba_id,
+         event_type AS content_id,
+         upper(event_type) AS title,
+         CAST(floor(value) AS BIGINT) AS duration,
+         CAST(floor(epoch(ts)) AS BIGINT) AS exposure_start_ts,
+         CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value) AS BIGINT) AS exposure_end_ts,
+         'dma-' || CAST(user_id % 5 AS VARCHAR) AS dma,
+         CAST(ts AS DATE) AS metadata_date,
+         regexp_extract(props, '"k": (\d+)', 1) AS application,
+         event_type
+  FROM events),
+acr AS (SELECT event_id, smba_id, content_id, title, duration, exposure_start_ts,
+               exposure_end_ts, dma, metadata_date, application
+        FROM norm WHERE event_type IN ('view','click','purchase')),
+stb AS (SELECT event_id, smba_id, content_id, title, duration, exposure_start_ts,
+               exposure_end_ts, dma, metadata_date
+        FROM norm WHERE event_type NOT IN ('view','click','purchase')),
+viewing_events AS (
+  SELECT 'ACR' AS source_table, event_id, smba_id, content_id, title, application,
+         duration, exposure_start_ts, exposure_end_ts, dma, metadata_date FROM acr
+  UNION ALL
+  SELECT 'STB', event_id, smba_id, content_id, title, CAST(NULL AS VARCHAR),
+         duration, exposure_start_ts, exposure_end_ts, dma, metadata_date FROM stb),
+mondays AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS panel_monday FROM events),
+windows AS (SELECT panel_monday, panel_monday - 28 AS window_start,
+                   panel_monday - 1 AS window_end FROM mondays),
+geo_weights AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS smba_id,
+         'hh-' || CAST(c_custkey // 2 AS VARCHAR) AS hh_id,
+         CAST(floor(abs(c_acctbal)) AS BIGINT) AS geo_weight,
+         panel_monday AS metadata_date
+  FROM customer CROSS JOIN mondays),
+with_panel AS (
+  SELECT e.*, (SELECT MAX(w.panel_monday) FROM windows w
+               WHERE e.metadata_date BETWEEN w.window_start AND w.window_end) AS panel_monday
+  FROM viewing_events e),
+weighted AS (
+  SELECT e.source_table, e.event_id, e.smba_id, e.content_id, e.title, e.application,
+         e.duration, e.exposure_start_ts, e.exposure_end_ts, e.dma, e.metadata_date,
+         e.panel_monday, g.hh_id, g.geo_weight AS panel_weight
+  FROM with_panel e
+  LEFT JOIN geo_weights g ON g.smba_id = e.smba_id AND g.metadata_date = e.panel_monday
+  WHERE e.panel_monday IS NOT NULL AND g.hh_id IS NOT NULL AND g.geo_weight IS NOT NULL)"""
+
+  private val sessCte: String = veCte +
+    """,
+marked AS (
+  SELECT *, exposure_start_ts - LAG(exposure_end_ts) OVER (
+            PARTITION BY hh_id, title, content_id
+            ORDER BY exposure_start_ts, exposure_end_ts, smba_id, event_id) AS gap_seconds
+  FROM weighted),
+breaks AS (SELECT *, CASE WHEN gap_seconds IS NULL OR gap_seconds > 300 THEN 1 ELSE 0 END
+                     AS session_break FROM marked),
+sess_ids AS (SELECT *, SUM(session_break) OVER (
+             PARTITION BY hh_id, title, content_id
+             ORDER BY exposure_start_ts, exposure_end_ts, smba_id, event_id) AS session_id
+             FROM breaks),
+sessions AS (
+  SELECT hh_id, dma, source_table, application, title, content_id, panel_monday,
+         CAST(session_id AS BIGINT) AS session_id, panel_weight,
+         CAST(MIN(exposure_start_ts) AS BIGINT) AS session_start_ts,
+         CAST(MAX(exposure_end_ts) AS BIGINT) AS session_end_ts,
+         CAST(SUM(duration) AS BIGINT) AS total_duration
+  FROM sess_ids
+  GROUP BY hh_id, dma, source_table, application, title, content_id, panel_monday,
+           session_id, panel_weight
+  HAVING SUM(duration) >= 180)"""
+
+  // ---------------------------------------------------------------------
+  // A. Ingestion
+  // ---------------------------------------------------------------------
+  private val ingestCast = Q(
+    "q_ingest_cast",
+    (s, dir) => datesAsStrings(ViewingData.acr(s, dir)),
+    Some(veCte + "\nSELECT * REPLACE (CAST(metadata_date AS VARCHAR) AS metadata_date) FROM acr"))
+
+  private val partitionExtract = Q(
+    "q_partition_extract",
+    (s, dir) => {
+      // Round-trip the reference's COPY INTO path extraction
+      // (ingest-dag.sql:6-33): build the hive path a lake writer would
+      // emit, then recover yyyy/mm/dd + metadata_date from it.
+      val ev = t(s, dir, "events")
+      val path = concat(
+        lit("events/yyyy="), date_format(col("ts"), "yyyy"),
+        lit("/mm="), date_format(col("ts"), "MM"),
+        lit("/dd="), date_format(col("ts"), "dd"),
+        lit("/part-0.parquet"))
+      ev.select(col("event_id"), path.as("path"))
+        .select(
+          col("event_id"),
+          nullif(regexp_extract(col("path"), ".*/yyyy=(\\d{4})/.*", 1),
+                 lit("__HIVE_DEFAULT_PARTITION__")).as("yyyy"),
+          nullif(regexp_extract(col("path"), ".*/mm=(\\d{2})/.*", 1),
+                 lit("__HIVE_DEFAULT_PARTITION__")).as("mm"),
+          nullif(regexp_extract(col("path"), ".*/dd=(\\d{2})/.*", 1),
+                 lit("__HIVE_DEFAULT_PARTITION__")).as("dd"))
+        .withColumn("metadata_date",
+          expr("CAST(try_cast(concat(yyyy, '-', mm, '-', dd) AS DATE) AS STRING)"))
+    },
+    Some("""WITH paths AS (
+  SELECT event_id,
+         'events/yyyy=' || strftime(ts, '%Y') || '/mm=' || strftime(ts, '%m') ||
+         '/dd=' || strftime(ts, '%d') || '/part-0.parquet' AS path
+  FROM events),
+extracted AS (
+  SELECT event_id,
+         nullif(regexp_extract(path, '.*/yyyy=(\d{4})/.*', 1), '__HIVE_DEFAULT_PARTITION__') AS yyyy,
+         nullif(regexp_extract(path, '.*/mm=(\d{2})/.*', 1), '__HIVE_DEFAULT_PARTITION__') AS mm,
+         nullif(regexp_extract(path, '.*/dd=(\d{2})/.*', 1), '__HIVE_DEFAULT_PARTITION__') AS dd
+  FROM paths)
+SELECT event_id, yyyy, mm, dd,
+       CAST(try_cast(yyyy || '-' || mm || '-' || dd AS DATE) AS VARCHAR) AS metadata_date
+FROM extracted"""))
+
+  // ---------------------------------------------------------------------
+  // B. Reference ETL
+  // ---------------------------------------------------------------------
+  private val unionSources = Q(
+    "q_union_sources",
+    (s, dir) => datesAsStrings(Pipeline.viewingEvents(s, dir)),
+    Some(veCte + "\nSELECT * REPLACE (CAST(metadata_date AS VARCHAR) AS metadata_date) FROM viewing_events"))
+
+  private val panelWindows = Q(
+    "q_panel_windows",
+    (s, dir) => datesAsStrings(Pipeline.panelWindows(s, dir)),
+    Some(veCte + "\nSELECT CAST(panel_monday AS VARCHAR) AS panel_monday, CAST(window_start AS VARCHAR) AS window_start, CAST(window_end AS VARCHAR) AS window_end FROM windows"))
+
+  private val panelAsOf = Q(
+    "q_panel_asof",
+    (s, dir) => datesAsStrings(Pipeline.withPanel(s, dir)
+      .select("event_id", "metadata_date", "panel_monday")),
+    Some(veCte + "\nSELECT event_id, CAST(metadata_date AS VARCHAR) AS metadata_date, CAST(panel_monday AS VARCHAR) AS panel_monday FROM with_panel"))
+
+  private val weightedEvents = Q(
+    "q_weighted_events",
+    (s, dir) => datesAsStrings(Pipeline.weightedEvents(s, dir)),
+    Some(veCte + "\nSELECT * REPLACE (CAST(metadata_date AS VARCHAR) AS metadata_date, CAST(panel_monday AS VARCHAR) AS panel_monday) FROM weighted"))
+
+  private val sessionize = Q(
+    "q_sessionize",
+    (s, dir) => datesAsStrings(Pipeline.sessions(s, dir)),
+    Some(sessCte + "\nSELECT * REPLACE (CAST(panel_monday AS VARCHAR) AS panel_monday) FROM sessions"))
+
+  private val audienceMetrics = Q(
+    "q_audience_metrics",
+    (s, dir) => datesAsStrings(Pipeline.audienceMetrics(s, dir)),
+    Some(sessCte + """,
+per_hh AS (
+  SELECT title, content_id, hh_id,
+         MAX(panel_weight) AS hh_weight,
+         COUNT(*) AS hh_sessions,
+         SUM(panel_weight) AS hh_weighted_views,
+         SUM(total_duration * panel_weight) AS hh_weighted_duration
+  FROM sessions
+  GROUP BY title, content_id, hh_id)
+SELECT title, content_id,
+       CAST(SUM(hh_weighted_views) AS BIGINT) AS weighted_views,
+       CAST(COUNT(*) AS BIGINT) AS households,
+       CAST(SUM(hh_weight) AS BIGINT) AS weighted_reach,
+       CAST(SUM(hh_weighted_duration) AS BIGINT) AS weighted_duration,
+       CAST(SUM(hh_sessions) AS DOUBLE) / CAST(NULLIF(SUM(hh_weight), 0) AS DOUBLE) AS frequency
+FROM per_hh
+GROUP BY title, content_id"""))
+
+  private val incrementalMerge = Q(
+    "q_incremental_merge",
+    (s, dir) => datesAsStrings(Pipeline.incrementalMerge(s, dir)),
+    Some(veCte + """,
+max_d AS (SELECT MAX(metadata_date) AS d FROM viewing_events),
+target AS (SELECT v.* FROM viewing_events v, max_d WHERE v.metadata_date <= d - 7),
+batch AS (SELECT v.* FROM viewing_events v, max_d WHERE v.metadata_date > d - 10),
+merged AS (
+  SELECT * FROM target
+  UNION ALL
+  SELECT * FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM target t
+                    WHERE t.smba_id = b.smba_id
+                      AND t.exposure_start_ts = b.exposure_start_ts))
+SELECT * REPLACE (CAST(metadata_date AS VARCHAR) AS metadata_date) FROM merged"""))
+
+  private val affectedRebuild = Q(
+    "q_affected_rebuild",
+    (s, dir) => datesAsStrings(Pipeline.affectedRebuild(s, dir)),
+    Some(veCte + """,
+max_d AS (SELECT MAX(metadata_date) AS d FROM weighted),
+affected AS (SELECT DISTINCT hh_id, title, content_id
+             FROM weighted, max_d WHERE metadata_date > d - 5),
+scoped AS (SELECT w.* FROM weighted w
+           WHERE EXISTS (SELECT 1 FROM affected a
+                         WHERE a.hh_id = w.hh_id AND a.title = w.title
+                           AND a.content_id = w.content_id)),
+marked AS (
+  SELECT *, exposure_start_ts - LAG(exposure_end_ts) OVER (
+            PARTITION BY hh_id, title, content_id
+            ORDER BY exposure_start_ts, exposure_end_ts, smba_id, event_id) AS gap_seconds
+  FROM scoped),
+breaks AS (SELECT *, CASE WHEN gap_seconds IS NULL OR gap_seconds > 300 THEN 1 ELSE 0 END
+                     AS session_break FROM marked),
+sess_ids AS (SELECT *, SUM(session_break) OVER (
+             PARTITION BY hh_id, title, content_id
+             ORDER BY exposure_start_ts, exposure_end_ts, smba_id, event_id) AS session_id
+             FROM breaks)
+SELECT hh_id, dma, source_table, application, title, content_id,
+       CAST(panel_monday AS VARCHAR) AS panel_monday,
+       CAST(session_id AS BIGINT) AS session_id, panel_weight,
+       CAST(MIN(exposure_start_ts) AS BIGINT) AS session_start_ts,
+       CAST(MAX(exposure_end_ts) AS BIGINT) AS session_end_ts,
+       CAST(SUM(duration) AS BIGINT) AS total_duration
+FROM sess_ids
+GROUP BY hh_id, dma, source_table, application, title, content_id, panel_monday,
+         session_id, panel_weight
+HAVING SUM(duration) >= 180"""))
+
+  private val watermarkQ = Q(
+    "q_watermark",
+    (s, dir) => datesAsStrings(Pipeline.watermark(s, dir)),
+    Some(veCte + """
+SELECT CAST(least(
+  coalesce((SELECT MAX(metadata_date) FROM acr), DATE '1900-01-01'),
+  coalesce((SELECT MAX(metadata_date) FROM stb), DATE '1900-01-01')
+) AS VARCHAR) AS last_successful_run_date"""))
+
+  // ---------------------------------------------------------------------
+  // C. OLAP SQL surface (TPC-H tables)
+  // ---------------------------------------------------------------------
+  private val q1Agg = Q(
+    "q1_agg",
+    (s, dir) => t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order")),
+    Some("""SELECT l_returnflag, l_linestatus,
+       round(CAST(SUM(l_quantity) AS DOUBLE), 4) AS sum_qty,
+       round(CAST(SUM(l_extendedprice) AS DOUBLE), 4) AS sum_base_price,
+       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS sum_disc_price,
+       round(CAST(AVG(l_quantity) AS DOUBLE), 6) AS avg_qty,
+       round(CAST(AVG(l_discount) AS DOUBLE), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus"""))
+
+  private val joinDims = Q(
+    "q_join_dims",
+    (s, dir) => {
+      val region = t(s, dir, "region")
+      val nation = t(s, dir, "nation")
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      orders
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          round(sum("o_totalprice"), 4).as("revenue"),
+          count(lit(1)).as("order_cnt"),
+          countDistinct("c_custkey").as("customer_cnt"))
+    },
+    Some("""SELECT r_name,
+       round(CAST(SUM(o_totalprice) AS DOUBLE), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS order_cnt,
+       CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS customer_cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name"""))
+
+  private val joinFact = Q(
+    "q_join_fact",
+    (s, dir) => t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01"))
+      .groupBy("o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("line_cnt")),
+    Some("""SELECT o_orderpriority,
+       round(CAST(SUM(l_extendedprice * (1 - l_discount)) AS DOUBLE), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS line_cnt
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY o_orderpriority"""))
+
+  private val topkWindow = Q(
+    "q_topk_window",
+    (s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice"), 4).as("o_totalprice"), col("rk"))
+    },
+    Some("""SELECT o_orderpriority, o_orderkey,
+       round(CAST(o_totalprice AS DOUBLE), 4) AS o_totalprice, CAST(rk AS INTEGER) AS rk
+FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+WHERE rk <= 3"""))
+
+  private val rollupQ = Q(
+    "q_rollup",
+    (s, dir) => {
+      // Via the SQL surface (the reference is pure SQL): ROLLUP over a
+      // broadcast dim join.
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql("""SELECT n_name, c_mktsegment,
+                      count(*) AS customer_cnt,
+                      round(sum(c_acctbal), 4) AS acctbal_sum
+               FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+               GROUP BY ROLLUP (n_name, c_mktsegment)""")
+    },
+    Some("""SELECT n_name, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS customer_cnt,
+       round(CAST(SUM(c_acctbal) AS DOUBLE), 4) AS acctbal_sum
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)"""))
+
+  private val distinctQ = Q(
+    "q_distinct",
+    (s, dir) => t(s, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct("c_nationkey").as("nations"),
+        count(lit(1)).as("customers"),
+        round(sum("c_acctbal"), 4).as("acctbal_sum"),
+        count(when(col("c_acctbal") > 0, 1)).as("positive_bal")),
+    Some("""SELECT c_mktsegment,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS customers,
+       round(CAST(SUM(c_acctbal) AS DOUBLE), 4) AS acctbal_sum,
+       CAST(COUNT(CASE WHEN c_acctbal > 0 THEN 1 END) AS BIGINT) AS positive_bal
+FROM customer
+GROUP BY c_mktsegment"""))
+
+  private val semiAnti = Q(
+    "q_semi_anti",
+    (s, dir) => {
+      val customer = t(s, dir, "customer")
+      val nation = broadcast(t(s, dir, "nation"))
+      val orderKeys = t(s, dir, "orders").select("o_custkey")
+      val withO = customer.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("with_orders"))
+      val withoutO = customer.join(orderKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("without_orders"))
+      nation
+        .join(withO, col("n_nationkey") === withO("c_nationkey"), "left")
+        .drop("c_nationkey")
+        .join(withoutO, col("n_nationkey") === withoutO("c_nationkey"), "left")
+        .drop("c_nationkey")
+        .select(col("n_name"),
+          coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+          coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+    },
+    Some("""SELECT n_name,
+       CAST(coalesce(SUM(CASE WHEN has_o THEN 1 END), 0) AS BIGINT) AS with_orders,
+       CAST(coalesce(SUM(CASE WHEN NOT has_o THEN 1 END), 0) AS BIGINT) AS without_orders
+FROM nation
+LEFT JOIN (SELECT c_nationkey,
+                  EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+           FROM customer) c ON n_nationkey = c_nationkey
+GROUP BY n_name"""))
+
+  private val pivotCase = Q(
+    "q_pivot_case",
+    (s, dir) => t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        round(sum(when(col("event_type") === "view", col("value")).otherwise(0d)), 4).as("view_value"),
+        round(sum(when(col("event_type") === "click", col("value")).otherwise(0d)), 4).as("click_value"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0d)), 4).as("purchase_value"),
+        count(when(col("event_type") === "error", 1)).as("errors"),
+        count(when(col("event_type") === "signup", 1)).as("signups")),
+    Some("""SELECT user_id,
+       round(CAST(SUM(CASE WHEN event_type = 'view' THEN value ELSE 0 END) AS DOUBLE), 4) AS view_value,
+       round(CAST(SUM(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS DOUBLE), 4) AS click_value,
+       round(CAST(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS DOUBLE), 4) AS purchase_value,
+       CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS errors,
+       CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signups
+FROM events
+GROUP BY user_id"""))
+
+  private val runningWindow = Q(
+    "q_running_window",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+          .as("running_value"),
+        round(avg("value").over(w.rowsBetween(-2, Window.currentRow)), 6).as("moving_avg3"))
+    },
+    Some("""SELECT event_id, user_id,
+       round(CAST(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS running_value,
+       round(CAST(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS moving_avg3
+FROM events"""))
+
+  // ---------------------------------------------------------------------
+  val all: Seq[Q] = Seq(
+    ingestCast, partitionExtract,
+    unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
+    audienceMetrics, incrementalMerge, affectedRebuild, watermarkQ,
+    q1Agg, joinDims, joinFact, topkWindow, rollupQ, distinctQ, semiAnti,
+    pivotCase, runningWindow)
+}

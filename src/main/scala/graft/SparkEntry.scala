@@ -1,13 +1,20 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the reference's full ETL DAG (normalize → union →
+    * panel as-of → weight join → sessionize → reach & frequency) on
+    * sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Pipeline.audienceMetrics(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all.map(q => q.name -> q.run).toMap
+
+  /** DuckDB-equivalent SQL per query (same column names; driver
+    * hash-compares). Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    Queries.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

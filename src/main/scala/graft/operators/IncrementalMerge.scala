@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Watermark-driven incremental maintenance (reference: etl-dag.sql).
+  *
+  * The reference's tasks use Snowflake `MERGE ... WHEN NOT MATCHED THEN
+  * INSERT` keyed on (smba_id, exposure_start_ts) with a watermark filter
+  * `metadata_date > last_successful_run_date`. On Spark the same
+  * semantics are a LEFT ANTI join of the new batch against the target's
+  * keys followed by a UNION — insert-only merge. The anti join shuffles
+  * only the (small) new batch when the target side is pre-bucketed by
+  * the merge key; at 100 TB the target would be a bucketed/Delta-style
+  * table so only matching key buckets are scanned.
+  */
+object IncrementalMerge {
+
+  /** Rows of `batch` whose `keys` do not appear in `target`, appended to
+    * `target` (reference: etl-dag.sql:30-45 task_update_raw_events). */
+  def insertOnly(target: DataFrame, batch: DataFrame, keys: Seq[String]): DataFrame = {
+    val fresh = batch.join(target.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    target.unionByName(fresh)
+  }
+
+  /** The sessions-stage incremental pattern (reference: etl-dag.sql:92-120
+    * task_update_viewing_sessions): find the group keys touched by the
+    * new batch, DELETE those groups from the target, and recompute them
+    * from the full event set — groups are the unit of consistency
+    * because a late event can re-split an existing session. Returns the
+    * affected-keys frame; callers semi-join events on it and rebuild. */
+  def affectedKeys(batch: DataFrame, groupKeys: Seq[String]): DataFrame =
+    batch.select(groupKeys.map(col): _*).distinct()
+
+  /** Watermark computation (reference: etl-dag.sql:125-140
+    * task_update_control_table): per-source MAX(date) coalesced to an
+    * epoch floor, then LEAST across sources. */
+  def watermark(sources: Seq[DataFrame], dateCol: String): DataFrame = {
+    val floorDate = to_date(lit("1900-01-01"))
+    val maxes = sources.map(_.agg(coalesce(max(col(dateCol)), floorDate).as("d")))
+    maxes
+      .reduce(_.crossJoin(_))
+      .toDF(sources.indices.map(i => s"d$i"): _*)
+      .select(least(sources.indices.map(i => col(s"d$i")): _*).as("last_successful_run_date"))
+  }
+}

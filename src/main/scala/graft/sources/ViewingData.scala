@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Domain mapping of the driver's synthetic tables onto the reference's
+  * viewing-data model (reference: ingest-ddl.sql:1-68, the ACR / STB /
+  * GEO_WEIGHTS raw tables).
+  *
+  * The `events` table plays the role of the raw exposure feed
+  * (`user_id`≈smba_id, `ts`≈exposure timestamps, `event_type`≈content,
+  * `floor(value)`≈duration seconds) and `customer` seeds a deterministic
+  * weekly panel-weight table (`c_custkey`≈smba_id, household =
+  * c_custkey/2, weight = floor(abs(c_acctbal))). Weights are integral so
+  * weighted aggregates stay exact under any parallel addition order.
+  *
+  * Everything here is a plain projection/filter — Catalyst pushes the
+  * column pruning and predicates into the parquet scans, so at 100 TB the
+  * scan reads only the 6 referenced columns of the event feed.
+  */
+object ViewingData {
+
+  /** Loads one synthetic table. The events feed stores `ts` as parquet
+    * TIMESTAMP(NANOS), which vanilla Spark rejects
+    * (PARQUET_TYPE_ILLEGAL) — read nanos as long and rebuild a
+    * microsecond timestamp. Set at read time so it also holds in the
+    * driver's own session when it calls SparkEntry.entry. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (df.columns.contains("ts") &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Epoch seconds (UTC, floor) — the reference keeps exposure timestamps
+    * as NUMBER(38,0) unix seconds (ingest-ddl.sql:4-5). */
+  private def ep(c: String) = unix_timestamp(col(c))
+
+  private def normalized(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events").select(
+      col("event_id"),
+      col("user_id").cast("string").as("smba_id"),
+      col("event_type").as("content_id"),
+      upper(col("event_type")).as("title"),
+      floor(col("value")).cast("long").as("duration"),
+      ep("ts").as("exposure_start_ts"),
+      (ep("ts") + floor(col("value")).cast("long")).as("exposure_end_ts"),
+      concat(lit("dma-"), (col("user_id") % 5).cast("string")).as("dma"),
+      to_date(col("ts")).as("metadata_date"),
+      regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("application"),
+      col("event_type"))
+
+  /** ACR-analog source: the content-exposure event types, keeps
+    * `application` (reference: ingest-ddl.sql ACR has APPLICATION). */
+  def acr(spark: SparkSession, dir: String): DataFrame =
+    normalized(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .drop("event_type")
+
+  /** STB-analog source: remaining event types, no `application` column
+    * (reference: etl-ddl-backfill.sql:45 `NULL AS application`). */
+  def stb(spark: SparkSession, dir: String): DataFrame =
+    normalized(spark, dir)
+      .filter(!col("event_type").isin("view", "click", "purchase"))
+      .drop("event_type")
+      .drop("application")
+
+  /** Distinct panel Mondays observed in the feed (reference derives them
+    * from geo_weights metadata_date where DAYOFWEEK=1,
+    * etl-ddl-backfill.sql:1-10). */
+  def panelMondays(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(date_trunc("week", col("ts")).cast("date").as("panel_monday"))
+      .distinct()
+
+  /** Weekly panel-weight snapshots: one row per (member, panel Monday),
+    * household = custkey/2, integral weight (reference:
+    * ingest-ddl.sql GEO_WEIGHTS: HH_ID, SMBA_ID, GEO_WEIGHT keyed by
+    * metadata_date). Tiny relative to the event feed → broadcast side. */
+  def geoWeights(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .crossJoin(panelMondays(spark, dir))
+      .select(
+        col("c_custkey").cast("string").as("smba_id"),
+        concat(lit("hh-"), floor(col("c_custkey") / 2).cast("long").cast("string")).as("hh_id"),
+        floor(abs(col("c_acctbal"))).cast("long").as("geo_weight"),
+        col("panel_monday").as("metadata_date"))
+}
