@@ -461,5 +461,5 @@ FROM events"""))
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
     audienceMetrics, incrementalMerge, affectedRebuild, watermarkQ,
     q1Agg, joinDims, joinFact, topkWindow, rollupQ, distinctQ, semiAnti,
-    pivotCase, runningWindow)
+    pivotCase, runningWindow) ++ QueriesML.all
 }

@@ -1,0 +1,308 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{HashFunctions, Multimodal, TextFunctions, VectorFunctions}
+import graft.sources.ViewingData
+
+/** SURVEY.md §2 suites D (dedup), E (similarity search), F (text
+  * analysis), G (multimodal), H3 (stream/batch parity) — the
+  * training-data-pipeline operators beyond the reference's own surface.
+  */
+object QueriesML {
+
+  import VectorFunctions._
+
+  // ---------------------------------------------------------------------
+  // F. Text analysis
+  // ---------------------------------------------------------------------
+  private val textTokens = Q(
+    "text_tokens",
+    (s, dir) => ViewingData.table(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
+      TextFunctions.wordCount(col("text")).as("word_tokens"),
+      TextFunctions.bpeishCount(col("text")).as("bpeish_tokens")),
+    Some("""SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS word_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens
+FROM documents"""))
+
+  private def duckStop(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+  private def duckHits(set: String): String =
+    s"CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t IN $set)) AS BIGINT)"
+
+  private val textQuality = Q(
+    "text_quality",
+    (s, dir) => ViewingData.table(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
+      TextFunctions.enStopCount(col("text")).as("stop_hits"),
+      TextFunctions.punctCount(col("text")).as("punct_cnt"),
+      TextFunctions.qualityScore(col("text")).as("quality_score")),
+    Some(s"""SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS ws_tokens,
+       ${duckHits(duckStop(TextFunctions.EnStop))} AS stop_hits,
+       CAST(len(regexp_extract_all(text, '[.,;:!?()]')) AS BIGINT) AS punct_cnt,
+       round(
+         least(1.0, CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) / 50.0) * 0.5 +
+         least(1.0, (${duckHits(duckStop(TextFunctions.EnStop))} /
+                     CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE)) * 2.0) * 0.3 +
+         greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[.,;:!?()]')) AS DOUBLE) /
+                              CAST(length(text) AS DOUBLE)) * 4.0) * 0.2,
+         6) AS quality_score
+FROM documents"""))
+
+  private val textLangid = Q(
+    "text_langid",
+    (s, dir) => ViewingData.table(s, dir, "documents").select(
+      col("doc_id"),
+      col("lang").as("labeled_lang"),
+      TextFunctions.langId(col("text")).as("predicted_lang")),
+    Some(s"""WITH hits AS (
+  SELECT doc_id, lang AS labeled_lang,
+         ${duckHits(duckStop(TextFunctions.EnStop))} AS en,
+         ${duckHits(duckStop(TextFunctions.EsStop))} AS es,
+         ${duckHits(duckStop(TextFunctions.DeStop))} AS de,
+         ${duckHits(duckStop(TextFunctions.FrStop))} AS fr
+  FROM documents)
+SELECT doc_id, labeled_lang,
+       CASE WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+            WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+            WHEN es >= de AND es >= fr THEN 'es'
+            WHEN de >= fr THEN 'de'
+            ELSE 'fr' END AS predicted_lang
+FROM hits"""))
+
+  private val textFingerprint = Q(
+    "text_fingerprint",
+    (s, dir) => ViewingData.table(s, dir, "documents").select(
+      col("doc_id"),
+      TextFunctions.fingerprint(col("text")).as("fingerprint")),
+    Some("""SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (h, c) -> (h * 31 + c) % 2147483647) AS fingerprint
+FROM documents"""))
+
+  // ---------------------------------------------------------------------
+  // D. Dedup
+  // ---------------------------------------------------------------------
+  private val dedupExact = Q(
+    "dedup_exact",
+    (s, dir) => ViewingData.table(s, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies")),
+    Some("""SELECT md5(text) AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)"""))
+
+  private val dedupNgramJaccard = Q(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      // Candidate pairs bucket on (lang, n_chars) — near-identical docs
+      // agree on both — then exact 3-gram Jaccard within buckets.
+      val docs = ViewingData.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          TextFunctions.shingles("text", 3).as("grams"))
+      val a = docs.as("a")
+      val b = docs.as("b")
+      a.join(b, expr("a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id"))
+        .select(
+          col("a.doc_id").as("id_a"),
+          col("b.doc_id").as("id_b"),
+          round(
+            size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+              size(array_union(col("a.grams"), col("b.grams"))).cast("double"),
+            6).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+    },
+    Some("""WITH g AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(list_transform(generate_series(1, greatest(1, length(text) - 2)),
+                                      i -> substring(text, i, 3))) AS grams
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
+FROM g a JOIN g b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= 0.3"""))
+
+  private val dedupMinhash = Q(
+    "dedup_minhash",
+    (s, dir) => {
+      // MinHash(k=32) → 8 bands × 4 rows → bucket-local candidate join →
+      // exact Jaccard verification. Not SQL-expressible (seeded
+      // xxhash64) → rows-only check; planted-dup behavior is spec-tested.
+      val docs = ViewingData.table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.shingles("text", 5).as("grams"))
+        .withColumn("sig", HashFunctions.minhashSignature(col("grams"), 32))
+        .withColumn("bands", HashFunctions.lshBands(col("sig"), 8, 4))
+      val pairs = HashFunctions.bucketedPairs(
+        docs.select(col("doc_id"), col("bands")), "doc_id", "bands")
+      val g = docs.select(col("doc_id"), col("grams"))
+      pairs
+        .join(g.withColumnRenamed("doc_id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
+        .join(g.withColumnRenamed("doc_id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(
+            size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+              size(array_union(col("grams_a"), col("grams_b"))).cast("double"),
+            6).as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+    },
+    None)
+
+  private val dedupSimhash = Q(
+    "dedup_simhash",
+    (s, dir) => {
+      val docs = ViewingData.table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .withColumn("simhash", HashFunctions.simhash(col("toks")))
+        .withColumn("chunks", HashFunctions.simhashChunks(col("simhash")))
+      val pairs = HashFunctions.bucketedPairs(
+        docs.select(col("doc_id"), col("chunks")), "doc_id", "chunks")
+      val h = docs.select(col("doc_id"), col("simhash"))
+      pairs
+        .join(h.withColumnRenamed("doc_id", "id_a").withColumnRenamed("simhash", "sim_a"), "id_a")
+        .join(h.withColumnRenamed("doc_id", "id_b").withColumnRenamed("simhash", "sim_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          HashFunctions.hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
+        .filter(col("hamming") <= 12)
+    },
+    None)
+
+  private val dedupEmbedding = Q(
+    "dedup_embedding",
+    (s, dir) => {
+      // Embedding near-dup pairs, IVF-style: candidates restricted to
+      // the same coarse partition (label), exact cosine inside.
+      val v = ViewingData.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
+      val a = v.as("a")
+      val b = v.as("b")
+      a.join(b, expr("a.label = b.label AND a.vec_id < b.vec_id"))
+        .select(
+          col("a.vec_id").as("id_a"),
+          col("b.vec_id").as("id_b"),
+          round(cosine(col("a.e"), col("b.e")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
+    },
+    Some("""WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i])) /
+             (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+              sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cos_sim
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i])) /
+            (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
+             sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) >= 0.3"""))
+
+  // ---------------------------------------------------------------------
+  // E. Similarity search
+  // ---------------------------------------------------------------------
+  private val annBruteforce = Q(
+    "ann_bruteforce",
+    (s, dir) => {
+      val v = ViewingData.table(s, dir, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      val q = v.filter(col("vec_id") === 0)
+        .select(col("e").as("qe"))
+      val scored = v.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(cosine(col("e"), col("qe")), 6).as("cos_sim"))
+      // Distributed top-k (TakeOrderedAndProject): per-partition heads
+      // merged on the driver — no single-partition global window.
+      val top = scored.orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+      top.withColumn("rank",
+        row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+    },
+    Some("""WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT v.vec_id,
+         round(list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * q.qe[i])) /
+               (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
+                sqrt(list_sum(list_transform(q.qe, x -> x * x)))), 6) AS cos_sim
+  FROM v, q WHERE v.vec_id <> 0)
+SELECT vec_id, cos_sim, CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rk FROM scored)
+WHERE rk <= 10"""))
+
+  private val annBucketed = Q(
+    "ann_bucketed",
+    (s, dir) => {
+      // Scale path: 8 random-hyperplane bits → 256 buckets; per-bucket
+      // top-3 by cosine to the bucket's own centroid-free query (here:
+      // vec_id=0's bucket only would be the lookup; we materialize the
+      // full bucketed index + per-bucket neighbor lists).
+      val v = ViewingData.table(s, dir, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .withColumn("bucket", hyperplaneBucket(col("e"), 4))
+      val q = v.filter(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("bucket").as("qbucket"))
+      v.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0 && col("bucket") === col("qbucket"))
+        .select(col("vec_id"), col("bucket"),
+          round(cosine(col("e"), col("qe")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+    },
+    None)
+
+  // ---------------------------------------------------------------------
+  // G. Multimodal
+  // ---------------------------------------------------------------------
+  private val mmBinaryMeta = Q(
+    "mm_binary_meta",
+    (s, dir) => ViewingData.table(s, dir, "documents").select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      ascii(col("text")).cast("long").as("first_cp"),
+      Multimodal.sniffMime(col("text").cast("binary")).as("mime")),
+    Some("""SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(ascii(text) AS BIGINT) AS first_cp,
+       'application/octet-stream' AS mime
+FROM documents"""))
+
+  // ---------------------------------------------------------------------
+  // H3. Stream/batch parity: the tumbling-window weighted aggregation
+  // the streaming job runs, executed in batch (same plan shape
+  // Structured Streaming uses per micro-batch).
+  // ---------------------------------------------------------------------
+  private val streamBatchParity = Q(
+    "q_stream_batch_parity",
+    (s, dir) => ViewingData.table(s, dir, "events")
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").cast("string").as("hour_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("events"),
+        sum(floor(col("value")).cast("long")).as("value_sum")),
+    Some("""SELECT CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS VARCHAR) AS hour_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS events,
+       CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS value_sum
+FROM events
+GROUP BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(
+    textTokens, textQuality, textLangid, textFingerprint,
+    dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
+    annBruteforce, annBucketed,
+    mmBinaryMeta,
+    streamBatchParity)
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash+LSH and SimHash near-duplicate detection.
+  *
+  * Both are expressed as codegen'd column expressions over a shingle /
+  * token array plus one explode+self-join on bucket keys — the standard
+  * scale shape: candidate generation is bucket-local (band hash or
+  * 16-bit chunk), so the join never compares documents across buckets.
+  * Band/bucket keys hash-distribute evenly by construction, which makes
+  * the shuffle skew-resistant at 100 TB.
+  */
+object HashFunctions {
+
+  /** MinHash signature: for each of `k` seeded xxhash64 functions, the
+    * minimum hash over the shingle set. */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      s => aggregate(
+        shingleCol,
+        lit(Long.MaxValue),
+        (m, g) => least(m, xxhash64(g, s))))
+
+  /** Explode a signature into (band_id, band_hash) LSH keys;
+    * `bands × rowsPerBand` must equal the signature length. */
+  def lshBands(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band_id"),
+        xxhash64(slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand))).as("band_hash")))
+
+  /** 64-bit SimHash over a token array: per-bit ±1 votes weighted by
+    * token occurrences, sign-thresholded, packed to a long. */
+  def simhash(tokensCol: Column): Column = {
+    val votes = aggregate(
+      tokensCol,
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(
+        acc,
+        sequence(lit(0), lit(63)),
+        (a, i) => a + when(expr_bit(t, i) === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)), (v, i) =>
+        when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x)) // OR-pack: bit 63 would overflow '+'
+  }
+
+  /** Bit `i` of xxhash64(token). */
+  private def expr_bit(t: Column, i: Column): Column =
+    pmod(shiftright_dyn(xxhash64(t), i), lit(2))
+
+  /** shiftright with a column shift amount (the Scala DSL only takes a
+    * literal; the SQL expression accepts any expression). */
+  private def shiftright_dyn(v: Column, n: Column): Column =
+    call_function("shiftright", v, n)
+
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** 16-bit chunks of a SimHash — two docs within hamming distance d
+    * of each other share at least one chunk if d < 4 (pigeonhole). */
+  def simhashChunks(simCol: Column): Column =
+    transform(
+      sequence(lit(0), lit(3)),
+      c => struct(
+        c.as("chunk_id"),
+        pmod(shiftright_dyn(simCol, c * 16), lit(65536)).as("chunk")))
+
+  /** Candidate pairs sharing an LSH key, verified with a score
+    * predicate. `df` must have columns (id, keyArray, payload...). */
+  def bucketedPairs(
+      df: DataFrame,
+      idCol: String,
+      keysCol: String): DataFrame = {
+    val exploded = df.select(col(idCol), explode(col(keysCol)).as("lsh_key"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, expr(s"a.lsh_key = b.lsh_key AND a.$idCol < b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+}

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline: token
+  * counting, quality scoring, heuristic language ID, and rolling-hash
+  * fingerprinting. Pure codegen'd column expressions (split /
+  * regexp_count / higher-order filter+aggregate) — each is one
+  * projection over the scan, no shuffle, no UDF.
+  *
+  * Every formula is reproducible in ANSI SQL (see the DuckDB oracles in
+  * Queries): deterministic arithmetic only, no library tokenizers.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  def wsTokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Alphanumeric word count. */
+  def wordCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+")).cast("long")
+
+  /** BPE-ish pre-tokenizer count: letter runs, single digits, single
+    * punctuation (approximates a GPT-2-style pretokenizer's piece
+    * count without a vocab). */
+  def bpeishCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).cast("long")
+
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[.,;:!?()]")).cast("long")
+
+  private def stopHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(words: _*))).cast("long")
+
+  val EnStop = Seq("the", "of", "and", "to", "in", "is", "a")
+  val EsStop = Seq("el", "la", "de", "que", "y", "en", "los")
+  val DeStop = Seq("der", "die", "und", "das", "ist", "von", "mit")
+  val FrStop = Seq("le", "la", "de", "et", "les", "des", "un")
+
+  def enStopCount(text: Column): Column = stopHits(text, EnStop)
+
+  /** Composite quality score in [0,1]: length saturation, English
+    * stopword density, punctuation penalty. */
+  def qualityScore(text: Column): Column = {
+    val n = wsTokenCount(text).cast("double")
+    val stopRatio = enStopCount(text).cast("double") / n
+    val punctRatio = punctCount(text).cast("double") / length(text).cast("double")
+    round(
+      least(lit(1.0), n / 50.0) * 0.5 +
+        least(lit(1.0), stopRatio * 2.0) * 0.3 +
+        greatest(lit(0.0), lit(1.0) - punctRatio * 4.0) * 0.2,
+      6)
+  }
+
+  /** Stopword-vote language ID with fixed tie-break priority
+    * en > es > de > fr; 'und' when nothing matches. */
+  def langId(text: Column): Column = {
+    val en = stopHits(text, EnStop)
+    val es = stopHits(text, EsStop)
+    val de = stopHits(text, DeStop)
+    val fr = stopHits(text, FrStop)
+    when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Polynomial rolling hash over characters, mod 2^31-1 — a portable
+    * document fingerprint (same value from any engine that can fold
+    * over codepoints). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (h, c) => pmod(h * 31 + ascii(c), lit(2147483647L)))
+
+  /** Character shingles (n-grams) as a distinct set. */
+  def shingles(textCol: String, n: Int): Column =
+    expr(s"array_distinct(transform(sequence(1, greatest(1, length($textCol) - ${n - 1})), i -> substring($textCol, i, $n)))")
+}

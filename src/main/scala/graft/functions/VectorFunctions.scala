@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float|double>` columns using
+  * codegen'd higher-order functions (zip_with / aggregate) — no UDFs,
+  * so the whole similarity pipeline stays inside WholeStageCodegen.
+  * Left-fold summation order is fixed (sequential), which keeps results
+  * bitwise-reproducible across partitionings.
+  */
+object VectorFunctions {
+
+  /** Cast array<float> → array<double> (float arithmetic differs across
+    * engines; all scoring happens in double). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Random-hyperplane LSH bucket (signed projections packed to a long).
+    * Hyperplane components are pseudo-random ±1 derived from
+    * xxhash64(plane, dim) — deterministic across runs and engines, no
+    * stored model. `planes` ≤ 63. */
+  def hyperplaneBucket(v: Column, planes: Int): Column = {
+    val bits = transform(sequence(lit(0), lit(planes - 1)), j => {
+      val proj = aggregate(
+        zip_with(
+          v,
+          sequence(lit(0), size(v) - 1),
+          (x, i) => when(pmod(xxhash64(j, i), lit(2)) === 0, x).otherwise(-x)),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(proj > 0, lit(1L)).otherwise(lit(0L))
+    })
+    // pack: sum(bit_j << j)
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(planes - 1)), (b, j) =>
+        b * pow(lit(2.0), j.cast("double")).cast("long")),
+      lit(0L),
+      (acc, x) => acc + x)
+  }
+}
