@@ -66,7 +66,7 @@ object Multimodal {
   def sampleFrames(bin: Column, frameBytes: Int, stride: Int): Column =
     filter(
       transform(
-        sequence(lit(0), (length(bin) - 1) / frameBytes),
+        sequence(lit(0L), floor((length(bin) - 1) / frameBytes)),
         i => struct(i.as("frame_id"), substring_dyn(bin, i * frameBytes + 1, frameBytes).as("frame"))),
       f => pmod(f.getField("frame_id"), lit(stride)) === 0)
 

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions, TextFunctions, VectorFunctions}
+
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(1.0, 0.0, 2.0), Seq(1.0, 0.0, 2.0)),
+      (Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    ).toDF("a", "b")
+      .select(round(VectorFunctions.cosine(col("a"), col("b")), 9).as("c"))
+    assert(df.as[Double].collect().toSeq == Seq(1.0, 0.0))
+  }
+
+  test("hyperplane bucket is deterministic and groups identical vectors") {
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0)),
+      (2L, Seq(1.0, 2.0, 3.0)),
+      (3L, Seq(-9.0, 4.0, -7.0))
+    ).toDF("id", "v").select(col("id"), VectorFunctions.hyperplaneBucket(col("v"), 4).as("b"))
+    val m = df.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    assert(m.values.forall(b => b >= 0 && b < 16))
+  }
+
+  test("token/word counts and fingerprint are stable") {
+    val df = Seq("the cat sat, on the mat!").toDF("text").select(
+      TextFunctions.wsTokenCount(col("text")).as("ws"),
+      TextFunctions.wordCount(col("text")).as("w"),
+      TextFunctions.punctCount(col("text")).as("p"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+    val r = df.collect().head
+    assert(r.getAs[Long]("ws") == 6)
+    assert(r.getAs[Long]("w") == 6)
+    assert(r.getAs[Long]("p") == 2)
+    // ground truth computed independently: polynomial 31-hash mod 2^31-1
+    val expected = "the cat sat, on the mat!".foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
+    assert(r.getAs[Long]("fp") == expected)
+  }
+
+  test("langId votes with deterministic priority") {
+    val df = Seq(
+      "the cat of the house is big",
+      "el perro de la casa que ladra y en",
+      "zzz qqq www"
+    ).toDF("text").select(TextFunctions.langId(col("text")).as("l"))
+    assert(df.as[String].collect().toSeq == Seq("en", "es", "und"))
+  }
+
+  test("minhash: near-identical docs collide in some band; disjoint docs get low jaccard") {
+    val base = "spark catalyst tungsten shuffle partition broadcast join aggregate window stream"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),              // near-dup of 1
+      (3L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.shingles("text", 5).as("grams"))
+      .withColumn("sig", HashFunctions.minhashSignature(col("grams"), 32))
+      .withColumn("bands", HashFunctions.lshBands(col("sig"), 8, 4))
+    val pairs = HashFunctions.bucketedPairs(
+      docs.select(col("doc_id"), col("bands")), "doc_id", "bands")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-dups must share a band; got $pairs")
+    assert(!pairs.contains((1L, 3L)) || !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: hamming(near-dups) < hamming(unrelated)") {
+    val base = "spark catalyst tungsten shuffle partition broadcast join aggregate window stream"
+    val df = Seq(
+      (1L, base), (2L, base + " extra"),
+      (3L, "totally different unrelated words appear in this document body")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        HashFunctions.simhash(TextFunctions.tokens(col("text"))).as("h"))
+    val m = df.as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < ham(m(1L), m(3L)))
+    assert(ham(m(1L), m(2L)) <= 12)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{StreamAggregates, StreamSessionize}
+import graft.streaming.StreamSessionize.Exposure
+
+class StreamingSpec extends SparkTestBase {
+
+  test("stream sessionize: gap closes sessions; watermark flushes the tail") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Exposure]
+    val sessions = StreamSessionize.sessions(input.toDS(), gapSeconds = 300L, minSessionSeconds = 180L)
+    val query = sessions.writeStream
+      .format("memory").queryName("sess_out").outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two events one session, then a later event breaking the gap
+      input.addData(
+        Exposure.at("a", 1000L, 1100L, 100L),
+        Exposure.at("a", 1200L, 1300L, 100L))
+      query.processAllAvailable()
+      input.addData(Exposure.at("a", 2000L, 2100L, 500L)) // gap 700 closes first session
+      query.processAllAvailable()
+      val closed = spark.table("sess_out").as[StreamSessionize.ClosedSession].collect()
+      assert(closed.length == 1)
+      assert(closed.head.sessionStart == 1000L && closed.head.sessionEnd == 1300L)
+      assert(closed.head.totalDuration == 200L)
+      // advance watermark far past the open session → timeout flush
+      input.addData(Exposure.at("z", 100000L, 100100L, 1L))
+      query.processAllAvailable()
+      input.addData(Exposure.at("z", 200000L, 200100L, 1L))
+      query.processAllAvailable()
+      val all = spark.table("sess_out").as[StreamSessionize.ClosedSession].collect()
+      assert(all.exists(s => s.key == "a" && s.sessionStart == 2000L && s.totalDuration == 500L),
+        s"open session should flush on watermark; got ${all.toSeq}")
+    } finally query.stop()
+  }
+
+  test("stream sessionize matches batch sessionize on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Seq(
+      Exposure.at("k1", 1000L, 1100L, 200L),
+      Exposure.at("k1", 1250L, 1350L, 100L),
+      Exposure.at("k1", 5000L, 5100L, 300L),
+      Exposure.at("k2", 1000L, 1080L, 400L))
+    val input = MemoryStream[Exposure]
+    val q = StreamSessionize.sessions(input.toDS()).writeStream
+      .format("memory").queryName("parity_out").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData(Exposure.at("zz", 999999L, 999999L, 1L)) // push watermark
+      q.processAllAvailable()
+      val streamed = spark.table("parity_out")
+        .as[StreamSessionize.ClosedSession].collect()
+        .filter(_.key != "zz")
+        .map(s => (s.key, s.sessionStart, s.sessionEnd, s.totalDuration)).toSet
+      val batch = graft.operators.Sessionize.sessions(
+        events.toDF(), keys = Seq("key"),
+        startCol = "startTs", endCol = "endTs", durationCol = "duration",
+        gapSeconds = 300L, minSessionSeconds = 180L, tieBreakers = Seq("endTs"))
+        .select("key", "session_start_ts", "session_end_ts", "total_duration")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling window aggregation over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamAggregates.tumblingCounts(
+      input.toDF().toDF("ts", "key", "value"), "ts", "key", "value",
+      windowLength = "1 hour", watermark = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "view", 10.5),
+        (ts("2024-01-01 10:45:00"), "view", 2.5),
+        (ts("2024-01-01 11:05:00"), "view", 1.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 14:00:00"), "view", 0.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select(col("window_start").cast("string"), col("events"), col("value_sum"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(rows.contains(("2024-01-01 10:00:00", 2L, 12L)), s"got $rows")
+      assert(rows.contains(("2024-01-01 11:00:00", 1L, 1L)), s"got $rows")
+    } finally q.stop()
+  }
+}
