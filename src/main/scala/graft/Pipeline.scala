@@ -92,9 +92,17 @@ object Pipeline {
   /** Insert-only incremental merge demo (etl-dag.sql task_update_raw_events):
     * target = events at/before the watermark; batch = a re-delivered
     * overlapping slice; result = target + genuinely new rows. */
+  /** The watermark is a control value (reference: task_control) — derive
+    * it from a single-column scan of the raw feed, NOT from the derived
+    * pipeline output, so the expensive subtree is never recomputed just
+    * to find the cutoff date. */
+  private def ingestWatermark(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.ViewingData.table(spark, dir, "events")
+      .agg(max(to_date(col("ts"))).as("max_d"))
+
   def incrementalMerge(spark: SparkSession, dir: String): DataFrame = {
     val ve = viewingEvents(spark, dir)
-    val maxD = broadcast(ve.agg(max(col("metadata_date")).as("max_d")))
+    val maxD = broadcast(ingestWatermark(spark, dir))
     val target = ve.crossJoin(maxD)
       .filter(col("metadata_date") <= date_sub(col("max_d"), 7)).drop("max_d")
     val batch = ve.crossJoin(maxD)
@@ -106,7 +114,10 @@ object Pipeline {
     * sessions only for groups touched by the fresh slice. */
   def affectedRebuild(spark: SparkSession, dir: String): DataFrame = {
     val weighted = weightedEvents(spark, dir)
-    val maxD = broadcast(weighted.agg(max(col("metadata_date")).as("max_d")))
+    val maxD = broadcast(ingestWatermark(spark, dir))
+    // The fresh slice pushes `metadata_date > cutoff` into the parquet
+    // scan; only its (tiny, distinct) group keys feed the broadcast
+    // semi join, so the full-history side is scanned exactly once.
     val batch = weighted.crossJoin(maxD)
       .filter(col("metadata_date") > date_sub(col("max_d"), 5)).drop("max_d")
     val keys = IncrementalMerge.affectedKeys(batch, SessionKeys)

@@ -213,7 +213,7 @@ GROUP BY title, content_id"""))
     "q_incremental_merge",
     (s, dir) => datesAsStrings(Pipeline.incrementalMerge(s, dir)),
     Some(veCte + """,
-max_d AS (SELECT MAX(metadata_date) AS d FROM viewing_events),
+max_d AS (SELECT MAX(CAST(ts AS DATE)) AS d FROM events),
 target AS (SELECT v.* FROM viewing_events v, max_d WHERE v.metadata_date <= d - 7),
 batch AS (SELECT v.* FROM viewing_events v, max_d WHERE v.metadata_date > d - 10),
 merged AS (
@@ -229,7 +229,7 @@ SELECT * REPLACE (CAST(metadata_date AS VARCHAR) AS metadata_date) FROM merged""
     "q_affected_rebuild",
     (s, dir) => datesAsStrings(Pipeline.affectedRebuild(s, dir)),
     Some(veCte + """,
-max_d AS (SELECT MAX(metadata_date) AS d FROM weighted),
+max_d AS (SELECT MAX(CAST(ts AS DATE)) AS d FROM events),
 affected AS (SELECT DISTINCT hh_id, title, content_id
              FROM weighted, max_d WHERE metadata_date > d - 5),
 scoped AS (SELECT w.* FROM weighted w

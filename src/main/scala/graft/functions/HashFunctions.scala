@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
 object HashFunctions {
 
   /** MinHash signature: for each of `k` seeded xxhash64 functions, the
-    * minimum hash over the shingle set. */
+    * minimum hash over the shingle set.
+    *
+    * Per-row closed form (interpreted higher-order eval — fine for a
+    * handful of rows; for bulk signatures use [[minhashSignatures]]). */
   def minhashSignature(shingleCol: Column, k: Int): Column =
     transform(
       sequence(lit(0), lit(k - 1)),
@@ -23,6 +26,20 @@ object HashFunctions {
         shingleCol,
         lit(Long.MaxValue),
         (m, g) => least(m, xxhash64(g, s))))
+
+  /** Bulk MinHash: explode shingles and compute the k minima as k
+    * codegen'd MIN aggregates in ONE hash aggregation — map-side
+    * partial min makes the shuffle |docs|-sized regardless of shingle
+    * count, and every xxhash64 runs inside WholeStageCodegen (the
+    * per-row higher-order form evaluates interpreted, ~100× slower).
+    * Input df: (idCol, shinglesCol); output: (idCol, sig array<long>). */
+  def minhashSignatures(df: DataFrame, idCol: String, shinglesCol: String, k: Int): DataFrame = {
+    val mins = (0 until k).map(s => min(xxhash64(col("gram"), lit(s))).as(s"h$s"))
+    df.select(col(idCol), explode(col(shinglesCol)).as("gram"))
+      .groupBy(idCol)
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(s => col(s"h$s")): _*).as("sig"))
+  }
 
   /** Explode a signature into (band_id, band_hash) LSH keys;
     * `bands × rowsPerBand` must equal the signature length. */
@@ -33,8 +50,28 @@ object HashFunctions {
         b.as("band_id"),
         xxhash64(slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand))).as("band_hash")))
 
+  /** Bulk SimHash: explode tokens, hash each ONCE, then 64 codegen'd
+    * conditional-sum aggregates (±1 votes per bit) and an OR-pack of
+    * the signs. Same single-shuffle shape as [[minhashSignatures]].
+    * Input df: (idCol, tokensCol); output: (idCol, simhash long). */
+  def simhashes(df: DataFrame, idCol: String, tokensCol: String): DataFrame = {
+    val votes = (0 until 64).map { i =>
+      sum(when(call_function("shiftright", col("th"), lit(i)).bitwiseAND(1L) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$i")
+    }
+    val packed = (0 until 64)
+      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    df.select(col(idCol), explode(col(tokensCol)).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("th"))
+      .groupBy(idCol)
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
+  }
+
   /** 64-bit SimHash over a token array: per-bit ±1 votes weighted by
-    * token occurrences, sign-thresholded, packed to a long. */
+    * token occurrences, sign-thresholded, packed to a long.
+    * Per-row closed form — for bulk use [[simhashes]]. */
   def simhash(tokensCol: Column): Column = {
     val votes = aggregate(
       tokensCol,

@@ -22,6 +22,14 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Unit-normalize once per row so pairwise cosine degrades to a bare
+    * dot product — 3× less arithmetic in the pair loop, which is where
+    * all the time goes in O(n²)-per-bucket similarity. */
+  def normalize(v: Column): Column = {
+    val n = norm(v)
+    transform(v, x => x / n)
+  }
+
   /** Random-hyperplane LSH bucket (signed projections packed to a long).
     * Hyperplane components are pseudo-random ±1 derived from
     * xxhash64(plane, dim) — deterministic across runs and engines, no

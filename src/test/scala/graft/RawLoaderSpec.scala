@@ -1,0 +1,39 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.RawLoader
+
+class RawLoaderSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("recovers yyyy/mm/dd + metadata_date from hive-style paths") {
+    val root = Files.createTempDirectory("rawloader").toString
+    Seq((1L, "x")).toDF("id", "v")
+      .write.parquet(s"$root/STB/yyyy=2024/mm=01/dd=05")
+    Seq((2L, "y")).toDF("id", "v")
+      .write.parquet(s"$root/STB/yyyy=2024/mm=01/dd=06")
+    Seq((3L, "z")).toDF("id", "v")
+      .write.parquet(s"$root/STB/yyyy=__HIVE_DEFAULT_PARTITION__/mm=01/dd=07")
+
+    val out = RawLoader.load(spark, root, "STB")
+      .select("id", "yyyy", "mm", "dd", "metadata_date")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3), Option(r.getDate(4)))).toMap
+
+    assert(out(1L) == (("2024", "01", "05", Some(java.sql.Date.valueOf("2024-01-05")))))
+    assert(out(2L)._3 == "06")
+    // sentinel partition → NULL yyyy → NULL date (NULLIF + try_cast path)
+    assert(out(3L)._1 == null && out(3L)._4.isEmpty)
+  }
+
+  test("date predicate prunes to matching files only") {
+    val root = Files.createTempDirectory("rawloader2").toString
+    Seq(1L).toDF("id").write.parquet(s"$root/ACR/yyyy=2024/mm=01/dd=05")
+    Seq(2L).toDF("id").write.parquet(s"$root/ACR/yyyy=2024/mm=02/dd=05")
+    val out = RawLoader.load(spark, root, "ACR")
+      .filter(col("metadata_date") === "2024-02-05")
+      .select("id").as[Long].collect()
+    assert(out.toSeq == Seq(2L))
+  }
+}
