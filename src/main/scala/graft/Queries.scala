@@ -455,8 +455,70 @@ GROUP BY user_id"""))
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS moving_avg3
 FROM events"""))
 
+  private val percentiles = Q(
+    "q_percentiles",
+    (s, dir) => t(s, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(
+        round(expr("percentile(c_acctbal, 0.5)"), 6).as("median_bal"),
+        round(expr("percentile(c_acctbal, 0.95)"), 6).as("p95_bal"),
+        round(min("c_acctbal"), 4).as("min_bal"),
+        round(max("c_acctbal"), 4).as("max_bal")),
+    Some("""SELECT c_mktsegment,
+       round(CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE), 6) AS median_bal,
+       round(CAST(quantile_cont(c_acctbal, 0.95) AS DOUBLE), 6) AS p95_bal,
+       round(CAST(MIN(c_acctbal) AS DOUBLE), 4) AS min_bal,
+       round(CAST(MAX(c_acctbal) AS DOUBLE), 4) AS max_bal
+FROM customer
+GROUP BY c_mktsegment"""))
+
+  private val stringFuncs = Q(
+    "q_string_funcs",
+    (s, dir) => t(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("uname"),
+      substring(col("p_name"), 2, 5).as("midname"),
+      regexp_replace(col("p_name"), " ", "_").as("snake"),
+      lpad(col("p_brand"), 12, "*").as("padded"),
+      reverse(col("p_type")).as("rtype"),
+      length(col("p_name")).cast("long").as("name_len"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("joined")),
+    Some("""SELECT p_partkey,
+       upper(p_name) AS uname,
+       substring(p_name, 2, 5) AS midname,
+       replace(p_name, ' ', '_') AS snake,
+       lpad(p_brand, 12, '*') AS padded,
+       reverse(p_type) AS rtype,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       p_brand || '|' || p_type AS joined
+FROM part"""))
+
+  private val dateFuncs = Q(
+    "q_date_funcs",
+    (s, dir) => t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      month(col("o_orderdate")).cast("long").as("mo"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"),
+      (weekday(col("o_orderdate")) + 1).cast("long").as("isodow"),
+      last_day(col("o_orderdate")).cast("string").as("month_end"),
+      datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since_epoch95"),
+      date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus30")),
+    Some("""SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS yr,
+       CAST(month(o_orderdate) AS BIGINT) AS mo,
+       CAST(day(o_orderdate) AS BIGINT) AS dom,
+       CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+       CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch95,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30
+FROM orders"""))
+
   // ---------------------------------------------------------------------
   val all: Seq[Q] = Seq(
+    percentiles, stringFuncs, dateFuncs,
     ingestCast, partitionExtract,
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
     audienceMetrics, incrementalMerge, affectedRebuild, watermarkQ,

@@ -195,6 +195,7 @@ WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
       // Embedding near-dup pairs, IVF-style: candidates restricted to
       // the same coarse partition (label); vectors unit-normalized ONCE
       // per row so the pair loop is a bare dot product.
+      graft.plans.GraftExtensions.register(s)
       val v = ViewingData.table(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("label"),
@@ -205,7 +206,7 @@ WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
         .select(
           col("a.vec_id").as("id_a"),
           col("b.vec_id").as("id_b"),
-          round(dot(col("a.e"), col("b.e")), 6).as("cos_sim"))
+          round(dotNative(col("a.e"), col("b.e")), 6).as("cos_sim"))
         .filter(col("cos_sim") >= 0.3)
     },
     Some("""WITH v0 AS (
@@ -226,6 +227,7 @@ WHERE round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * 
   private val annBruteforce = Q(
     "ann_bruteforce",
     (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
       val v = ViewingData.table(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"), normalize(toDouble(col("embedding"))).as("e"))
@@ -233,7 +235,7 @@ WHERE round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * 
         .select(col("e").as("qe"))
       val scored = v.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .select(col("vec_id"), round(dot(col("e"), col("qe")), 6).as("cos_sim"))
+        .select(col("vec_id"), round(dotNative(col("e"), col("qe")), 6).as("cos_sim"))
       // Distributed top-k (TakeOrderedAndProject): per-partition heads
       // merged on the driver — no single-partition global window.
       val top = scored.orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
@@ -263,6 +265,7 @@ WHERE rk <= 10"""))
       // top-3 by cosine to the bucket's own centroid-free query (here:
       // vec_id=0's bucket only would be the lookup; we materialize the
       // full bucketed index + per-bucket neighbor lists).
+      graft.plans.GraftExtensions.register(s)
       // Materialize the bucketed index once (localCheckpoint) — the
       // ANN pattern is build-once/probe-many; without it the probe and
       // index branches would each recompute the hyperplane projections.
@@ -276,7 +279,7 @@ WHERE rk <= 10"""))
       v.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= 0 && col("bucket") === col("qbucket"))
         .select(col("vec_id"), col("bucket"),
-          round(dot(col("e"), col("qe")), 6).as("cos_sim"))
+          round(dotNative(col("e"), col("qe")), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id"))))

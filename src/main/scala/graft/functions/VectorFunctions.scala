@@ -18,6 +18,11 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Codegen'd dot product (plans.DotProduct) — bitwise-identical to
+    * [[dot]] but a primitive loop instead of interpreted lambdas.
+    * Requires `plans.GraftExtensions.register(spark)` (idempotent). */
+  def dotNative(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))

@@ -1,0 +1,39 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's native expressions.
+  *
+  * Two entry points for the two deployment shapes:
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session
+  *    build time (the standard SparkSessionExtensions route), or
+  *  - `GraftExtensions.register(spark)` on a live session (idempotent;
+  *    used by the query registry since the driver builds its own
+  *    sessions without extension conf).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private val injections: Seq[
+      (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+
+  /** Idempotent runtime registration into the session's function
+    * registry. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    injections.foreach { case (ident, info, builder) =>
+      if (!registry.functionExists(ident))
+        registry.registerFunction(ident, info, builder)
+    }
+  }
+}
