@@ -516,9 +516,47 @@ FROM part"""))
        CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30
 FROM orders"""))
 
+  private val cubeQ = Q(
+    "q_cube",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      s.sql("""SELECT n_name, c_mktsegment,
+                      count(*) AS customer_cnt,
+                      round(sum(c_acctbal), 4) AS acctbal_sum
+               FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+               GROUP BY CUBE (n_name, c_mktsegment)""")
+    },
+    Some("""SELECT n_name, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS customer_cnt,
+       round(CAST(SUM(c_acctbal) AS DOUBLE), 4) AS acctbal_sum
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY CUBE (n_name, c_mktsegment)"""))
+
+  private val scalarSubquery = Q(
+    "q_scalar_subquery",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      // Correlated scalar subquery (Snowflake-SQL surface); MAX keeps
+      // the threshold exact so boundary rows can't flip on FP
+      // summation order.
+      s.sql("""SELECT o_orderkey, o_orderpriority,
+                      round(o_totalprice, 4) AS o_totalprice
+               FROM orders_v o
+               WHERE o_totalprice > (SELECT 0.9 * MAX(i.o_totalprice)
+                                     FROM orders_v i
+                                     WHERE i.o_orderpriority = o.o_orderpriority)""")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+       round(CAST(o_totalprice AS DOUBLE), 4) AS o_totalprice
+FROM orders o
+WHERE o_totalprice > (SELECT 0.9 * MAX(i.o_totalprice)
+                      FROM orders i
+                      WHERE i.o_orderpriority = o.o_orderpriority)"""))
+
   // ---------------------------------------------------------------------
   val all: Seq[Q] = Seq(
-    percentiles, stringFuncs, dateFuncs,
+    percentiles, stringFuncs, dateFuncs, cubeQ, scalarSubquery,
     ingestCast, partitionExtract,
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
     audienceMetrics, incrementalMerge, affectedRebuild, watermarkQ,
