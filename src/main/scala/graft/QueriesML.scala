@@ -323,8 +323,45 @@ FROM documents"""))
 FROM events
 GROUP BY 1, 2"""))
 
+  private val topTerms = Q(
+    "text_top_terms",
+    (s, dir) => {
+      // explode/unnest surface: top-5 tokens per language by frequency.
+      val toks = ViewingData.table(s, dir, "documents")
+        .select(col("lang"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 2)
+        .groupBy("lang", "token")
+        .agg(count(lit(1)).as("occurrences"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("occurrences").desc, col("token"))
+      toks.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+    },
+    Some("""WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents),
+counts AS (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS occurrences
+  FROM toks WHERE length(token) > 2
+  GROUP BY lang, token)
+SELECT lang, token, occurrences, CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY occurrences DESC, token) AS rk
+      FROM counts)
+WHERE rk <= 5"""))
+
+  private val histogram = Q(
+    "q_histogram",
+    (s, dir) => ViewingData.table(s, dir, "events")
+      .groupBy(col("event_type"), (floor(col("value") / 25) * 25).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n")),
+    Some("""SELECT event_type,
+       CAST(floor(value / 25) * 25 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
-    textTokens, textQuality, textLangid, textFingerprint,
+    textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteforce, annBucketed,
     mmBinaryMeta,

@@ -14,8 +14,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    sessions without extension conf).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
+  }
 }
 
 object GraftExtensions {
@@ -27,13 +29,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
 
-  /** Idempotent runtime registration into the session's function
-    * registry. */
+  /** Idempotent runtime registration: functions into the session's
+    * registry, the dot-product rewrite into the experimental optimizer
+    * batch (the runtime equivalent of injectOptimizerRule). */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     injections.foreach { case (ident, info, builder) =>
       if (!registry.functionExists(ident))
         registry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteDotProduct
   }
 }

@@ -39,6 +39,24 @@ class NativeExpressionSpec extends SparkTestBase {
       s"expected vec_dot inside a codegen stage in:\n$plan")
   }
 
+  test("RewriteDotProduct turns the declarative HOF fold into vec_dot") {
+    GraftExtensions.register(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("vecdot_rw").toString + "/t"
+    ViewingData.table(spark, Sf, "embeddings")
+      .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("e"))
+      .write.parquet(tmp)
+    val hof = spark.read.parquet(tmp)
+      .select(col("vec_id"), VectorFunctions.dot(col("e"), col("e")).as("d"))
+    val plan = hof.queryExecution.executedPlan.toString
+    assert(plan.contains("vec_dot"),
+      s"optimizer should rewrite aggregate(zip_with(...)) to vec_dot:\n$plan")
+    // and it must still compute the same values as the unrewritten form
+    val expected = spark.read.parquet(tmp)
+      .select(col("vec_id"), VectorFunctions.dotNative(col("e"), col("e")).as("d"))
+    assert(hof.collect().map(_.getDouble(1)).sum ==
+      expected.collect().map(_.getDouble(1)).sum)
+  }
+
   test("registration is idempotent and works via SQL too") {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark)
