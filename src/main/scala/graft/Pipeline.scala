@@ -129,4 +129,26 @@ object Pipeline {
     IncrementalMerge.watermark(
       Seq(ViewingData.acr(spark, dir), ViewingData.stb(spark, dir)),
       "metadata_date")
+
+  /** The reference's daily task graph (etl-dag.sql): each stage
+    * materializes its table (the reference MERGEs into Snowflake
+    * tables; here each lands as parquet under `outDir`), wired with
+    * the same AFTER dependencies. */
+  def dailyDag(dir: String, outDir: String): Seq[operators.TaskDag.Task] = {
+    import operators.TaskDag.Task
+    def save(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name")
+    Seq(
+      Task("kickoff", run = _ => ()),
+      Task("panel_windows", Seq("kickoff"),
+        s => save(panelWindows(s, dir), "panel_windows")),
+      Task("raw_events", Seq("kickoff"),
+        s => save(viewingEvents(s, dir), "raw_viewing_events")),
+      Task("weighted_events", Seq("panel_windows", "raw_events"),
+        s => save(weightedEvents(s, dir), "weighted_events")),
+      Task("viewing_sessions", Seq("weighted_events"),
+        s => save(sessions(s.read.parquet(s"$outDir/weighted_events")), "viewing_sessions")),
+      Task("control_table", Seq("viewing_sessions"),
+        s => save(watermark(s, dir), "task_control")))
+  }
 }

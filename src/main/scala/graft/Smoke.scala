@@ -46,6 +46,16 @@ object Smoke {
     val sessions = spark.table("smoke_sessions").filter(col("key") =!= "~flush")
     val sn = sessions.count()
     println(s"[smoke] streaming sessions=$sn " + (if (sn > 0) "OK" else "EMPTY"))
+
+    // Orchestration surface: the reference's daily task graph,
+    // materializing each stage table (etl-dag.sql equivalent).
+    val dagOut = java.nio.file.Files.createTempDirectory("smoke_dag").toString
+    val results = graft.operators.TaskDag.run(
+      spark, Pipeline.dailyDag("/root/testdata/sf0.001", dagOut))
+    results.foreach(r => println(
+      f"[smoke] dag task ${r.name}%-17s ${if (r.ok) "OK" else "FAIL: " + r.error.getOrElse("")} (${r.seconds}%.1fs)"))
+    val dagSessions = spark.read.parquet(s"$dagOut/viewing_sessions").count()
+    println(s"[smoke] dag sessions=$dagSessions " + (if (dagSessions > 0) "OK" else "EMPTY"))
     spark.stop()
   }
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+
+/** The reference's orchestration surface (etl-dag.sql): a DAG of named
+  * tasks with AFTER dependencies, executed in topological order —
+  * root kickoff → panel windows + raw events → weighted events →
+  * viewing sessions → control-table watermark update.
+  *
+  * Snowflake runs these on a cron schedule; here the schedule is the
+  * caller's concern (Structured Streaming triggers or an external
+  * scheduler) and the DAG contributes ordering, cycle detection, and
+  * per-task status. Tasks run sequentially in dependency order; Spark
+  * parallelizes WITHIN each task, which is where the cluster's
+  * resources belong — two concurrent actions would just split the
+  * same executors.
+  */
+object TaskDag {
+
+  final case class Task(
+      name: String,
+      after: Seq[String] = Seq.empty,
+      run: SparkSession => Unit)
+
+  final case class TaskResult(name: String, ok: Boolean, error: Option[String], seconds: Double)
+
+  /** Kahn's topological sort; rejects cycles and unknown deps. */
+  def order(tasks: Seq[Task]): Seq[Task] = {
+    val byName = tasks.map(t => t.name -> t).toMap
+    require(byName.size == tasks.size, "duplicate task names")
+    tasks.flatMap(_.after).foreach { d =>
+      require(byName.contains(d), s"unknown dependency: $d")
+    }
+    val indeg = mutable.Map(tasks.map(t => t.name -> t.after.size): _*)
+    val dependents = tasks
+      .flatMap(t => t.after.map(_ -> t.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val queue = mutable.Queue(tasks.filter(_.after.isEmpty).map(_.name).sorted: _*)
+    val out = mutable.ArrayBuffer.empty[Task]
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      out += byName(n)
+      dependents.getOrElse(n, Seq.empty).sorted.foreach { m =>
+        indeg(m) -= 1
+        if (indeg(m) == 0) queue.enqueue(m)
+      }
+    }
+    require(out.size == tasks.size, "cycle in task graph")
+    out.toSeq
+  }
+
+  /** Runs in dependency order; a failed task skips its transitive
+    * dependents (matching Snowflake task-graph semantics) but
+    * independent branches continue. */
+  def run(spark: SparkSession, tasks: Seq[Task]): Seq[TaskResult] = {
+    val failed = mutable.Set.empty[String]
+    order(tasks).map { t =>
+      if (t.after.exists(failed.contains)) {
+        failed += t.name
+        TaskResult(t.name, ok = false, Some("skipped: upstream failed"), 0.0)
+      } else {
+        val t0 = System.nanoTime()
+        try {
+          t.run(spark)
+          TaskResult(t.name, ok = true, None, (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            failed += t.name
+            TaskResult(t.name, ok = false, Some(e.getMessage), (System.nanoTime() - t0) / 1e9)
+        }
+      }
+    }
+  }
+}
