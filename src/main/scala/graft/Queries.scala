@@ -554,9 +554,53 @@ WHERE o_totalprice > (SELECT 0.9 * MAX(i.o_totalprice)
                       FROM orders i
                       WHERE i.o_orderpriority = o.o_orderpriority)"""))
 
+  private val setOps = Q(
+    "q_set_ops",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val early = orders.filter(col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_custkey"))
+      val late = orders.filter(col("o_orderdate") >= lit("1997-01-01"))
+        .select(col("o_custkey"))
+      val both = early.intersect(late).withColumn("bucket", lit("both"))
+      val earlyOnly = early.except(late).withColumn("bucket", lit("early_only"))
+      both.unionByName(earlyOnly)
+        .groupBy("bucket").agg(count(lit(1)).as("customers"))
+    },
+    Some("""WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+late AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+tagged AS (
+  SELECT o_custkey, 'both' AS bucket FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+  UNION ALL
+  SELECT o_custkey, 'early_only' FROM (SELECT * FROM early EXCEPT SELECT * FROM late))
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS customers
+FROM tagged GROUP BY bucket"""))
+
+  private val nestedTypes = Q(
+    "q_nested_types",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(
+        array_sort(collect_list(col("l_linenumber"))).as("line_numbers"),
+        size(collect_list(col("l_linenumber"))).cast("long").as("n_lines"),
+        max(struct(col("l_extendedprice"), col("l_linenumber")))
+          .getField("l_linenumber").cast("long").as("priciest_line"),
+        round(max(col("l_extendedprice")), 4).as("top_price"))
+      .select(col("l_orderkey"),
+        concat_ws(",", col("line_numbers")).as("line_numbers"),
+        col("n_lines"), col("priciest_line"), col("top_price")),
+    Some("""SELECT l_orderkey,
+       array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
+       CAST(COUNT(l_linenumber) AS BIGINT) AS n_lines,
+       CAST(MAX(struct_pack(p := l_extendedprice, l := l_linenumber)).l AS BIGINT) AS priciest_line,
+       round(CAST(MAX(l_extendedprice) AS DOUBLE), 4) AS top_price
+FROM lineitem
+GROUP BY l_orderkey"""))
+
   // ---------------------------------------------------------------------
   val all: Seq[Q] = Seq(
     percentiles, stringFuncs, dateFuncs, cubeQ, scalarSubquery,
+    setOps, nestedTypes,
     ingestCast, partitionExtract,
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
     audienceMetrics, incrementalMerge, affectedRebuild, watermarkQ,

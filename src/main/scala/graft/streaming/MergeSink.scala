@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+import graft.operators.IncrementalMerge
+
+/** Streaming form of the reference's incremental MERGE (etl-dag.sql):
+  * each micro-batch is insert-only-merged into a parquet target via
+  * foreachBatch — the canonical Spark pattern for an idempotent,
+  * exactly-once-per-key sink when the store has no native MERGE.
+  *
+  * Re-delivered rows (at-least-once sources, restarted queries) are
+  * dropped by the anti-join on the merge key, so the sink is
+  * idempotent. At lake scale the target would be a Delta/Iceberg table
+  * whose MERGE INTO takes this role; the batch function is the only
+  * thing that changes.
+  */
+object MergeSink {
+
+  /** Returns a (batchDF, batchId) function for
+    * `writeStream.foreachBatch`. Reads the current target (empty on
+    * first batch), anti-joins the new batch on `keys`, appends. */
+  def insertOnlyParquet(targetPath: String, keys: Seq[String])(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fresh =
+      try {
+        val target = spark.read.parquet(targetPath)
+        batch.join(target.select(keys.map(target.col): _*).distinct(), keys, "left_anti")
+      } catch {
+        case _: Exception => batch // first batch: no target yet
+      }
+    fresh.write.mode(SaveMode.Append).parquet(targetPath)
+  }
+
+  /** Batch-side equivalence helper (spec + docs): the result any
+    * sequence of insertOnlyParquet batches must converge to. */
+  def expectedTarget(allBatches: Seq[DataFrame], keys: Seq[String]): DataFrame =
+    allBatches.reduce((t, b) => IncrementalMerge.insertOnly(t, b, keys))
+}

@@ -1,0 +1,34 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.MergeSink
+
+class MergeSinkSpec extends SparkTestBase {
+
+  test("foreachBatch insert-only merge is idempotent under re-delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val target = Files.createTempDirectory("mergesink").toString + "/t"
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("k", "v").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(MergeSink.insertOnlyParquet(target, Seq("k")) _)
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      // batch 2 re-delivers key 1 (different payload) + a new key
+      input.addData((1L, "a-dup"), (3L, "c"))
+      q.processAllAvailable()
+      // batch 3 re-delivers everything
+      input.addData((1L, "a"), (2L, "b"), (3L, "c"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(target).as[(Long, String)].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+        s"first write per key must win; got ${rows.toSeq}")
+    } finally q.stop()
+  }
+}
