@@ -27,7 +27,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.take(2).foreach(exec) // JIT/scan warm-up
+    // Warm-up: touch every table (first-scan I/O + footer caching) and
+    // run two queries (codegen/JIT) so measured runs reflect compute.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach(t => graft.sources.ViewingData.table(spark, sfDir, t).count())
+    names.take(2).foreach(exec)
     val results = names.map(n => n -> exec(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

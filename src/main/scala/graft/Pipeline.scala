@@ -41,14 +41,15 @@ object Pipeline {
 
   /** weighted_events (etl-ddl-backfill.sql:91-117): join weekly weights
     * on (member, panel monday); drop events without panel/household/
-    * weight. Weights ≪ events → broadcast join, no fact shuffle. */
-  def weightedEvents(spark: SparkSession, dir: String): DataFrame = {
-    val g = ViewingData.geoWeights(spark, dir)
-      .withColumnRenamed("metadata_date", "g_date")
-    val e = withPanel(spark, dir)
+    * weight. Weights ≪ events → broadcast join, no fact shuffle.
+    * Frame-level so incremental/DAG runs can feed MATERIALIZED
+    * upstream tables instead of re-deriving them. */
+  def weightedFrom(viewing: DataFrame, windows: DataFrame, weights: DataFrame): DataFrame = {
+    val g = weights.withColumnRenamed("metadata_date", "g_date")
+    val e = PanelAsOf.assign(viewing, windows, "metadata_date")
     e.join(
         broadcast(g),
-        e("smba_id") === g("smba_id") && e("panel_monday") === g("g_date"),
+        e("smba_id") === g("smba_id") && col("panel_monday") === g("g_date"),
         "left")
       .drop(g("smba_id")).drop("g_date")
       .filter(
@@ -57,6 +58,12 @@ object Pipeline {
         col("geo_weight").isNotNull)
       .withColumnRenamed("geo_weight", "panel_weight")
   }
+
+  def weightedEvents(spark: SparkSession, dir: String): DataFrame =
+    weightedFrom(
+      viewingEvents(spark, dir),
+      panelWindows(spark, dir),
+      ViewingData.geoWeights(spark, dir))
 
   val SessionKeys: Seq[String] = Seq("hh_id", "title", "content_id")
   val SessionGroupCols: Seq[String] =
@@ -145,7 +152,12 @@ object Pipeline {
       Task("raw_events", Seq("kickoff"),
         s => save(viewingEvents(s, dir), "raw_viewing_events")),
       Task("weighted_events", Seq("panel_windows", "raw_events"),
-        s => save(weightedEvents(s, dir), "weighted_events")),
+        s => save(
+          weightedFrom(
+            s.read.parquet(s"$outDir/raw_viewing_events"),
+            s.read.parquet(s"$outDir/panel_windows"),
+            ViewingData.geoWeights(s, dir)),
+          "weighted_events")),
       Task("viewing_sessions", Seq("weighted_events"),
         s => save(sessions(s.read.parquet(s"$outDir/weighted_events")), "viewing_sessions")),
       Task("control_table", Seq("viewing_sessions"),

@@ -135,12 +135,9 @@ sessions AS (
       ev.select(col("event_id"), path.as("path"))
         .select(
           col("event_id"),
-          nullif(regexp_extract(col("path"), ".*/yyyy=(\\d{4})/.*", 1),
-                 lit("__HIVE_DEFAULT_PARTITION__")).as("yyyy"),
-          nullif(regexp_extract(col("path"), ".*/mm=(\\d{2})/.*", 1),
-                 lit("__HIVE_DEFAULT_PARTITION__")).as("mm"),
-          nullif(regexp_extract(col("path"), ".*/dd=(\\d{2})/.*", 1),
-                 lit("__HIVE_DEFAULT_PARTITION__")).as("dd"))
+          graft.sources.RawLoader.partFrom(col("path"), ".*/yyyy=(\\d{4})/.*").as("yyyy"),
+          graft.sources.RawLoader.partFrom(col("path"), ".*/mm=(\\d{2})/.*").as("mm"),
+          graft.sources.RawLoader.partFrom(col("path"), ".*/dd=(\\d{2})/.*").as("dd"))
         .withColumn("metadata_date",
           expr("CAST(try_cast(concat(yyyy, '-', mm, '-', dd) AS DATE) AS STRING)"))
     },
@@ -205,7 +202,7 @@ SELECT title, content_id,
        CAST(COUNT(*) AS BIGINT) AS households,
        CAST(SUM(hh_weight) AS BIGINT) AS weighted_reach,
        CAST(SUM(hh_weighted_duration) AS BIGINT) AS weighted_duration,
-       CAST(SUM(hh_sessions) AS DOUBLE) / CAST(NULLIF(SUM(hh_weight), 0) AS DOUBLE) AS frequency
+       CAST(SUM(hh_weighted_views) AS DOUBLE) / CAST(NULLIF(SUM(hh_weight), 0) AS DOUBLE) AS frequency
 FROM per_hh
 GROUP BY title, content_id"""))
 

@@ -261,10 +261,9 @@ WHERE rk <= 10"""))
   private val annBucketed = Q(
     "ann_bucketed",
     (s, dir) => {
-      // Scale path: 8 random-hyperplane bits → 256 buckets; per-bucket
-      // top-3 by cosine to the bucket's own centroid-free query (here:
-      // vec_id=0's bucket only would be the lookup; we materialize the
-      // full bucketed index + per-bucket neighbor lists).
+      // Scale path: 4 random-hyperplane bits → 16 buckets (sized to the
+      // test corpus; planes scale with corpus size), probe = vec_id 0's
+      // bucket, top-10 by cosine within it.
       graft.plans.GraftExtensions.register(s)
       // Materialize the bucketed index once (localCheckpoint) — the
       // ANN pattern is build-once/probe-many; without it the probe and

@@ -35,7 +35,10 @@ object AudienceMetrics {
         count(lit(1)).as("households"),
         sum("hh_weight").as("weighted_reach"),
         sum("hh_weighted_duration").as("weighted_duration"),
-        (sum("hh_sessions").cast("double") /
+        // frequency = weighted views per unit of weighted reach — both
+        // in panel-weight units (reference v_audience_metrics exposes
+        // weighted_view / weighted_hh for exactly this ratio).
+        (sum("hh_weighted_views").cast("double") /
           nullif(sum("hh_weight"), lit(0)).cast("double")).as("frequency"))
   }
 }

@@ -55,7 +55,9 @@ object Sessionize {
       durationCol: String,
       gapSeconds: Long = 300L,
       minSessionSeconds: Long = 180L,
-      tieBreakers: Seq[String] = Seq.empty,
+      // no default: ties in startCol make LAG/running-sum ambiguous, so a
+      // caller must consciously supply a total order (e.g. end + unique id)
+      tieBreakers: Seq[String],
       groupCols: Seq[String] = Seq.empty): DataFrame = {
     val marked = mark(df, keys, startCol, endCol, gapSeconds, tieBreakers)
     val grouping = (keys ++ groupCols :+ "session_id").distinct

@@ -37,13 +37,21 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "vec_dot"
 
+  // NULL semantics mirror the higher-order form exactly (so the
+  // optimizer rewrite is observation-equivalent): zip_with null-pads
+  // unequal lengths and null elements poison the sum, hence result is
+  // NULL when lengths differ or any element is null.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (ys.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       acc += xs.getDouble(i) * ys.getDouble(i)
       i += 1
     }
@@ -56,12 +64,17 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -22,10 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object RawLoader {
 
-  private val Sentinel = "__HIVE_DEFAULT_PARTITION__"
+  val Sentinel = "__HIVE_DEFAULT_PARTITION__"
+
+  /** One hive path segment from an arbitrary path column — shared by
+    * the file-scan loader below and any query that parses path-shaped
+    * strings (see q_partition_extract). */
+  def partFrom(path: org.apache.spark.sql.Column, pattern: String): org.apache.spark.sql.Column =
+    nullif(regexp_extract(path, pattern, 1), lit(Sentinel))
 
   private def part(pattern: String): org.apache.spark.sql.Column =
-    nullif(regexp_extract(input_file_name(), pattern, 1), lit(Sentinel))
+    partFrom(input_file_name(), pattern)
 
   /** Reads every parquet file under `root` matching the feed subdir,
     * adding yyyy/mm/dd/metadata_date from the path. */

@@ -18,17 +18,23 @@ import graft.operators.IncrementalMerge
 object MergeSink {
 
   /** Returns a (batchDF, batchId) function for
-    * `writeStream.foreachBatch`. Reads the current target (empty on
-    * first batch), anti-joins the new batch on `keys`, appends. */
+    * `writeStream.foreachBatch`. Dedups the batch on `keys` (a source
+    * may redeliver within one micro-batch), anti-joins against the
+    * existing target, appends. Only a genuinely absent target counts
+    * as "first batch" — any other read error propagates, because
+    * swallowing it would append duplicates and silently break the
+    * per-key contract. */
   def insertOnlyParquet(targetPath: String, keys: Seq[String])(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val deduped = batch.dropDuplicates(keys)
+    val path = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fresh =
-      try {
+      if (!fs.exists(path)) deduped
+      else {
         val target = spark.read.parquet(targetPath)
-        batch.join(target.select(keys.map(target.col): _*).distinct(), keys, "left_anti")
-      } catch {
-        case _: Exception => batch // first batch: no target yet
+        deduped.join(target.select(keys.map(target.col): _*).distinct(), keys, "left_anti")
       }
     fresh.write.mode(SaveMode.Append).parquet(targetPath)
   }

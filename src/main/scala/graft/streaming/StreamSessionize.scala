@@ -31,10 +31,15 @@ object StreamSessionize {
       Exposure(key, startTs, endTs, duration, new java.sql.Timestamp(startTs * 1000L))
   }
 
+  /** `prevEnd` is the END of the last event in sort order — the batch
+    * rule's LAG(exposure_end_ts) — which is NOT `sessionEnd` (the MAX
+    * end) when events overlap: an early long event must not keep later
+    * events mergeable forever. */
   case class OpenSession(
       key: String,
       sessionStart: Long,
       sessionEnd: Long,
+      prevEnd: Long,
       totalDuration: Long,
       events: Long)
 
@@ -71,20 +76,22 @@ object StreamSessionize {
     val closed = Seq.newBuilder[ClosedSession]
     sorted.foreach { e =>
       open match {
-        case Some(s) if e.startTs - s.sessionEnd <= gapSeconds =>
+        case Some(s) if e.startTs - s.prevEnd <= gapSeconds =>
           open = Some(s.copy(
             sessionEnd = math.max(s.sessionEnd, e.endTs),
+            prevEnd = e.endTs,
             totalDuration = s.totalDuration + e.duration,
             events = s.events + 1))
         case maybePrev =>
           maybePrev.flatMap(close).foreach(closed += _)
-          open = Some(OpenSession(key, e.startTs, e.endTs, e.duration, 1))
+          open = Some(OpenSession(key, e.startTs, e.endTs, e.endTs, e.duration, 1))
       }
     }
     open.foreach { s =>
       state.update(s)
-      // Close via watermark once no joinable event can still arrive.
-      state.setTimeoutTimestamp((s.sessionEnd + gapSeconds) * 1000L)
+      // Close via watermark once no joinable event can still arrive —
+      // joinability is judged against prevEnd (the batch LAG rule).
+      state.setTimeoutTimestamp((s.prevEnd + gapSeconds) * 1000L)
     }
     closed.result().iterator
   }

@@ -46,7 +46,15 @@ class StreamingSpec extends SparkTestBase {
       Exposure.at("k1", 1000L, 1100L, 200L),
       Exposure.at("k1", 1250L, 1350L, 100L),
       Exposure.at("k1", 5000L, 5100L, 300L),
-      Exposure.at("k2", 1000L, 1080L, 400L))
+      Exposure.at("k2", 1000L, 1080L, 400L),
+      // overlapping shape: a long early event must NOT keep later
+      // events mergeable (gap is from the PREVIOUS event's end — the
+      // batch LAG rule — not the running max end). Timestamps sit well
+      // above 0: epoch-adjacent event times trip Spark's stateful-op
+      // late-row boundary when the initial watermark is 0.
+      Exposure.at("k3", 100000L, 102000L, 200L),
+      Exposure.at("k3", 100010L, 100020L, 50L),
+      Exposure.at("k3", 100400L, 100500L, 300L))
     val input = MemoryStream[Exposure]
     val q = StreamSessionize.sessions(input.toDS()).writeStream
       .format("memory").queryName("parity_out").outputMode(OutputMode.Append).start()
