@@ -594,10 +594,34 @@ FROM tagged GROUP BY bucket"""))
 FROM lineitem
 GROUP BY l_orderkey"""))
 
+  private val asofJoin = Q(
+    "q_asof_join",
+    (s, dir) => {
+      // Generic time-series as-of join (operators.AsOfJoin): each event
+      // picks the member's latest order placed on or before the event
+      // date. Right side pre-aggregated unique per (key, ts) so the
+      // winner is defined.
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id").as("k"), to_date(col("ts")).as("t"))
+      val r = t(s, dir, "orders")
+        .select(col("o_custkey").as("k"),
+          to_date(col("o_orderdate")).as("t"), col("o_orderkey"))
+        .groupBy("k", "t").agg(max("o_orderkey").as("ref_order"))
+        .withColumn("ref_odate", col("t").cast("string"))
+      operators.AsOfJoin.nearestBefore(ev, r, "k", "t", Seq("ref_order", "ref_odate"))
+        .select("event_id", "k", "ref_order", "ref_odate")
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id AS k, CAST(ts AS DATE) AS t FROM events),
+r AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS rt,
+             CAST(MAX(o_orderkey) AS BIGINT) AS ref_order
+      FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.k, r.ref_order, CAST(r.rt AS VARCHAR) AS ref_odate
+FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t >= r.rt"""))
+
   // ---------------------------------------------------------------------
   val all: Seq[Q] = Seq(
     percentiles, stringFuncs, dateFuncs, cubeQ, scalarSubquery,
-    setOps, nestedTypes,
+    setOps, nestedTypes, asofJoin,
     ingestCast, partitionExtract,
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
     audienceMetrics, incrementalMerge, affectedRebuild, watermarkQ,

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: each left row picks the right row with the greatest
+  * timestamp <= its own, per key — the time-series join Spark has no
+  * built-in operator for (PanelAsOf is its calendar-window cousin).
+  *
+  * Implementation is the union+window form, not a range join: tag the
+  * sides, union, sort each key group by (ts, side) with right rows
+  * first at equal ts, and carry right payloads forward with
+  * last(ignoreNulls). ONE shuffle on the key, O(n log n) per group, no
+  * row duplication — a range join would replicate every left row per
+  * candidate right row before aggregating, which at 100 TB is the
+  * difference between a working join and an exploding one.
+  *
+  * Requirements: `rightCarry` column names must not collide with left
+  * columns, and the right side should be unique per (key, ts) — ties
+  * there have no defined winner (pre-aggregate, e.g. max per key+ts).
+  */
+object AsOfJoin {
+
+  def nearestBefore(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightCarry: Seq[String]): DataFrame = {
+    require(rightCarry.nonEmpty, "rightCarry must name at least one column")
+    require(!rightCarry.exists(left.columns.contains),
+      s"carry columns ${rightCarry.mkString(",")} collide with left columns")
+
+    val l = rightCarry.foldLeft(left.withColumn("__side", lit(1))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(right.schema(c).dataType))
+    }
+    val r0 = right.select((keyCol +: tsCol +: rightCarry).map(col): _*)
+      .withColumn("__side", lit(0))
+    val u = l.unionByName(r0, allowMissingColumns = true)
+
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rightCarry.foldLeft(u) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("each left row gets the greatest right ts <= its ts, per key") {
+    val left = Seq((1L, "a", 100L), (2L, "a", 250L), (3L, "a", 50L), (4L, "b", 100L))
+      .toDF("id", "k", "t")
+    val right = Seq(("a", 100L, "r100"), ("a", 200L, "r200"), ("b", 999L, "rz"))
+      .toDF("k", "t", "ref")
+    val out = AsOfJoin.nearestBefore(left, right, "k", "t", Seq("ref"))
+      .select("id", "ref").as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("r100")) // equal ts matches (>= semantics)
+    assert(out(2L).contains("r200")) // latest earlier
+    assert(out(3L).isEmpty)          // nothing at or before 50
+    assert(out(4L).isEmpty)          // right exists but only later
+  }
+
+  test("plan shuffles once on the key (no range-join row explosion)") {
+    val left = Seq((1L, "a", 100L)).toDF("id", "k", "t")
+    val right = Seq(("a", 90L, "r")).toDF("k", "t", "ref")
+    val plan = AsOfJoin.nearestBefore(left, right, "k", "t", Seq("ref"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("carry-column collision is rejected") {
+    val left = Seq((1L, "a", 100L, "x")).toDF("id", "k", "t", "ref")
+    val right = Seq(("a", 90L, "r")).toDF("k", "t", "ref")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.nearestBefore(left, right, "k", "t", Seq("ref"))
+    }
+  }
+}
