@@ -62,13 +62,17 @@ object Multimodal {
   }
 
   /** Frame sampling: split a payload into fixed-size chunks ("frames")
-    * and keep every `stride`-th — pure array expression, no UDF. */
+    * and keep every `stride`-th — pure array expression, no UDF.
+    * The upper bound is clamped to >= 0 and frames past the payload end
+    * are filtered, because Spark's sequence(0, -1) yields [0, -1] (two
+    * bogus frames) on an empty payload instead of an empty array. */
   def sampleFrames(bin: Column, frameBytes: Int, stride: Int): Column =
     filter(
       transform(
-        sequence(lit(0L), floor((length(bin) - 1) / frameBytes)),
+        sequence(lit(0L), greatest(lit(0L), floor((length(bin) - 1) / frameBytes))),
         i => struct(i.as("frame_id"), substring_dyn(bin, i * frameBytes + 1, frameBytes).as("frame"))),
-      f => pmod(f.getField("frame_id"), lit(stride)) === 0)
+      f => pmod(f.getField("frame_id"), lit(stride)) === 0 &&
+        f.getField("frame_id") * frameBytes < length(bin))
 
   private def substring_dyn(bin: Column, pos: Column, len: Int): Column =
     call_function("substring", bin, pos, lit(len))

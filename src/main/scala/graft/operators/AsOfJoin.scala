@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * candidate right row before aggregating, which at 100 TB is the
   * difference between a working join and an exploding one.
   *
+  * The carry columns are packed into a single struct and carried
+  * forward with ONE last(ignoreNulls=true): the struct itself is
+  * non-null on every right row, so the matched row's payload — nulls
+  * included — arrives atomically. Filling each column independently
+  * would substitute stale values for per-column nulls and could tear
+  * a row across different right ancestors.
+  *
   * Requirements: `rightCarry` column names must not collide with left
   * columns, and the right side should be unique per (key, ts) — ties
   * there have no defined winner (pre-aggregate, e.g. max per key+ts).
@@ -32,19 +39,19 @@ object AsOfJoin {
     require(!rightCarry.exists(left.columns.contains),
       s"carry columns ${rightCarry.mkString(",")} collide with left columns")
 
-    val l = rightCarry.foldLeft(left.withColumn("__side", lit(1))) { (df, c) =>
-      df.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }
-    val r0 = right.select((keyCol +: tsCol +: rightCarry).map(col): _*)
+    val r0 = right.select(col(keyCol), col(tsCol),
+      struct(rightCarry.map(col): _*).as("__carry"))
       .withColumn("__side", lit(0))
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__carry", lit(null).cast(r0.schema("__carry").dataType))
     val u = l.unionByName(r0, allowMissingColumns = true)
 
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightCarry.foldLeft(u) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
+    u.withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightCarry.map(c => col(s"__carry.$c").as(c)): _*)
   }
 }

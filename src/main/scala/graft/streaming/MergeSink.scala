@@ -40,7 +40,10 @@ object MergeSink {
   }
 
   /** Batch-side equivalence helper (spec + docs): the result any
-    * sequence of insertOnlyParquet batches must converge to. */
+    * sequence of insertOnlyParquet batches must converge to. Each batch
+    * is deduped on the keys first — exactly what the sink does — so a
+    * first batch with intra-batch duplicate keys converges identically. */
   def expectedTarget(allBatches: Seq[DataFrame], keys: Seq[String]): DataFrame =
-    allBatches.reduce((t, b) => IncrementalMerge.insertOnly(t, b, keys))
+    allBatches.map(_.dropDuplicates(keys))
+      .reduce((t, b) => IncrementalMerge.insertOnly(t, b, keys))
 }

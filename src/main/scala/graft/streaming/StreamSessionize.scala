@@ -52,10 +52,16 @@ object StreamSessionize {
 
   /** Events for one key arrive (within a micro-batch) unordered — sort
     * by start ts, then fold with the gap rule. Emits sessions closed in
-    * this batch; keeps at most one open session in state. */
+    * this batch; keeps at most one open session in state.
+    *
+    * `finalFlush` is set for batch execution, where this is invoked
+    * exactly once per key with ALL of the key's events and timeouts
+    * never fire: the trailing session is complete by construction, so
+    * it is emitted instead of parked in state (which batch discards). */
   def updateKey(
       gapSeconds: Long,
-      minSessionSeconds: Long)(
+      minSessionSeconds: Long,
+      finalFlush: Boolean = false)(
       key: String,
       events: Iterator[Exposure],
       state: GroupState[OpenSession]): Iterator[ClosedSession] = {
@@ -87,7 +93,9 @@ object StreamSessionize {
           open = Some(OpenSession(key, e.startTs, e.endTs, e.endTs, e.duration, 1))
       }
     }
-    open.foreach { s =>
+    if (finalFlush) {
+      open.flatMap(close).foreach(closed += _)
+    } else open.foreach { s =>
       state.update(s)
       // Close via watermark once no joinable event can still arrive —
       // joinability is judged against prevEnd (the batch LAG rule).
@@ -104,12 +112,13 @@ object StreamSessionize {
     implicit val closedEnc = Encoders.product[ClosedSession]
     implicit val openEnc = Encoders.product[OpenSession]
     implicit val keyEnc = Encoders.STRING
+    val streaming = exposures.isStreaming
     val src =
-      if (exposures.isStreaming) exposures.withWatermark("eventTime", watermarkDelay)
+      if (streaming) exposures.withWatermark("eventTime", watermarkDelay)
       else exposures
     src
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-        updateKey(gapSeconds, minSessionSeconds))
+        updateKey(gapSeconds, minSessionSeconds, finalFlush = !streaming))
   }
 }

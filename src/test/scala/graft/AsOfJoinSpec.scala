@@ -28,6 +28,23 @@ class AsOfJoinSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
   }
 
+  test("matched row's NULLs survive; multi-column carry is atomic") {
+    // Right rows: at t=100 (ref="r100", aux=null), at t=200 (ref=null, aux=7).
+    // A per-column fill would tear: left@250 would get ref="r100" (stale)
+    // + aux=7. Atomic carry must return the t=200 row verbatim: (null, 7).
+    val left = Seq((1L, "a", 250L), (2L, "a", 150L)).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", 100L, Some("r100"), None: Option[Long]),
+      ("a", 200L, None: Option[String], Some(7L))
+    ).toDF("k", "t", "ref", "aux")
+    val out = AsOfJoin.nearestBefore(left, right, "k", "t", Seq("ref", "aux"))
+      .select("id", "ref", "aux")
+      .as[(Long, Option[String], Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == (None, Some(7L)), "must take t=200 row atomically")
+    assert(out(2L) == (Some("r100"), None), "must keep matched row's null aux")
+  }
+
   test("carry-column collision is rejected") {
     val left = Seq((1L, "a", 100L, "x")).toDF("id", "k", "t", "ref")
     val right = Seq(("a", 90L, "r")).toDF("k", "t", "ref")

@@ -31,4 +31,19 @@ class MergeSinkSpec extends SparkTestBase {
         s"first write per key must win; got ${rows.toSeq}")
     } finally q.stop()
   }
+
+  test("expectedTarget matches the sink when the FIRST batch has dup keys") {
+    import spark.implicits._
+    val b1 = Seq((1L, "a"), (1L, "a2"), (2L, "b")).toDF("k", "v") // intra-batch dup
+    val b2 = Seq((1L, "a3"), (3L, "c")).toDF("k", "v")
+    val expected = MergeSink.expectedTarget(Seq(b1, b2), Seq("k"))
+    // per-key contract: exactly one row per key, first delivery wins key 1
+    assert(expected.groupBy("k").count().filter($"count" > 1).isEmpty)
+    val target = Files.createTempDirectory("mergesink2").toString + "/t"
+    MergeSink.insertOnlyParquet(target, Seq("k"))(b1, 0L)
+    MergeSink.insertOnlyParquet(target, Seq("k"))(b2, 1L)
+    val sinkKeys = spark.read.parquet(target).select("k").as[Long].collect().sorted
+    val expKeys = expected.select("k").as[Long].collect().sorted
+    assert(sinkKeys.toSeq == expKeys.toSeq && sinkKeys.toSeq == Seq(1L, 2L, 3L))
+  }
 }

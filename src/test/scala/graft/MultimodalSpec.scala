@@ -52,4 +52,18 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.map(_.getLong(0)).toSeq == Seq(0L, 2L, 4L, 6L, 8L))
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 10))
   }
+
+  test("sampleFrames on empty and sub-frame payloads") {
+    val df = Seq(
+      (1L, Array.empty[Byte]),            // sequence(0,-1) trap: must be []
+      (2L, Array.tabulate(3)(_.toByte))   // one partial frame
+    ).toDF("id", "payload")
+      .select(col("id"),
+        Multimodal.sampleFrames(col("payload"), frameBytes = 10, stride = 2).as("frames"))
+    val out = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    assert(out(1L).isEmpty, s"empty payload must yield no frames, got ${out(1L)}")
+    assert(out(2L).map(_.getLong(0)) == Seq(0L))
+    assert(out(2L).head.getAs[Array[Byte]]("frame").length == 3)
+  }
 }

@@ -77,6 +77,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("batch execution flushes the trailing open session of every key") {
+    import spark.implicits._
+    // In batch flatMapGroupsWithState timeouts never fire — without the
+    // final flush the open session of each key would vanish.
+    val events = Seq(
+      Exposure.at("k1", 1000L, 1100L, 200L),
+      Exposure.at("k1", 1250L, 1350L, 100L),  // same session (gap 150)
+      Exposure.at("k1", 5000L, 5100L, 300L),  // trailing open session
+      Exposure.at("k2", 1000L, 1080L, 400L))  // single-event trailing session
+    val got = StreamSessionize.sessions(events.toDS())
+      .collect()
+      .map(s => (s.key, s.sessionStart, s.sessionEnd, s.totalDuration)).toSet
+    val batch = graft.operators.Sessionize.sessions(
+      events.toDF(), keys = Seq("key"),
+      startCol = "startTs", endCol = "endTs", durationCol = "duration",
+      gapSeconds = 300L, minSessionSeconds = 180L, tieBreakers = Seq("endTs"))
+      .select("key", "session_start_ts", "session_end_ts", "total_duration")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == batch, s"batch-mode $got vs Sessionize $batch")
+    assert(got.contains(("k1", 5000L, 5100L, 300L)), "trailing session must flush")
+    assert(got.contains(("k2", 1000L, 1080L, 400L)), "trailing session must flush")
+  }
+
   test("watermarked tumbling window aggregation over a stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
