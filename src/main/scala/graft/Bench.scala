@@ -26,7 +26,10 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     // Warm-up: touch every table (first-scan I/O + footer caching) and
     // run two queries (codegen/JIT) so measured runs reflect compute.
     Seq("region", "nation", "customer", "supplier", "part", "orders",

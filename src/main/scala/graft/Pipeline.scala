@@ -120,11 +120,15 @@ object Pipeline {
   /** Sessions-stage incremental rebuild (etl-dag.sql:92-120): recompute
     * sessions only for groups touched by the fresh slice. */
   def affectedRebuild(spark: SparkSession, dir: String): DataFrame = {
-    val weighted = weightedEvents(spark, dir)
+    // In the reference DAG the sessions stage reads the MATERIALIZED
+    // weighted_events table; checkpointing mirrors that — without it
+    // the cast-heavy union+join pipeline is instantiated twice (fresh
+    // slice + full history) since the two subtrees differ and share no
+    // exchange.
+    val weighted = weightedEvents(spark, dir).localCheckpoint()
     val maxD = broadcast(ingestWatermark(spark, dir))
-    // The fresh slice pushes `metadata_date > cutoff` into the parquet
-    // scan; only its (tiny, distinct) group keys feed the broadcast
-    // semi join, so the full-history side is scanned exactly once.
+    // Only the fresh slice's (tiny, distinct) group keys feed the
+    // broadcast semi join, so the full-history side is scanned once.
     val batch = weighted.crossJoin(maxD)
       .filter(col("metadata_date") > date_sub(col("max_d"), 5)).drop("max_d")
     val keys = IncrementalMerge.affectedKeys(batch, SessionKeys)

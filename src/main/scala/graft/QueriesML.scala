@@ -151,21 +151,23 @@ WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
       // sets belongs to dedup_ngram_jaccard.
       val base = ViewingData.table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), TextFunctions.shingles("text", 5).as("grams"))
-      val docs = HashFunctions.minhashSignatures(base, "doc_id", "grams", 32)
+        .select(col("doc_id"), col("text"))
+      // The signature table is the LSH index: build it ONCE
+      // (localCheckpoint — the self-join would otherwise instantiate
+      // the 32-min aggregation per side, AQE's broadcast conversion
+      // defeating exchange reuse), then probe. Signatures ride through
+      // the bucket join as payload so verification needs no join-back.
+      val docs = HashFunctions.minhashSignaturesText(base, "doc_id", "text", 5, 32)
         .withColumn("bands", HashFunctions.lshBands(col("sig"), 4, 8))
-      val pairs = HashFunctions.bucketedPairs(
-        docs.select(col("doc_id"), col("bands")), "doc_id", "bands")
-      val sg = docs.select(col("doc_id"), col("sig"))
-      pairs
-        .join(sg.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sig", "sig_a"), "id_a")
-        .join(sg.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sig", "sig_b"), "id_b")
+        .localCheckpoint()
+      HashFunctions.bucketedPairs(docs, "doc_id", "bands", payload = Seq("sig"))
         .select(col("id_a"), col("id_b"),
           round(
             size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
               when(x === y, lit(1)).otherwise(lit(0))), v => v === 1)).cast("double") / 32.0,
             6).as("jaccard_est"))
         .filter(col("jaccard_est") >= 0.4)
+        .distinct()
     },
     None)
 
@@ -175,17 +177,16 @@ WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
       val base = ViewingData.table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      // Same build-once/probe-many shape as dedup_minhash: checkpoint
+      // the hash index, carry the hash through the bucket join.
       val docs = HashFunctions.simhashes(base, "doc_id", "toks")
         .withColumn("chunks", HashFunctions.simhashChunks(col("simhash")))
-      val pairs = HashFunctions.bucketedPairs(
-        docs.select(col("doc_id"), col("chunks")), "doc_id", "chunks")
-      val h = docs.select(col("doc_id"), col("simhash"))
-      pairs
-        .join(h.withColumnRenamed("doc_id", "id_a").withColumnRenamed("simhash", "sim_a"), "id_a")
-        .join(h.withColumnRenamed("doc_id", "id_b").withColumnRenamed("simhash", "sim_b"), "id_b")
+        .localCheckpoint()
+      HashFunctions.bucketedPairs(docs, "doc_id", "chunks", payload = Seq("simhash"))
         .select(col("id_a"), col("id_b"),
-          HashFunctions.hammingDistance(col("sim_a"), col("sim_b")).as("hamming"))
+          HashFunctions.hammingDistance(col("simhash_a"), col("simhash_b")).as("hamming"))
         .filter(col("hamming") <= 12)
+        .distinct()
     },
     None)
 

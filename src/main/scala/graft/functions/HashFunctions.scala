@@ -41,6 +41,26 @@ object HashFunctions {
       .select(col(idCol), array((0 until k).map(s => col(s"h$s")): _*).as("sig"))
   }
 
+  /** Bulk MinHash straight from a text column: explode shingle
+    * POSITIONS and substring per row instead of materializing a
+    * shingle array first — min() is duplicate-insensitive, so skipping
+    * the (interpreted, per-row) transform+array_distinct changes
+    * nothing about the signature while keeping the whole pipeline in
+    * WholeStageCodegen. Identical output to [[minhashSignatures]] over
+    * [[TextFunctions.shingles]] of the same text (spec-asserted). */
+  def minhashSignaturesText(
+      df: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame = {
+    val mins = (0 until k).map(s => min(xxhash64(col("gram"), lit(s))).as(s"h$s"))
+    df.select(col(idCol),
+        explode(sequence(lit(1), greatest(lit(1), length(col(textCol)) - (n - 1)))).as("pos"),
+        col(textCol))
+      .select(col(idCol),
+        call_function("substring", col(textCol), col("pos"), lit(n)).as("gram"))
+      .groupBy(idCol)
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(s => col(s"h$s")): _*).as("sig"))
+  }
+
   /** Explode a signature into (band_id, band_hash) LSH keys;
     * `bands × rowsPerBand` must equal the signature length. */
   def lshBands(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
@@ -50,22 +70,33 @@ object HashFunctions {
         b.as("band_id"),
         xxhash64(slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand))).as("band_hash")))
 
-  /** Bulk SimHash: explode tokens, hash each ONCE, then 64 codegen'd
-    * conditional-sum aggregates (±1 votes per bit) and an OR-pack of
-    * the signs. Same single-shuffle shape as [[minhashSignatures]].
+  /** Bulk SimHash: explode tokens, hash each ONCE, then aggregate
+    * per-bit one-counts packed FOUR counters per long in 16-bit lanes —
+    * 16 sum aggregates + a count instead of 64 conditional sums. The
+    * narrower aggregate keeps the generated HashAggregate small (the
+    * 64-buffer form compiles to a near-method-limit janino blob that
+    * dominated cold runtime). Lanes never carry into each other while
+    * a document has < 65536 tokens; the sign vote 2*ones > n is exactly
+    * the ±1-sum > 0 of the per-row closed form [[simhash]].
     * Input df: (idCol, tokensCol); output: (idCol, simhash long). */
   def simhashes(df: DataFrame, idCol: String, tokensCol: String): DataFrame = {
-    val votes = (0 until 64).map { i =>
-      sum(when(call_function("shiftright", col("th"), lit(i)).bitwiseAND(1L) === 1L, 1L)
-        .otherwise(-1L)).as(s"v$i")
+    val packs = (0 until 16).map { g =>
+      val lanes = (0 until 4).map { l =>
+        call_function("shiftleft",
+          shiftright_dyn(col("th"), lit(g * 4 + l)).bitwiseAND(1L), lit(16 * l))
+      }
+      sum(lanes.reduce(_ bitwiseOR _)).as(s"p$g")
     }
-    val packed = (0 until 64)
-      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
+    val packed = (0 until 64).map { i =>
+      val (g, l) = (i / 4, i % 4)
+      val ones = call_function("shiftrightunsigned", col(s"p$g"), lit(16 * l))
+        .bitwiseAND(0xffffL)
+      when(ones * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
     df.select(col(idCol), explode(col(tokensCol)).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("th"))
       .groupBy(idCol)
-      .agg(votes.head, votes.tail: _*)
+      .agg(packs.head, packs.tail :+ count(lit(1)).as("n"): _*)
       .select(col(idCol), packed.as("simhash"))
   }
 
@@ -108,17 +139,26 @@ object HashFunctions {
         c.as("chunk_id"),
         pmod(shiftright_dyn(simCol, c * 16), lit(65536)).as("chunk")))
 
-  /** Candidate pairs sharing an LSH key, verified with a score
-    * predicate. `df` must have columns (id, keyArray, payload...). */
+  /** Candidate pairs sharing an LSH key. `payload` columns ride along
+    * through the explode and surface as `<c>_a` / `<c>_b`, so the
+    * verification score is computed INSIDE the bucket join — joining
+    * the pair list back to the signature table would re-instantiate
+    * the whole signature aggregation per join (Catalyst reuses
+    * exchanges only for identical subtrees, which a pairs⋈signatures
+    * join is not). A pair sharing several keys appears once per key;
+    * callers score+filter, then `.distinct()` — scoring before the
+    * dedup is cheap because candidates are bucket-local and few. */
   def bucketedPairs(
       df: DataFrame,
       idCol: String,
-      keysCol: String): DataFrame = {
-    val exploded = df.select(col(idCol), explode(col(keysCol)).as("lsh_key"))
+      keysCol: String,
+      payload: Seq[String] = Nil): DataFrame = {
+    val exploded = df
+      .select(col(idCol) +: explode(col(keysCol)).as("lsh_key") +: payload.map(col): _*)
     val a = exploded.as("a")
     val b = exploded.as("b")
     a.join(b, expr(s"a.lsh_key = b.lsh_key AND a.$idCol < b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
+      .select(col(s"a.$idCol").as("id_a") +: col(s"b.$idCol").as("id_b") +:
+        payload.flatMap(c => Seq(col(s"a.$c").as(s"${c}_a"), col(s"b.$c").as(s"${c}_b"))): _*)
   }
 }

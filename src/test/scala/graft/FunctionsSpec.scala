@@ -67,6 +67,52 @@ class FunctionsSpec extends SparkTestBase {
     assert(!pairs.contains((1L, 3L)) || !pairs.contains((2L, 3L)))
   }
 
+  test("bulk simhashes match the per-row closed form bit-for-bit") {
+    val texts = Seq(
+      (1L, "spark catalyst tungsten shuffle partition broadcast join"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "uno dos tres cuatro cinco seis siete ocho nueve diez"),
+      (4L, "a"), // single token: every vote is ±1, exercises ties
+      (5L, ("tok " * 300).trim) // 300 copies of one token: lane counts > 255
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val bulk = HashFunctions.simhashes(texts, "doc_id", "toks")
+      .as[(Long, Long)].collect().toMap
+    val closed = texts
+      .select(col("doc_id"), HashFunctions.simhash(col("toks")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(bulk == closed, s"bulk $bulk vs closed-form $closed")
+  }
+
+  test("bulk minhash signatures match the per-row closed form") {
+    val texts = Seq(
+      (1L, "spark catalyst tungsten shuffle partition broadcast join"),
+      (2L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.shingles("text", 5).as("grams"))
+    val bulk = HashFunctions.minhashSignatures(texts, "doc_id", "grams", 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    val closed = texts
+      .select(col("doc_id"), HashFunctions.minhashSignature(col("grams"), 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(bulk == closed)
+  }
+
+  test("text-direct minhash equals the shingle-array form") {
+    val texts = Seq(
+      (1L, "spark catalyst tungsten shuffle partition broadcast join"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "abc") // shorter than the shingle width
+    ).toDF("doc_id", "text")
+    val direct = HashFunctions.minhashSignaturesText(texts, "doc_id", "text", 5, 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaArrays = HashFunctions.minhashSignatures(
+      texts.select(col("doc_id"), TextFunctions.shingles("text", 5).as("grams")),
+      "doc_id", "grams", 16)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(direct == viaArrays)
+  }
+
   test("simhash: hamming(near-dups) < hamming(unrelated)") {
     val base = "spark catalyst tungsten shuffle partition broadcast join aggregate window stream"
     val df = Seq(
