@@ -626,5 +626,5 @@ FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t >= r.rt"""))
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
     audienceMetrics, incrementalMerge, affectedRebuild, watermarkQ,
     q1Agg, joinDims, joinFact, topkWindow, rollupQ, distinctQ, semiAnti,
-    pivotCase, runningWindow) ++ QueriesML.all
+    pivotCase, runningWindow) ++ QueriesML.all ++ QueriesExt.all
 }

@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.Components
+
+class ComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def comps(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("chain, triangle, and singleton pair resolve to min-id components") {
+    val m = comps(Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain: tests propagation depth
+      (10L, 11L), (11L, 12L), (10L, 12L),           // triangle
+      (20L, 21L)))
+    assert(Seq(1L, 2L, 3L, 4L).forall(m(_) == 1L), s"chain: $m")
+    assert(Seq(10L, 11L, 12L).forall(m(_) == 10L))
+    assert(m(20L) == 20L && m(21L) == 20L)
+  }
+
+  test("long chain needs multiple supersteps and still converges") {
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val m = comps(chain)
+    assert((0L to 20L).forall(m(_) == 0L), s"got $m")
+  }
+
+  test("edge direction is irrelevant (undirected closure)") {
+    assert(comps(Seq((5L, 1L), (1L, 9L))) == Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
+  }
+}
