@@ -77,6 +77,47 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer matches flatMapGroupsWithState output") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = Seq(
+        Exposure.at("k1", 1000L, 1100L, 200L),
+        Exposure.at("k1", 1250L, 1350L, 100L),   // joins (gap 150)
+        Exposure.at("k1", 5000L, 5100L, 300L),   // breaks (gap 3650)
+        Exposure.at("k2", 1000L, 1080L, 400L),
+        Exposure.at("k3", 100000L, 102000L, 200L),
+        Exposure.at("k3", 100010L, 100020L, 50L),
+        Exposure.at("k3", 100400L, 100500L, 300L))
+      val input = MemoryStream[Exposure]
+      val q = graft.streaming.StreamSessionizeV2.sessions(input.toDS()).writeStream
+        .format("memory").queryName("tws_out").outputMode(OutputMode.Append).start()
+      try {
+        input.addData(events: _*)
+        q.processAllAvailable()
+        input.addData(Exposure.at("zz", 999999L, 999999L, 1L)) // push watermark
+        q.processAllAvailable()
+        input.addData(Exposure.at("zz", 9999999L, 9999999L, 1L)) // flush zz itself
+        q.processAllAvailable()
+        val v2 = spark.table("tws_out")
+          .as[StreamSessionize.ClosedSession].collect()
+          .filter(_.key != "zz")
+          .map(s => (s.key, s.sessionStart, s.sessionEnd, s.totalDuration)).toSet
+        val batch = graft.operators.Sessionize.sessions(
+          events.toDF(), keys = Seq("key"),
+          startCol = "startTs", endCol = "endTs", durationCol = "duration",
+          gapSeconds = 300L, minSessionSeconds = 180L, tieBreakers = Seq("endTs"))
+          .select("key", "session_start_ts", "session_end_ts", "total_duration")
+          .as[(String, Long, Long, Long)].collect().toSet
+        assert(v2 == batch, s"transformWithState $v2 vs batch $batch")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("batch execution flushes the trailing open session of every key") {
     import spark.implicits._
     // In batch flatMapGroupsWithState timeouts never fire — without the
