@@ -264,8 +264,53 @@ SELECT s AS doc_id, MIN(n) AS canonical_id FROM reach GROUP BY s"""))
          '\s+', ' ', 'g')) AS norm_text
 FROM documents"""))
 
+  /** Context-length packing (sequential fill): assign documents to
+    * fixed-token-budget packs in stable doc_id order — the LLM-prep
+    * step that turns a corpus into training windows. The cumulative
+    * sum is one global-ordered window; at 100 TB you'd run it
+    * per-shard (partition by a shard key) — the per-shard form is the
+    * same expression with the shard in the PARTITION BY. */
+  private val docPack = Q(
+    "doc_pack",
+    (s, dir) => {
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ViewingData.table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wsTokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .withColumn("pack_id",
+          floor((col("cum_tokens") - col("n_tokens")) / 2048).cast("long"))
+    },
+    Some("""WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2048)
+            AS BIGINT) AS pack_id
+FROM t"""))
+
+  /** Deterministic train/validation split: assignment is a pure
+    * function of the doc id (md5 — bit-identical in every engine), so
+    * the split is reproducible across engines, retries, and reshards,
+    * which `rand()` splits are not. ~1/16 of docs go to validation
+    * (first hex nibble 'f'). */
+  private val trainSplit = Q(
+    "doc_train_split",
+    (s, dir) => ViewingData.table(s, dir, "documents").select(
+      col("doc_id"),
+      when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1) === "f",
+        lit("validation")).otherwise(lit("train")).as("split")),
+    Some("""SELECT doc_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'
+            THEN 'validation' ELSE 'train' END AS split
+FROM documents"""))
+
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
-    approxAggs, textNormalize)
+    approxAggs, textNormalize, docPack, trainSplit)
 }
