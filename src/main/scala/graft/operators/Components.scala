@@ -29,21 +29,30 @@ object Components {
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Seed with the first propagation fused into init: comp(x) =
+    // min(x, min neighbor) — one aggregate instead of an identity
+    // round plus a join round.
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min("dst").as("min_nbr"))
+      .select(col("id"), least(col("id"), col("min_nbr")).as("comp"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // Labels only ever DECREASE (min of own and neighbors'), so the
+    // label sum strictly decreases until the fixpoint — an O(1)-row
+    // aggregate replaces the join+count convergence check.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum("comp")).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       // neighbor labels flow along edges; keep the min of (own, theirs)
       val prop = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("comp"))
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("p"), "id")
-        .filter(col("n.comp") =!= col("p.comp"))
-        .count()
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
       labels = next
     }
     labels
