@@ -309,8 +309,44 @@ FROM t"""))
             THEN 'validation' ELSE 'train' END AS split
 FROM documents"""))
 
+  /** Spark's NATIVE session_window aggregation — the built-in
+    * counterpart of operators.Sessionize (which reproduces the
+    * reference's LAG-of-end gap rule). session_window gaps from the
+    * last event TIMESTAMP (+gap), merges in one hash aggregate with
+    * session merging — no window-function sort pass — and is the same
+    * operator Structured Streaming uses for streaming sessions.
+    * Micros-precision epoch outputs keep the oracle comparison
+    * timestamp-format-free. */
+  private val sessionWindow = Q(
+    "q_session_window",
+    (s, dir) => ViewingData.table(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "300 seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value")).cast("long")).as("value_sum"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"), col("value_sum")),
+    Some("""WITH o AS (
+  SELECT user_id, epoch_us(ts) AS us, CAST(floor(value) AS BIGINT) AS v,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 300000000
+              OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sid AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o)
+SELECT user_id,
+       CAST(MIN(us) AS BIGINT) AS session_start_us,
+       CAST(MAX(us) + 300000000 AS BIGINT) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v) AS BIGINT) AS value_sum
+FROM sid
+GROUP BY user_id, session_id"""))
+
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
-    approxAggs, textNormalize, docPack, trainSplit)
+    approxAggs, textNormalize, docPack, trainSplit, sessionWindow)
 }

@@ -141,6 +141,32 @@ class StreamingSpec extends SparkTestBase {
     assert(got.contains(("k2", 1000L, 1080L, 400L)), "trailing session must flush")
   }
 
+  test("streaming dedup drops re-delivered rows within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = graft.streaming.StreamDedup.dedup(
+      input.toDF().toDF("ts", "id", "payload"), "ts", "10 minutes", "id", "payload")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "a"),
+        (ts("2024-01-01 10:00:01"), 1L, "a"), // intra-batch dup
+        (ts("2024-01-01 10:00:02"), 2L, "b"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:01:00"), 1L, "a")) // re-delivery
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:02:00"), 1L, "a2")) // same id, new payload
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").select("id", "payload")
+        .as[(Long, String)].collect().sorted
+      assert(rows.toSeq == Seq((1L, "a"), (1L, "a2"), (2L, "b")),
+        s"dups must drop, distinct payloads survive; got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window aggregation over a stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
