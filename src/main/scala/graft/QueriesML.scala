@@ -286,6 +286,29 @@ WHERE rk <= 10"""))
     },
     None)
 
+  private val annIvf = Q(
+    "ann_ivf",
+    (s, dir) => {
+      // IVF-Flat multi-probe: cells seeded from the label column,
+      // refined to true centroids, nprobe=3 of 10 cells. Index built
+      // once (localCheckpoint); probe touches ~30% of the corpus.
+      graft.plans.GraftExtensions.register(s)
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("label"),
+          normalize(toDouble(col("embedding"))).as("e"))
+        .localCheckpoint()
+      val cents = operators.Ivf.centroids(v, "label", "e").localCheckpoint()
+      val index = operators.Ivf.assign(v, cents, "vec_id", "e", "label")
+        .localCheckpoint()
+      val query = v.filter(col("vec_id") === 0).select(col("e").as("q"))
+      operators.Ivf.probe(index.filter(col("vec_id") =!= 0), cents, query,
+          "vec_id", "e", "label", nprobe = 3, k = 10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+    },
+    None)
+
   // ---------------------------------------------------------------------
   // G. Multimodal
   // ---------------------------------------------------------------------
@@ -363,7 +386,7 @@ GROUP BY 1, 2"""))
   val all: Seq[Q] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
-    annBruteforce, annBucketed,
+    annBruteforce, annBucketed, annIvf,
     mmBinaryMeta,
     streamBatchParity)
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** IVF (inverted-file) approximate nearest neighbor: partition the
+  * corpus into coarse cells, search only the query's nearest
+  * `nprobe` cells — the FAISS IVF-Flat shape on DataFrames.
+  *
+  * Cells here are seeded from an existing coarse key (a cluster
+  * label, a category, a shard) and refined to actual centroids by
+  * element-wise mean; a k-means loop would iterate [[assign]] +
+  * [[centroids]] to convergence with the same two primitives.
+  *
+  * Scale: the centroid table is tiny (cells × dim) → every centroid
+  * comparison is a broadcast; the corpus shuffles once on cell id at
+  * index build, and a probe touches nprobe/cells of the data. That
+  * fraction — not the corpus size — is the query cost at 100 TB.
+  */
+object Ivf {
+
+  /** Element-wise mean per cell: posexplode → (cell, pos) avg →
+    * re-assemble ordered by pos. One narrow shuffle of (cells × dim)
+    * groups; map-side partial avg keeps it |cells|·dim-sized. */
+  def centroids(v: DataFrame, cellCol: String, vecCol: String): DataFrame =
+    v.select(col(cellCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(cellCol), col("pos")).agg(avg("x").as("m"))
+      .groupBy(col(cellCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col(cellCol),
+        normalize(transform(col("pm"), p => p.getField("m"))).as("centroid"))
+
+  /** Assign every vector to its highest-cosine centroid (vectors must
+    * be unit-normalized; ties break on cell id for determinism). The
+    * vector's original seed cell is REPLACED by the refined one. */
+  def assign(v: DataFrame, cents: DataFrame, idCol: String, vecCol: String,
+      cellCol: String): DataFrame = {
+    val c = cents.withColumnRenamed(cellCol, "__cell")
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("__sim").desc, col("__cell"))
+    v.drop(cellCol)
+      .crossJoin(broadcast(c))
+      .withColumn("__sim", dotNative(col(vecCol), col("centroid")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .withColumn(cellCol, col("__cell"))
+      .drop("__sim", "__rk", "centroid", "__cell")
+  }
+
+  /** Top-k by cosine for one query vector, searching only its
+    * `nprobe` nearest cells. `index` must carry (idCol, vecCol,
+    * cellCol) with unit-normalized vectors — build it once via
+    * [[centroids]] + [[assign]] and reuse across queries. */
+  def probe(index: DataFrame, cents: DataFrame, query: DataFrame,
+      idCol: String, vecCol: String, cellCol: String,
+      nprobe: Int, k: Int): DataFrame = {
+    val qCells = query.crossJoin(broadcast(cents))
+      .withColumn("__sim", dotNative(col("q"), col("centroid")))
+      .orderBy(col("__sim").desc, col(cellCol)).limit(nprobe)
+      .select(col(cellCol))
+    index
+      .join(broadcast(qCells), cellCol)
+      .crossJoin(broadcast(query))
+      .select(col(idCol), col(cellCol),
+        round(dotNative(col(vecCol), col("q")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol)).limit(k)
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+class IvfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ann_ivf recalls most of brute-force top-10 with nprobe=3/10") {
+    val dir = "/root/testdata/sf0.01"
+    val ivf = SparkEntry.queries("ann_ivf")(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val brute = SparkEntry.queries("ann_bruteforce")(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.size == 10 && brute.size == 10)
+    val recall = (ivf & brute).size / 10.0
+    assert(recall >= 0.5, s"recall@10 $recall too low; ivf=$ivf brute=$brute")
+  }
+
+  test("centroids are unit vectors and assignment covers every row") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    graft.plans.GraftExtensions.register(spark)
+    val v = Seq(
+      (1L, 0, Seq(1.0, 0.0)), (2L, 0, Seq(0.9, 0.1)),
+      (3L, 1, Seq(0.0, 1.0)), (4L, 1, Seq(0.1, 0.9))
+    ).toDF("vec_id", "label", "e0")
+      .select(col("vec_id"), col("label"), normalize(col("e0")).as("e"))
+    val cents = graft.operators.Ivf.centroids(v, "label", "e")
+    val norms = cents.select(round(norm(col("centroid")), 9).as("n")).as[Double].collect()
+    assert(norms.forall(_ == 1.0), s"centroids must be unit: ${norms.toSeq}")
+    val assigned = graft.operators.Ivf.assign(v, cents, "vec_id", "e", "label")
+    assert(assigned.count() == 4)
+    val m = assigned.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(m(1L) == 0 && m(2L) == 0 && m(3L) == 1 && m(4L) == 1)
+  }
+}
