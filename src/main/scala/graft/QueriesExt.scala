@@ -28,13 +28,11 @@ object QueriesExt {
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("long").as("k_num"),
       get_json_object(col("props"), "$.missing").as("missing_path"),
-      json_array_length(from_json(col("props"), org.apache.spark.sql.types.MapType(
-        org.apache.spark.sql.types.StringType,
-        org.apache.spark.sql.types.StringType)).cast("string")).isNull.as("not_array")),
+      element_at(json_object_keys(col("props")), 1).as("first_key")),
     Some("""SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
        json_extract_string(props, '$.missing') AS missing_path,
-       TRUE AS not_array
+       json_keys(props)[1] AS first_key
 FROM events"""))
 
   /** LISTAGG(DISTINCT x) WITHIN GROUP (ORDER BY x): collect_set +
@@ -204,31 +202,14 @@ QUALIFY draw_rank <= 100"""))
   private val dedupComponents = Q(
     "dedup_components",
     (s, dir) => {
-      val docs = ViewingData.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          TextFunctions.shingles("text", 3).as("grams"))
-        .localCheckpoint()
-      val pairs = docs.as("a")
-        .join(docs.as("b"),
-          expr("a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id"))
-        .filter(
-          size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-            size(array_union(col("a.grams"), col("b.grams"))).cast("double") >= 0.3)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      // Exactly D2's pairs (shared helper), materialized once — the
+      // symmetrize union in Components consumes them twice.
+      val pairs = QueriesML.ngramJaccardPairs(s, dir)
+        .select("id_a", "id_b").localCheckpoint()
       Components.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
     },
-    Some("""WITH RECURSIVE g AS (
-  SELECT doc_id, lang, n_chars,
-         list_distinct(list_transform(generate_series(1, greatest(1, length(text) - 2)),
-                                      i -> substring(text, i, 3))) AS grams
-  FROM documents),
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM g a JOIN g b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-        CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.3),
+    Some(s"""WITH RECURSIVE ${QueriesML.ngramPairsCte},
 edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
 reach(s, n) AS (SELECT s, s FROM edges UNION
                 SELECT r.s, e.d FROM reach r JOIN edges e ON r.n = e.s)
@@ -244,7 +225,10 @@ SELECT s AS doc_id, MIN(n) AS canonical_id FROM reach GROUP BY s"""))
     (s, dir) => ViewingData.table(s, dir, "events")
       .groupBy("event_type")
       .agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
+        // rsd pinned to 1% so ApproxSpec's 5% assertion sits at 5σ —
+        // the default 5% rsd is one standard deviation and would flap
+        // on regenerated data
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"),
         percentile_approx(col("value"), lit(0.95), lit(10000)).as("approx_p95")),
     None)
@@ -329,7 +313,7 @@ FROM documents"""))
         col("n_events"), col("value_sum")),
     Some("""WITH o AS (
   SELECT user_id, epoch_us(ts) AS us, CAST(floor(value) AS BIGINT) AS v,
-         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 300000000
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 300000000
               OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

@@ -103,38 +103,48 @@ FROM documents"""))
 FROM documents
 GROUP BY md5(text)"""))
 
-  private val dedupNgramJaccard = Q(
-    "dedup_ngram_jaccard",
-    (s, dir) => {
-      // Candidate pairs bucket on (lang, n_chars) — near-identical docs
-      // agree on both — then exact 3-gram Jaccard within buckets.
-      val docs = ViewingData.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          TextFunctions.shingles("text", 3).as("grams"))
-      val a = docs.as("a")
-      val b = docs.as("b")
-      a.join(b, expr("a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id"))
-        .select(
-          col("a.doc_id").as("id_a"),
-          col("b.doc_id").as("id_b"),
-          round(
-            size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-              size(array_union(col("a.grams"), col("b.grams"))).cast("double"),
-            6).as("jaccard"))
-        .filter(col("jaccard") >= 0.3)
-    },
-    Some("""WITH g AS (
+  /** Near-dup pair list shared by D2 (pairs) and D6 (components):
+    * candidates bucket on (lang, n_chars) — near-identical docs agree
+    * on both — then exact 3-gram Jaccard within buckets, rounded to
+    * 6dp, threshold 0.3. Kept in ONE place so the pairs → components
+    * story can't drift. */
+  private[graft] def ngramJaccardPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = ViewingData.table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        TextFunctions.shingles("text", 3).as("grams"))
+    val a = docs.as("a")
+    val b = docs.as("b")
+    a.join(b, expr("a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"),
+        col("b.doc_id").as("id_b"),
+        round(
+          size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+            size(array_union(col("a.grams"), col("b.grams"))).cast("double"),
+          6).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+  }
+
+  /** DuckDB twin of [[ngramJaccardPairs]] as a CTE body (`g`, `pairs`). */
+  private[graft] val ngramPairsCte: String = """g AS (
   SELECT doc_id, lang, n_chars,
          list_distinct(list_transform(generate_series(1, greatest(1, length(text) - 2)),
                                       i -> substring(text, i, 3))) AS grams
-  FROM documents)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-             CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
-FROM g a JOIN g b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
-WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-            CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= 0.3"""))
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
+  FROM g a JOIN g b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= 0.3)"""
+
+  private val dedupNgramJaccard = Q(
+    "dedup_ngram_jaccard",
+    (s, dir) => ngramJaccardPairs(s, dir),
+    Some(s"WITH $ngramPairsCte\nSELECT id_a, id_b, jaccard FROM pairs"))
 
   private val dedupMinhash = Q(
     "dedup_minhash",

@@ -40,7 +40,7 @@ object Components {
     // label sum strictly decreases until the fixpoint — an O(1)-row
     // aggregate replaces the join+count convergence check.
     def labelSum(df: DataFrame): Long =
-      df.agg(sum("comp")).head.getLong(0)
+      df.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0) // empty graph → 0
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -34,20 +33,27 @@ object Ivf {
         normalize(transform(col("pm"), p => p.getField("m"))).as("centroid"))
 
   /** Assign every vector to its highest-cosine centroid (vectors must
-    * be unit-normalized; ties break on cell id for determinism). The
-    * vector's original seed cell is REPLACED by the refined one. */
+    * be unit-normalized; ties break on the greater cell id for
+    * determinism). Returns (idCol, vecCol, cellCol); the original seed
+    * cell is REPLACED by the refined one.
+    *
+    * max_by over the |corpus|×|cells| crossJoin gets map-side partial
+    * aggregation — the shuffle carries one row per vector, not per
+    * (vector, cell), which is the |cells|× difference a window-rank
+    * formulation would pay at scale. */
   def assign(v: DataFrame, cents: DataFrame, idCol: String, vecCol: String,
       cellCol: String): DataFrame = {
     val c = cents.withColumnRenamed(cellCol, "__cell")
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("__sim").desc, col("__cell"))
     v.drop(cellCol)
       .crossJoin(broadcast(c))
       .withColumn("__sim", dotNative(col(vecCol), col("centroid")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .withColumn(cellCol, col("__cell"))
-      .drop("__sim", "__rk", "centroid", "__cell")
+      .groupBy(idCol)
+      .agg(max_by(
+        struct(col(vecCol), col("__cell")),
+        struct(col("__sim"), col("__cell"))).as("__best"))
+      .select(col(idCol),
+        col(s"__best.$vecCol").as(vecCol),
+        col("__best.__cell").as(cellCol))
   }
 
   /** Top-k by cosine for one query vector, searching only its

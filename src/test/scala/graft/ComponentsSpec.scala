@@ -27,4 +27,8 @@ class ComponentsSpec extends SparkTestBase {
   test("edge direction is irrelevant (undirected closure)") {
     assert(comps(Seq((5L, 1L), (1L, 9L))) == Map(1L -> 1L, 5L -> 1L, 9L -> 1L))
   }
+
+  test("empty edge list yields an empty labeling, not a crash") {
+    assert(comps(Seq.empty) == Map.empty)
+  }
 }
