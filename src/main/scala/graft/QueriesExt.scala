@@ -329,8 +329,116 @@ SELECT user_id,
 FROM sid
 GROUP BY user_id, session_id"""))
 
+  /** Real PIVOT operator (not the CASE-expression form of C8): Spark's
+    * RelationalGroupedDataset.pivot with pinned values — pinning keeps
+    * the plan static so no extra distinct-values job runs at scale. */
+  private val pivotOp = Q(
+    "q_pivot",
+    (s, dir) => ViewingData.table(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("O"), lit(0L)).as("st_o"),
+        coalesce(col("F"), lit(0L)).as("st_f"),
+        coalesce(col("P"), lit(0L)).as("st_p")),
+    Some("""SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS st_o,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS st_f,
+       CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS st_p
+FROM orders GROUP BY 1"""))
+
+  /** UNPIVOT / melt — wide-to-long without explode gymnastics. */
+  private val unpivotOp = Q(
+    "q_unpivot",
+    (s, dir) => ViewingData.table(s, dir, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("o_custkey").cast("double").as("cust"))
+      .unpivot(Array(col("o_orderkey")), Array(col("price"), col("cust")),
+        "metric", "val"),
+    Some("""SELECT o_orderkey, metric, CAST(val AS DOUBLE) AS val FROM (
+  SELECT o_orderkey, round(o_totalprice, 2) AS price,
+         CAST(o_custkey AS DOUBLE) AS cust FROM orders)
+UNPIVOT (val FOR metric IN (price, cust))"""))
+
+  /** Distribution window functions: ntile / percent_rank / cume_dist. */
+  private val ntileDist = Q(
+    "q_ntile",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      ViewingData.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+    },
+    Some("""SELECT event_id, event_type,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       round(PERCENT_RANK() OVER w, 6) AS pr,
+       round(CUME_DIST() OVER w, 6) AS cd
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)"""))
+
+  /** Multiset set ops — INTERSECT ALL / EXCEPT ALL keep duplicate
+    * counts (min / difference of multiplicities), unlike C16's
+    * distinct forms. */
+  private val setOpsAll = Q(
+    "q_set_ops_all",
+    (s, dir) => {
+      val ev = ViewingData.table(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select((col("user_id") % 10).as("x"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select((col("user_id") % 10).as("x"))
+      views.intersectAll(clicks).withColumn("op", lit("ia"))
+        .unionByName(views.exceptAll(clicks).withColumn("op", lit("ea")))
+    },
+    Some("""SELECT x, 'ia' AS op FROM (
+  SELECT user_id % 10 AS x FROM events WHERE event_type = 'view'
+  INTERSECT ALL
+  SELECT user_id % 10 AS x FROM events WHERE event_type = 'click')
+UNION ALL
+SELECT x, 'ea' AS op FROM (
+  SELECT user_id % 10 AS x FROM events WHERE event_type = 'view'
+  EXCEPT ALL
+  SELECT user_id % 10 AS x FROM events WHERE event_type = 'click')"""))
+
+  /** Regex surface: extract-all counting and group extraction. */
+  private val regexFuncs = Q(
+    "q_regex_funcs",
+    (s, dir) => ViewingData.table(s, dir, "documents").select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))
+        .cast("long").as("vowel_runs"),
+      regexp_extract(col("text"), "([A-Za-z]+)", 1).as("first_word")),
+    Some("""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS vowel_runs,
+       regexp_extract(text, '([A-Za-z]+)', 1) AS first_word
+FROM documents"""))
+
+  /** Array-function surface over tokenized text: membership, 1-based
+    * indexing, distinct-sorted cardinality. */
+  private val arrayFuncs = Q(
+    "q_array_funcs",
+    (s, dir) => {
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      ViewingData.table(s, dir, "documents").select(
+        col("doc_id"),
+        array_contains(toks, "the").as("has_the"),
+        element_at(toks, 2).as("second_tok"),
+        size(array_sort(array_distinct(toks))).cast("long").as("n_uniq"))
+    },
+    Some("""SELECT doc_id,
+       list_contains(regexp_split_to_array(trim(lower(text)), '\s+'), 'the') AS has_the,
+       regexp_split_to_array(trim(lower(text)), '\s+')[2] AS second_tok,
+       CAST(len(list_sort(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))))
+            AS BIGINT) AS n_uniq
+FROM documents"""))
+
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
-    approxAggs, textNormalize, docPack, trainSplit, sessionWindow)
+    approxAggs, textNormalize, docPack, trainSplit, sessionWindow,
+    pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs)
 }
