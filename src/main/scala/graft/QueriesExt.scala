@@ -436,9 +436,35 @@ FROM documents"""))
             AS BIGINT) AS n_uniq
 FROM documents"""))
 
+  /** TRY_-cast error handling (the reference's ingest normalizes with
+    * TRY_TO_DATE and NULLIF — NULL-on-malformed rather than job
+    * failure, the property that keeps a 100 TB COPY INTO from dying on
+    * one bad row). Exercised against genuinely mixed content: the
+    * first whitespace token of each document. */
+  private val tryCast = Q(
+    "q_try_cast",
+    (s, dir) => {
+      val tok = element_at(split(trim(col("text")), "\\s+"), 1)
+      ViewingData.table(s, dir, "documents").select(
+        col("doc_id"),
+        tok.as("raw_tok"),
+        tok.try_cast("double").as("as_num"),
+        tok.try_cast("date").cast("string").as("as_date"),
+        nullif(tok, lit("the")).as("nullif_the"))
+    },
+    Some("""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+')[1] AS raw_tok
+  FROM documents)
+SELECT doc_id, raw_tok,
+       TRY_CAST(raw_tok AS DOUBLE) AS as_num,
+       CAST(TRY_CAST(raw_tok AS DATE) AS VARCHAR) AS as_date,
+       NULLIF(raw_tok, 'the') AS nullif_the
+FROM t"""))
+
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
     approxAggs, textNormalize, docPack, trainSplit, sessionWindow,
-    pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs)
+    pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
+    tryCast)
 }

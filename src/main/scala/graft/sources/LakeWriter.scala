@@ -13,12 +13,23 @@ import org.apache.spark.sql.functions._
 object LakeWriter {
 
   def writeHive(df: DataFrame, tsCol: String, root: String, feed: String): Unit =
-    df
+    writeHiveAs(df, tsCol, root, feed, "parquet")
+
+  /** `format`: parquet (columnar lake), json (JSONL — the interchange
+    * format LLM corpus tooling expects; Spark writes one JSON object
+    * per line), or csv (header on, so the round-trip is self-describing
+    * modulo types — CSV readers must supply or infer a schema). */
+  def writeHiveAs(
+      df: DataFrame, tsCol: String, root: String, feed: String, format: String): Unit = {
+    val partitioned = df
       .withColumn("yyyy", date_format(col(tsCol), "yyyy"))
       .withColumn("mm", date_format(col(tsCol), "MM"))
       .withColumn("dd", date_format(col(tsCol), "dd"))
       .write
       .partitionBy("yyyy", "mm", "dd")
       .mode("overwrite")
-      .parquet(s"$root/$feed")
+    (if (format == "csv") partitioned.option("header", "true") else partitioned)
+      .format(format)
+      .save(s"$root/$feed")
+  }
 }

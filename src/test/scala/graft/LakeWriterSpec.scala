@@ -23,4 +23,32 @@ class LakeWriterSpec extends SparkTestBase {
       .filter(col("metadata_date") =!= to_date(col("ts"))).count()
     assert(mismatches == 0)
   }
+
+  test("JSONL and CSV hive layouts round-trip with equal content") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("lake2").toString
+    val events = ViewingData.table(spark, Sf, "events")
+      .select("event_id", "ts", "user_id", "event_type").limit(100)
+    LakeWriter.writeHiveAs(events, "ts", root, "EV_JSONL", "json")
+    LakeWriter.writeHiveAs(events, "ts", root, "EV_CSV", "csv")
+
+    // JSONL: one JSON object per line, schema self-describing
+    val firstDay = new java.io.File(s"$root/EV_JSONL").listFiles()
+      .filter(_.getName.startsWith("yyyy=")).head
+    val jsonPart = firstDay.listFiles().head.listFiles().head.listFiles()
+      .filter(_.getName.endsWith(".json")).head
+    val firstLine = scala.io.Source.fromFile(jsonPart).getLines().next()
+    assert(firstLine.startsWith("{") && firstLine.contains("\"event_id\""))
+
+    val backJson = spark.read.json(s"$root/EV_JSONL")
+      .select("event_id", "user_id", "event_type")
+    val backCsv = spark.read.option("header", "true")
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+      .csv(s"$root/EV_CSV")
+      .select("event_id", "user_id", "event_type")
+    val expected = events.select("event_id", "user_id", "event_type")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(backJson.as[(Long, Long, String)].collect().sorted.toSeq == expected)
+    assert(backCsv.as[(Long, Long, String)].collect().sorted.toSeq == expected)
+  }
 }
