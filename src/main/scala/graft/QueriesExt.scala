@@ -461,10 +461,28 @@ SELECT doc_id, raw_tok,
        NULLIF(raw_tok, 'the') AS nullif_the
 FROM t"""))
 
+  /** Salted two-phase aggregation under the correctness gate: the
+    * skew-mitigation rewrite MUST be result-identical to a plain
+    * GROUP BY — the oracle is exactly that plain GROUP BY. Phase 1
+    * shuffles (key, salt), splitting a hot key 8 ways; phase 2 merges
+    * the tiny partial frame. event_type has only 5 values over 100k+
+    * rows at sf0.1 — a genuinely skewed aggregate shape. */
+  private val skewAgg = Q(
+    "q_skew_agg",
+    (s, dir) => graft.operators.Skew.saltedSum(
+      ViewingData.table(s, dir, "events")
+        .withColumn("v", floor(col("value")).cast("long")),
+      keys = Seq("event_type"), uniqueCol = "event_id", buckets = 8,
+      aggs = Map("value_sum" -> col("v"), "n" -> lit(1L))),
+    Some("""SELECT event_type,
+       CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS value_sum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
     approxAggs, textNormalize, docPack, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
-    tryCast)
+    tryCast, skewAgg)
 }

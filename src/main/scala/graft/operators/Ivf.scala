@@ -56,6 +56,24 @@ object Ivf {
         col("__best.__cell").as(cellCol))
   }
 
+  /** Lloyd refinement: alternate [[centroids]] / [[assign]] from the
+    * seed cells. Spherical k-means on DataFrames — each round is one
+    * narrow centroid aggregate + one broadcast re-assignment, with
+    * checkpoints truncating lineage. Quantization error (mean cosine
+    * to own centroid) is non-decreasing per round; a handful of
+    * rounds is standard for IVF index builds. Returns (index, cents). */
+  def refine(v: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
+    val base = v.localCheckpoint()
+    var index = base
+    var cents = centroids(index, cellCol, vecCol).localCheckpoint()
+    for (_ <- 0 until rounds) {
+      index = assign(base, cents, idCol, vecCol, cellCol).localCheckpoint()
+      cents = centroids(index, cellCol, vecCol).localCheckpoint()
+    }
+    (index, cents)
+  }
+
   /** Top-k by cosine for one query vector, searching only its
     * `nprobe` nearest cells. `index` must carry (idCol, vecCol,
     * cellCol) with unit-normalized vectors — build it once via

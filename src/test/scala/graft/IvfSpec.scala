@@ -14,6 +14,25 @@ class IvfSpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall@10 $recall too low; ivf=$ivf brute=$brute")
   }
 
+  test("Lloyd refinement recovers true clusters from a bad seed") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    graft.plans.GraftExtensions.register(spark)
+    // Two tight clusters around (1,0) and (0,1), but the SEED cells
+    // are scrambled; one refinement round must re-separate them.
+    val v = Seq(
+      (1L, 0, Seq(1.0, 0.01)), (2L, 1, Seq(1.0, -0.01)), (3L, 0, Seq(0.98, 0.02)),
+      (4L, 1, Seq(0.01, 1.0)), (5L, 0, Seq(-0.01, 1.0)), (6L, 1, Seq(0.02, 0.97))
+    ).toDF("vec_id", "label", "e0")
+      .select(col("vec_id"), col("label"), normalize(col("e0")).as("e"))
+    val (index, cents) = graft.operators.Ivf.refine(v, "vec_id", "e", "label", rounds = 2)
+    assert(cents.count() <= 2)
+    val cells = index.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(cells(1L) == cells(2L) && cells(2L) == cells(3L), s"x-cluster split: $cells")
+    assert(cells(4L) == cells(5L) && cells(5L) == cells(6L), s"y-cluster split: $cells")
+    assert(cells(1L) != cells(4L), s"clusters merged: $cells")
+  }
+
   test("centroids are unit vectors and assignment covers every row") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions._
