@@ -479,10 +479,31 @@ FROM t"""))
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY 1"""))
 
+  /** Statistical aggregates (corr / covar / stddev / variance) — all
+    * one-pass central-moment sketches: mergeable, constant memory per
+    * group, map-side combined. Rounded to 4dp on both sides: the
+    * moment accumulation order differs across engines and 6dp sits
+    * inside double-summation jitter at this row count. */
+  private val statsAgg = Q(
+    "q_stats_agg",
+    (s, dir) => ViewingData.table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(corr(col("value"), col("user_id").cast("double")), 4).as("c"),
+        round(stddev_samp(col("value")), 4).as("sd"),
+        round(var_pop(col("value")), 4).as("vp"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("cv")),
+    Some("""SELECT event_type,
+       round(corr(value, CAST(user_id AS DOUBLE)), 4) AS c,
+       round(stddev_samp(value), 4) AS sd,
+       round(var_pop(value), 4) AS vp,
+       round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cv
+FROM events GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
     approxAggs, textNormalize, docPack, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
-    tryCast, skewAgg)
+    tryCast, skewAgg, statsAgg)
 }
