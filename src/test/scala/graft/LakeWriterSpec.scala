@@ -24,6 +24,35 @@ class LakeWriterSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("dynamic partition overwrite: re-ingesting one day replaces only that day") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("lake3").toString
+    val events = ViewingData.table(spark, Sf, "events").limit(500)
+    LakeWriter.writeHive(events, "ts", root, "EV")
+    val totalBefore = spark.read.parquet(s"$root/EV").count()
+    val days = spark.read.parquet(s"$root/EV")
+      .select("yyyy", "mm", "dd").distinct().collect()
+    assert(days.length > 1, "need multiple day partitions for this test")
+
+    // backfill day 1 with a corrected, smaller slice (the reference's
+    // ingest-backfill.sql one-shot re-COPY semantics); partition
+    // values come back type-inferred as ints
+    val d = days.head
+    val day1 = events.filter(to_date(col("ts")) === make_date(
+      lit(d.get(0).toString.toInt), lit(d.get(1).toString.toInt),
+      lit(d.get(2).toString.toInt)))
+    val day1Count = day1.count()
+    val corrected = day1.limit((day1Count / 2).toInt)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try LakeWriter.writeHive(corrected, "ts", root, "EV")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+    val after = spark.read.parquet(s"$root/EV")
+    // other days untouched; day 1 replaced by the corrected slice
+    assert(after.count() == totalBefore - day1Count + corrected.count(),
+      "only the re-written day's partition may change")
+  }
+
   test("JSONL and CSV hive layouts round-trip with equal content") {
     import spark.implicits._
     val root = Files.createTempDirectory("lake2").toString
