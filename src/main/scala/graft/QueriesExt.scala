@@ -422,7 +422,7 @@ FROM documents"""))
   private val arrayFuncs = Q(
     "q_array_funcs",
     (s, dir) => {
-      val toks = split(trim(lower(col("text"))), "\\s+")
+      val toks = TextFunctions.tokens(col("text"))
       ViewingData.table(s, dir, "documents").select(
         col("doc_id"),
         array_contains(toks, "the").as("has_the"),
@@ -445,11 +445,16 @@ FROM documents"""))
     "q_try_cast",
     (s, dir) => {
       val tok = element_at(split(trim(col("text")), "\\s+"), 1)
+      // Date try-cast is gated on full ISO shape: engines disagree on
+      // partial dates (Spark accepts '2024'/'2024-07', DuckDB nulls
+      // them), and the gate keeps the oracle exact while still
+      // exercising NULL-on-invalid (e.g. 2024-13-45 → NULL both ways).
+      val isoShaped = tok.rlike("^\\d{4}-\\d{2}-\\d{2}$")
       ViewingData.table(s, dir, "documents").select(
         col("doc_id"),
         tok.as("raw_tok"),
         tok.try_cast("double").as("as_num"),
-        tok.try_cast("date").cast("string").as("as_date"),
+        when(isoShaped, tok.try_cast("date")).cast("string").as("as_date"),
         nullif(tok, lit("the")).as("nullif_the"))
     },
     Some("""WITH t AS (
@@ -457,7 +462,8 @@ FROM documents"""))
   FROM documents)
 SELECT doc_id, raw_tok,
        TRY_CAST(raw_tok AS DOUBLE) AS as_num,
-       CAST(TRY_CAST(raw_tok AS DATE) AS VARCHAR) AS as_date,
+       CASE WHEN regexp_matches(raw_tok, '^\d{4}-\d{2}-\d{2}$')
+            THEN CAST(TRY_CAST(raw_tok AS DATE) AS VARCHAR) END AS as_date,
        NULLIF(raw_tok, 'the') AS nullif_the
 FROM t"""))
 
@@ -486,13 +492,19 @@ FROM events GROUP BY 1"""))
     * inside double-summation jitter at this row count. */
   private val statsAgg = Q(
     "q_stats_agg",
-    (s, dir) => ViewingData.table(s, dir, "events")
-      .groupBy("event_type")
-      .agg(
-        round(corr(col("value"), col("user_id").cast("double")), 4).as("c"),
-        round(stddev_samp(col("value")), 4).as("sd"),
-        round(var_pop(col("value")), 4).as("vp"),
-        round(covar_samp(col("value"), col("user_id").cast("double")), 4).as("cv")),
+    (s, dir) => {
+      // Spark yields NaN for single-row / zero-variance groups where
+      // DuckDB (SQL standard) yields NULL — normalize to NULL.
+      def nanToNull(c: org.apache.spark.sql.Column) =
+        when(isnan(c), lit(null)).otherwise(c)
+      ViewingData.table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          nanToNull(round(corr(col("value"), col("user_id").cast("double")), 4)).as("c"),
+          nanToNull(round(stddev_samp(col("value")), 4)).as("sd"),
+          nanToNull(round(var_pop(col("value")), 4)).as("vp"),
+          nanToNull(round(covar_samp(col("value"), col("user_id").cast("double")), 4)).as("cv"))
+    },
     Some("""SELECT event_type,
        round(corr(value, CAST(user_id AS DOUBLE)), 4) AS c,
        round(stddev_samp(value), 4) AS sd,

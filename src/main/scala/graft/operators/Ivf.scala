@@ -61,7 +61,13 @@ object Ivf {
     * narrow centroid aggregate + one broadcast re-assignment, with
     * checkpoints truncating lineage. Quantization error (mean cosine
     * to own centroid) is non-decreasing per round; a handful of
-    * rounds is standard for IVF index builds. Returns (index, cents). */
+    * rounds is standard for IVF index builds. Returns (index, cents).
+    *
+    * Storage: each round's checkpoint supersedes the last; dropped
+    * rounds' blocks are reclaimed by Spark's ContextCleaner once the
+    * old DataFrame references go out of scope (they do — the vars are
+    * reassigned), so steady-state storage is one corpus copy plus the
+    * in-flight round, not rounds× copies. */
   def refine(v: DataFrame, idCol: String, vecCol: String, cellCol: String,
       rounds: Int): (DataFrame, DataFrame) = {
     val base = v.localCheckpoint()

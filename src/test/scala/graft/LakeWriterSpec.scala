@@ -31,7 +31,8 @@ class LakeWriterSpec extends SparkTestBase {
     LakeWriter.writeHive(events, "ts", root, "EV")
     val totalBefore = spark.read.parquet(s"$root/EV").count()
     val days = spark.read.parquet(s"$root/EV")
-      .select("yyyy", "mm", "dd").distinct().collect()
+      .groupBy("yyyy", "mm", "dd").count()
+      .filter(col("count") >= 2).collect() // a 1-row day would make the halved slice empty
     assert(days.length > 1, "need multiple day partitions for this test")
 
     // backfill day 1 with a corrected, smaller slice (the reference's

@@ -42,14 +42,15 @@ class StreamPipelineSpec extends SparkTestBase {
       assert(afterFirst.contains(("hh1", 1000L, 300L)), s"closed session missing: $afterFirst")
       assert(afterFirst.contains(("hh1", 5000L, 400L)), s"flushed session missing: $afterFirst")
 
-      // replaying the same closed session (source re-delivery after a
-      // restart) must not duplicate rows in the target
-      input.addData(
-        Exposure.at("hh2", 1000L, 1100L, 200L),
-        Exposure.at("hh2", 9000L, 9100L, 500L)) // closes hh2's first (too short, dropped)
-      q.processAllAvailable()
-      val counts = spark.read.parquet(target)
-        .groupBy("key", "sessionStart").count()
+      // re-delivery: feed the ALREADY-LANDED sessions through the sink
+      // again (what a restarted query replaying a micro-batch does) —
+      // the target must not grow or duplicate
+      val landed = spark.read.parquet(target)
+      val before = landed.count()
+      MergeSink.insertOnlyParquet(target, Seq("key", "sessionStart"))(landed, 99L)
+      val after = spark.read.parquet(target)
+      assert(after.count() == before, "re-delivered batch must be a no-op")
+      val counts = after.groupBy("key", "sessionStart").count()
         .filter(org.apache.spark.sql.functions.col("count") > 1).count()
       assert(counts == 0, "merge sink must keep one row per (key, sessionStart)")
     } finally q.stop()
