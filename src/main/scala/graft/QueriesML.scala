@@ -335,6 +335,28 @@ WHERE rk <= 10"""))
        'application/octet-stream' AS mime
 FROM documents"""))
 
+  private val mmDecode = Q(
+    "mm_decode",
+    (s, dir) => {
+      // The G2 decode pipeline end-to-end over real rows: binary
+      // payloads → per-partition batched (fake) decode → typed
+      // features + frame-sample counts. Deterministic but byte-level
+      // (rows-only; MultimodalSpec pins the decode semantics).
+      import s.implicits._
+      val media = ViewingData.table(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          col("text").cast("binary").as("payload"),
+          Multimodal.sniffMime(col("text").cast("binary")).as("mime"))
+        .as[Multimodal.MediaRow]
+      Multimodal.decodeFeatures(media).toDF()
+        .join(
+          ViewingData.table(s, dir, "documents").select(col("doc_id").as("id"),
+            size(Multimodal.sampleFrames(col("text").cast("binary"), 64, 2))
+              .cast("long").as("n_frames")),
+          "id")
+    },
+    None)
+
   // ---------------------------------------------------------------------
   // H3. Stream/batch parity: the tumbling-window weighted aggregation
   // the streaming job runs, executed in batch (same plan shape
@@ -397,6 +419,6 @@ GROUP BY 1, 2"""))
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteforce, annBucketed, annIvf,
-    mmBinaryMeta,
+    mmBinaryMeta, mmDecode,
     streamBatchParity)
 }
