@@ -512,10 +512,34 @@ FROM events GROUP BY 1"""))
        round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS cv
 FROM events GROUP BY 1"""))
 
+  /** Salted-replicated dimension join under the correctness gate:
+    * like C35, the rewrite must be result-identical to the plain
+    * equi-join it replaces (the oracle IS that plain join). The dim
+    * is replicated per salt bucket, the fact side salts
+    * deterministically from its unique id — one hot part key spreads
+    * over 4 reducers. */
+  private val skewJoin = Q(
+    "q_skew_join",
+    (s, dir) => {
+      val fact = ViewingData.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey").as("pk"),
+          floor(col("l_quantity")).cast("long").as("qty"))
+      val dim = ViewingData.table(s, dir, "part")
+        .select(col("p_partkey").as("pk"), col("p_brand"))
+      graft.operators.Skew.saltedJoin(fact, dim, "pk", "l_orderkey", 4)
+        .groupBy("p_brand")
+        .agg(sum("qty").as("qty_sum"), count(lit(1)).as("n"))
+    },
+    Some("""SELECT p_brand,
+       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
     approxAggs, textNormalize, docPack, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
-    tryCast, skewAgg, statsAgg)
+    tryCast, skewAgg, statsAgg, skewJoin)
 }

@@ -1,0 +1,69 @@
+package graft
+
+/** Automated plan-regression guards for the scale properties PLANS.md
+  * documents — if a refactor breaks pushdown, pruning, broadcast
+  * placement, or the single-fact-shuffle sessionization, this fails
+  * before the bench notices. Assertions run on the executed plan
+  * string at sf0.001 (plan SHAPE is scale-invariant; sizes are not,
+  * so only shapes are pinned). */
+class PlanAuditSpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val df = SparkEntry.queries("q1_agg")(spark, Sf)
+    // sparkPlan, not executedPlan: AQE wraps the tree and hides leaves
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val meta = scans.map(_.metadata).head
+    assert(meta("PushedFilters").contains("LessThanOrEqual(l_shipdate"),
+      s"shipdate predicate must reach the scan: ${meta("PushedFilters")}")
+    // column pruning: the 11-column lineitem scan reads only 6 columns
+    assert(meta("ReadSchema").split(",").length <= 6, meta("ReadSchema"))
+  }
+
+  test("q_join_dims plans broadcast joins only — no shuffle join") {
+    val p = plan("q_join_dims")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"dim joins must broadcast:\n$p")
+  }
+
+  test("q_sessionize shuffles the fact side exactly once") {
+    val p = plan("q_sessionize")
+    // fact-side hash exchanges: LAG window + cumsum window + final
+    // group-by must all reuse hashpartitioning(hh_id, title, content_id);
+    // the only other exchanges sit under tiny broadcast/dim subtrees
+    val factExchanges = "Exchange hashpartitioning\\(hh_id".r.findAllIn(p).size
+    assert(factExchanges == 1, s"expected ONE fact shuffle, got $factExchanges:\n$p")
+  }
+
+  test("q_topk_window plans WindowGroupLimit (map-side top-k pruning)") {
+    assert(plan("q_topk_window").contains("WindowGroupLimit"))
+  }
+
+  test("q_lateral rewrites correlated LIMIT 1 to WindowGroupLimit + broadcast") {
+    val p = plan("q_lateral")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("ann_bruteforce plans distributed TakeOrderedAndProject, not a global sort") {
+    val p = plan("ann_bruteforce")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("text_tokens scan prunes to the two referenced columns") {
+    val df = SparkEntry.queries("text_tokens")(spark, Sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val schema = scans.head.metadata("ReadSchema")
+    assert(schema.contains("doc_id") && schema.contains("text") &&
+      !schema.contains("lang") && !schema.contains("source"), schema)
+  }
+}
