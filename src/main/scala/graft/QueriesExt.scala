@@ -536,10 +536,35 @@ FROM events GROUP BY 1"""))
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1"""))
 
+  /** Data-quality audit (`operators.Quality`): every rule is a
+    * conditional sum in ONE aggregation pass over the frame — rule
+    * count never multiplies scans. */
+  private val dqAudit = Q(
+    "q_dq_audit",
+    (s, dir) => graft.operators.Quality.audit(
+      ViewingData.table(s, dir, "events"),
+      Map(
+        "value_nonneg" -> (col("value") >= 0),
+        "user_present" -> col("user_id").isNotNull,
+        "type_known" -> col("event_type").isin("view", "click", "purchase", "signup", "error"),
+        "ts_in_range" -> (year(col("ts")) === 2024))),
+    Some("""WITH c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN NOT COALESCE(value >= 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS value_nonneg,
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_present,
+         CAST(SUM(CASE WHEN NOT COALESCE(event_type IN ('view','click','purchase','signup','error'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS type_known,
+         CAST(SUM(CASE WHEN NOT COALESCE(year(ts) = 2024, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS ts_in_range
+  FROM events)
+SELECT rule, violations, total FROM (
+  SELECT 'value_nonneg' AS rule, value_nonneg AS violations, total FROM c
+  UNION ALL SELECT 'user_present', user_present, total FROM c
+  UNION ALL SELECT 'type_known', type_known, total FROM c
+  UNION ALL SELECT 'ts_in_range', ts_in_range, total FROM c)"""))
+
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
     approxAggs, textNormalize, docPack, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
-    tryCast, skewAgg, statsAgg, skewJoin)
+    tryCast, skewAgg, statsAgg, skewJoin, dqAudit)
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality rules over a frame: audit counts per rule and a
+  * valid/invalid split with violation reasons — the expectations
+  * pattern (dbt tests / Deequ constraints) as plain DataFrame ops.
+  *
+  * Scale: `audit` is ONE pass — every rule becomes a conditional-sum
+  * aggregate, map-side combined, no per-rule scans. `split` evaluates
+  * the rules once into an array column and partitions by its
+  * emptiness; both frames derive from the same scan (no double read
+  * when the source caches or the sink supports multi-write).
+  */
+object Quality {
+
+  /** One row per rule: (rule, violations, total). */
+  def audit(df: DataFrame, rules: Map[String, Column]): DataFrame = {
+    val aggs = rules.toSeq.map { case (name, ok) =>
+      sum(when(!coalesce(ok, lit(false)), 1L).otherwise(0L)).as(name)
+    }
+    val counts = df.agg(aggs.head, aggs.tail :+ count(lit(1)).as("__total"): _*)
+    counts.unpivot(
+        Array(col("__total")), rules.keys.toSeq.map(col).toArray, "rule", "violations")
+      .select(col("rule"), col("violations"), col("__total").as("total"))
+  }
+
+  /** Adds `violated` (array of failed rule names); a row is valid iff
+    * the array is empty. NULL rule results count as violations —
+    * unknown is not clean. */
+  def withViolations(df: DataFrame, rules: Map[String, Column]): DataFrame =
+    df.withColumn("violated",
+      filter(
+        array(rules.toSeq.map { case (name, ok) =>
+          when(coalesce(ok, lit(false)), lit(null).cast("string")).otherwise(lit(name))
+        }: _*),
+        c => c.isNotNull))
+
+  /** (valid rows without the marker column, invalid rows with it). */
+  def split(df: DataFrame, rules: Map[String, Column]): (DataFrame, DataFrame) = {
+    val marked = withViolations(df, rules)
+    (marked.filter(size(col("violated")) === 0).drop("violated"),
+      marked.filter(size(col("violated")) > 0))
+  }
+}
