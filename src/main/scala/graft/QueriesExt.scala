@@ -215,6 +215,31 @@ reach(s, n) AS (SELECT s, s FROM edges UNION
                 SELECT r.s, e.d FROM reach r JOIN edges e ON r.n = e.s)
 SELECT s AS doc_id, MIN(n) AS canonical_id FROM reach GROUP BY s"""))
 
+  /** The dedup END RESULT: drop every non-canonical member of a
+    * near-dup cluster, keep everything else — D6's components applied
+    * back to the corpus with one broadcast anti-join (the duplicate
+    * list is tiny relative to the corpus at any scale). */
+  private val dedupKeepCanonical = Q(
+    "dedup_keep_canonical",
+    (s, dir) => {
+      val pairs = QueriesML.ngramJaccardPairs(s, dir)
+        .select("id_a", "id_b").localCheckpoint()
+      val dupes = Components.connectedComponents(pairs, "id_a", "id_b")
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      ViewingData.table(s, dir, "documents")
+        .join(broadcast(dupes), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+    Some(s"""WITH RECURSIVE ${QueriesML.ngramPairsCte},
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(s, n) AS (SELECT s, s FROM edges UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.n = e.s),
+comp AS (SELECT s AS doc_id, MIN(n) AS canonical_id FROM reach GROUP BY s),
+dupes AS (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d ANTI JOIN dupes USING (doc_id)"""))
+
   /** Approximate aggregates (Snowflake HLL / APPROX_PERCENTILE):
     * mergeable sketches, constant memory per group — the 100 TB path
     * where exact distinct would shuffle every key. Sketch estimates
@@ -566,5 +591,5 @@ SELECT rule, violations, total FROM (
     windowRange, windowNav, sampleStratified, dedupComponents,
     approxAggs, textNormalize, docPack, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
-    tryCast, skewAgg, statsAgg, skewJoin, dqAudit)
+    tryCast, skewAgg, statsAgg, skewJoin, dqAudit, dedupKeepCanonical)
 }
