@@ -217,8 +217,10 @@ SELECT s AS doc_id, MIN(n) AS canonical_id FROM reach GROUP BY s"""))
 
   /** The dedup END RESULT: drop every non-canonical member of a
     * near-dup cluster, keep everything else — D6's components applied
-    * back to the corpus with one broadcast anti-join (the duplicate
-    * list is tiny relative to the corpus at any scale). */
+    * back to the corpus with an anti-join. No broadcast hint: at
+    * web scale 30–50% of a corpus can be duplicate members, so the
+    * dupe list is NOT reliably broadcastable; AQE picks broadcast
+    * when it actually fits. */
   private val dedupKeepCanonical = Q(
     "dedup_keep_canonical",
     (s, dir) => {
@@ -228,7 +230,7 @@ SELECT s AS doc_id, MIN(n) AS canonical_id FROM reach GROUP BY s"""))
         .filter(col("id") =!= col("comp"))
         .select(col("id").as("doc_id"))
       ViewingData.table(s, dir, "documents")
-        .join(broadcast(dupes), Seq("doc_id"), "left_anti")
+        .join(dupes, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_chars"))
     },
     Some(s"""WITH RECURSIVE ${QueriesML.ngramPairsCte},

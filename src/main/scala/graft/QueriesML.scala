@@ -340,20 +340,21 @@ FROM documents"""))
     (s, dir) => {
       // The G2 decode pipeline end-to-end over real rows: binary
       // payloads → per-partition batched (fake) decode → typed
-      // features + frame-sample counts. Deterministic but byte-level
-      // (rows-only; MultimodalSpec pins the decode semantics).
+      // features + frame-sample counts. ONE scan of documents: the
+      // projected base (payload + frame counts) is checkpointed and
+      // both the decode input and the n_frames side derive from it.
+      // Deterministic but byte-level (rows-only; MultimodalSpec pins
+      // the decode semantics).
       import s.implicits._
-      val media = ViewingData.table(s, dir, "documents")
-        .select(col("doc_id").as("id"),
-          col("text").cast("binary").as("payload"),
-          Multimodal.sniffMime(col("text").cast("binary")).as("mime"))
-        .as[Multimodal.MediaRow]
+      val bin = col("text").cast("binary")
+      val base = ViewingData.table(s, dir, "documents")
+        .select(col("doc_id").as("id"), bin.as("payload"),
+          Multimodal.sniffMime(bin).as("mime"),
+          size(Multimodal.sampleFrames(bin, 64, 2)).cast("long").as("n_frames"))
+        .localCheckpoint()
+      val media = base.select("id", "payload", "mime").as[Multimodal.MediaRow]
       Multimodal.decodeFeatures(media).toDF()
-        .join(
-          ViewingData.table(s, dir, "documents").select(col("doc_id").as("id"),
-            size(Multimodal.sampleFrames(col("text").cast("binary"), 64, 2))
-              .cast("long").as("n_frames")),
-          "id")
+        .join(base.select("id", "n_frames"), "id")
     },
     None)
 

@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object Quality {
 
+  private val Reserved = Set("__total", "rule", "violations", "total")
+
   /** One row per rule: (rule, violations, total). */
   def audit(df: DataFrame, rules: Map[String, Column]): DataFrame = {
+    require(rules.nonEmpty, "audit needs at least one rule")
+    require(!rules.keys.exists(Reserved),
+      s"rule names ${Reserved.mkString("/")} collide with output columns")
     val aggs = rules.toSeq.map { case (name, ok) =>
       sum(when(!coalesce(ok, lit(false)), 1L).otherwise(0L)).as(name)
     }

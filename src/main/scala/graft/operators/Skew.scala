@@ -46,9 +46,13 @@ object Skew {
   }
 
   /** Skew-safe equi-join: replicate each `dim` row over `buckets`
-    * salt values and join fact on (key, salt). Only sensible when dim
-    * is small enough that `dim × buckets` still broadcasts or shuffles
-    * cheaply. */
+    * salt values and SHUFFLE-join fact on (key, salt), so one hot key
+    * spreads over `buckets` reducers. The shuffle_hash hint matters:
+    * a broadcast join never shuffles the fact side, which makes
+    * salting a no-op — if the dim broadcasts, you don't have a join
+    * skew problem in the first place. This operator is for dims too
+    * big to broadcast (or joins where broadcast is disabled) with a
+    * hot fact key. */
   def saltedJoin(
       fact: DataFrame,
       dim: DataFrame,
@@ -59,7 +63,7 @@ object Skew {
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1)))) // one copy per salt
     saltedFact
-      .join(broadcast(explodedDim), Seq(key, "__salt"))
+      .join(explodedDim.hint("shuffle_hash"), Seq(key, "__salt"))
       .drop("__salt")
   }
 }

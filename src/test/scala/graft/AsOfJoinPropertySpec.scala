@@ -44,15 +44,16 @@ class AsOfJoinPropertySpec extends SparkTestBase {
       seed = seed.next
       val expected = naive(left, right)
       if (left.isEmpty || right.isEmpty) {
-        // operator requires non-empty frames only for schema inference;
-        // empty right means every left row carries null
+        // empty right → a sentinel row under an unmatched key; every
+        // left row must carry null (full equality, not just key-set:
+        // a carry leak across key groups must fail here)
         if (left.nonEmpty) {
           val out = AsOfJoin.nearestBefore(
             left.toDF("id", "k", "t"),
-            Seq(("zz", -1L, "none")).toDF("k", "t", "ref"), // sentinel: ts -1 < all
+            Seq(("zz", -1L, "none")).toDF("k", "t", "ref"), // key matches nothing
             "k", "t", Seq("ref"))
             .select("id", "ref").as[(Long, Option[String])].collect().toMap
-          assert(out.keySet == expected.keySet)
+          assert(out == expected, s"case $i: all-null carry expected, got $out")
         }
       } else {
         val out = AsOfJoin.nearestBefore(

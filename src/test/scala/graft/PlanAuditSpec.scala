@@ -22,7 +22,9 @@ class PlanAuditSpec extends SparkTestBase {
     assert(meta("PushedFilters").contains("LessThanOrEqual(l_shipdate"),
       s"shipdate predicate must reach the scan: ${meta("PushedFilters")}")
     // column pruning: the 11-column lineitem scan reads only 6 columns
-    assert(meta("ReadSchema").split(",").length <= 6, meta("ReadSchema"))
+    // (count parsed fields — a string split would miscount decimal(p,s))
+    assert(scans.head.requiredSchema.fields.length <= 6,
+      scans.head.requiredSchema.treeString)
   }
 
   test("q_join_dims plans broadcast joins only — no shuffle join") {

@@ -30,9 +30,14 @@ class SkewSpec extends SparkTestBase {
     val fact = ViewingFixtures.skewed(spark)
     val dim = Seq(("hot", 10L), ("cold1", 20L), ("cold2", 30L)).toDF("k", "w")
     val plain = fact.join(dim, "k").agg(sum(col("v") * col("w"))).as[Long].head()
-    val salted = Skew.saltedJoin(fact, dim, "k", "id", buckets = 4)
-      .agg(sum(col("v") * col("w"))).as[Long].head()
+    val joined = Skew.saltedJoin(fact, dim, "k", "id", buckets = 4)
+    val salted = joined.agg(sum(col("v") * col("w"))).as[Long].head()
     assert(salted == plain)
+    // the mitigation is only real if the fact side SHUFFLES on the
+    // salted key — a broadcast join would make the salt a no-op
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), s"salted join must shuffle:\n$plan")
+    assert(plan.contains("__salt"), s"join keys must include the salt:\n$plan")
   }
 }
 
