@@ -7,6 +7,28 @@ import graft.streaming.StreamJoin
 
 class StreamJoinSpec extends SparkTestBase {
 
+  test("stream-static enrichment join broadcasts the dim to every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq(("view", 1.0), ("click", 2.0)).toDF("event_type", "weight")
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val joined = input.toDF().toDF("ts", "event_type", "n")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("event_type"))
+      .selectExpr("n", "n * weight AS weighted")
+    val q = joined.writeStream.format("memory").queryName("ss_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "view", 10L),
+        (ts("2024-01-01 10:00:01"), "click", 5L),
+        (ts("2024-01-01 10:00:02"), "unknown", 7L)) // no dim row -> dropped
+      q.processAllAvailable()
+      val rows = spark.table("ss_out").as[(Long, Double)].collect().toSet
+      assert(rows == Set((10L, 10.0), (5L, 10.0)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the bound, not outside") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
