@@ -141,6 +141,31 @@ object Pipeline {
       Seq(ViewingData.acr(spark, dir), ViewingData.stb(spark, dir)),
       "metadata_date")
 
+  /** The full two-watermark control table (etl-dag.sql:126-145):
+    * raw feeds gate on LEAST of their maxes; the panel feed advances
+    * on its own. */
+  def controlTable(spark: SparkSession, dir: String): DataFrame =
+    IncrementalMerge.controlTable(
+      Seq(ViewingData.acr(spark, dir), ViewingData.stb(spark, dir)),
+      ViewingData.geoWeights(spark, dir),
+      "metadata_date")
+
+  /** Panel-windows incremental MERGE (etl-dag.sql:8-26
+    * task_update_panel_windows): fresh Mondays past the panel
+    * watermark insert-only-merged into the existing windows, keyed on
+    * panel_monday. */
+  def panelWindowsMerge(spark: SparkSession, dir: String): DataFrame = {
+    val windows = panelWindows(spark, dir)
+    val cutoff = broadcast(windows.agg(date_sub(max("panel_monday"), 14).as("cut")))
+    val target = windows.crossJoin(cutoff)
+      .filter(col("panel_monday") <= col("cut")).drop("cut")
+    // the batch overlaps the target on purpose: MERGE must ignore
+    // already-present Mondays
+    val batch = windows.crossJoin(cutoff)
+      .filter(col("panel_monday") > date_sub(col("cut"), 21)).drop("cut")
+    IncrementalMerge.insertOnly(target, batch, Seq("panel_monday"))
+  }
+
   /** The reference's daily task graph (etl-dag.sql): each stage
     * materializes its table (the reference MERGEs into Snowflake
     * tables; here each lands as parquet under `outDir`), wired with

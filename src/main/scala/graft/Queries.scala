@@ -264,6 +264,34 @@ SELECT CAST(least(
   coalesce((SELECT MAX(metadata_date) FROM stb), DATE '1900-01-01')
 ) AS VARCHAR) AS last_successful_run_date"""))
 
+  private val controlTableQ = Q(
+    "q_control_table",
+    (s, dir) => datesAsStrings(Pipeline.controlTable(s, dir)),
+    Some(veCte + """
+SELECT 'raw_events_update' AS task_name,
+       CAST(least(
+         coalesce((SELECT MAX(metadata_date) FROM acr), DATE '1900-01-01'),
+         coalesce((SELECT MAX(metadata_date) FROM stb), DATE '1900-01-01')
+       ) AS VARCHAR) AS last_successful_run_date
+UNION ALL
+SELECT 'panel_windows_update',
+       CAST(coalesce((SELECT MAX(metadata_date) FROM geo_weights), DATE '1900-01-01')
+            AS VARCHAR)"""))
+
+  private val panelWindowsMergeQ = Q(
+    "q_panel_windows_merge",
+    (s, dir) => datesAsStrings(Pipeline.panelWindowsMerge(s, dir)),
+    Some(veCte + """,
+cut AS (SELECT MAX(panel_monday) - 14 AS c FROM windows),
+target AS (SELECT w.* FROM windows w, cut WHERE w.panel_monday <= cut.c),
+batch AS (SELECT w.* FROM windows w, cut WHERE w.panel_monday > cut.c - 21)
+SELECT CAST(panel_monday AS VARCHAR) AS panel_monday,
+       CAST(window_start AS VARCHAR) AS window_start,
+       CAST(window_end AS VARCHAR) AS window_end
+FROM (SELECT * FROM target
+      UNION ALL
+      SELECT b.* FROM batch b ANTI JOIN target t USING (panel_monday))"""))
+
   // ---------------------------------------------------------------------
   // C. OLAP SQL surface (TPC-H tables)
   // ---------------------------------------------------------------------
@@ -625,6 +653,7 @@ FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t >= r.rt"""))
     ingestCast, partitionExtract,
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
     audienceMetrics, incrementalMerge, affectedRebuild, watermarkQ,
+    controlTableQ, panelWindowsMergeQ,
     q1Agg, joinDims, joinFact, topkWindow, rollupQ, distinctQ, semiAnti,
     pivotCase, runningWindow) ++ QueriesML.all ++ QueriesExt.all
 }

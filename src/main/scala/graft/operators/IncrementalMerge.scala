@@ -43,4 +43,22 @@ object IncrementalMerge {
       .toDF(sources.indices.map(i => s"d$i"): _*)
       .select(least(sources.indices.map(i => col(s"d$i")): _*).as("last_successful_run_date"))
   }
+
+  /** The FULL control table (reference: etl-dag.sql:126-145): one row
+    * per task watermark — `raw_events_update` holds LEAST of the raw
+    * feeds' maxes (an event is only safe once EVERY feed has delivered
+    * past it), `panel_windows_update` holds the panel feed's own max
+    * (panels advance independently). */
+  def controlTable(
+      rawSources: Seq[DataFrame],
+      panelSource: DataFrame,
+      dateCol: String): DataFrame = {
+    val floorDate = to_date(lit("1900-01-01"))
+    watermark(rawSources, dateCol)
+      .withColumn("task_name", lit("raw_events_update"))
+      .unionByName(panelSource
+        .agg(coalesce(max(col(dateCol)), floorDate).as("last_successful_run_date"))
+        .withColumn("task_name", lit("panel_windows_update")))
+      .select(col("task_name"), col("last_successful_run_date"))
+  }
 }
