@@ -588,10 +588,47 @@ SELECT rule, violations, total FROM (
   UNION ALL SELECT 'type_known', type_known, total FROM c
   UNION ALL SELECT 'ts_in_range', ts_in_range, total FROM c)"""))
 
+  /** Second string surface: edit distance, character translation,
+    * repetition, token addressing, end slicing — all codegen'd. */
+  private val stringFuncs2 = Q(
+    "q_string_funcs2",
+    (s, dir) => ViewingData.table(s, dir, "documents").select(
+      col("doc_id"),
+      levenshtein(substring(col("text"), 1, 8), lit("spark sql")).cast("long").as("lev"),
+      translate(substring(col("text"), 1, 10), "aeiou", "AEIOU").as("tr"),
+      repeat(col("lang"), 2).as("rep"),
+      split_part(col("text"), lit(" "), lit(2)).as("sp2"),
+      call_function("left", col("text"), lit(3)).as("l3"),
+      call_function("right", col("text"), lit(3)).as("r3")),
+    Some("""SELECT doc_id,
+       CAST(levenshtein(substring(text, 1, 8), 'spark sql') AS BIGINT) AS lev,
+       translate(substring(text, 1, 10), 'aeiou', 'AEIOU') AS tr,
+       repeat(lang, 2) AS rep,
+       split_part(text, ' ', 2) AS sp2,
+       left(text, 3) AS l3,
+       right(text, 3) AS r3
+FROM documents"""))
+
+  /** Bitwise aggregates — flag/bitmap rollups. */
+  private val bitAggs = Q(
+    "q_bit_aggs",
+    (s, dir) => ViewingData.table(s, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        bit_or(col("user_id")).as("bo"),
+        bit_and(col("user_id") % 16).as("ba"),
+        bit_xor(col("user_id")).as("bx")),
+    Some("""SELECT event_type,
+       CAST(bit_or(user_id) AS BIGINT) AS bo,
+       CAST(bit_and(user_id % 16) AS BIGINT) AS ba,
+       CAST(bit_xor(user_id) AS BIGINT) AS bx
+FROM events GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
     approxAggs, textNormalize, docPack, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
-    tryCast, skewAgg, statsAgg, skewJoin, dqAudit, dedupKeepCanonical)
+    tryCast, skewAgg, statsAgg, skewJoin, dqAudit, dedupKeepCanonical,
+    stringFuncs2, bitAggs)
 }
