@@ -167,6 +167,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("chained stateful operators: native session_window then hourly session counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // Stateful-after-stateful (Spark 4, append mode) works when BOTH
+    // stages are watermark-aware aggregations — session_window, not
+    // flatMapGroupsWithState (which can emit below the watermark and
+    // is rightly rejected by the global-watermark correctness check).
+    val input = MemoryStream[Exposure]
+    val sessions = input.toDF()
+      .withWatermark("eventTime", "10 minutes")
+      .groupBy(col("key"), session_window(col("eventTime"), "5 minutes"))
+      .agg(count(lit(1)).as("events"))
+    // window-on-window: the session_window struct carries event-time
+    // metadata; re-declaring a watermark instead would mark every
+    // emitted session late (they emit exactly when the watermark
+    // passes them) and silently drop everything
+    val perHour = sessions
+      .groupBy(window(col("session_window"), "1 hour"))
+      .count()
+      .select(col("window.start").cast("long").as("hour"), col("count"))
+    val q = perHour.writeStream.format("memory").queryName("chain_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Exposure.at("a", 3600L, 3760L, 200L),   // session ends hour 1
+        Exposure.at("b", 7300L, 7500L, 250L))   // session ends hour 2
+      q.processAllAvailable()
+      // each stateful level trails the watermark by a batch: nudge the
+      // cascade forward until both levels have flushed
+      for (t <- Seq(100000L, 999999L, 2000000L, 3000000L)) {
+        input.addData(Exposure.at("z", t, t + 100L, 1L))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("chain_out").as[(Long, Long)].collect().toMap
+      assert(rows.get(3600L).contains(1L), s"hour-1 session count: $rows")
+      assert(rows.get(7200L).contains(1L), s"hour-2 session count: $rows")
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window aggregation over a stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
