@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, TextFunctions}
+
+/** Accuracy of the MinHash+LSH pipeline against ground truth on real
+  * corpus data (sf0.001 documents): the estimated near-dup pairs must
+  * both be precise (estimates aren't hallucinating similarity) and
+  * recall the strongly-similar pairs (banding isn't dropping them).
+  * Everything is deterministic (seeded xxhash64, fixed corpus), so
+  * the bounds are exact regression pins, not statistical hopes. */
+class MinhashAccuracySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("LSH pairs: precision vs exact 5-gram Jaccard, recall of strong pairs") {
+    val est = SparkEntry.queries("dedup_minhash")(spark, Sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // ground truth: exact 5-gram Jaccard over all same-bucket pairs
+    val docs = graft.sources.ViewingData.table(spark, Sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        TextFunctions.shingles("text", 5).as("g"))
+    val exact = docs.as("a").join(docs.as("b"),
+        expr("a.doc_id < b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        (size(array_intersect(col("a.g"), col("b.g"))).cast("double") /
+          size(array_union(col("a.g"), col("b.g"))).cast("double")).as("j"))
+      .filter(col("j") >= 0.25)
+      .as[(Long, Long, Double)].collect()
+    val exactStrong = exact.filter(_._3 >= 0.5).map(p => (p._1, p._2)).toSet
+    val exactLoose = exact.map(p => (p._1, p._2)).toSet
+
+    assert(est.nonEmpty && exactStrong.nonEmpty, "test needs real near-dups in the corpus")
+    val precision = est.count(exactLoose.contains).toDouble / est.size
+    val recall = exactStrong.count(est.contains).toDouble / exactStrong.size
+    info(s"est=${est.size} strong=${exactStrong.size} precision=$precision recall=$recall")
+    // pinned just under the observed 0.77 / 0.93 on this corpus — a
+    // k=32 estimate at threshold 0.4 legitimately admits some
+    // true-J≈0.2 pairs; what must NOT regress is the banding recall
+    assert(precision >= 0.75, s"estimated pairs must mostly be >=0.25-Jaccard real: $precision")
+    assert(recall >= 0.9, s"banding must recall >=0.5-Jaccard pairs: $recall")
+  }
+}
