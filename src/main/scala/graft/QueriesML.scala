@@ -192,10 +192,14 @@ pairs AS (
       val docs = HashFunctions.simhashes(base, "doc_id", "toks")
         .withColumn("chunks", HashFunctions.simhashChunks(col("simhash")))
         .localCheckpoint()
+      // hamming <= 3 matches the 4-chunk pigeonhole guarantee: every
+      // pair within the threshold shares a chunk and IS generated. A
+      // looser filter (e.g. <=12) would emit a biased sample — pairs
+      // in the 4..12 band appear only if they luckily share a chunk.
       HashFunctions.bucketedPairs(docs, "doc_id", "chunks", payload = Seq("simhash"))
         .select(col("id_a"), col("id_b"),
           HashFunctions.hammingDistance(col("simhash_a"), col("simhash_b")).as("hamming"))
-        .filter(col("hamming") <= 12)
+        .filter(col("hamming") <= 3)
         .distinct()
     },
     None)
