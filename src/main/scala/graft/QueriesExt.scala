@@ -624,11 +624,32 @@ FROM documents"""))
        CAST(bit_xor(user_id) AS BIGINT) AS bx
 FROM events GROUP BY 1"""))
 
+  /** Second date surface: month arithmetic, truncation, day naming,
+    * ISO weeks. month-delta uses datediff/30 on BOTH sides — Spark's
+    * months_between day-fraction convention has no DuckDB twin. */
+  private val dateFuncs2 = Q(
+    "q_date_funcs2",
+    (s, dir) => ViewingData.table(s, dir, "orders").select(
+      col("o_orderkey"),
+      round(datediff(to_date(col("o_orderdate")), lit("2024-01-01").cast("date"))
+        .cast("double") / 30.0, 4).as("md"),
+      date_trunc("month", col("o_orderdate")).cast("date").cast("string").as("mtrunc"),
+      add_months(to_date(col("o_orderdate")), 3).cast("string").as("plus3m"),
+      date_format(col("o_orderdate"), "EEEE").as("dname"),
+      weekofyear(col("o_orderdate")).cast("long").as("isoweek")),
+    Some("""SELECT o_orderkey,
+       round(CAST(datediff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE) / 30.0, 4) AS md,
+       CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS mtrunc,
+       CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3m,
+       dayname(o_orderdate) AS dname,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS isoweek
+FROM orders"""))
+
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
     approxAggs, textNormalize, docPack, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
     tryCast, skewAgg, statsAgg, skewJoin, dqAudit, dedupKeepCanonical,
-    stringFuncs2, bitAggs)
+    stringFuncs2, bitAggs, dateFuncs2)
 }
