@@ -1,6 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Benchmark main. Stdout contract (the driver tail-captures a bounded
+  * buffer and parses the LAST line):
+  *
+  *   - one line PER QUERY first:  {"query":"q1_agg","sec":1.234,"passes":2}
+  *     (`sec` is null when the query failed — never a -1 sentinel)
+  *   - then ONE SHORT final line: {"metric":"total","value":N,"unit":"sec",
+  *     "sf":"...","passes":2,"n_queries":76}
+  *
+  * The final line deliberately carries no per-query map: with 76 queries
+  * that map exceeded the driver's tail buffer and truncated the line's
+  * head, yielding an unparseable bench in rounds 1–2.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,16 +27,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The noop sink executes every operator and projection (count() would
-    // let Spark skip column evaluation); one warm-up run amortizes scan
-    // caching so per-query numbers reflect compute, not first-touch I/O.
-    def exec(name: String): Double = {
+    // let Spark skip column evaluation).
+    def exec(name: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
       }
-      (System.nanoTime() - t0) / 1e9
     }
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -36,20 +48,27 @@ object Bench {
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => graft.sources.ViewingData.table(spark, sfDir, t).count())
     names.take(2).foreach(exec)
-    // Full-run wall times swing ~2× run to run (GC/JIT/VM noise lands
-    // on random queries); per-query MIN over two passes reports
-    // steady-state throughput, the JMH practice. The second pass is
-    // skipped if the first ran long, to stay inside harness budgets.
-    val pass1 = names.map(n => n -> exec(n))
-    val results =
-      if (pass1.map(_._2).filter(_ >= 0).sum > 90.0) pass1
-      else names.map(n => n -> exec(n)).zip(pass1).map {
-        case ((n, b), (_, a)) => n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
-      }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Wall times swing ~2× run to run (GC/JIT/VM noise lands on random
+    // queries); per-query MIN over two back-to-back passes reports
+    // steady-state throughput, the JMH practice. Second passes stop once
+    // the soft deadline is hit (first passes always run), so a long
+    // suite degrades to single-pass per query instead of being skipped
+    // wholesale — and each line records how many passes it got.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toDouble
+    val started = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - started) / 1e9
+    val results = names.map { n =>
+      val t1 = exec(n)
+      val t2 = if (t1.isDefined && elapsed < budget) exec(n) else None
+      val best = (t1.toSeq ++ t2.toSeq).minOption
+      (n, best, t1.size + t2.size)
+    }
+    results.foreach { case (n, best, p) =>
+      println(s"""{"query":"$n","sec":${best.map(_.toString).getOrElse("null")},"passes":$p}""")
+    }
+    val total = results.flatMap(_._2).sum
+    val minPasses = if (results.isEmpty) 0 else results.map(_._3).min
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$minPasses,"n_queries":${results.size}}""")
     spark.stop()
   }
 }

@@ -37,12 +37,20 @@ FROM documents"""))
 
   private val textQuality = Q(
     "text_quality",
-    (s, dir) => ViewingData.table(s, dir, "documents").select(
-      col("doc_id"),
-      TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
-      TextFunctions.enStopCount(col("text")).as("stop_hits"),
-      TextFunctions.punctCount(col("text")).as("punct_cnt"),
-      TextFunctions.qualityScore(col("text")).as("quality_score")),
+    // Tokenize ONCE into `toks`, derive every count from the array.
+    // CollapseProject keeps the two projections separate (the alias is
+    // non-cheap and multiply referenced), so split() runs once per row
+    // instead of 3× — the higher-order filter is CodegenFallback and
+    // gets no subexpression elimination.
+    (s, dir) => ViewingData.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("ws_tokens"),
+        TextFunctions.stopHitsIn(col("toks"), TextFunctions.EnStop).as("stop_hits"),
+        TextFunctions.punctCount(col("text")).as("punct_cnt"),
+        TextFunctions.qualityScoreFromTokens(col("toks"), col("text")).as("quality_score")),
     Some(s"""SELECT doc_id,
        CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS ws_tokens,
        ${duckHits(duckStop(TextFunctions.EnStop))} AS stop_hits,
@@ -58,10 +66,15 @@ FROM documents"""))
 
   private val textLangid = Q(
     "text_langid",
-    (s, dir) => ViewingData.table(s, dir, "documents").select(
-      col("doc_id"),
-      col("lang").as("labeled_lang"),
-      TextFunctions.langId(col("text")).as("predicted_lang")),
+    // Same tokenize-once shape as text_quality: one split per row, four
+    // membership counts over the materialized array (was 4× re-split).
+    (s, dir) => ViewingData.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        col("labeled_lang"),
+        TextFunctions.langIdFromTokens(col("toks")).as("predicted_lang")),
     Some(s"""WITH hits AS (
   SELECT doc_id, lang AS labeled_lang,
          ${duckHits(duckStop(TextFunctions.EnStop))} AS en,

@@ -76,8 +76,12 @@ object HashFunctions {
     * narrower aggregate keeps the generated HashAggregate small (the
     * 64-buffer form compiles to a near-method-limit janino blob that
     * dominated cold runtime). Lanes never carry into each other while
-    * a document has < 65536 tokens; the sign vote 2*ones > n is exactly
-    * the ±1-sum > 0 of the per-row closed form [[simhash]].
+    * a document has < 65536 tokens — ENFORCED by pre-truncating the
+    * token array to 65535 entries (a 65535-token prefix signature is a
+    * deterministic, documented approximation for mega-token documents;
+    * a silent lane carry would corrupt all 64 bits). The sign vote
+    * 2*ones > n is exactly the ±1-sum > 0 of the per-row closed form
+    * [[simhash]].
     * Input df: (idCol, tokensCol); output: (idCol, simhash long). */
   def simhashes(df: DataFrame, idCol: String, tokensCol: String): DataFrame = {
     val packs = (0 until 16).map { g =>
@@ -93,7 +97,7 @@ object HashFunctions {
         .bitwiseAND(0xffffL)
       when(ones * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    df.select(col(idCol), explode(col(tokensCol)).as("tok"))
+    df.select(col(idCol), explode(slice(col(tokensCol), 1, 65535)).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("th"))
       .groupBy(idCol)
       .agg(packs.head, packs.tail :+ count(lit(1)).as("n"): _*)

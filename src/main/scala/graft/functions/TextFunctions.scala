@@ -32,8 +32,16 @@ object TextFunctions {
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[.,;:!?()]")).cast("long")
 
+  /** Stopword hits over an ALREADY-TOKENIZED column. The higher-order
+    * `filter` is CodegenFallback (no subexpression elimination), so a
+    * caller that needs several counts over the same text must project
+    * `tokens(text)` ONCE and pass the materialized array here —
+    * re-tokenizing per count re-runs the split per stopword set. */
+  def stopHitsIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+
   private def stopHits(text: Column, words: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(words: _*))).cast("long")
+    stopHitsIn(tokens(text), words)
 
   val EnStop = Seq("the", "of", "and", "to", "in", "is", "a")
   val EsStop = Seq("el", "la", "de", "que", "y", "en", "los")
@@ -42,11 +50,12 @@ object TextFunctions {
 
   def enStopCount(text: Column): Column = stopHits(text, EnStop)
 
-  /** Composite quality score in [0,1]: length saturation, English
-    * stopword density, punctuation penalty. */
-  def qualityScore(text: Column): Column = {
-    val n = wsTokenCount(text).cast("double")
-    val stopRatio = enStopCount(text).cast("double") / n
+  /** Composite quality score in [0,1] from a pre-tokenized column:
+    * length saturation, English stopword density, punctuation penalty.
+    * `toks` must be `tokens(text)` projected once by the caller. */
+  def qualityScoreFromTokens(toks: Column, text: Column): Column = {
+    val n = size(toks).cast("double")
+    val stopRatio = stopHitsIn(toks, EnStop).cast("double") / n
     val punctRatio = punctCount(text).cast("double") / length(text).cast("double")
     round(
       least(lit(1.0), n / 50.0) * 0.5 +
@@ -55,19 +64,29 @@ object TextFunctions {
       6)
   }
 
-  /** Stopword-vote language ID with fixed tie-break priority
-    * en > es > de > fr; 'und' when nothing matches. */
-  def langId(text: Column): Column = {
-    val en = stopHits(text, EnStop)
-    val es = stopHits(text, EsStop)
-    val de = stopHits(text, DeStop)
-    val fr = stopHits(text, FrStop)
+  /** Single-column convenience form; tokenizes twice (n + stop hits) —
+    * prefer [[qualityScoreFromTokens]] in per-row hot paths. */
+  def qualityScore(text: Column): Column =
+    qualityScoreFromTokens(tokens(text), text)
+
+  /** Stopword-vote language ID over a pre-tokenized column, fixed
+    * tie-break priority en > es > de > fr; 'und' when nothing matches.
+    * One array materialization, four cheap membership counts. */
+  def langIdFromTokens(toks: Column): Column = {
+    val en = stopHitsIn(toks, EnStop)
+    val es = stopHitsIn(toks, EsStop)
+    val de = stopHitsIn(toks, DeStop)
+    val fr = stopHitsIn(toks, FrStop)
     when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))
       .when(en >= es && en >= de && en >= fr, lit("en"))
       .when(es >= de && es >= fr, lit("es"))
       .when(de >= fr, lit("de"))
       .otherwise(lit("fr"))
   }
+
+  /** Single-column convenience form; re-tokenizes once per stopword set
+    * (4×) — prefer [[langIdFromTokens]] in per-row hot paths. */
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
   /** Polynomial rolling hash over characters, mod 2^31-1 — a portable
     * document fingerprint (same value from any engine that can fold

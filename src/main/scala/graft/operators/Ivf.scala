@@ -83,19 +83,24 @@ object Ivf {
   /** Top-k by cosine for one query vector, searching only its
     * `nprobe` nearest cells. `index` must carry (idCol, vecCol,
     * cellCol) with unit-normalized vectors — build it once via
-    * [[centroids]] + [[assign]] and reuse across queries. */
+    * [[centroids]] + [[assign]] and reuse across queries.
+    *
+    * `query` must be a SINGLE-ROW DataFrame whose unit-normalized
+    * query vector lives in column `qCol` (default "q") — a multi-row
+    * query would cross-join every row into the probe and interleave
+    * the top-k. */
   def probe(index: DataFrame, cents: DataFrame, query: DataFrame,
       idCol: String, vecCol: String, cellCol: String,
-      nprobe: Int, k: Int): DataFrame = {
+      nprobe: Int, k: Int, qCol: String = "q"): DataFrame = {
     val qCells = query.crossJoin(broadcast(cents))
-      .withColumn("__sim", dotNative(col("q"), col("centroid")))
+      .withColumn("__sim", dotNative(col(qCol), col("centroid")))
       .orderBy(col("__sim").desc, col(cellCol)).limit(nprobe)
       .select(col(cellCol))
     index
       .join(broadcast(qCells), cellCol)
       .crossJoin(broadcast(query))
       .select(col(idCol), col(cellCol),
-        round(dotNative(col(vecCol), col("q")), 6).as("cos_sim"))
+        round(dotNative(col(vecCol), col(qCol)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol)).limit(k)
   }
 }

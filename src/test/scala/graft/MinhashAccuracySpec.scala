@@ -46,7 +46,7 @@ class MinhashAccuracySpec extends SparkTestBase {
     // SimHash approximates frequency-weighted cosine, not set Jaccard
     // (on this shared-vocabulary corpus almost ALL pairs have high
     // token-SET overlap), so the meaningful check is discrimination:
-    // 5-gram Jaccard over pairs the hamming<=12 filter selects must
+    // 5-gram Jaccard over pairs the hamming<=3 filter selects must
     // dwarf the all-pairs average.
     val est = SparkEntry.queries("dedup_simhash")(spark, Sf)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
