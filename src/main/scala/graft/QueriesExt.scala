@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.Components
+import graft.operators.{Components, DocPack}
 import graft.sources.ViewingData
 
 /** Round-2 breadth: the Snowflake-surface capabilities the reference's
@@ -275,23 +275,15 @@ FROM documents d ANTI JOIN dupes USING (doc_id)"""))
          '\s+', ' ', 'g')) AS norm_text
 FROM documents"""))
 
-  /** Context-length packing (sequential fill): assign documents to
-    * fixed-token-budget packs in stable doc_id order — the LLM-prep
-    * step that turns a corpus into training windows. The cumulative
-    * sum is one global-ordered window; at 100 TB you'd run it
-    * per-shard (partition by a shard key) — the per-shard form is the
-    * same expression with the shard in the PARTITION BY. */
+  /** Context-length packing, exact single-sequence form (see
+    * [[graft.operators.DocPack]]): ONE global-ordered window — the
+    * oracle baseline. The scale path is doc_pack_sharded below. */
   private val docPack = Q(
     "doc_pack",
-    (s, dir) => {
-      val w = Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    (s, dir) => DocPack.pack(
       ViewingData.table(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.wsTokenCount(col("text")).as("n_tokens"))
-        .withColumn("cum_tokens", sum("n_tokens").over(w))
-        .withColumn("pack_id",
-          floor((col("cum_tokens") - col("n_tokens")) / 2048).cast("long"))
-    },
+        .select(col("doc_id"), TextFunctions.wsTokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", 2048),
     Some("""WITH t AS (
   SELECT doc_id,
          CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
@@ -300,6 +292,31 @@ SELECT doc_id, n_tokens,
        CAST(SUM(n_tokens) OVER (ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
        CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2048)
+            AS BIGINT) AS pack_id
+FROM t"""))
+
+  /** Context-length packing, sharded production form: the same
+    * sequential fill PARTITIONed BY a shard key (here doc_id mod 8 —
+    * any stable hash works), so each shard fills independently with
+    * no global sort in the plan. (shard, pack_id) is the global pack
+    * key. This is the 100-TB shape of doc_pack. */
+  private val docPackSharded = Q(
+    "doc_pack_sharded",
+    (s, dir) => DocPack.packSharded(
+      ViewingData.table(s, dir, "documents")
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(8)).as("shard"),
+          TextFunctions.wsTokenCount(col("text")).as("n_tokens")),
+      "shard", "doc_id", "n_tokens", 2048),
+    Some("""WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, shard, n_tokens,
+       CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+       CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2048)
             AS BIGINT) AS pack_id
 FROM t"""))
@@ -648,7 +665,7 @@ FROM orders"""))
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
-    approxAggs, textNormalize, docPack, trainSplit, sessionWindow,
+    approxAggs, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
     tryCast, skewAgg, statsAgg, skewJoin, dqAudit, dedupKeepCanonical,
     stringFuncs2, bitAggs, dateFuncs2)

@@ -24,6 +24,58 @@ object RawLoader {
 
   val Sentinel = "__HIVE_DEFAULT_PARTITION__"
 
+  /** Object-store stage — the Spark-side mirror of the reference's
+    * STORAGE INTEGRATION + STAGE + FILE FORMAT DDL
+    * (aws-s3-integration.sql:1-17). The mapping:
+    *
+    *   - STORAGE INTEGRATION (TYPE=EXTERNAL_STAGE, PROVIDER='S3',
+    *     STORAGE_AWS_ROLE_ARN) → s3a assumed-role credential config.
+    *     Snowflake holds the role trust; on Spark the equivalent is
+    *     `fs.s3a.assumed.role.arn` + the AssumedRole provider, set
+    *     bucket-scoped (`fs.s3a.bucket.<b>.…`) so one session can
+    *     read stages in different accounts.
+    *   - STORAGE_ALLOWED_LOCATIONS → client-side prefix check at
+    *     read time ([[stageLoad]] refuses paths outside the list);
+    *     server-side enforcement stays with the bucket policy.
+    *   - STAGE.URL → [[Stage.url]]; feeds resolve under it exactly
+    *     like `@stage/feed` path references.
+    *   - FILE FORMAT (TYPE=PARQUET COMPRESSION=AUTO) → the reader
+    *     format; parquet compression is self-describing, so AUTO is
+    *     the only behavior Spark has.
+    *
+    * The sandbox has no object store, so the s3a keys are exercised
+    * as configuration only (spec asserts they land in the Hadoop
+    * conf); `file:`/local stage urls take the identical read path.
+    */
+  final case class Stage(
+      url: String,
+      roleArn: Option[String] = None,
+      allowedLocations: Seq[String] = Nil,
+      format: String = "parquet")
+
+  /** Applies the stage's credential config to the session's Hadoop
+    * conf (idempotent; bucket-scoped when the url is s3a://). */
+  def configureStage(spark: SparkSession, stage: Stage): Unit =
+    stage.roleArn.foreach { arn =>
+      val prefix = "^s3a://([^/]+)".r.findFirstMatchIn(stage.url)
+        .map(m => s"fs.s3a.bucket.${m.group(1)}.").getOrElse("fs.s3a.")
+      val conf = spark.sparkContext.hadoopConfiguration
+      conf.set(prefix + "assumed.role.arn", arn)
+      conf.set(prefix + "aws.credentials.provider",
+        "org.apache.hadoop.fs.s3a.auth.AssumedRoleCredentialProvider")
+    }
+
+  /** Reads `<stage.url>/<feed>` with path-partition recovery, after
+    * applying credentials and enforcing STORAGE_ALLOWED_LOCATIONS. */
+  def stageLoad(spark: SparkSession, stage: Stage, feed: String): DataFrame = {
+    require(stage.allowedLocations.isEmpty ||
+      stage.allowedLocations.exists(stage.url.startsWith),
+      s"stage url ${stage.url} outside allowed locations ${stage.allowedLocations}")
+    require(stage.format == "parquet", s"unsupported stage format: ${stage.format}")
+    configureStage(spark, stage)
+    load(spark, stage.url, feed)
+  }
+
   /** One hive path segment from an arbitrary path column — shared by
     * the file-scan loader below and any query that parses path-shaped
     * strings (see q_partition_extract). */

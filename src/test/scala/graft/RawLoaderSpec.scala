@@ -27,6 +27,34 @@ class RawLoaderSpec extends SparkTestBase {
     assert(out(3L)._1 == null && out(3L)._4.isEmpty)
   }
 
+  test("stage: local url round-trips, s3a conf lands bucket-scoped, allowlist enforced") {
+    val root = Files.createTempDirectory("stage").toString
+    Seq((1L, "x")).toDF("id", "v")
+      .write.parquet(s"$root/ACR/yyyy=2024/mm=03/dd=09")
+    val local = RawLoader.Stage(url = root, allowedLocations = Seq(root))
+    val out = RawLoader.stageLoad(spark, local, "ACR")
+      .select("id", "mm").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "03")))
+
+    // credential mapping: STORAGE_AWS_ROLE_ARN → bucket-scoped s3a keys
+    val s3 = RawLoader.Stage(url = "s3a://samba-stage/raw",
+      roleArn = Some("arn:aws:iam::000000000000:role/stage-read"),
+      allowedLocations = Seq("s3a://samba-stage/"))
+    RawLoader.configureStage(spark, s3)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(conf.get("fs.s3a.bucket.samba-stage.assumed.role.arn")
+      == "arn:aws:iam::000000000000:role/stage-read")
+    assert(conf.get("fs.s3a.bucket.samba-stage.aws.credentials.provider")
+      .contains("AssumedRoleCredentialProvider"))
+
+    // STORAGE_ALLOWED_LOCATIONS: out-of-list url refuses at read time
+    val rogue = RawLoader.Stage(url = "s3a://other-bucket/raw",
+      allowedLocations = Seq("s3a://samba-stage/"))
+    intercept[IllegalArgumentException] {
+      RawLoader.stageLoad(spark, rogue, "ACR")
+    }
+  }
+
   test("date predicate prunes to matching files only") {
     val root = Files.createTempDirectory("rawloader2").toString
     Seq(1L).toDF("id").write.parquet(s"$root/ACR/yyyy=2024/mm=01/dd=05")
