@@ -14,9 +14,14 @@ import graft.sources.ViewingData
   */
 object Pipeline {
 
+  /** The reference's raw_viewing_events width (etl-ddl-backfill.sql:
+    * 16-62): content metadata + geo + partition columns ride the union
+    * so every downstream stage can slice by them. */
   val ViewingCols: Seq[String] = Seq(
     "source_table", "event_id", "smba_id", "content_id", "title",
-    "application", "duration", "exposure_start_ts", "exposure_end_ts",
+    "application", "content_type", "episode_title", "season", "episode",
+    "network", "zip", "yyyy", "mm", "dd",
+    "duration", "exposure_start_ts", "exposure_end_ts",
     "dma", "metadata_date")
 
   /** raw_viewing_events (etl-ddl-backfill.sql:16-62): ACR ∪ STB with a

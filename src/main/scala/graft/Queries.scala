@@ -45,27 +45,60 @@ object Queries {
     """WITH norm AS (
   SELECT event_id,
          CAST(user_id AS VARCHAR) AS smba_id,
+         'i-' || CAST(event_id AS VARCHAR) AS intermediate_id,
          event_type AS content_id,
          upper(event_type) AS title,
          CAST(floor(value) AS BIGINT) AS duration,
          CAST(floor(epoch(ts)) AS BIGINT) AS exposure_start_ts,
          CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value) AS BIGINT) AS exposure_end_ts,
+         CASE WHEN event_type = 'view' THEN 'program'
+              WHEN event_type IN ('click','purchase') THEN 'ad'
+              ELSE 'system' END AS content_type,
+         upper(event_type) || ' E' || CAST(event_id % 24 + 1 AS VARCHAR) AS episode_title,
+         CAST(user_id % 5 + 1 AS VARCHAR) AS season,
+         CAST(event_id % 24 + 1 AS VARCHAR) AS episode,
+         event_type || ' description' AS description,
+         '["g' || CAST(event_id % 3 AS VARCHAR) || '","g' || CAST(user_id % 4 AS VARCHAR) || '"]' AS genres,
+         CAST(ts AS DATE) - CAST(event_id % 365 AS INTEGER) AS release_date,
+         'net-' || CAST(event_id % 7 AS VARCHAR) AS network,
+         CAST(event_id % 7 AS VARCHAR) AS network_id,
+         'CS-' || CAST(user_id % 26 AS VARCHAR) AS affiliate_call_sign,
+         CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 1800 AS scheduled_program_start_ts,
+         CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) % 1800 + 1800 AS scheduled_program_end_ts,
+         CAST(floor(epoch(ts)) AS BIGINT) % 1800 AS channel_content_offset_s,
+         CAST(floor(value) AS BIGINT) % 600 AS program_content_offset_s,
          'dma-' || CAST(user_id % 5 AS VARCHAR) AS dma,
+         CAST(10000 + user_id % 90000 AS VARCHAR) AS zip,
+         strftime(ts, '%Y') AS yyyy,
+         strftime(ts, '%m') AS mm,
+         strftime(ts, '%d') AS dd,
          CAST(ts AS DATE) AS metadata_date,
          regexp_extract(props, '"k": (\d+)', 1) AS application,
          event_type
   FROM events),
-acr AS (SELECT event_id, smba_id, content_id, title, duration, exposure_start_ts,
-               exposure_end_ts, dma, metadata_date, application
+acr AS (SELECT event_id, smba_id, intermediate_id, content_id, title, duration,
+               exposure_start_ts, exposure_end_ts, content_type, episode_title,
+               season, episode, description, genres, release_date, network,
+               network_id, affiliate_call_sign, scheduled_program_start_ts,
+               scheduled_program_end_ts, channel_content_offset_s,
+               program_content_offset_s, dma, zip, yyyy, mm, dd,
+               metadata_date, application
         FROM norm WHERE event_type IN ('view','click','purchase')),
-stb AS (SELECT event_id, smba_id, content_id, title, duration, exposure_start_ts,
-               exposure_end_ts, dma, metadata_date
+stb AS (SELECT event_id, smba_id, intermediate_id, content_id, title, duration,
+               exposure_start_ts, exposure_end_ts, content_type, episode_title,
+               season, episode, description, genres, network,
+               network_id, affiliate_call_sign, scheduled_program_start_ts,
+               scheduled_program_end_ts, channel_content_offset_s,
+               program_content_offset_s, dma, zip, yyyy, mm, dd,
+               metadata_date
         FROM norm WHERE event_type NOT IN ('view','click','purchase')),
 viewing_events AS (
   SELECT 'ACR' AS source_table, event_id, smba_id, content_id, title, application,
+         content_type, episode_title, season, episode, network, zip, yyyy, mm, dd,
          duration, exposure_start_ts, exposure_end_ts, dma, metadata_date FROM acr
   UNION ALL
   SELECT 'STB', event_id, smba_id, content_id, title, CAST(NULL AS VARCHAR),
+         content_type, episode_title, season, episode, network, zip, yyyy, mm, dd,
          duration, exposure_start_ts, exposure_end_ts, dma, metadata_date FROM stb),
 mondays AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS panel_monday FROM events),
 windows AS (SELECT panel_monday, panel_monday - 28 AS window_start,
@@ -82,6 +115,8 @@ with_panel AS (
   FROM viewing_events e),
 weighted AS (
   SELECT e.source_table, e.event_id, e.smba_id, e.content_id, e.title, e.application,
+         e.content_type, e.episode_title, e.season, e.episode, e.network, e.zip,
+         e.yyyy, e.mm, e.dd,
          e.duration, e.exposure_start_ts, e.exposure_end_ts, e.dma, e.metadata_date,
          e.panel_monday, g.hh_id, g.geo_weight AS panel_weight
   FROM with_panel e
@@ -118,7 +153,7 @@ sessions AS (
   private val ingestCast = Q(
     "q_ingest_cast",
     (s, dir) => datesAsStrings(ViewingData.acr(s, dir)),
-    Some(veCte + "\nSELECT * REPLACE (CAST(metadata_date AS VARCHAR) AS metadata_date) FROM acr"))
+    Some(veCte + "\nSELECT * REPLACE (CAST(metadata_date AS VARCHAR) AS metadata_date, CAST(release_date AS VARCHAR) AS release_date) FROM acr"))
 
   private val partitionExtract = Q(
     "q_partition_extract",

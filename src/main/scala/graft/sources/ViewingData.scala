@@ -38,34 +38,64 @@ object ViewingData {
     * as NUMBER(38,0) unix seconds (ingest-ddl.sql:4-5). */
   private def ep(c: String) = unix_timestamp(col(c))
 
+  /** Column-complete raw mapping (ingest-ddl.sql ACR 28 cols / STB 26):
+    * every reference column, derived deterministically from the event
+    * feed so the DuckDB oracle can reproduce each value bit-exactly.
+    * Catalyst prunes unused ones at the scan, so full width is free
+    * for queries that project a subset. */
   private def normalized(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events").select(
       col("event_id"),
       col("user_id").cast("string").as("smba_id"),
+      concat(lit("i-"), col("event_id").cast("string")).as("intermediate_id"),
       col("event_type").as("content_id"),
       upper(col("event_type")).as("title"),
       floor(col("value")).cast("long").as("duration"),
       ep("ts").as("exposure_start_ts"),
       (ep("ts") + floor(col("value")).cast("long")).as("exposure_end_ts"),
+      when(col("event_type") === "view", lit("program"))
+        .when(col("event_type").isin("click", "purchase"), lit("ad"))
+        .otherwise(lit("system")).as("content_type"),
+      concat(upper(col("event_type")), lit(" E"),
+        (col("event_id") % 24 + 1).cast("string")).as("episode_title"),
+      (col("user_id") % 5 + 1).cast("string").as("season"),
+      (col("event_id") % 24 + 1).cast("string").as("episode"),
+      concat(col("event_type"), lit(" description")).as("description"),
+      concat(lit("[\"g"), (col("event_id") % 3).cast("string"),
+        lit("\",\"g"), (col("user_id") % 4).cast("string"), lit("\"]")).as("genres"),
+      date_sub(to_date(col("ts")), (col("event_id") % 365).cast("int")).as("release_date"),
+      concat(lit("net-"), (col("event_id") % 7).cast("string")).as("network"),
+      (col("event_id") % 7).cast("string").as("network_id"),
+      concat(lit("CS-"), (col("user_id") % 26).cast("string")).as("affiliate_call_sign"),
+      (ep("ts") - ep("ts") % 1800).as("scheduled_program_start_ts"),
+      (ep("ts") - ep("ts") % 1800 + 1800).as("scheduled_program_end_ts"),
+      (ep("ts") % 1800).as("channel_content_offset_s"),
+      (floor(col("value")).cast("long") % 600).as("program_content_offset_s"),
       concat(lit("dma-"), (col("user_id") % 5).cast("string")).as("dma"),
+      (lit(10000) + col("user_id") % 90000).cast("string").as("zip"),
+      date_format(col("ts"), "yyyy").as("yyyy"),
+      date_format(col("ts"), "MM").as("mm"),
+      date_format(col("ts"), "dd").as("dd"),
       to_date(col("ts")).as("metadata_date"),
       regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("application"),
       col("event_type"))
 
-  /** ACR-analog source: the content-exposure event types, keeps
-    * `application` (reference: ingest-ddl.sql ACR has APPLICATION). */
+  /** ACR-analog source: the content-exposure event types, full 28-col
+    * width incl. `application` and `release_date` (ingest-ddl.sql ACR). */
   def acr(spark: SparkSession, dir: String): DataFrame =
     normalized(spark, dir)
       .filter(col("event_type").isin("view", "click", "purchase"))
       .drop("event_type")
 
-  /** STB-analog source: remaining event types, no `application` column
-    * (reference: etl-ddl-backfill.sql:45 `NULL AS application`). */
+  /** STB-analog source: remaining event types; the reference STB table
+    * has neither APPLICATION nor RELEASE_DATE (ingest-ddl.sql:42-68,
+    * etl-ddl-backfill.sql:45 `NULL AS application`). */
   def stb(spark: SparkSession, dir: String): DataFrame =
     normalized(spark, dir)
       .filter(!col("event_type").isin("view", "click", "purchase"))
       .drop("event_type")
       .drop("application")
+      .drop("release_date")
 
   /** Distinct panel Mondays observed in the feed (reference derives them
     * from geo_weights metadata_date where DAYOFWEEK=1,
