@@ -9,10 +9,14 @@ import org.apache.spark.sql.SparkSession
   * root kickoff → panel windows + raw events → weighted events →
   * viewing sessions → control-table watermark update.
   *
-  * Snowflake runs these on a cron schedule; here the schedule is the
-  * caller's concern (Structured Streaming triggers or an external
-  * scheduler) and the DAG contributes ordering, cycle detection, and
-  * per-task status. Tasks run sequentially in dependency order; Spark
+  * Snowflake runs these on a cron schedule (ingest-dag.sql:2-3
+  * `schedule = 'using cron …'`); here the schedule is the caller's
+  * concern and maps one-to-one onto any Spark-adjacent scheduler —
+  * the cron expression becomes an Airflow DAG `schedule_interval`, a
+  * Databricks Workflows job trigger, or a Structured Streaming
+  * `Trigger.ProcessingTime`, each invoking [[run]] per tick — while
+  * the DAG contributes ordering, cycle detection, and per-task
+  * status. Tasks run sequentially in dependency order; Spark
   * parallelizes WITHIN each task, which is where the cluster's
   * resources belong — two concurrent actions would just split the
   * same executors.
