@@ -690,5 +690,5 @@ FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t >= r.rt"""))
     audienceMetrics, incrementalMerge, affectedRebuild, watermarkQ,
     controlTableQ, panelWindowsMergeQ,
     q1Agg, joinDims, joinFact, topkWindow, rollupQ, distinctQ, semiAnti,
-    pivotCase, runningWindow) ++ QueriesML.all ++ QueriesExt.all
+    pivotCase, runningWindow) ++ QueriesML.all ++ QueriesExt.all ++ QueriesLLM.all
 }

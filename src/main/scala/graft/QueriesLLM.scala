@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.ViewingData
+
+/** SURVEY.md §2 suite F9-F12: corpus-hygiene operators a training-data
+  * pipeline runs between dedup and packing — repetition filtering,
+  * train/test decontamination, PII redaction, deterministic shuffle.
+  * Each is oracle-checked against DuckDB; the discriminating cases
+  * (repeated text, planted PII, contaminated documents) are pinned in
+  * LlmOpsSpec since the synthetic corpus exercises them sparsely.
+  */
+object QueriesLLM {
+
+  /** Intra-document repetition (the Gopher duplicate-3-gram signal):
+    * docs whose text loops score dup_ratio → 1 and get dropped by a
+    * quality gate. Pure per-row array expressions over one scan — no
+    * shuffle, so it runs at full scan speed at any corpus size. */
+  private val textRepetition = Q(
+    "text_repetition",
+    (s, dir) => ViewingData.table(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextFunctions.wordNgrams(col("toks"), 3).as("tris"))
+      .select(
+        col("doc_id"),
+        size(col("tris")).cast("long").as("n_tri"),
+        TextFunctions.dupNgramRatio(col("tris")).as("dup_ratio")),
+    Some("""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+tg AS (
+  SELECT doc_id, CASE WHEN len(toks) < 3 THEN []
+           ELSE list_transform(range(1, len(toks)-1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS tris
+  FROM t)
+SELECT doc_id, CAST(len(tris) AS BIGINT) AS n_tri,
+       CASE WHEN len(tris) = 0 THEN 0.0
+            ELSE round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris), 6)
+       END AS dup_ratio
+FROM tg"""))
+
+  /** Train/test decontamination: any training doc sharing a 5-gram
+    * with the held-out set (doc_id % 97 = 0 here; any id predicate
+    * works) is flagged. The test set's distinct 5-grams are tiny
+    * relative to the corpus → broadcast semi-shaped join, so the
+    * training side never shuffles on the gram key; per-doc counts
+    * shuffle once on doc_id. */
+  private val textDecontaminate = Q(
+    "text_decontaminate",
+    (s, dir) => {
+      val grams = ViewingData.table(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextFunctions.wordNgrams(col("toks"), 5).as("grams"))
+      val test = grams.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("grams")).as("gram")).distinct()
+      val train = grams.filter(col("doc_id") % 97 =!= 0)
+      val hits = train.select(col("doc_id"), explode(col("grams")).as("gram")).distinct()
+        .join(broadcast(test), "gram")
+        .groupBy("doc_id").agg(count(lit(1)).as("hit_grams"))
+      train
+        .select(col("doc_id"), size(array_distinct(col("grams"))).cast("long").as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("n_grams"),
+          coalesce(col("hit_grams"), lit(0L)).as("n_contaminated"),
+          (coalesce(col("hit_grams"), lit(0L)) > 0).as("contaminated"))
+    },
+    Some("""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id, CASE WHEN len(toks) < 5 THEN []
+           ELSE list_transform(range(1, len(toks)-3),
+                i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]) END AS grams
+  FROM t),
+test AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+train_g AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hit_grams
+         FROM train_g JOIN test USING (gram) GROUP BY doc_id)
+SELECT g.doc_id,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.hit_grams, 0) AS BIGINT) AS n_contaminated,
+       coalesce(h.hit_grams, 0) > 0 AS contaminated
+FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+WHERE g.doc_id % 97 <> 0"""))
+
+  /** PII redaction with per-kind counts (counted on the original
+    * text). Four regex passes in one projection — scan-speed, no
+    * shuffle. */
+  private val piiScrubQ = Q(
+    "text_pii_scrub",
+    (s, dir) => ViewingData.table(s, dir, "documents").select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(TextFunctions.EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(TextFunctions.PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(TextFunctions.IpRe)).cast("long").as("n_ips"),
+      TextFunctions.piiScrub(col("text")).as("scrubbed")),
+    // The regex literals interpolate verbatim: DuckDB single-quoted
+    // strings do not process backslash escapes, so the same runtime
+    // string is the same regex in both engines.
+    Some(s"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '${TextFunctions.EmailRe}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '${TextFunctions.PhoneRe}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '${TextFunctions.IpRe}')) AS BIGINT) AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+         '${TextFunctions.PhoneRe}', '<PHONE>', 'g'),
+         '${TextFunctions.IpRe}', '<IP>', 'g') AS scrubbed
+FROM documents"""))
+
+  /** Deterministic corpus shuffle: the pre-training global shuffle as
+    * a pure key derivation (md5 of seeded id) — writers range-sort by
+    * shuffle_key, readers stream in that order; shard is the leading
+    * byte for partitioned output. No window, no global state:
+    * reproducible across engines, retries, and reshards, which
+    * rand()-based shuffles are not. */
+  private val corpusShuffle = Q(
+    "corpus_shuffle",
+    (s, dir) => ViewingData.table(s, dir, "documents").select(
+      col("doc_id"),
+      md5(concat(lit("graft-shuffle-42:"), col("doc_id").cast("string")).cast("binary"))
+        .as("shuffle_key"))
+      .withColumn("shard", substring(col("shuffle_key"), 1, 2)),
+    Some("""SELECT doc_id,
+       md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       substring(md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)), 1, 2) AS shard
+FROM documents"""))
+
+  val all: Seq[Q] =
+    Seq(textRepetition, textDecontaminate, piiScrubQ, corpusShuffle)
+}

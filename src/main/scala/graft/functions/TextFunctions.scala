@@ -88,6 +88,41 @@ object TextFunctions {
     * (4×) — prefer [[langIdFromTokens]] in per-row hot paths. */
   def langId(text: Column): Column = langIdFromTokens(tokens(text))
 
+  /** Word n-grams over a pre-tokenized column as space-joined strings
+    * — empty array when the document has fewer than n tokens. The
+    * string form (not a hash) keeps n-grams joinable across engines,
+    * which hash functions are not. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+
+  /** Duplicate n-gram ratio (a Gopher-style repetition signal):
+    * 1 - distinct/total over the n-gram multiset; 0 for docs too
+    * short to have any. */
+  def dupNgramRatio(ngrams: Column): Column =
+    when(size(ngrams) === 0, lit(0.0))
+      .otherwise(round(
+        lit(1.0) - size(array_distinct(ngrams)).cast("double") /
+          size(ngrams).cast("double"), 6))
+
+  /** PII patterns kept RE2-compatible (letter classes, bounded
+    * repetition, \b) so the same literal string runs under Java regex
+    * and DuckDB/RE2 — no engine-specific syntax. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?\\d{1,2}[-. ]?\\d{3}[-. ]?\\d{3}[-. ]?\\d{4}"
+  val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** C4-style PII redaction: emails, then phones, then IPs (emails
+    * first — they contain digits and dots that the narrower patterns
+    * could clip). Three chained codegen'd regexp_replace passes. */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(EmailRe), lit("<EMAIL>")),
+        lit(PhoneRe), lit("<PHONE>")),
+      lit(IpRe), lit("<IP>"))
+
   /** Polynomial rolling hash over characters, mod 2^31-1 — a portable
     * document fingerprint (same value from any engine that can fold
     * over codepoints). */
