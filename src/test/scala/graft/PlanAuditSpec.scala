@@ -68,4 +68,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(schema.contains("doc_id") && schema.contains("text") &&
       !schema.contains("lang") && !schema.contains("source"), schema)
   }
+
+  test("text_decontaminate broadcasts the test-gram side — training side never shuffles on gram") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly ONE gram-keyed exchange: the tiny test-set distinct.
+    // The training side's exchanges key on doc_id (per-doc distinct /
+    // counts); a second gram-first exchange would mean the corpus is
+    // being shuffled on the gram key — the scale-killer.
+    val gramKeyed = "Exchange hashpartitioning\\(gram".r.findAllIn(p).size
+    assert(gramKeyed <= 1, s"corpus-side gram shuffle:\n$p")
+  }
+
+  test("text_repetition is a pure projection — no exchange at all") {
+    val p = plan("text_repetition")
+    assert(!p.contains("Exchange"), s"per-row signal must not shuffle:\n$p")
+  }
+
+  test("corpus_shuffle is a pure projection — no exchange, no window") {
+    val p = plan("corpus_shuffle")
+    assert(!p.contains("Exchange") && !p.contains("Window"), p)
+  }
 }
