@@ -50,9 +50,17 @@ FROM tg"""))
   private val textDecontaminate = Q(
     "text_decontaminate",
     (s, dir) => {
+      // repartition BEFORE the gram build (the interpreted n-gram
+      // transform is the dominant per-doc cost and a single-file scan
+      // would run it on one task), then checkpoint: three consumers
+      // (test set, train explode, train width) read the gram table,
+      // and without the materialization each re-runs the transform —
+      // the same build-once idiom as the minhash signature table.
       val grams = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
         .select(col("doc_id"), TextFunctions.wordNgrams(col("toks"), 5).as("grams"))
+        .localCheckpoint()
       val test = grams.filter(col("doc_id") % 97 === 0)
         .select(explode(col("grams")).as("gram")).distinct()
       val train = grams.filter(col("doc_id") % 97 =!= 0)

@@ -93,9 +93,14 @@ object TextFunctions {
     * string form (not a hash) keeps n-grams joinable across engines,
     * which hash functions are not. */
   def wordNgrams(toks: Column, n: Int): Column =
+    // slice+concat_ws per position: higher-order transform runs
+    // interpreted (CodegenFallback), so two expression nodes per gram
+    // beat n+1 element_at lookups ~3×. Callers doing this over a
+    // whole corpus should repartition first — the per-doc cost is
+    // real CPU, and a single-file scan serializes it on one task.
     when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
 
   /** Duplicate n-gram ratio (a Gopher-style repetition signal):
     * 1 - distinct/total over the n-gram multiset; 0 for docs too
