@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{Multimodal, TextFunctions}
 import graft.sources.ViewingData
 
 /** SURVEY.md §2 suite F9-F12: corpus-hygiene operators a training-data
@@ -136,6 +136,39 @@ FROM documents"""))
        substring(md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)), 1, 2) AS shard
 FROM documents"""))
 
+  /** REAL container-header decode, oracle-checked by construction:
+    * build a bit-valid PNG signature + IHDR with doc-derived
+    * dimensions, then recover them with [[Multimodal.pngDims]] (hex
+    * arithmetic at fixed offsets — the actual format spec, not a
+    * fake). The oracle computes the planted dimensions directly, so
+    * a parser that misreads ANY byte offset or endianness
+    * hash-mismatches. Everything is a scan-speed projection. */
+  private val mmHeaderParse = Q(
+    "mm_header_parse",
+    (s, dir) => {
+      val w = (col("doc_id") % 640 + 1).cast("int")
+      val h = (col("doc_id") % 480 + 1).cast("int")
+      val payload = unhex(concat(
+        lit("89504E470D0A1A0A"), // PNG signature
+        lit("0000000D"), // IHDR length 13
+        lit("49484452"), // "IHDR"
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+        lit("0806000000"))) // bit depth 8, RGBA, deflate/adam7 defaults
+      ViewingData.table(s, dir, "documents")
+        .select(col("doc_id"), payload.as("payload"))
+        .select(
+          col("doc_id"),
+          Multimodal.sniffMime(col("payload")).as("mime"),
+          Multimodal.pngDims(col("payload")).getField("width").as("width"),
+          Multimodal.pngDims(col("payload")).getField("height").as("height"))
+    },
+    Some("""SELECT doc_id,
+       'image/png' AS mime,
+       CAST(doc_id % 640 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 480 + 1 AS INTEGER) AS height
+FROM documents"""))
+
   val all: Seq[Q] =
-    Seq(textRepetition, textDecontaminate, piiScrubQ, corpusShuffle)
+    Seq(textRepetition, textDecontaminate, piiScrubQ, corpusShuffle,
+      mmHeaderParse)
 }

@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media payloads travel as opaque
   * `binary` columns with typed metadata alongside. The Spark-side
   * mechanics — schema, magic-byte sniffing, batched per-partition
-  * decode, frame sampling — are real and tested; the actual
-  * image/audio decoding is STUBBED with a deterministic fake (the
-  * decode libraries are not in this container). Swap `fakeDecode`
-  * for a real decoder (e.g. javacv) without touching the plumbing.
+  * decode, frame sampling — are real and tested, and so is the
+  * CONTAINER-HEADER decode for fixed-offset formats (PNG IHDR / GIF
+  * logical screen / WAV fmt: [[pngDims]]/[[gifDims]]/[[wavFormat]],
+  * pure byte arithmetic, codegen'd). Only the pixel/audio ENTROPY
+  * decode is stubbed with a deterministic fake (codec libraries are
+  * not in this container) — swap `fakeDecode` for a real decoder
+  * (e.g. javacv) without touching the plumbing.
   */
 object Multimodal {
 
@@ -37,9 +40,71 @@ object Multimodal {
       .otherwise("application/octet-stream")
   }
 
-  /** DETERMINISTIC FAKE DECODE (stub): "dimensions" are read from
-    * payload bytes 5..8 the way a real decoder reads a header. In
-    * production this body is the only thing that changes. */
+  // -------------------------------------------------------------------
+  // REAL container-header decode: fixed-offset formats (PNG IHDR,
+  // GIF logical screen, canonical WAV fmt chunk) are pure byte
+  // arithmetic — no codec library — expressible both as codegen'd
+  // column expressions (hex/conv/substring, scan speed) and in the
+  // typed per-partition path. Only the pixel/audio ENTROPY decode
+  // remains stubbed ([[fakeDecode]], for payloads with no parseable
+  // container header).
+  // -------------------------------------------------------------------
+
+  /** Big-endian unsigned int of `n` bytes at 1-based offset `pos`. */
+  private def beBytes(bin: Column, pos: Int, n: Int): Column =
+    conv(hex(substring(bin, pos, n)), 16, 10).cast("long")
+
+  /** Little-endian unsigned int: per-byte hex re-assembled reversed. */
+  private def leBytes(bin: Column, pos: Int, n: Int): Column =
+    conv(concat((pos + n - 1 to pos by -1)
+      .map(p => hex(substring(bin, p, 1))): _*), 16, 10).cast("long")
+
+  /** (width, height) from a real PNG: 8-byte signature + IHDR chunk
+    * type validated, dimensions big-endian at bytes 17-24. NULL for
+    * non-PNG payloads. */
+  def pngDims(bin: Column): Column =
+    when(hex(substring(bin, 1, 8)) === "89504E470D0A1A0A" &&
+         hex(substring(bin, 13, 4)) === "49484452", // "IHDR"
+      struct(beBytes(bin, 17, 4).cast("int").as("width"),
+             beBytes(bin, 21, 4).cast("int").as("height")))
+
+  /** (width, height) from a real GIF87a/89a logical screen descriptor
+    * (little-endian u16 at bytes 7-10). NULL for non-GIF payloads. */
+  def gifDims(bin: Column): Column =
+    when(hex(substring(bin, 1, 4)) === "47494638", // "GIF8"
+      struct(leBytes(bin, 7, 2).cast("int").as("width"),
+             leBytes(bin, 9, 2).cast("int").as("height")))
+
+  /** (channels, sample_rate, bits_per_sample) from a canonical WAV
+    * RIFF/fmt header (little-endian fields at fixed offsets). NULL
+    * for non-WAV payloads. */
+  def wavFormat(bin: Column): Column =
+    when(hex(substring(bin, 1, 4)) === "52494646" && // "RIFF"
+         hex(substring(bin, 9, 8)) === "57415645666D7420", // "WAVEfmt "
+      struct(leBytes(bin, 23, 2).cast("int").as("channels"),
+             leBytes(bin, 25, 4).cast("int").as("sample_rate"),
+             leBytes(bin, 35, 2).cast("int").as("bits_per_sample")))
+
+  /** Typed-path mirror of [[pngDims]]/[[gifDims]] for the batched
+    * per-partition decoder. */
+  private[graft] def headerDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    val pngMagic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (payload.length >= 24 && payload.startsWith(pngMagic) &&
+        new String(payload.slice(12, 16), "US-ASCII") == "IHDR")
+      Some((
+        (u8(16) << 24) | (u8(17) << 16) | (u8(18) << 8) | u8(19),
+        (u8(20) << 24) | (u8(21) << 16) | (u8(22) << 8) | u8(23)))
+    else if (payload.length >= 10 &&
+        payload.startsWith("GIF8".getBytes("US-ASCII")))
+      Some((u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8)))
+    else None
+  }
+
+  /** DETERMINISTIC FAKE DECODE (stub) for payloads with no parseable
+    * container header: "dimensions" are read from payload bytes 5..8
+    * the way a real decoder reads a header. In production this body is
+    * the only thing that changes. */
   private def fakeDecode(payload: Array[Byte]): (Int, Int) = {
     def b(i: Int): Int = if (payload.length > i) payload(i) & 0xff else 0
     (1 + b(4) * 256 + b(5), 1 + b(6) * 256 + b(7))
@@ -54,7 +119,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h) = fakeDecode(r.payload)
+        val (w, h) = headerDims(r.payload).getOrElse(fakeDecode(r.payload))
         val checksum = r.payload.foldLeft(0L)((a, x) => (a * 31 + (x & 0xff)) & 0x7fffffffL)
         MediaFeatures(r.id, r.mime, r.payload.length.toLong, w, h, checksum)
       }

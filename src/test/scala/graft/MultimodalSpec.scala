@@ -43,6 +43,62 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
   }
 
+  // --- real container headers (bit-valid per the format specs) ---
+
+  private def realPng(w: Int, h: Int): Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      Array[Byte](0, 0, 0, 13) ++ "IHDR".getBytes("US-ASCII") ++
+      Array((w >> 24).toByte, (w >> 16).toByte, (w >> 8).toByte, w.toByte,
+        (h >> 24).toByte, (h >> 16).toByte, (h >> 8).toByte, h.toByte,
+        8.toByte, 6.toByte, 0.toByte, 0.toByte, 0.toByte)
+
+  private def realGif(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++
+      Array((w & 0xff).toByte, (w >> 8).toByte,
+        (h & 0xff).toByte, (h >> 8).toByte, 0.toByte, 0.toByte, 0.toByte)
+
+  private def realWav(channels: Int, rate: Int, bits: Int): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    "RIFF".getBytes ++ le32(36) ++ "WAVEfmt ".getBytes ++ le32(16) ++
+      le16(1) ++ le16(channels) ++ le32(rate) ++
+      le32(rate * channels * bits / 8) ++ le16(channels * bits / 8) ++ le16(bits)
+  }
+
+  test("pngDims/gifDims/wavFormat parse real fixed-offset headers, NULL otherwise") {
+    val rows = Seq(
+      (1L, realPng(640, 481)),
+      (2L, realGif(320, 200)),
+      (3L, realWav(2, 44100, 16)),
+      (4L, "not a media file at all....".getBytes)
+    ).toDF("id", "payload")
+    val out = rows.select(col("id"),
+      Multimodal.pngDims(col("payload")).as("png"),
+      Multimodal.gifDims(col("payload")).as("gif"),
+      Multimodal.wavFormat(col("payload")).as("wav")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getStruct(1).getInt(0) == 640 && out(1L).getStruct(1).getInt(1) == 481)
+    assert(out(1L).isNullAt(2) && out(1L).isNullAt(3))
+    assert(out(2L).getStruct(2).getInt(0) == 320 && out(2L).getStruct(2).getInt(1) == 200)
+    assert(out(3L).getStruct(3).getInt(0) == 2)
+    assert(out(3L).getStruct(3).getInt(1) == 44100)
+    assert(out(3L).getStruct(3).getInt(2) == 16)
+    assert(out(4L).isNullAt(1) && out(4L).isNullAt(2) && out(4L).isNullAt(3))
+  }
+
+  test("decodeFeatures prefers the real header over the fake for parseable payloads") {
+    val media = Seq(
+      MediaRow(1L, realPng(1920, 1080), "image/png"),
+      MediaRow(2L, realGif(320, 200), "image/gif"),
+      MediaRow(3L, payload(pngMagic, 640, 481), "image/png") // 4-byte magic only: falls back
+    ).toDS()
+    val feats = Multimodal.decodeFeatures(media).collect().sortBy(_.id)
+    assert(feats(0).width == 1920 && feats(0).height == 1080)
+    assert(feats(1).width == 320 && feats(1).height == 200)
+    assert(feats(2).width == 640 && feats(2).height == 481) // fakeDecode path intact
+  }
+
   test("sampleFrames keeps every stride-th fixed-size chunk") {
     val bin = Array.tabulate(100)(_.toByte)
     val df = Seq(Tuple1(bin)).toDF("payload")
