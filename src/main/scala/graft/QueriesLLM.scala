@@ -137,35 +137,50 @@ FROM documents"""))
 FROM documents"""))
 
   /** REAL container-header decode, oracle-checked by construction:
-    * build a bit-valid PNG signature + IHDR with doc-derived
-    * dimensions, then recover them with [[Multimodal.pngDims]] (hex
-    * arithmetic at fixed offsets — the actual format spec, not a
-    * fake). The oracle computes the planted dimensions directly, so
-    * a parser that misreads ANY byte offset or endianness
+    * build a bit-valid PNG signature + IHDR and a JPEG (APP0 + SOF0)
+    * with doc-derived dimensions, then recover them — PNG via
+    * fixed-offset hex arithmetic ([[Multimodal.pngDims]]), JPEG via
+    * the native SOF-scan expression ([[graft.plans.JpegDimsExpr]],
+    * which must walk the APP0 segment to find the frame header). The
+    * oracle computes the planted dimensions directly, so a parser
+    * that misreads ANY byte offset, segment length, or endianness
     * hash-mismatches. Everything is a scan-speed projection. */
   private val mmHeaderParse = Q(
     "mm_header_parse",
     (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
       val w = (col("doc_id") % 640 + 1).cast("int")
       val h = (col("doc_id") % 480 + 1).cast("int")
-      val payload = unhex(concat(
+      val png = unhex(concat(
         lit("89504E470D0A1A0A"), // PNG signature
         lit("0000000D"), // IHDR length 13
         lit("49484452"), // "IHDR"
         lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
         lit("0806000000"))) // bit depth 8, RGBA, deflate/adam7 defaults
+      val jw = (col("doc_id") % 1920 + 1).cast("int")
+      val jh = (col("doc_id") % 1080 + 1).cast("int")
+      val jpeg = unhex(concat(
+        lit("FFD8"), // SOI
+        lit("FFE000104A46494600010100000100010000"), // APP0 JFIF, len 16
+        lit("FFC0000B08"), // SOF0, len 11, precision 8
+        lpad(hex(jh), 4, "0"), lpad(hex(jw), 4, "0"),
+        lit("01011100"))) // 1 component
       ViewingData.table(s, dir, "documents")
-        .select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"), png.as("png"), jpeg.as("jpeg"))
         .select(
           col("doc_id"),
-          Multimodal.sniffMime(col("payload")).as("mime"),
-          Multimodal.pngDims(col("payload")).getField("width").as("width"),
-          Multimodal.pngDims(col("payload")).getField("height").as("height"))
+          Multimodal.sniffMime(col("png")).as("mime"),
+          Multimodal.pngDims(col("png")).getField("width").as("width"),
+          Multimodal.pngDims(col("png")).getField("height").as("height"),
+          Multimodal.jpegDims(col("jpeg")).getField("width").as("jpeg_width"),
+          Multimodal.jpegDims(col("jpeg")).getField("height").as("jpeg_height"))
     },
     Some("""SELECT doc_id,
        'image/png' AS mime,
        CAST(doc_id % 640 + 1 AS INTEGER) AS width,
-       CAST(doc_id % 480 + 1 AS INTEGER) AS height
+       CAST(doc_id % 480 + 1 AS INTEGER) AS height,
+       CAST(doc_id % 1920 + 1 AS INTEGER) AS jpeg_width,
+       CAST(doc_id % 1080 + 1 AS INTEGER) AS jpeg_height
 FROM documents"""))
 
   val all: Seq[Q] =

@@ -85,8 +85,20 @@ object Multimodal {
              leBytes(bin, 25, 4).cast("int").as("sample_rate"),
              leBytes(bin, 35, 2).cast("int").as("bits_per_sample")))
 
-  /** Typed-path mirror of [[pngDims]]/[[gifDims]] for the batched
-    * per-partition decoder. */
+  /** (width, height) from a real JPEG via the native SOF-scan
+    * expression ([[graft.plans.JpegDimsExpr]] — variable marker walk,
+    * one static call inside codegen). Requires
+    * `plans.GraftExtensions.register(spark)` (idempotent). NULL for
+    * non-JPEG payloads. */
+  def jpegDims(bin: Column): Column = {
+    val packed = call_function("jpeg_dims", bin)
+    when(packed.isNotNull,
+      struct(shiftright(packed, 32).cast("int").as("width"),
+             packed.bitwiseAND(0xffffffffL).cast("int").as("height")))
+  }
+
+  /** Typed-path mirror of [[pngDims]]/[[gifDims]]/[[jpegDims]] for
+    * the batched per-partition decoder. */
   private[graft] def headerDims(payload: Array[Byte]): Option[(Int, Int)] = {
     def u8(i: Int): Int = payload(i) & 0xff
     val pngMagic = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -98,7 +110,11 @@ object Multimodal {
     else if (payload.length >= 10 &&
         payload.startsWith("GIF8".getBytes("US-ASCII")))
       Some((u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8)))
-    else None
+    else {
+      val packed = JpegDecode.dims(payload)
+      if (packed >= 0L) Some(((packed >> 32).toInt, (packed & 0xffffffffL).toInt))
+      else None
+    }
   }
 
   /** DETERMINISTIC FAKE DECODE (stub) for payloads with no parseable

@@ -27,7 +27,11 @@ object GraftExtensions {
     (
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (
+      new FunctionIdentifier("jpeg_dims"),
+      new ExpressionInfo(classOf[JpegDimsExpr].getName, "jpeg_dims"),
+      (children: Seq[Expression]) => JpegDimsExpr(children(0))))
 
   /** Idempotent runtime registration: functions into the session's
     * registry, the dot-product rewrite into the experimental optimizer

@@ -87,6 +87,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(4L).isNullAt(1) && out(4L).isNullAt(2) && out(4L).isNullAt(3))
   }
 
+  private def realJpeg(w: Int, h: Int): Array[Byte] = {
+    def be16(v: Int) = Array((v >> 8).toByte, (v & 0xff).toByte)
+    Array(0xff, 0xd8).map(_.toByte) ++ // SOI
+      Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++ // APP0 JFIF
+      "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0) ++ be16(1) ++ be16(1) ++
+      Array[Byte](0, 0) ++
+      Array(0xff, 0xdb).map(_.toByte) ++ be16(5) ++ Array[Byte](0, 1, 2) ++ // DQT stub
+      Array(0xff, 0xc2).map(_.toByte) ++ be16(11) ++ // SOF2 (progressive)
+      Array[Byte](8) ++ be16(h) ++ be16(w) ++ Array[Byte](1, 1, 0x11, 0)
+  }
+
+  test("jpeg_dims walks the segment chain to SOF; NULL for non-JPEG / no-SOF") {
+    graft.plans.GraftExtensions.register(spark)
+    val rows = Seq(
+      (1L, realJpeg(1024, 768)),
+      (2L, realJpeg(65500, 1)), // dims are unsigned 16-bit
+      (3L, Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)), // SOI then EOI: no frame
+      (4L, realPng(640, 480)), // not a JPEG
+      (5L, Array(0xff, 0xd8).map(_.toByte)) // truncated
+    ).toDF("id", "payload")
+    val out = rows.select(col("id"), Multimodal.jpegDims(col("payload")).as("d"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    assert(out(1L).exists(s => s.getInt(0) == 1024 && s.getInt(1) == 768))
+    assert(out(2L).exists(s => s.getInt(0) == 65500 && s.getInt(1) == 1))
+    assert(out(3L).isEmpty && out(4L).isEmpty && out(5L).isEmpty)
+    // typed path agrees with the native expression
+    assert(Multimodal.headerDims(realJpeg(1024, 768)).contains((1024, 768)))
+  }
+
   test("decodeFeatures prefers the real header over the fake for parseable payloads") {
     val media = Seq(
       MediaRow(1L, realPng(1920, 1080), "image/png"),
