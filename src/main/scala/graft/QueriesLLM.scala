@@ -14,6 +14,11 @@ import graft.sources.ViewingData
   */
 object QueriesLLM {
 
+  /** SQL IN-list literal from the shared stopword seqs, so the oracle
+    * can never drift from the Spark-side lists. */
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
   /** Intra-document repetition (the Gopher duplicate-3-gram signal):
     * docs whose text loops score dup_ratio → 1 and get dropped by a
     * quality gate. Pure per-row array expressions over one scan — no
@@ -183,7 +188,88 @@ FROM documents"""))
        CAST(doc_id % 1080 + 1 AS INTEGER) AS jpeg_height
 FROM documents"""))
 
+  /** C4/Gopher-style composite quality gate: every per-doc signal
+    * (length, repetition, language, quality score) computed from ONE
+    * tokenization, folded into a keep flag + comma-joined drop
+    * reasons (concat_ws skips the NULL branches in both engines).
+    * One projection over one scan — the whole gate runs at scan
+    * speed; this is the filter stage a corpus pipeline applies
+    * between dedup and packing. */
+  private val qualityGate = Q(
+    "text_quality_gate",
+    (s, dir) => {
+      val sig = ViewingData.table(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"), col("toks"),
+          TextFunctions.wordNgrams(col("toks"), 3).as("tris"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          TextFunctions.dupNgramRatio(col("tris")).as("dup_ratio"),
+          TextFunctions.langIdFromTokens(col("toks")).as("lang"),
+          TextFunctions.qualityScoreFromTokens(col("toks"), col("text")).as("quality"))
+      sig.select(
+        col("doc_id"), col("n_tokens"), col("dup_ratio"), col("lang"), col("quality"),
+        concat_ws(",",
+          when(col("n_tokens") < 10, lit("too_short")),
+          when(col("n_tokens") > 5000, lit("too_long")),
+          when(col("dup_ratio") > 0.2, lit("repetitive")),
+          when(col("lang") =!= "en", lit("non_english")),
+          when(col("quality") < 0.3, lit("low_quality"))).as("drop_reasons"))
+        .withColumn("keep", col("drop_reasons") === "")
+    },
+    Some(s"""WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents),
+tg AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN len(toks) < 3 THEN []
+              ELSE list_transform(range(1, len(toks)-1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS tris
+  FROM t),
+sig AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(tris) = 0 THEN 0.0
+              ELSE round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris), 6)
+         END AS dup_ratio,
+         CAST(len(list_filter(toks, x -> x IN ${inList(TextFunctions.EnStop)})) AS BIGINT) AS en,
+         CAST(len(list_filter(toks, x -> x IN ${inList(TextFunctions.EsStop)})) AS BIGINT) AS es,
+         CAST(len(list_filter(toks, x -> x IN ${inList(TextFunctions.DeStop)})) AS BIGINT) AS de,
+         CAST(len(list_filter(toks, x -> x IN ${inList(TextFunctions.FrStop)})) AS BIGINT) AS fr,
+         round(
+           least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.5 +
+           least(1.0, (CAST(len(list_filter(toks, x -> x IN ${inList(TextFunctions.EnStop)})) AS DOUBLE) /
+                       CAST(len(toks) AS DOUBLE)) * 2.0) * 0.3 +
+           greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[.,;:!?()]')) AS DOUBLE) /
+                                CAST(length(text) AS DOUBLE)) * 4.0) * 0.2,
+           6) AS quality
+  FROM tg),
+lbl AS (
+  SELECT doc_id, n_tokens, dup_ratio, quality,
+         CASE WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+              WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+              WHEN es >= de AND es >= fr THEN 'es'
+              WHEN de >= fr THEN 'de'
+              ELSE 'fr' END AS lang
+  FROM sig)
+SELECT doc_id, n_tokens, dup_ratio, lang, quality,
+       concat_ws(',',
+         CASE WHEN n_tokens < 10 THEN 'too_short' END,
+         CASE WHEN n_tokens > 5000 THEN 'too_long' END,
+         CASE WHEN dup_ratio > 0.2 THEN 'repetitive' END,
+         CASE WHEN lang <> 'en' THEN 'non_english' END,
+         CASE WHEN quality < 0.3 THEN 'low_quality' END) AS drop_reasons,
+       concat_ws(',',
+         CASE WHEN n_tokens < 10 THEN 'too_short' END,
+         CASE WHEN n_tokens > 5000 THEN 'too_long' END,
+         CASE WHEN dup_ratio > 0.2 THEN 'repetitive' END,
+         CASE WHEN lang <> 'en' THEN 'non_english' END,
+         CASE WHEN quality < 0.3 THEN 'low_quality' END) = '' AS keep
+FROM lbl"""))
+
   val all: Seq[Q] =
     Seq(textRepetition, textDecontaminate, piiScrubQ, corpusShuffle,
-      mmHeaderParse)
+      mmHeaderParse, qualityGate)
 }

@@ -116,6 +116,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.headerDims(realJpeg(1024, 768)).contains((1024, 768)))
   }
 
+  test("JpegDecode.dims never throws on arbitrary bytes (fuzz)") {
+    // the scanner indexes into the payload while walking segment
+    // lengths it read from the payload itself — any missing bounds
+    // check is an ArrayIndexOutOfBounds on adversarial input
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 2000) {
+      val len = rnd.nextInt(64)
+      val p = Array.fill(len)(rnd.nextInt(256).toByte)
+      if (rnd.nextBoolean() && len >= 2) { p(0) = 0xff.toByte; p(1) = 0xd8.toByte }
+      val v = graft.functions.JpegDecode.dims(p) // must not throw
+      assert(v == -1L || ((v >> 32) >= 0 && (v & 0xffffffffL) >= 0))
+    }
+  }
+
   test("decodeFeatures prefers the real header over the fake for parseable payloads") {
     val media = Seq(
       MediaRow(1L, realPng(1920, 1080), "image/png"),
