@@ -63,7 +63,11 @@ object Multimodal {
     * type validated, dimensions big-endian at bytes 17-24. NULL for
     * non-PNG payloads. */
   def pngDims(bin: Column): Column =
-    when(hex(substring(bin, 1, 8)) === "89504E470D0A1A0A" &&
+    // the length guard matches the typed headerDims bound: substring
+    // silently truncates, so a cut-off header would otherwise decode
+    // to a wrong non-NULL value instead of NULL
+    when(length(bin) >= 24 &&
+         hex(substring(bin, 1, 8)) === "89504E470D0A1A0A" &&
          hex(substring(bin, 13, 4)) === "49484452", // "IHDR"
       struct(beBytes(bin, 17, 4).cast("int").as("width"),
              beBytes(bin, 21, 4).cast("int").as("height")))
@@ -71,7 +75,8 @@ object Multimodal {
   /** (width, height) from a real GIF87a/89a logical screen descriptor
     * (little-endian u16 at bytes 7-10). NULL for non-GIF payloads. */
   def gifDims(bin: Column): Column =
-    when(hex(substring(bin, 1, 4)) === "47494638", // "GIF8"
+    when(length(bin) >= 10 &&
+         hex(substring(bin, 1, 4)) === "47494638", // "GIF8"
       struct(leBytes(bin, 7, 2).cast("int").as("width"),
              leBytes(bin, 9, 2).cast("int").as("height")))
 
@@ -79,7 +84,8 @@ object Multimodal {
     * RIFF/fmt header (little-endian fields at fixed offsets). NULL
     * for non-WAV payloads. */
   def wavFormat(bin: Column): Column =
-    when(hex(substring(bin, 1, 4)) === "52494646" && // "RIFF"
+    when(length(bin) >= 36 &&
+         hex(substring(bin, 1, 4)) === "52494646" && // "RIFF"
          hex(substring(bin, 9, 8)) === "57415645666D7420", // "WAVEfmt "
       struct(leBytes(bin, 23, 2).cast("int").as("channels"),
              leBytes(bin, 25, 4).cast("int").as("sample_rate"),

@@ -115,7 +115,10 @@ object TextFunctions {
     * repetition, \b) so the same literal string runs under Java regex
     * and DuckDB/RE2 — no engine-specific syntax. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\+?\\d{1,2}[-. ]?\\d{3}[-. ]?\\d{3}[-. ]?\\d{4}"
+  // country code and parens are OPTIONAL groups: the bare US forms
+  // 555-123-4567 and (555) 123-4567 must redact whole, not partially
+  // (a mandatory \d{1,2} prefix would eat two area-code digits).
+  val PhoneRe = "(\\+?\\d{1,2}[-. ]?)?(\\(\\d{3}\\)|\\d{3})[-. ]?\\d{3}[-. ]?\\d{4}"
   val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
   /** C4-style PII redaction: emails, then phones, then IPs (emails

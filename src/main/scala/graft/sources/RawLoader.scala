@@ -66,11 +66,17 @@ object RawLoader {
     }
 
   /** Reads `<stage.url>/<feed>` with path-partition recovery, after
-    * applying credentials and enforcing STORAGE_ALLOWED_LOCATIONS. */
+    * applying credentials and enforcing STORAGE_ALLOWED_LOCATIONS.
+    * The allowlist matches on PATH boundaries (an allowed
+    * `s3a://bucket` does not admit `s3a://bucket-evil`), and the feed
+    * is a relative subpath — no traversal, no absolute override. */
   def stageLoad(spark: SparkSession, stage: Stage, feed: String): DataFrame = {
-    require(stage.allowedLocations.isEmpty ||
-      stage.allowedLocations.exists(stage.url.startsWith),
-      s"stage url ${stage.url} outside allowed locations ${stage.allowedLocations}")
+    require(stage.allowedLocations.isEmpty || stage.allowedLocations.exists { a =>
+      val bound = a.stripSuffix("/")
+      stage.url == bound || stage.url.startsWith(bound + "/")
+    }, s"stage url ${stage.url} outside allowed locations ${stage.allowedLocations}")
+    require(!feed.startsWith("/") && !feed.split('/').contains(".."),
+      s"feed must be a relative subpath of the stage: $feed")
     require(stage.format == "parquet", s"unsupported stage format: ${stage.format}")
     configureStage(spark, stage)
     load(spark, stage.url, feed)

@@ -50,18 +50,43 @@ class LlmOpsSpec extends SparkTestBase {
     assert(s.contains("ok?")) // non-PII text untouched
   }
 
-  test("decontaminate flags exactly the planted overlap at sf0.001") {
-    // registry semantics end-to-end on the real table: rows = train
-    // docs, no false negatives on the one doc sharing a 5-gram
-    val out = SparkEntry.queries("text_decontaminate")(spark, Sf)
-    val n = out.count()
-    val train = graft.sources.ViewingData.table(spark, Sf, "documents")
-      .filter(col("doc_id") % 97 =!= 0).count()
-    assert(n == train)
-    // flagged docs must actually share a distinct 5-gram with test set
-    val flagged = out.filter(col("contaminated")).count()
-    assert(out.filter(col("contaminated") && col("n_contaminated") <= 0).isEmpty)
-    assert(flagged >= 0) // structural: column present and consistent
+  test("piiScrub: bare US phone forms redact WHOLE, no leaked digits") {
+    // a mandatory country-code prefix would eat two area-code digits
+    // ("55-123-4567" matched, "5" leaked) — pin the common forms
+    for (form <- Seq("555-123-4567", "(555) 123-4567", "555.123.4567",
+        "+1 555-123-4567", "15551234567")) {
+      val s = Seq(Tuple1(s"call $form now")).toDF("text")
+        .select(TextFunctions.piiScrub(col("text")).as("s"))
+        .head().getString(0)
+      assert(s == "call <PHONE> now", s"form '$form' scrubbed to '$s'")
+    }
+  }
+
+  test("decontaminate matches an independent driver-side recomputation") {
+    // independent oracle: recompute the expected overlap in plain
+    // Scala over the collected corpus (sf0.01 — it contains a genuine
+    // cross-doc 5-gram overlap, so the positive path is exercised)
+    val sf01 = "/root/testdata/sf0.01"
+    val docs = graft.sources.ViewingData.table(spark, sf01, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+"))
+    def grams(toks: Array[String]): Set[String] =
+      if (toks.length < 5) Set.empty
+      else toks.sliding(5).map(_.mkString(" ")).toSet
+    val testGrams = docs.filter(_._1 % 97 == 0).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(_._1 % 97 != 0).map { case (id, toks) =>
+      id -> (grams(toks) & testGrams).size.toLong
+    }.toMap
+
+    val out = SparkEntry.queries("text_decontaminate")(spark, sf01)
+      .select("doc_id", "n_contaminated", "contaminated").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet == expected.keySet)
+    assert(out.forall { case (id, (n, flag)) =>
+      n == expected(id) && flag == (expected(id) > 0) })
+    // the corpus really contains a positive case — this test is not
+    // passable by an operator that flags nothing
+    assert(expected.values.exists(_ > 0))
   }
 
   test("corpus_shuffle: deterministic, uniform-ish across shards") {
