@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Multimodal, TextFunctions}
+import graft.operators.{Components, DocPack}
 import graft.sources.ViewingData
 
 /** SURVEY.md §2 suite F9-F12: corpus-hygiene operators a training-data
@@ -18,6 +19,53 @@ object QueriesLLM {
     * can never drift from the Spark-side lists. */
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** DuckDB twin of [[gateSignals]] as a CTE chain (t/tg/sig/lbl)
+    * over relation `src` (doc_id, text) — lbl carries the per-doc
+    * gate signals. Parameterized by source so the gate query and the
+    * end-to-end prep pipeline share one definition. */
+  private def gateSigSql(src: String): String = s"""t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM $src),
+tg AS (
+  SELECT doc_id, text, toks,
+         CASE WHEN len(toks) < 3 THEN []
+              ELSE list_transform(range(1, len(toks)-1),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS tris
+  FROM t),
+sig AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(tris) = 0 THEN 0.0
+              ELSE round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris), 6)
+         END AS dup_ratio,
+         CAST(len(list_filter(toks, x -> x IN ${inList(TextFunctions.EnStop)})) AS BIGINT) AS en,
+         CAST(len(list_filter(toks, x -> x IN ${inList(TextFunctions.EsStop)})) AS BIGINT) AS es,
+         CAST(len(list_filter(toks, x -> x IN ${inList(TextFunctions.DeStop)})) AS BIGINT) AS de,
+         CAST(len(list_filter(toks, x -> x IN ${inList(TextFunctions.FrStop)})) AS BIGINT) AS fr,
+         round(
+           least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.5 +
+           least(1.0, (CAST(len(list_filter(toks, x -> x IN ${inList(TextFunctions.EnStop)})) AS DOUBLE) /
+                       CAST(len(toks) AS DOUBLE)) * 2.0) * 0.3 +
+           greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[.,;:!?()]')) AS DOUBLE) /
+                                CAST(length(text) AS DOUBLE)) * 4.0) * 0.2,
+           6) AS quality
+  FROM tg),
+lbl AS (
+  SELECT doc_id, n_tokens, dup_ratio, quality,
+         CASE WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
+              WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+              WHEN es >= de AND es >= fr THEN 'es'
+              WHEN de >= fr THEN 'de'
+              ELSE 'fr' END AS lang
+  FROM sig)"""
+
+  /** The three PII regexp_replace passes as DuckDB SQL over `col`. */
+  private def piiScrubSql(c: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($c,
+         '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+         '${TextFunctions.PhoneRe}', '<PHONE>', 'g'),
+         '${TextFunctions.IpRe}', '<IP>', 'g')"""
 
   /** Intra-document repetition (the Gopher duplicate-3-gram signal):
     * docs whose text loops score dup_ratio → 1 and get dropped by a
@@ -117,10 +165,7 @@ WHERE g.doc_id % 97 <> 0"""))
        CAST(len(regexp_extract_all(text, '${TextFunctions.EmailRe}')) AS BIGINT) AS n_emails,
        CAST(len(regexp_extract_all(text, '${TextFunctions.PhoneRe}')) AS BIGINT) AS n_phones,
        CAST(len(regexp_extract_all(text, '${TextFunctions.IpRe}')) AS BIGINT) AS n_ips,
-       regexp_replace(regexp_replace(regexp_replace(text,
-         '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
-         '${TextFunctions.PhoneRe}', '<PHONE>', 'g'),
-         '${TextFunctions.IpRe}', '<IP>', 'g') AS scrubbed
+       ${piiScrubSql("text")} AS scrubbed
 FROM documents"""))
 
   /** Deterministic corpus shuffle: the pre-training global shuffle as
@@ -195,20 +240,28 @@ FROM documents"""))
     * One projection over one scan — the whole gate runs at scan
     * speed; this is the filter stage a corpus pipeline applies
     * between dedup and packing. */
+  /** Per-doc gate signals from ONE tokenization — shared by the gate
+    * query and the end-to-end corpus-prep pipeline. Input needs
+    * (doc_id, text); output carries text through so a downstream
+    * stage can consume gated documents with a FILTER, not a join
+    * back to the source. */
+  private def gateSignals(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"),
+        TextFunctions.wordNgrams(col("toks"), 3).as("tris"))
+      .select(
+        col("doc_id"), col("text"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        TextFunctions.dupNgramRatio(col("tris")).as("dup_ratio"),
+        TextFunctions.langIdFromTokens(col("toks")).as("lang"),
+        TextFunctions.qualityScoreFromTokens(col("toks"), col("text")).as("quality"))
+
   private val qualityGate = Q(
     "text_quality_gate",
     (s, dir) => {
-      val sig = ViewingData.table(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          TextFunctions.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("text"), col("toks"),
-          TextFunctions.wordNgrams(col("toks"), 3).as("tris"))
-        .select(
-          col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          TextFunctions.dupNgramRatio(col("tris")).as("dup_ratio"),
-          TextFunctions.langIdFromTokens(col("toks")).as("lang"),
-          TextFunctions.qualityScoreFromTokens(col("toks"), col("text")).as("quality"))
+      val sig = gateSignals(ViewingData.table(s, dir, "documents"))
       sig.select(
         col("doc_id"), col("n_tokens"), col("dup_ratio"), col("lang"), col("quality"),
         concat_ws(",",
@@ -219,41 +272,7 @@ FROM documents"""))
           when(col("quality") < 0.3, lit("low_quality"))).as("drop_reasons"))
         .withColumn("keep", col("drop_reasons") === "")
     },
-    Some(s"""WITH t AS (
-  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-  FROM documents),
-tg AS (
-  SELECT doc_id, text, toks,
-         CASE WHEN len(toks) < 3 THEN []
-              ELSE list_transform(range(1, len(toks)-1),
-                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS tris
-  FROM t),
-sig AS (
-  SELECT doc_id,
-         CAST(len(toks) AS BIGINT) AS n_tokens,
-         CASE WHEN len(tris) = 0 THEN 0.0
-              ELSE round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / len(tris), 6)
-         END AS dup_ratio,
-         CAST(len(list_filter(toks, x -> x IN ${inList(TextFunctions.EnStop)})) AS BIGINT) AS en,
-         CAST(len(list_filter(toks, x -> x IN ${inList(TextFunctions.EsStop)})) AS BIGINT) AS es,
-         CAST(len(list_filter(toks, x -> x IN ${inList(TextFunctions.DeStop)})) AS BIGINT) AS de,
-         CAST(len(list_filter(toks, x -> x IN ${inList(TextFunctions.FrStop)})) AS BIGINT) AS fr,
-         round(
-           least(1.0, CAST(len(toks) AS DOUBLE) / 50.0) * 0.5 +
-           least(1.0, (CAST(len(list_filter(toks, x -> x IN ${inList(TextFunctions.EnStop)})) AS DOUBLE) /
-                       CAST(len(toks) AS DOUBLE)) * 2.0) * 0.3 +
-           greatest(0.0, 1.0 - (CAST(len(regexp_extract_all(text, '[.,;:!?()]')) AS DOUBLE) /
-                                CAST(length(text) AS DOUBLE)) * 4.0) * 0.2,
-           6) AS quality
-  FROM tg),
-lbl AS (
-  SELECT doc_id, n_tokens, dup_ratio, quality,
-         CASE WHEN en = 0 AND es = 0 AND de = 0 AND fr = 0 THEN 'und'
-              WHEN en >= es AND en >= de AND en >= fr THEN 'en'
-              WHEN es >= de AND es >= fr THEN 'es'
-              WHEN de >= fr THEN 'de'
-              ELSE 'fr' END AS lang
-  FROM sig)
+    Some(s"""WITH ${gateSigSql("documents")}
 SELECT doc_id, n_tokens, dup_ratio, lang, quality,
        concat_ws(',',
          CASE WHEN n_tokens < 10 THEN 'too_short' END,
@@ -269,7 +288,76 @@ SELECT doc_id, n_tokens, dup_ratio, lang, quality,
          CASE WHEN quality < 0.3 THEN 'low_quality' END) = '' AS keep
 FROM lbl"""))
 
+  /** The COMPLETE corpus-prep pipeline as ONE Catalyst plan — what a
+    * training-data team actually runs: near-dup dedup (exact-Jaccard
+    * pairs → connected components → keep canonical), quality gate on
+    * the survivors, PII scrub, then sharded context-length packing of
+    * the scrubbed text. Every stage is the same operator the
+    * standalone queries use, and the oracle composes the SAME SQL
+    * fragments (recursive-CTE components, shared gate CTEs, shared
+    * scrub regexes), so the composition itself is hash-checked end to
+    * end. Scale shape: one bucketed self-join (pairs), Pregel
+    * supersteps on the tiny edge set, everything else scan-speed
+    * projections, and the final pack windows per shard. */
+  private val corpusPrep = Q(
+    "corpus_prep_e2e",
+    (s, dir) => {
+      // repartition at the head: gate trigrams and PII regexes are
+      // the per-doc CPU cost, and the single-file scan would run them
+      // on one task (pairs repartitions internally already)
+      val docs = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val pairs = QueriesML.ngramJaccardPairs(s, dir)
+        .select("id_a", "id_b").localCheckpoint()
+      val dupes = Components.connectedComponents(pairs, "id_a", "id_b")
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+      val kept = docs.join(dupes, Seq("doc_id"), "left_anti")
+      // gate → filter → scrub in ONE pass over kept: signals carry the
+      // text, so no join back to the source and no second anti-join.
+      // The checkpoint is a PUSHDOWN BARRIER, not just caching:
+      // without it, predicate pushdown substitutes every signal alias
+      // into one Filter (CodegenFallback lambdas get no subexpression
+      // elimination), re-running split() ~30x per row — measured 14s
+      // vs 4s at sf0.1. A production pipeline materializes the signal
+      // table between stages anyway.
+      val sized = gateSignals(kept).localCheckpoint()
+        .filter(col("n_tokens") >= 10 && col("n_tokens") <= 5000 &&
+          col("dup_ratio") <= 0.2 && col("lang") === "en" && col("quality") >= 0.3)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(8)).as("shard"),
+          TextFunctions.piiScrub(col("text")).as("stext"))
+        .select(col("doc_id"), col("shard"),
+          md5(col("stext").cast("binary")).as("text_sig"),
+          TextFunctions.wsTokenCount(col("stext")).as("n_tokens"))
+      DocPack.packSharded(sized, "shard", "doc_id", "n_tokens", 2048)
+    },
+    Some(s"""WITH RECURSIVE ${QueriesML.ngramPairsCte},
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(s, n) AS (SELECT s, s FROM edges UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.n = e.s),
+comp AS (SELECT s AS doc_id, MIN(n) AS canonical_id FROM reach GROUP BY s),
+dupes AS (SELECT doc_id FROM comp WHERE doc_id <> canonical_id),
+kept AS (SELECT d.doc_id, d.text FROM documents d ANTI JOIN dupes USING (doc_id)),
+${gateSigSql("kept")},
+gated AS (SELECT doc_id FROM lbl
+          WHERE n_tokens >= 10 AND n_tokens <= 5000 AND dup_ratio <= 0.2
+            AND lang = 'en' AND quality >= 0.3),
+scr AS (SELECT k.doc_id, k.doc_id % 8 AS shard,
+               ${piiScrubSql("k.text")} AS stext
+        FROM kept k JOIN gated USING (doc_id)),
+sized AS (SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                 md5(stext) AS text_sig,
+                 CAST(len(regexp_split_to_array(trim(lower(stext)), '\\s+')) AS BIGINT) AS n_tokens
+          FROM scr)
+SELECT doc_id, shard, text_sig, n_tokens,
+       CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(floor((SUM(n_tokens) OVER w - n_tokens) / 2048) AS BIGINT) AS pack_id
+FROM sized
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
+
   val all: Seq[Q] =
     Seq(textRepetition, textDecontaminate, piiScrubQ, corpusShuffle,
-      mmHeaderParse, qualityGate)
+      mmHeaderParse, qualityGate, corpusPrep)
 }

@@ -89,4 +89,14 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("corpus_shuffle")
     assert(!p.contains("Exchange") && !p.contains("Window"), p)
   }
+
+  test("corpus_prep_e2e gate filter reads materialized signals, not inlined re-tokenization") {
+    val p = plan("corpus_prep_e2e")
+    // without the signal-table barrier, predicate pushdown inlines
+    // every gate alias into one Filter — split() appeared 33× in the
+    // plan and re-tokenized each row ~30×. Post-barrier the only
+    // split is the scrubbed-text token count.
+    val splits = "split\\(".r.findAllIn(p).size
+    assert(splits <= 2, s"gate signals are being re-derived ($splits split() calls):\n$p")
+  }
 }
