@@ -336,6 +336,51 @@ WHERE rk <= 10"""))
     },
     None)
 
+  /** Batch k-NN join — top-k neighbors for EVERY vector at once, the
+    * offline shape retrieval indexing and embedding-dedup actually
+    * run (the single-query probes above are the serving shape).
+    * Bucketed on the label cell like dedup_embedding, so the
+    * self-join is cell-local; the per-query top-k is a window that
+    * Spark executes with WindowGroupLimit (map-side partial top-k
+    * BEFORE the exchange — no per-query sort of full candidate
+    * lists). One index build, one bucket-local join, one pruned
+    * window: every stage is |cell|-bounded, never |corpus|². */
+  private val annKnnJoin = Q(
+    "ann_knn_join",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("label"), normalize(toDouble(col("embedding"))).as("e"))
+        .localCheckpoint()
+      v.as("a").join(v.as("b"),
+          expr("a.label = b.label AND a.vec_id <> b.vec_id"))
+        .select(
+          col("a.vec_id").as("query_id"),
+          col("b.vec_id").as("neighbor_id"),
+          round(dotNative(col("a.e"), col("b.e")), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("cos_sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= 3)
+    },
+    Some("""WITH v0 AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v AS (
+  SELECT vec_id, label,
+         list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i])), 6) AS cos_sim
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id)
+SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored)
+WHERE rk <= 3"""))
+
   // ---------------------------------------------------------------------
   // G. Multimodal
   // ---------------------------------------------------------------------
@@ -436,7 +481,7 @@ GROUP BY 1, 2"""))
   val all: Seq[Q] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
-    annBruteforce, annBucketed, annIvf,
+    annBruteforce, annBucketed, annIvf, annKnnJoin,
     mmBinaryMeta, mmDecode,
     streamBatchParity)
 }

@@ -90,6 +90,12 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Exchange") && !p.contains("Window"), p)
   }
 
+  test("ann_knn_join prunes per-query top-k map-side (WindowGroupLimit)") {
+    val p = plan("ann_knn_join")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k filter must prune before the window exchange:\n$p")
+  }
+
   test("corpus_prep_e2e gate filter reads materialized signals, not inlined re-tokenization") {
     val p = plan("corpus_prep_e2e")
     // without the signal-table barrier, predicate pushdown inlines
