@@ -122,6 +122,22 @@ object Pipeline {
     IncrementalMerge.insertOnly(target, batch, Seq("smba_id", "exposure_start_ts"))
   }
 
+  /** Full upsert MERGE demo — beyond the reference's insert-only
+    * task: the re-delivered slice carries RESTATED durations, so
+    * matching keys must take the new values and only genuinely new
+    * keys append. Batch keys broadcast; target never shuffles. */
+  def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ve = viewingEvents(spark, dir)
+    val maxD = broadcast(ingestWatermark(spark, dir))
+    val target = ve.crossJoin(maxD)
+      .filter(col("metadata_date") <= date_sub(col("max_d"), 7)).drop("max_d")
+    val batch = ve.crossJoin(maxD)
+      .filter(col("metadata_date") > date_sub(col("max_d"), 10)).drop("max_d")
+      .withColumn("duration", col("duration") + 1000000L)
+    IncrementalMerge.upsert(target, batch,
+      Seq("smba_id", "exposure_start_ts"), Seq("event_id"))
+  }
+
   /** Sessions-stage incremental rebuild (etl-dag.sql:92-120): recompute
     * sessions only for groups touched by the fresh slice. */
   def affectedRebuild(spark: SparkSession, dir: String): DataFrame = {

@@ -257,6 +257,27 @@ merged AS (
                       AND t.exposure_start_ts = b.exposure_start_ts))
 SELECT * REPLACE (CAST(metadata_date AS VARCHAR) AS metadata_date) FROM merged"""))
 
+  private val upsertMergeQ = Q(
+    "q_upsert_merge",
+    (s, dir) => datesAsStrings(Pipeline.upsertMerge(s, dir)),
+    Some(veCte + """,
+max_d AS (SELECT MAX(CAST(ts AS DATE)) AS d FROM events),
+target AS (SELECT v.* FROM viewing_events v, max_d WHERE v.metadata_date <= d - 7),
+batch0 AS (SELECT v.* REPLACE (v.duration + 1000000 AS duration)
+           FROM viewing_events v, max_d WHERE v.metadata_date > d - 10),
+latest AS (SELECT * EXCLUDE (rn) FROM (
+  SELECT b.*, ROW_NUMBER() OVER (PARTITION BY smba_id, exposure_start_ts
+                                 ORDER BY event_id DESC) AS rn
+  FROM batch0 b) WHERE rn = 1),
+merged AS (
+  SELECT * FROM target t
+  WHERE NOT EXISTS (SELECT 1 FROM latest l
+                    WHERE l.smba_id = t.smba_id
+                      AND l.exposure_start_ts = t.exposure_start_ts)
+  UNION ALL
+  SELECT * FROM latest)
+SELECT * REPLACE (CAST(metadata_date AS VARCHAR) AS metadata_date) FROM merged"""))
+
   private val affectedRebuild = Q(
     "q_affected_rebuild",
     (s, dir) => datesAsStrings(Pipeline.affectedRebuild(s, dir)),
@@ -687,7 +708,7 @@ FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t >= r.rt"""))
     setOps, nestedTypes, asofJoin,
     ingestCast, partitionExtract,
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
-    audienceMetrics, incrementalMerge, affectedRebuild, watermarkQ,
+    audienceMetrics, incrementalMerge, upsertMergeQ, affectedRebuild, watermarkQ,
     controlTableQ, panelWindowsMergeQ,
     q1Agg, joinDims, joinFact, topkWindow, rollupQ, distinctQ, semiAnti,
     pivotCase, runningWindow) ++ QueriesML.all ++ QueriesExt.all ++ QueriesLLM.all

@@ -23,6 +23,28 @@ object IncrementalMerge {
     target.unionByName(fresh)
   }
 
+  /** Full upsert MERGE (WHEN MATCHED UPDATE + WHEN NOT MATCHED
+    * INSERT) — beyond the reference's insert-only form: batch rows
+    * REPLACE target rows on key collision, and within the batch the
+    * highest `versionCols` ordering wins (late re-deliveries carry
+    * restated values). Scale shape: the batch's distinct key set is
+    * broadcast for the anti join, so the 100-TB target never
+    * shuffles — each target partition drops replaced keys in place
+    * and the deduped batch unions on. `versionCols` must totally
+    * order rows within a key (include a unique id) or the surviving
+    * duplicate is nondeterministic. */
+  def upsert(target: DataFrame, batch: DataFrame, keys: Seq[String],
+      versionCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(versionCols.map(c => col(c).desc): _*)
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val keep = target.join(
+      broadcast(latest.select(keys.map(col): _*).distinct()), keys, "left_anti")
+    keep.unionByName(latest)
+  }
+
   /** The sessions-stage incremental pattern (reference: etl-dag.sql:92-120
     * task_update_viewing_sessions): find the group keys touched by the
     * new batch, DELETE those groups from the target, and recompute them

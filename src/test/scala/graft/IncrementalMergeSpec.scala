@@ -13,6 +13,18 @@ class IncrementalMergeSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)))
   }
 
+  test("upsert: matched keys take batch values, batch deduped by version, rest kept") {
+    val target = Seq((1L, 10, 100L), (2L, 20, 101L), (2L, 21, 102L)).toDF("k", "v", "ver")
+    val batch = Seq(
+      (2L, 90, 200L), (2L, 99, 201L), // same key twice: ver 201 wins
+      (3L, 30, 202L)).toDF("k", "v", "ver")
+    val out = IncrementalMerge.upsert(target, batch, Seq("k"), Seq("ver"))
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    // BOTH target rows for k=2 are replaced by the single newest batch
+    // row; k=1 untouched; k=3 inserted
+    assert(out.toSeq == Seq((1L, 10, 100L), (2L, 99, 201L), (3L, 30, 202L)))
+  }
+
   test("affectedKeys returns distinct group keys of the batch") {
     val batch = Seq((1L, "x"), (1L, "x"), (2L, "y")).toDF("hh", "title")
     assert(IncrementalMerge.affectedKeys(batch, Seq("hh", "title")).count() == 2)
