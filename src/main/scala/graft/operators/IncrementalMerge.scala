@@ -35,14 +35,22 @@ object IncrementalMerge {
     * duplicate is nondeterministic. */
   def upsert(target: DataFrame, batch: DataFrame, keys: Seq[String],
       versionCols: Seq[String]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(versionCols.map(c => col(c).desc): _*)
-    val latest = batch.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val latest = latestPerKey(batch, keys, versionCols)
     val keep = target.join(
       broadcast(latest.select(keys.map(col): _*).distinct()), keys, "left_anti")
     keep.unionByName(latest)
+  }
+
+  /** One row per key: the highest `versionCols` ordering wins — the
+    * version-dedupe half of [[upsert]], also used alone on a first
+    * batch with no target yet. */
+  def latestPerKey(df: DataFrame, keys: Seq[String],
+      versionCols: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(versionCols.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** The sessions-stage incremental pattern (reference: etl-dag.sql:92-120

@@ -39,6 +39,31 @@ object MergeSink {
     fresh.write.mode(SaveMode.Append).parquet(targetPath)
   }
 
+  /** Upsert sink: each micro-batch REPLACES matching keys (highest
+    * `versionCols` wins within the batch) and inserts the rest. A
+    * plain parquet target cannot delete in place, so the merged
+    * result is materialized and the target overwritten — the pattern
+    * demo for stores without native MERGE; on a lake this batch
+    * function becomes Delta/Iceberg `MERGE INTO` and the overwrite
+    * disappears. Restated late data converges because replays
+    * re-assert the same (key, version) winners. */
+  def upsertParquet(targetPath: String, keys: Seq[String], versionCols: Seq[String])(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) {
+      IncrementalMerge.latestPerKey(batch, keys, versionCols)
+        .write.mode(SaveMode.Append).parquet(targetPath)
+    } else {
+      val target = spark.read.parquet(targetPath)
+      // materialize BEFORE overwriting the path being read
+      val merged = IncrementalMerge.upsert(target, batch, keys, versionCols)
+        .localCheckpoint()
+      merged.write.mode(SaveMode.Overwrite).parquet(targetPath)
+    }
+  }
+
   /** Batch-side equivalence helper (spec + docs): the result any
     * sequence of insertOnlyParquet batches must converge to. Each batch
     * is deduped on the keys first — exactly what the sink does — so a

@@ -32,6 +32,28 @@ class MergeSinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert: restated values replace, newest version wins") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val target = Files.createTempDirectory("upsertsink").toString + "/t"
+    val input = MemoryStream[(Long, String, Long)]
+    val q = input.toDF().toDF("k", "v", "ver").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(MergeSink.upsertParquet(target, Seq("k"), Seq("ver")) _)
+      .start()
+    try {
+      input.addData((1L, "a", 10L), (2L, "b", 11L))
+      q.processAllAvailable()
+      // batch 2 restates key 1 (twice — ver 21 wins) and inserts key 3
+      input.addData((1L, "a-new", 20L), (1L, "a-newer", 21L), (3L, "c", 22L))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(target).as[(Long, String, Long)]
+        .collect().sortBy(_._1)
+      assert(rows.toSeq == Seq((1L, "a-newer", 21L), (2L, "b", 11L), (3L, "c", 22L)),
+        s"newest version must win; got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("expectedTarget matches the sink when the FIRST batch has dup keys") {
     import spark.implicits._
     val b1 = Seq((1L, "a"), (1L, "a2"), (2L, "b")).toDF("k", "v") // intra-batch dup
