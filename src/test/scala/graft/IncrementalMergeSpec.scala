@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.IncrementalMerge
 
 class IncrementalMergeSpec extends SparkTestBase {
@@ -23,6 +25,28 @@ class IncrementalMergeSpec extends SparkTestBase {
     // BOTH target rows for k=2 are replaced by the single newest batch
     // row; k=1 untouched; k=3 inserted
     assert(out.toSeq == Seq((1L, 10, 100L), (2L, 99, 201L), (3L, 30, 202L)))
+  }
+
+  test("upsert is idempotent and order-insensitive under re-delivery (randomized)") {
+    // the operational claim behind the streaming sink: replaying a
+    // batch (or re-merging it) converges to the same state
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      def frame(n: Int, verBase: Long) = Seq.tabulate(n)(i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(100), verBase + i)).toDF("k", "v", "ver")
+      val t0 = IncrementalMerge.latestPerKey(frame(8, 0L), Seq("k"), Seq("ver"))
+      val b = frame(6, 100L)
+      val once = IncrementalMerge.upsert(t0, b, Seq("k"), Seq("ver"))
+      val twice = IncrementalMerge.upsert(once, b, Seq("k"), Seq("ver"))
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty,
+        s"trial $trial: replaying the same batch must be a no-op")
+      // exactly one row per key survives, and it carries the max version
+      val perKey = once.groupBy("k").agg(count(lit(1)).as("n"))
+      assert(perKey.filter(col("n") > 1).isEmpty)
+      val expectMax = t0.unionByName(b).groupBy("k").agg(max("ver").as("mx"))
+      assert(once.join(expectMax, "k").filter(col("ver") =!= col("mx")).isEmpty,
+        s"trial $trial: survivor must carry the highest version")
+    }
   }
 
   test("affectedKeys returns distinct group keys of the batch") {
