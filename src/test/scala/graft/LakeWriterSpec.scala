@@ -54,6 +54,35 @@ class LakeWriterSpec extends SparkTestBase {
       "only the re-written day's partition may change")
   }
 
+  test("compact: fragmented days collapse to one file each, content identical") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("lake3").toString
+    val events = ViewingData.table(spark, Sf, "events")
+      .select("event_id", "ts", "user_id", "event_type").limit(200)
+      .repartition(16) // fragment: up to 16 files per day directory
+    LakeWriter.writeHive(events, "ts", root, "EV")
+    def dayDirs = new java.io.File(s"$root/EV").listFiles()
+      .filter(_.getName.startsWith("yyyy=")).flatMap(_.listFiles())
+      .flatMap(_.listFiles()) // yyyy=/mm=/dd=
+    def parquetCount(d: java.io.File) =
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(dayDirs.exists(parquetCount(_) > 1), "precondition: fragmented")
+    val before = spark.read.parquet(s"$root/EV")
+      .select("event_id", "user_id", "event_type")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+
+    LakeWriter.compact(spark, root, "EV", "ts")
+
+    // tiny corpus → one file per day; dir names keep zero padding
+    assert(dayDirs.nonEmpty && dayDirs.forall(parquetCount(_) == 1),
+      dayDirs.map(d => s"${d.getName}:${parquetCount(d)}").mkString(","))
+    assert(dayDirs.forall(_.getName.matches("dd=\\d{2}")))
+    val after = spark.read.parquet(s"$root/EV")
+      .select("event_id", "user_id", "event_type")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(after == before)
+  }
+
   test("JSONL and CSV hive layouts round-trip with equal content") {
     import spark.implicits._
     val root = Files.createTempDirectory("lake2").toString
