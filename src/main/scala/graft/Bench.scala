@@ -36,6 +36,18 @@ object Bench {
         Some((System.nanoTime() - t0) / 1e9)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+      } finally {
+        // Queries that localCheckpoint() intermediate tables (minhash
+        // signatures, decontamination grams, affected-rebuild weighted)
+        // never drop those blocks themselves; across 86 queries × 2
+        // passes they pile up in the block manager and squeeze
+        // execution memory for every query that runs later — the
+        // leading suspect for the q_weighted_events 7 s outlier on the
+        // driver VM that never reproduced in isolation. Unpersisting
+        // between queries keeps each measurement independent (a
+        // query's checkpoints still serve all consumers WITHIN it).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local iteration.

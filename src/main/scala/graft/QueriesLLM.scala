@@ -69,11 +69,14 @@ lbl AS (
 
   /** Intra-document repetition (the Gopher duplicate-3-gram signal):
     * docs whose text loops score dup_ratio → 1 and get dropped by a
-    * quality gate. Pure per-row array expressions over one scan — no
-    * shuffle, so it runs at full scan speed at any corpus size. */
+    * quality gate. Pure per-row array expressions — at scale this runs
+    * at scan speed with zero shuffle (Par.widen is the identity there);
+    * locally the widen spreads the interpreted n-gram transform across
+    * cores instead of serializing it on the single-file scan task. */
   private val textRepetition = Q(
     "text_repetition",
-    (s, dir) => ViewingData.table(s, dir, "documents")
+    (s, dir) => graft.Par.widen(
+        ViewingData.table(s, dir, "documents").select("doc_id", "text"))
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         TextFunctions.wordNgrams(col("toks"), 3).as("tris"))

@@ -80,9 +80,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(gramKeyed <= 1, s"corpus-side gram shuffle:\n$p")
   }
 
-  test("text_repetition is a pure projection — no exchange at all") {
+  test("text_repetition never shuffles on a key — at most one local fan-out") {
     val p = plan("text_repetition")
-    assert(!p.contains("Exchange"), s"per-row signal must not shuffle:\n$p")
+    // the per-row signal must not hash-shuffle; the only exchange
+    // allowed is Par.widen's round-robin, which fires only when the
+    // scan under-fills local parallelism (identity at scale)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-row signal must not key-shuffle:\n$p")
+    val fanOuts = "Exchange RoundRobinPartitioning".r.findAllIn(p).size
+    assert(fanOuts <= 1, s"expected at most one fan-out:\n$p")
+  }
+
+  test("q_weighted_events keeps the fact side broadcast-only — no fact shuffle, no merge join") {
+    val p = plan("q_weighted_events")
+    // panel as-of and weight joins must both broadcast the small side;
+    // the only hash exchanges permitted are inside the tiny broadcast
+    // subtrees (distinct Mondays, covered-date map), never keyed on a
+    // fact column
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"weight/panel joins must broadcast:\n$p")
+    val factKeyed =
+      "Exchange hashpartitioning\\((smba_id|event_id|exposure_start_ts|metadata_date)".r
+        .findAllIn(p).size
+    assert(factKeyed == 0, s"fact-side exchange found:\n$p")
   }
 
   test("corpus_shuffle is a pure projection — no exchange, no window") {
