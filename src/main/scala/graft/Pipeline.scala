@@ -125,7 +125,11 @@ object Pipeline {
   /** Full upsert MERGE demo — beyond the reference's insert-only
     * task: the re-delivered slice carries RESTATED durations, so
     * matching keys must take the new values and only genuinely new
-    * keys append. Batch keys broadcast; target never shuffles. */
+    * keys append. The batch here is a multi-DAY slice of the feed —
+    * the bulk-backfill shape whose key set is NOT trigger-bounded —
+    * so no broadcast hint is planted: AQE broadcasts the key set
+    * while it fits and falls back to a shuffled anti join when a
+    * backfill's keys would blow the driver. */
   def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
     val ve = viewingEvents(spark, dir)
     val maxD = broadcast(ingestWatermark(spark, dir))
@@ -135,7 +139,8 @@ object Pipeline {
       .filter(col("metadata_date") > date_sub(col("max_d"), 10)).drop("max_d")
       .withColumn("duration", col("duration") + 1000000L)
     IncrementalMerge.upsert(target, batch,
-      Seq("smba_id", "exposure_start_ts"), Seq("event_id"))
+      Seq("smba_id", "exposure_start_ts"), Seq("event_id"),
+      broadcastKeys = false)
   }
 
   /** Sessions-stage incremental rebuild (etl-dag.sql:92-120): recompute

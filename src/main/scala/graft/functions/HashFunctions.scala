@@ -83,7 +83,20 @@ object HashFunctions {
     * 2*ones > n is exactly the ±1-sum > 0 of the per-row closed form
     * [[simhash]].
     * Input df: (idCol, tokensCol); output: (idCol, simhash long). */
-  def simhashes(df: DataFrame, idCol: String, tokensCol: String): DataFrame = {
+  def simhashes(df: DataFrame, idCol: String, tokensCol: String): DataFrame =
+    simhashesCapped(df, idCol, tokensCol, SimhashTokenCap)
+
+  /** The shared truncation bound: both simhash forms cap the token
+    * array here, so they stay bit-identical by construction at ANY
+    * document length. 65535 is the largest cap the bulk form's 16-bit
+    * lane-packed sums admit without carry. */
+  private[graft] val SimhashTokenCap = 65535
+
+  /** Cap-parameterized bulk form — the spec instantiates a tiny cap to
+    * prove both forms truncate identically without building 65k-token
+    * rows. */
+  private[graft] def simhashesCapped(
+      df: DataFrame, idCol: String, tokensCol: String, cap: Int): DataFrame = {
     val packs = (0 until 16).map { g =>
       val lanes = (0 until 4).map { l =>
         call_function("shiftleft",
@@ -97,7 +110,7 @@ object HashFunctions {
         .bitwiseAND(0xffffL)
       when(ones * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    df.select(col(idCol), explode(slice(col(tokensCol), 1, 65535)).as("tok"))
+    df.select(col(idCol), explode(slice(col(tokensCol), 1, cap)).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("th"))
       .groupBy(idCol)
       .agg(packs.head, packs.tail :+ count(lit(1)).as("n"): _*)
@@ -106,10 +119,17 @@ object HashFunctions {
 
   /** 64-bit SimHash over a token array: per-bit ±1 votes weighted by
     * token occurrences, sign-thresholded, packed to a long.
-    * Per-row closed form — for bulk use [[simhashes]]. */
-  def simhash(tokensCol: Column): Column = {
+    * Per-row closed form — for bulk use [[simhashes]]. Applies the
+    * same [[SimhashTokenCap]] as the bulk form (its lane-packed sums
+    * would overflow past that), so the two code paths stay
+    * bit-identical by construction at ANY document length
+    * (FunctionsSpec pins the equivalence). */
+  def simhash(tokensCol: Column): Column =
+    simhashCapped(tokensCol, SimhashTokenCap)
+
+  private[graft] def simhashCapped(tokensCol: Column, cap: Int): Column = {
     val votes = aggregate(
-      tokensCol,
+      slice(tokensCol, 1, cap),
       array_repeat(lit(0L), 64),
       (acc, t) => zip_with(
         acc,

@@ -92,16 +92,14 @@ object Multimodal {
              leBytes(bin, 35, 2).cast("int").as("bits_per_sample")))
 
   /** (width, height) from a real JPEG via the native SOF-scan
-    * expression ([[graft.plans.JpegDimsExpr]] — variable marker walk,
-    * one static call inside codegen). Requires
+    * expression ([[graft.plans.JpegDimsStructExpr]] — variable marker
+    * walk, one static call per row in every evaluation mode; the
+    * struct-producing form exists so the scan is never repeated for
+    * the null guard + field unpack). Requires
     * `plans.GraftExtensions.register(spark)` (idempotent). NULL for
     * non-JPEG payloads. */
-  def jpegDims(bin: Column): Column = {
-    val packed = call_function("jpeg_dims", bin)
-    when(packed.isNotNull,
-      struct(shiftright(packed, 32).cast("int").as("width"),
-             packed.bitwiseAND(0xffffffffL).cast("int").as("height")))
-  }
+  def jpegDims(bin: Column): Column =
+    call_function("jpeg_dims_wh", bin)
 
   /** Typed-path mirror of [[pngDims]]/[[gifDims]]/[[jpegDims]] for
     * the batched per-partition decoder. */

@@ -27,17 +27,23 @@ object IncrementalMerge {
     * INSERT) — beyond the reference's insert-only form: batch rows
     * REPLACE target rows on key collision, and within the batch the
     * highest `versionCols` ordering wins (late re-deliveries carry
-    * restated values). Scale shape: the batch's distinct key set is
-    * broadcast for the anti join, so the 100-TB target never
-    * shuffles — each target partition drops replaced keys in place
-    * and the deduped batch unions on. `versionCols` must totally
-    * order rows within a key (include a unique id) or the surviving
-    * duplicate is nondeterministic. */
+    * restated values). Scale shape: with `broadcastKeys` (default,
+    * right for micro-batch / single-day batches whose key set is
+    * bounded by the trigger) the batch's distinct keys broadcast for
+    * the anti join, so the 100-TB target never shuffles. For bulk
+    * backfills whose key set can exceed driver broadcast limits, pass
+    * `broadcastKeys = false`: no hint is planted and AQE picks the
+    * join from the key set's ACTUAL size — broadcast when it fits, a
+    * shuffled anti join when the batch is itself lake-scale (then
+    * unavoidable). `versionCols` must totally order rows within a key
+    * (include a unique id) or the surviving duplicate is
+    * nondeterministic. */
   def upsert(target: DataFrame, batch: DataFrame, keys: Seq[String],
-      versionCols: Seq[String]): DataFrame = {
+      versionCols: Seq[String], broadcastKeys: Boolean = true): DataFrame = {
     val latest = latestPerKey(batch, keys, versionCols)
+    val keySet = latest.select(keys.map(col): _*).distinct()
     val keep = target.join(
-      broadcast(latest.select(keys.map(col): _*).distinct()), keys, "left_anti")
+      if (broadcastKeys) broadcast(keySet) else keySet, keys, "left_anti")
     keep.unionByName(latest)
   }
 

@@ -31,7 +31,11 @@ object GraftExtensions {
     (
       new FunctionIdentifier("jpeg_dims"),
       new ExpressionInfo(classOf[JpegDimsExpr].getName, "jpeg_dims"),
-      (children: Seq[Expression]) => JpegDimsExpr(children(0))))
+      (children: Seq[Expression]) => JpegDimsExpr(children(0))),
+    (
+      new FunctionIdentifier("jpeg_dims_wh"),
+      new ExpressionInfo(classOf[JpegDimsStructExpr].getName, "jpeg_dims_wh"),
+      (children: Seq[Expression]) => JpegDimsStructExpr(children(0))))
 
   /** Idempotent runtime registration: functions into the session's
     * registry, the dot-product rewrite into the experimental optimizer

@@ -40,20 +40,32 @@ object LakeWriter {
     * ~`targetBytes`-sized files: file count per day derives from the
     * feed's on-disk size (floor one file), days are clustered by a
     * deterministic salt so a big day splits without a shuffle of
-    * anything else, and dynamic partition overwrite replaces only the
-    * directories being rewritten. Partition columns are re-derived
-    * from `tsCol` (not the inferred directory values) so zero-padded
-    * dir names survive the round-trip. The merged frame is
-    * materialized before the overwrite of the path being read; a
-    * production job writes a fresh location or uses a table format
-    * with atomic commit instead. */
+    * anything else. Partition columns are re-derived from `tsCol` (not
+    * the inferred directory values) so zero-padded dir names survive
+    * the round-trip. `format` must match how the feed was written
+    * (mirrors [[writeHiveAs]]; CSV round-trips through schema
+    * inference, so types are only as stable as inference makes them).
+    *
+    * The rewrite is staged NEXT TO the live feed and published by
+    * rename ([[publish]]): the compaction job reads the intact feed
+    * while writing, so a crash or executor loss at any point leaves a
+    * complete copy on disk — never the half-written target the old
+    * in-place overwrite risked. */
   def compact(spark: org.apache.spark.sql.SparkSession, root: String,
-      feed: String, tsCol: String, targetBytes: Long = 128L << 20): Unit = {
+      feed: String, tsCol: String, targetBytes: Long = 128L << 20,
+      format: String = "parquet"): Unit = {
+    require(Seq("parquet", "json", "csv").contains(format),
+      s"compact: unsupported feed format '$format' (parquet|json|csv)")
     val src = s"$root/$feed"
     val path = new org.apache.hadoop.fs.Path(src)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(path).getLength
-    val df = spark.read.parquet(src).drop("yyyy", "mm", "dd")
+    val df = (format match {
+      case "parquet" => spark.read.parquet(src)
+      case "json"    => spark.read.json(src)
+      case "csv"     => spark.read
+        .option("header", "true").option("inferSchema", "true").csv(src)
+    }).drop("yyyy", "mm", "dd")
     val days = math.max(1L, df.select(to_date(col(tsCol))).distinct().count())
     val filesPerDay = math.max(1L,
       math.ceil(totalBytes.toDouble / days / targetBytes).toLong)
@@ -64,11 +76,40 @@ object LakeWriter {
       .withColumn("__salt", pmod(xxhash64(col(tsCol)), lit(filesPerDay)))
       .repartition(col("yyyy"), col("mm"), col("dd"), col("__salt"))
       .drop("__salt")
-      .localCheckpoint()
-    out.write
-      .partitionBy("yyyy", "mm", "dd")
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .parquet(src)
+    val staged = stagingPath(src)
+    val w = out.write.partitionBy("yyyy", "mm", "dd").mode("overwrite")
+    (if (format == "csv") w.option("header", "true") else w)
+      .format(format).save(staged)
+    publish(spark, staged, src)
+  }
+
+  /** Sibling staging location for a full-rewrite-then-swap of `target`.
+    * Inside the parent dir (rename must not cross filesystems), named
+    * so directory readers of the parent can't mistake it for data. */
+  def stagingPath(target: String): String = target + ".__staging__"
+
+  /** Publishes a fully written `stagedPath` at `targetPath` by rename —
+    * the filesystem fallback for atomic table commit. At every instant
+    * a complete copy exists on disk: before the swap the old target is
+    * live; between the two renames it sits at `<target>.__old__`
+    * (recoverable after a crash); after, the staged copy is live and
+    * the old one is dropped. Rename is atomic on HDFS and POSIX
+    * filesystems; object stores without atomic rename should use a
+    * table format (Delta/Iceberg) whose MERGE/OPTIMIZE replaces this
+    * whole path-swap pattern. */
+  def publish(spark: org.apache.spark.sql.SparkSession,
+      stagedPath: String, targetPath: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(targetPath)
+    val staged = new org.apache.hadoop.fs.Path(stagedPath)
+    val old = new org.apache.hadoop.fs.Path(targetPath + ".__old__")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(old)) fs.delete(old, true) // stale crash leftover
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"publish: cannot move $target aside")
+    if (!fs.rename(staged, target)) {
+      if (fs.exists(old)) fs.rename(old, target) // restore previous copy
+      throw new java.io.IOException(s"publish: cannot promote $staged")
+    }
+    fs.delete(old, true)
   }
 }

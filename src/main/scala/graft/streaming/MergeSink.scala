@@ -41,12 +41,16 @@ object MergeSink {
 
   /** Upsert sink: each micro-batch REPLACES matching keys (highest
     * `versionCols` wins within the batch) and inserts the rest. A
-    * plain parquet target cannot delete in place, so the merged
-    * result is materialized and the target overwritten — the pattern
-    * demo for stores without native MERGE; on a lake this batch
-    * function becomes Delta/Iceberg `MERGE INTO` and the overwrite
-    * disappears. Restated late data converges because replays
-    * re-assert the same (key, version) winners. */
+    * plain parquet target cannot delete in place, so the merged result
+    * is rewritten in full — STAGED next to the live target and
+    * published by rename ([[graft.sources.LakeWriter.publish]]): the
+    * merge job reads the intact target while writing, so a crash or
+    * executor loss mid-rewrite never strands a half-written target
+    * (the in-place overwrite + localCheckpoint it replaces lost the
+    * whole table if lineage blocks died after the delete started). On
+    * a lake this batch function becomes Delta/Iceberg `MERGE INTO` and
+    * the rewrite disappears. Restated late data converges because
+    * replays re-assert the same (key, version) winners. */
   def upsertParquet(targetPath: String, keys: Seq[String], versionCols: Seq[String])(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -57,10 +61,10 @@ object MergeSink {
         .write.mode(SaveMode.Append).parquet(targetPath)
     } else {
       val target = spark.read.parquet(targetPath)
-      // materialize BEFORE overwriting the path being read
       val merged = IncrementalMerge.upsert(target, batch, keys, versionCols)
-        .localCheckpoint()
-      merged.write.mode(SaveMode.Overwrite).parquet(targetPath)
+      val staged = graft.sources.LakeWriter.stagingPath(targetPath)
+      merged.write.mode(SaveMode.Overwrite).parquet(staged)
+      graft.sources.LakeWriter.publish(spark, staged, targetPath)
     }
   }
 

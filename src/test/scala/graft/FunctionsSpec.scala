@@ -84,6 +84,33 @@ class FunctionsSpec extends SparkTestBase {
     assert(bulk == closed, s"bulk $bulk vs closed-form $closed")
   }
 
+  test("simhash token cap truncates identically in both forms") {
+    // cap-parameterized with cap=4 so the over-cap path is exercised
+    // without 65k-token rows: tokens past the cap are hash-heavy
+    // repeats that WOULD flip bits if either form counted them
+    val texts = Seq(
+      (1L, "alpha beta gamma delta zzz zzz zzz zzz zzz zzz"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+    val bulk = HashFunctions.simhashesCapped(texts, "doc_id", "toks", 4)
+      .as[(Long, Long)].collect().toMap
+    val closed = texts
+      .select(col("doc_id"), HashFunctions.simhashCapped(col("toks"), 4).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val prefix = texts
+      .select(col("doc_id"),
+        HashFunctions.simhashCapped(slice(col("toks"), 1, 4), 1 << 20).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(bulk == closed, s"bulk $bulk vs capped closed form $closed")
+    assert(closed == prefix, "capping ≡ hashing the prefix array")
+    // the cap is real: counting doc 1's dominant tail changes the hash
+    val full = texts
+      .select(col("doc_id"), HashFunctions.simhashCapped(col("toks"), 1 << 20).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(full(1L) != closed(1L), "tail tokens beyond the cap must be ignored")
+  }
+
   test("bulk minhash signatures match the per-row closed form") {
     val texts = Seq(
       (1L, "spark catalyst tungsten shuffle partition broadcast join"),

@@ -83,6 +83,35 @@ class LakeWriterSpec extends SparkTestBase {
     assert(after == before)
   }
 
+  test("compact publishes atomically and handles JSONL/CSV feeds") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("lake4").toString
+    val events = ViewingData.table(spark, Sf, "events")
+      .select("event_id", "ts", "user_id", "event_type").limit(120)
+      .repartition(8) // fragment each day
+    for (fmt <- Seq("json", "csv")) {
+      val feed = s"EV_$fmt"
+      LakeWriter.writeHiveAs(events, "ts", root, feed, fmt)
+      def readBack = (if (fmt == "csv")
+          spark.read.option("header", "true").option("inferSchema", "true")
+            .csv(s"$root/$feed")
+        else spark.read.json(s"$root/$feed"))
+        .select(col("event_id").cast("long"), col("user_id").cast("long"),
+          col("event_type"))
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      val before = readBack
+      LakeWriter.compact(spark, root, feed, "ts", format = fmt)
+      assert(readBack == before, s"$fmt content must survive compaction")
+      // the swap completed: no staging or old copies left behind
+      assert(!new java.io.File(LakeWriter.stagingPath(s"$root/$feed")).exists())
+      assert(!new java.io.File(s"$root/$feed.__old__").exists())
+    }
+    // mismatched format fails fast with a clear message, not a decode error
+    val err = intercept[IllegalArgumentException](
+      LakeWriter.compact(spark, root, "EV_json", "ts", format = "orc"))
+    assert(err.getMessage.contains("unsupported feed format"))
+  }
+
   test("JSONL and CSV hive layouts round-trip with equal content") {
     import spark.implicits._
     val root = Files.createTempDirectory("lake2").toString

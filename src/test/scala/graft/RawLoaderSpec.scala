@@ -55,6 +55,41 @@ class RawLoaderSpec extends SparkTestBase {
     }
   }
 
+  test("copyInto: file-level load history — re-runs load only missing files") {
+    val root = Files.createTempDirectory("copyinto").toString
+    val target = s"$root/out/acr"
+    val ledger = s"$root/out/acr_load_history"
+    def day(dd: String, ids: Seq[Long]) =
+      ids.toDF("id").write.mode("append")
+        .parquet(s"$root/ACR/yyyy=2024/mm=01/dd=$dd")
+    day("05", Seq(1L, 2L))
+    day("06", Seq(3L))
+
+    val first = RawLoader.copyInto(spark, root, "ACR", target, ledger)
+    assert(first.filesLoaded > 0 && first.rowsLoaded == 3, first)
+
+    // exact re-run: every file skips, the target does not grow
+    val rerun = RawLoader.copyInto(spark, root, "ACR", target, ledger)
+    assert(rerun == RawLoader.CopyResult(0, first.filesLoaded, 0), rerun)
+    assert(spark.read.parquet(target).count() == 3)
+
+    // the failed-backfill shape: day 06 gets a late second file and a
+    // new day 07 arrives; the re-run loads ONLY those files' rows
+    day("06", Seq(4L))
+    day("07", Seq(5L, 6L))
+    val backfill = RawLoader.copyInto(spark, root, "ACR", target, ledger)
+    assert(backfill.rowsLoaded == 3, backfill)
+    assert(backfill.filesSkipped == first.filesLoaded, backfill)
+    val out = spark.read.parquet(target)
+    assert(out.count() == 6, "no duplicates from skipped files")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == (1L to 6L))
+    // path recovery rode along
+    assert(out.filter(col("metadata_date") === "2024-01-07").count() == 2)
+    // ledger is one row per loaded file
+    assert(spark.read.parquet(ledger).count() ==
+      first.filesLoaded + backfill.filesLoaded)
+  }
+
   test("date predicate prunes to matching files only") {
     val root = Files.createTempDirectory("rawloader2").toString
     Seq(1L).toDF("id").write.parquet(s"$root/ACR/yyyy=2024/mm=01/dd=05")
