@@ -191,6 +191,55 @@ SELECT event_id, yyyy, mm, dd,
        CAST(try_cast(yyyy || '-' || mm || '-' || dd AS DATE) AS VARCHAR) AS metadata_date
 FROM extracted"""))
 
+  private val ingestReject = Q(
+    "q_ingest_reject",
+    (s, dir) => {
+      // ON_ERROR=CONTINUE over a feed with planted malformed values:
+      // ~1/13 durations get a stray character, ~1/17 dates are
+      // invalid — deterministic, so the DuckDB twin plants identical
+      // rows. Output: one row per INPUT row with its routing, so
+      // valid+rejected reconcile to the input by construction
+      // (rows_match checks exactly that).
+      val raw = t(s, dir, "events").select(
+        col("event_id"),
+        when(col("event_id") % 13 === 0,
+          concat(lit("x"), col("value").cast("string")))
+          .otherwise(col("value").cast("string")).as("raw_duration"),
+        when(col("event_id") % 17 === 0, lit("9999-99-99"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd")).as("raw_date"),
+        col("user_id").cast("string").as("raw_user"))
+      val (valid, rejected) = graft.operators.Quality.tryIngest(raw, Seq(
+        ("duration", col("raw_duration"), expr("try_cast(raw_duration AS DOUBLE)")),
+        ("metadata_date", col("raw_date"), expr("try_cast(raw_date AS DATE)")),
+        ("smba_id", col("raw_user"), expr("try_cast(raw_user AS BIGINT)"))))
+      valid.select(col("event_id"), lit("valid").as("status"),
+          lit(null).cast("string").as("reasons"))
+        .unionByName(rejected.select(col("event_id"), lit("rejected").as("status"),
+          concat_ws(",", col("reject_reasons")).as("reasons")))
+    },
+    Some("""WITH raw AS (
+  SELECT event_id,
+         CASE WHEN event_id % 13 = 0 THEN 'x' || CAST(value AS VARCHAR)
+              ELSE CAST(value AS VARCHAR) END AS raw_duration,
+         CASE WHEN event_id % 17 = 0 THEN '9999-99-99'
+              ELSE strftime(ts, '%Y-%m-%d') END AS raw_date,
+         CAST(user_id AS VARCHAR) AS raw_user
+  FROM events),
+checked AS (
+  SELECT event_id,
+         raw_duration IS NULL OR TRY_CAST(raw_duration AS DOUBLE) IS NOT NULL AS ok_duration,
+         raw_date IS NULL OR TRY_CAST(raw_date AS DATE) IS NOT NULL AS ok_date,
+         raw_user IS NULL OR TRY_CAST(raw_user AS BIGINT) IS NOT NULL AS ok_user
+  FROM raw)
+SELECT event_id,
+       CASE WHEN ok_duration AND ok_date AND ok_user THEN 'valid' ELSE 'rejected' END AS status,
+       CASE WHEN ok_duration AND ok_date AND ok_user THEN NULL
+            ELSE concat_ws(',',
+                 CASE WHEN NOT ok_duration THEN 'duration' END,
+                 CASE WHEN NOT ok_date THEN 'metadata_date' END,
+                 CASE WHEN NOT ok_user THEN 'smba_id' END) END AS reasons
+FROM checked"""))
+
   // ---------------------------------------------------------------------
   // B. Reference ETL
   // ---------------------------------------------------------------------
@@ -706,7 +755,7 @@ FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t >= r.rt"""))
   val all: Seq[Q] = Seq(
     percentiles, stringFuncs, dateFuncs, cubeQ, scalarSubquery,
     setOps, nestedTypes, asofJoin,
-    ingestCast, partitionExtract,
+    ingestCast, partitionExtract, ingestReject,
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
     audienceMetrics, incrementalMerge, upsertMergeQ, affectedRebuild, watermarkQ,
     controlTableQ, panelWindowsMergeQ,

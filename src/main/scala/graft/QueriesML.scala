@@ -384,6 +384,13 @@ WHERE rk <= 3"""))
   // ---------------------------------------------------------------------
   // G. Multimodal
   // ---------------------------------------------------------------------
+  // NOTE on the oracle's constant mime: the synthetic documents corpus
+  // is plain text, so no payload starts with a magic-byte prefix and
+  // sniffMime's fallthrough ('application/octet-stream') is the right
+  // answer for EVERY row — the oracle checks the fallthrough, not the
+  // discrimination. Magic-byte discrimination is exercised where real
+  // headers exist: mm_header_parse (synthesized bit-valid PNG/GIF/WAV/
+  // JPEG headers, oracle-matched) and MultimodalSpec.
   private val mmBinaryMeta = Q(
     "mm_binary_meta",
     (s, dir) => ViewingData.table(s, dir, "documents").select(

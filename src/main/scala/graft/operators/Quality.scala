@@ -48,4 +48,37 @@ object Quality {
     (marked.filter(size(col("violated")) === 0).drop("violated"),
       marked.filter(size(col("violated")) > 0))
   }
+
+  /** COPY INTO `ON_ERROR = CONTINUE` semantics (reference: the stage
+    * file-format's tolerance + ingest-dag.sql's TRY_TO_DATE): each
+    * required cast is attempted per row; a row where any NON-NULL raw
+    * value fails its cast is quarantined with the failing columns as
+    * `reject_reasons` instead of being dropped or silently nulled.
+    * NULL raw input is NOT an error — Snowflake loads it as NULL
+    * (`NULLIF` hive sentinels arrive exactly that way).
+    *
+    * `casts`: (outputName, rawCol, castedCol) — a Seq, not a Map, so
+    * reason order is deterministic. Returns (typed valid frame with
+    * each cast applied under outputName, quarantine frame carrying the
+    * untouched raw columns + reasons). Both frames are projections of
+    * the same marked plan — one scan when the sink supports
+    * multi-write, and every try_cast is codegen'd, so the reject path
+    * costs nothing over the happy path at 100 TB. */
+  def tryIngest(raw: DataFrame, casts: Seq[(String, Column, Column)])
+      : (DataFrame, DataFrame) = {
+    require(casts.nonEmpty, "tryIngest needs at least one required cast")
+    val marked = raw.withColumn("reject_reasons",
+      filter(
+        array(casts.map { case (name, rawCol, casted) =>
+          when(rawCol.isNull || casted.isNotNull, lit(null).cast("string"))
+            .otherwise(lit(name))
+        }: _*),
+        c => c.isNotNull))
+    val valid = marked.filter(size(col("reject_reasons")) === 0)
+      .drop("reject_reasons")
+    val typed = casts.foldLeft(valid) {
+      case (df, (name, _, casted)) => df.withColumn(name, casted)
+    }
+    (typed, marked.filter(size(col("reject_reasons")) > 0))
+  }
 }

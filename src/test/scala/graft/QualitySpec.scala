@@ -40,4 +40,32 @@ class QualitySpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().head
     assert(a == ("x_big", 1L, 2L), s"NULL comparison must violate: $a")
   }
+
+  test("tryIngest: ON_ERROR=CONTINUE — quarantine with reasons, nulls load as NULL") {
+    val raw = Seq(
+      (1L, Some("12.5"), Some("2024-01-05")),   // clean
+      (2L, Some("xx"), Some("2024-01-06")),     // duration malformed
+      (3L, Some("7"), Some("9999-99-99")),      // date malformed
+      (4L, Some("a"), Some("b")),               // both malformed
+      (5L, None: Option[String], Some("2024-01-07")) // NULL raw ≠ error
+    ).toDF("id", "raw_d", "raw_dt")
+    val (valid, rejected) = Quality.tryIngest(raw, Seq(
+      ("duration", col("raw_d"), expr("try_cast(raw_d AS DOUBLE)")),
+      ("d", col("raw_dt"), expr("try_cast(raw_dt AS DATE)"))))
+
+    // reconciliation: every input row routed exactly once
+    assert(valid.count() + rejected.count() == raw.count())
+    assert(valid.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 5L))
+    // typed valid frame: casts applied, NULL raw loaded as NULL
+    val v5 = valid.filter(col("id") === 5L)
+      .select(col("duration"), col("d").cast("string")).collect().head
+    assert(v5.isNullAt(0) && v5.getString(1) == "2024-01-07")
+    // quarantine carries the ORIGINAL raw values + ordered reasons
+    val r = rejected
+      .select(col("id"), col("raw_d"), concat_ws(",", col("reject_reasons")).as("why"))
+      .as[(Long, String, String)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r(2L) == (("xx", "duration")))
+    assert(r(3L)._2 == "d")
+    assert(r(4L) == (("a", "duration,d")), "reason order follows the casts Seq")
+  }
 }
