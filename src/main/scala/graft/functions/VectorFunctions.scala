@@ -35,6 +35,23 @@ object VectorFunctions {
     transform(v, x => x / n)
   }
 
+  /** Symmetric int8 quantization: each vector carries its own scale
+    * (`max|x| / 127`) so dequantization is exact to one multiply —
+    * the classic IVF-Flat-Q8 memory layout. At 100 TB this is the
+    * difference between an 8× and a 1× fit of the index in cluster
+    * memory: the probe scans read `array<tinyint>` + one double scale
+    * instead of `array<double>`. Returns struct(q array<tinyint>,
+    * scale double); zero vectors quantize to all-zero with scale 0.
+    * Native expression ([[graft.plans.VecQuantize]]) — requires
+    * `plans.GraftExtensions.register(spark)` (idempotent). */
+  def quantize(v: Column): Column = call_function("vec_q8", v)
+
+  /** Dot product of two quantized vectors: integer multiply-accumulate
+    * re-scaled once — `scale_a * scale_b * Σ qa·qb`. The inner sum is
+    * exact (int arithmetic); only the two scales carry quantization
+    * error ([[graft.plans.VecDotQ8]]). */
+  def dotQ8(a: Column, b: Column): Column = call_function("vec_dot_q8", a, b)
+
   /** Random-hyperplane LSH bucket (signed projections packed to a long).
     * Hyperplane components are pseudo-random ±1 derived from
     * xxhash64(plane, dim) — deterministic across runs and engines, no

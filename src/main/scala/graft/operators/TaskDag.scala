@@ -55,6 +55,20 @@ object TaskDag {
     out.toSeq
   }
 
+  /** Schedule-driven execution (reference: etl-dag.sql:3 `SCHEDULE =
+    * 'USING CRON 0 5 * * * UTC'` on the root task): runs the graph
+    * when — and only when — a cron tick came due in `(lastRun, now]`,
+    * with Snowflake's coalescing semantics: ticks missed while a run
+    * was in flight (or the graph suspended) fire ONCE at the latest
+    * due tick, never queue N-deep. Returns the fired tick + results,
+    * or None when nothing is due; callers persist the returned tick
+    * as the next `lastRun` (the task_control pattern applied to the
+    * scheduler itself). */
+  def runScheduled(spark: SparkSession, tasks: Seq[Task], cron: Cron,
+      lastRun: java.time.Instant, now: java.time.Instant)
+      : Option[(java.time.Instant, Seq[TaskResult])] =
+    cron.ticksBetween(lastRun, now).lastOption.map(tick => tick -> run(spark, tasks))
+
   /** Runs in dependency order; a failed task skips its transitive
     * dependents (matching Snowflake task-graph semantics) but
     * independent branches continue. */

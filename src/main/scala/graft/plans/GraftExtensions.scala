@@ -35,7 +35,15 @@ object GraftExtensions {
     (
       new FunctionIdentifier("jpeg_dims_wh"),
       new ExpressionInfo(classOf[JpegDimsStructExpr].getName, "jpeg_dims_wh"),
-      (children: Seq[Expression]) => JpegDimsStructExpr(children(0))))
+      (children: Seq[Expression]) => JpegDimsStructExpr(children(0))),
+    (
+      new FunctionIdentifier("vec_q8"),
+      new ExpressionInfo(classOf[VecQuantize].getName, "vec_q8"),
+      (children: Seq[Expression]) => VecQuantize(children(0))),
+    (
+      new FunctionIdentifier("vec_dot_q8"),
+      new ExpressionInfo(classOf[VecDotQ8].getName, "vec_dot_q8"),
+      (children: Seq[Expression]) => VecDotQ8(children(0), children(1))))
 
   /** Idempotent runtime registration: functions into the session's
     * registry, the dot-product rewrite into the experimental optimizer

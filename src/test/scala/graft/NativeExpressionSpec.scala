@@ -57,6 +57,58 @@ class NativeExpressionSpec extends SparkTestBase {
       expected.collect().map(_.getDouble(1)).sum)
   }
 
+  test("vec_q8 quantization: bounded error, exact edge cases, null semantics") {
+    GraftExtensions.register(spark)
+    // literal path (constant folding exercises interpreted eval)
+    val edge = spark.sql("""SELECT
+        vec_q8(array(127.0d, -127.0d, 0.0d)) AS exact,
+        vec_q8(array(0.0d, 0.0d)) AS zeros,
+        vec_dot_q8(vec_q8(array(1.0d, 2.0d)), vec_q8(array(1.0d, 2.0d, 3.0d))) AS mismatch""")
+      .collect().head
+    val exact = edge.getStruct(0)
+    assert(exact.getSeq[Byte](0) == Seq[Byte](127, -127, 0))
+    assert(exact.getDouble(1) == 1.0)
+    val zeros = edge.getStruct(1)
+    assert(zeros.getSeq[Byte](0) == Seq[Byte](0, 0) && zeros.getDouble(1) == 0.0)
+    assert(edge.isNullAt(2), "length mismatch must be NULL like vec_dot")
+
+    // dataframe/codegen path over real embeddings: |q8 dot − exact dot|
+    // is bounded by the per-element quantization step (scale/2 each side)
+    val v = ViewingData.table(spark, Sf, "embeddings")
+      .select(col("vec_id"),
+        VectorFunctions.normalize(VectorFunctions.toDouble(col("embedding"))).as("e"))
+      .withColumn("z", VectorFunctions.quantize(col("e")))
+    val q = v.limit(1).select(col("e").as("qe"), col("z").as("qz"))
+    val err = v.crossJoin(broadcast(q))
+      .select(abs(VectorFunctions.dotQ8(col("z"), col("qz")) -
+        VectorFunctions.dotNative(col("e"), col("qe"))).as("err"))
+      .agg(max("err")).as[Double].collect().head
+    // unit vectors, d=8: worst-case error ≈ d · (s_a·|b| + s_b·|a|)/2
+    // with s ≤ 1/127 — comfortably inside 0.05
+    assert(err <= 0.05, s"quantized dot drifted too far: $err")
+  }
+
+  test("q8 brute-force top-10 recalls ≥0.9 of full-precision top-10") {
+    GraftExtensions.register(spark)
+    val dir = "/root/testdata/sf0.01"
+    val v = ViewingData.table(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"),
+        VectorFunctions.normalize(VectorFunctions.toDouble(col("embedding"))).as("e"))
+      .withColumn("z", VectorFunctions.quantize(col("e")))
+      .localCheckpoint()
+    val q = v.filter(col("vec_id") === 0).select(col("e").as("qe"), col("z").as("qz"))
+    def top(scored: org.apache.spark.sql.DataFrame): Set[Long] = scored
+      .orderBy(col("s").desc, col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val full = top(v.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), VectorFunctions.dotNative(col("e"), col("qe")).as("s")))
+    val q8 = top(v.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), VectorFunctions.dotQ8(col("z"), col("qz")).as("s")))
+    val recall = (full & q8).size / 10.0
+    assert(recall >= 0.9, s"int8 recall@10: $recall (full=$full q8=$q8)")
+  }
+
   test("registration is idempotent and works via SQL too") {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark)
