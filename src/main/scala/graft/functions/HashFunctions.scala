@@ -154,14 +154,25 @@ object HashFunctions {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** 16-bit chunks of a SimHash — two docs within hamming distance d
-    * of each other share at least one chunk if d < 4 (pigeonhole). */
-  def simhashChunks(simCol: Column): Column =
+  /** Equal-width chunks of a SimHash — the LSH recall knob: two docs
+    * within hamming distance d share at least one of `nChunks` chunks
+    * whenever d < nChunks (pigeonhole), so more/narrower chunks widen
+    * the GUARANTEED candidate band (4×16-bit → d≤3, 8×8-bit → d≤7) at
+    * the cost of more bucket collisions per chunk (each chunk key
+    * carries fewer bits). The shuffle stays |docs|×nChunks rows either
+    * way — recall is bought with join selectivity, not extra passes.
+    * FunctionsSpec pins the guarantee and a 4-chunk miss that 8 chunks
+    * must catch. */
+  def simhashChunks(simCol: Column, nChunks: Int = 4): Column = {
+    require(nChunks >= 2 && 64 % nChunks == 0,
+      s"nChunks must divide 64 (and be ≥2): $nChunks")
+    val width = 64 / nChunks
     transform(
-      sequence(lit(0), lit(3)),
+      sequence(lit(0), lit(nChunks - 1)),
       c => struct(
         c.as("chunk_id"),
-        pmod(shiftright_dyn(simCol, c * 16), lit(65536)).as("chunk")))
+        pmod(shiftright_dyn(simCol, c * width), lit(1L << width)).as("chunk")))
+  }
 
   /** Candidate pairs sharing an LSH key. `payload` columns ride along
     * through the explode and surface as `<c>_a` / `<c>_b`, so the

@@ -75,4 +75,47 @@ object MergeSink {
   def expectedTarget(allBatches: Seq[DataFrame], keys: Seq[String]): DataFrame =
     allBatches.map(_.dropDuplicates(keys))
       .reduce((t, b) => IncrementalMerge.insertOnly(t, b, keys))
+
+  /** Streaming maintenance of an aggregated rollup (reference:
+    * v_audience_metrics, etl-ddl-backfill.sql:188-218 — a VIEW there;
+    * at scale you materialize it and maintain it incrementally): each
+    * micro-batch of newly closed sessions (1) lands idempotently in
+    * the sessions target, then (2) ONLY the rollup groups the batch
+    * touched are re-aggregated from the full sessions table and
+    * swapped into the metrics target — the affected-rebuild pattern
+    * (etl-dag.sql's sessions stage) applied one level up. Groups are
+    * the unit of consistency because a rollup row aggregates across
+    * households — a new session can change reach/frequency of its
+    * whole group, never of others.
+    *
+    * The touched-group key set is micro-batch-bounded → broadcast;
+    * the sessions table is scanned once per batch for those groups
+    * only (left_semi prunes at the scan when the table is partitioned
+    * by a group column). Metrics rewrite is staged + renamed, same
+    * crash contract as [[upsertParquet]]. */
+  def rollupParquet(
+      sessionsPath: String,
+      sessionKeys: Seq[String],
+      groupCols: Seq[String],
+      metricsPath: String,
+      aggregate: DataFrame => DataFrame)(
+      batch: DataFrame, batchId: Long): Unit = {
+    insertOnlyParquet(sessionsPath, sessionKeys)(batch, batchId)
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.functions.broadcast
+    val sessions = spark.read.parquet(sessionsPath)
+    val touched = batch.select(groupCols.map(batch.col): _*).distinct()
+    val recomputed =
+      aggregate(sessions.join(broadcast(touched), groupCols, "left_semi"))
+    val metricsP = new org.apache.hadoop.fs.Path(metricsPath)
+    val fs = metricsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(metricsP)) recomputed
+      else spark.read.parquet(metricsPath)
+        .join(broadcast(touched), groupCols, "left_anti")
+        .unionByName(recomputed)
+    val staged = graft.sources.LakeWriter.stagingPath(metricsPath)
+    merged.write.mode(SaveMode.Overwrite).parquet(staged)
+    graft.sources.LakeWriter.publish(spark, staged, metricsPath)
+  }
 }

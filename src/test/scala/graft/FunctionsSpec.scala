@@ -84,6 +84,38 @@ class FunctionsSpec extends SparkTestBase {
     assert(bulk == closed, s"bulk $bulk vs closed-form $closed")
   }
 
+  test("simhashChunks pigeonhole guarantee and the 4-vs-8-chunk recall band") {
+    def flip(h: Long, bits: Seq[Int]): Long = bits.foldLeft(h)((x, b) => x ^ (1L << b))
+    val base = 0x0123456789abcdefL
+    def pairs(df: org.apache.spark.sql.DataFrame, n: Int): Set[(Long, Long)] =
+      HashFunctions.bucketedPairs(
+          df.withColumn("chunks", HashFunctions.simhashChunks(col("simhash"), n)),
+          "doc_id", "chunks")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // hamming-5 pair touching ALL four 16-bit chunks but only 5 of the
+    // 8-bit chunks: invisible to the default chunking, guaranteed at 8
+    val tricky = Seq(
+      (1L, base), (2L, flip(base, Seq(1, 9, 17, 33, 49)))).toDF("doc_id", "simhash")
+    assert(!pairs(tricky, 4).contains((1L, 2L)),
+      "hamming 5 with no clean 16-bit chunk must be outside the 4-chunk guarantee")
+    assert(pairs(tricky, 8).contains((1L, 2L)),
+      "8 chunks guarantee hamming ≤ 7")
+    // property: ANY pair within hamming ≤ nChunks-1 is a candidate
+    val rng = new scala.util.Random(7)
+    val planted = (0 until 40).map { i =>
+      val h = rng.nextLong()
+      val d = 1 + rng.nextInt(7) // hamming 1..7
+      val bits = rng.shuffle((0 until 64).toList).take(d)
+      (2L * i, h, 2L * i + 1, flip(h, bits))
+    }
+    val df = planted.flatMap { case (ia, ha, ib, hb) => Seq((ia, ha), (ib, hb)) }
+      .toDF("doc_id", "simhash")
+    val found = pairs(df, 8)
+    planted.foreach { case (ia, _, ib, _) =>
+      assert(found.contains((ia, ib)), s"planted pair ($ia,$ib) missed at 8 chunks")
+    }
+  }
+
   test("simhash token cap truncates identically in both forms") {
     // cap-parameterized with cap=4 so the over-cap path is exercised
     // without 65k-token rows: tokens past the cap are hash-heavy

@@ -68,4 +68,53 @@ class MergeSinkSpec extends SparkTestBase {
     val expKeys = expected.select("k").as[Long].collect().sorted
     assert(sinkKeys.toSeq == expKeys.toSeq && sinkKeys.toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("rollup sink: streamed sessions maintain audience metrics = batch recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("rollupsink").toString
+    val sessionsPath = s"$root/sessions"
+    val metricsPath = s"$root/metrics"
+    val groupCols = Seq("title", "content_id")
+    // (title, content_id, hh_id, panel_weight, total_duration, session_start)
+    val input = MemoryStream[(String, String, String, Long, Long, Long)]
+    val q = input.toDF()
+      .toDF("title", "content_id", "hh_id", "panel_weight", "total_duration", "session_start")
+      .writeStream.outputMode(OutputMode.Append)
+      .foreachBatch(MergeSink.rollupParquet(
+        sessionsPath, Seq("hh_id", "title", "content_id", "session_start"),
+        groupCols, metricsPath,
+        graft.operators.AudienceMetrics.reachAndFrequency(_, groupCols)) _)
+      .start()
+    def metrics = spark.read.parquet(metricsPath)
+      .select("title", "content_id", "weighted_views", "weighted_reach", "frequency")
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    def expected = graft.operators.AudienceMetrics
+      .reachAndFrequency(spark.read.parquet(sessionsPath), groupCols)
+      .select("title", "content_id", "weighted_views", "weighted_reach", "frequency")
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    try {
+      input.addData(
+        ("T1", "c1", "hh1", 10L, 300L, 1000L),
+        ("T1", "c1", "hh2", 20L, 200L, 1000L),
+        ("T2", "c2", "hh1", 10L, 400L, 2000L))
+      q.processAllAvailable()
+      assert(metrics == expected, "first batch must equal a batch recompute")
+      // second batch touches ONLY T1/c1 (hh2 watches again → reach
+      // unchanged, views grow) and adds a new group
+      input.addData(
+        ("T1", "c1", "hh2", 20L, 100L, 5000L),
+        ("T3", "c3", "hh9", 5L, 900L, 5000L))
+      q.processAllAvailable()
+      assert(metrics == expected, "incremental maintenance == full recompute")
+      val t1 = metrics.find(m => m._1 == "T1" && m._2 == "c1").get
+      assert(t1._3 == 50L && t1._4 == 30L,
+        s"hh2's second session adds views (30→50) but not reach (30): $t1")
+      // re-delivered batch: sessions dedup on the key → metrics stable
+      input.addData(("T1", "c1", "hh2", 20L, 100L, 5000L))
+      q.processAllAvailable()
+      assert(metrics == expected, "re-delivery must not change the rollup")
+    } finally q.stop()
+  }
 }
