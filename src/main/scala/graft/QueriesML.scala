@@ -313,6 +313,31 @@ WHERE rk <= 10"""))
     },
     None)
 
+  private val annQ8 = Q(
+    "ann_q8",
+    (s, dir) => {
+      // Quantized brute force: the index stores array<tinyint> + one
+      // scale (8× narrower scans than array<double> — the memory-fit
+      // lever at 100 TB); scoring is integer multiply-accumulate via
+      // the native vec_dot_q8 expression. Not SQL-expressible in
+      // DuckDB (round-half tie semantics differ) → rows-only;
+      // NativeExpressionSpec pins ≥0.9 recall@10 vs full precision
+      // and the quantization error bound.
+      graft.plans.GraftExtensions.register(s)
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          quantize(normalize(toDouble(col("embedding")))).as("z"))
+      val q = v.filter(col("vec_id") === 0).select(col("z").as("qz"))
+      v.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(dotQ8(col("z"), col("qz")), 6).as("cos_q8"))
+        .orderBy(col("cos_q8").desc, col("vec_id")).limit(10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cos_q8").desc, col("vec_id"))))
+    },
+    None)
+
   private val annIvf = Q(
     "ann_ivf",
     (s, dir) => {
@@ -488,7 +513,7 @@ GROUP BY 1, 2"""))
   val all: Seq[Q] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
-    annBruteforce, annBucketed, annIvf, annKnnJoin,
+    annBruteforce, annBucketed, annIvf, annKnnJoin, annQ8,
     mmBinaryMeta, mmDecode,
     streamBatchParity)
 }
