@@ -208,14 +208,20 @@ FROM extracted"""))
         when(col("event_id") % 17 === 0, lit("9999-99-99"))
           .otherwise(date_format(col("ts"), "yyyy-MM-dd")).as("raw_date"),
         col("user_id").cast("string").as("raw_user"))
-      val (valid, rejected) = graft.operators.Quality.tryIngest(raw, Seq(
+      // Routing summary in ONE pass: marking + status projection over a
+      // single scan. (Quality.tryIngest's two-frame split is the sink
+      // API — QualitySpec covers it; a union of its two sides here
+      // would scan the feed twice, the thing a 100-TB ingest can't do.)
+      val marked = graft.operators.Quality.markRejects(raw, Seq(
         ("duration", col("raw_duration"), expr("try_cast(raw_duration AS DOUBLE)")),
         ("metadata_date", col("raw_date"), expr("try_cast(raw_date AS DATE)")),
         ("smba_id", col("raw_user"), expr("try_cast(raw_user AS BIGINT)"))))
-      valid.select(col("event_id"), lit("valid").as("status"),
-          lit(null).cast("string").as("reasons"))
-        .unionByName(rejected.select(col("event_id"), lit("rejected").as("status"),
-          concat_ws(",", col("reject_reasons")).as("reasons")))
+      marked.select(
+        col("event_id"),
+        when(size(col("reject_reasons")) === 0, lit("valid"))
+          .otherwise(lit("rejected")).as("status"),
+        when(size(col("reject_reasons")) === 0, lit(null).cast("string"))
+          .otherwise(concat_ws(",", col("reject_reasons"))).as("reasons"))
     },
     Some("""WITH raw AS (
   SELECT event_id,

@@ -66,19 +66,27 @@ object Quality {
     * costs nothing over the happy path at 100 TB. */
   def tryIngest(raw: DataFrame, casts: Seq[(String, Column, Column)])
       : (DataFrame, DataFrame) = {
-    require(casts.nonEmpty, "tryIngest needs at least one required cast")
-    val marked = raw.withColumn("reject_reasons",
-      filter(
-        array(casts.map { case (name, rawCol, casted) =>
-          when(rawCol.isNull || casted.isNotNull, lit(null).cast("string"))
-            .otherwise(lit(name))
-        }: _*),
-        c => c.isNotNull))
+    val marked = markRejects(raw, casts)
     val valid = marked.filter(size(col("reject_reasons")) === 0)
       .drop("reject_reasons")
     val typed = casts.foldLeft(valid) {
       case (df, (name, _, casted)) => df.withColumn(name, casted)
     }
     (typed, marked.filter(size(col("reject_reasons")) > 0))
+  }
+
+  /** The single-pass marking half of [[tryIngest]]: adds
+    * `reject_reasons` (names of failed NON-NULL casts, in `casts`
+    * order) without splitting the frame — for summaries or sinks that
+    * route on the column in one scan. */
+  def markRejects(raw: DataFrame, casts: Seq[(String, Column, Column)]): DataFrame = {
+    require(casts.nonEmpty, "markRejects needs at least one required cast")
+    raw.withColumn("reject_reasons",
+      filter(
+        array(casts.map { case (name, rawCol, casted) =>
+          when(rawCol.isNull || casted.isNotNull, lit(null).cast("string"))
+            .otherwise(lit(name))
+        }: _*),
+        c => c.isNotNull))
   }
 }

@@ -117,6 +117,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"rank<=k filter must prune before the window exchange:\n$p")
   }
 
+  test("q_ingest_reject routes valid+rejected in ONE scan of the feed") {
+    val df = SparkEntry.queries("q_ingest_reject")(spark, Sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // a union of tryIngest's two sides would read events twice — the
+    // summary must stay a single marked projection
+    assert(scans.length == 1, s"expected one scan, got ${scans.length}")
+    assert(!df.queryExecution.executedPlan.toString.contains("Union"),
+      "routing must be a projection, not a two-sided union")
+  }
+
   test("corpus_prep_e2e gate filter reads materialized signals, not inlined re-tokenization") {
     val p = plan("corpus_prep_e2e")
     // without the signal-table barrier, predicate pushdown inlines
