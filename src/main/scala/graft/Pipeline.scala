@@ -113,7 +113,12 @@ object Pipeline {
       .agg(max(to_date(col("ts"))).as("max_d"))
 
   def incrementalMerge(spark: SparkSession, dir: String): DataFrame = {
-    val ve = viewingEvents(spark, dir)
+    // In the reference, MERGE reads a MATERIALIZED raw_viewing_events
+    // table; the checkpoint mirrors that. Without it the cast-heavy
+    // union subtree is instantiated at EVERY reference — target, batch,
+    // and the anti-join's key-distinct side — 12 scans of the feed in
+    // one plan (Prof `scans` sweep).
+    val ve = viewingEvents(spark, dir).localCheckpoint()
     val maxD = broadcast(ingestWatermark(spark, dir))
     val target = ve.crossJoin(maxD)
       .filter(col("metadata_date") <= date_sub(col("max_d"), 7)).drop("max_d")
@@ -131,7 +136,8 @@ object Pipeline {
     * while it fits and falls back to a shuffled anti join when a
     * backfill's keys would blow the driver. */
   def upsertMerge(spark: SparkSession, dir: String): DataFrame = {
-    val ve = viewingEvents(spark, dir)
+    // materialized-table mirror — see incrementalMerge
+    val ve = viewingEvents(spark, dir).localCheckpoint()
     val maxD = broadcast(ingestWatermark(spark, dir))
     val target = ve.crossJoin(maxD)
       .filter(col("metadata_date") <= date_sub(col("max_d"), 7)).drop("max_d")
@@ -181,7 +187,11 @@ object Pipeline {
     * watermark insert-only-merged into the existing windows, keyed on
     * panel_monday. */
   def panelWindowsMerge(spark: SparkSession, dir: String): DataFrame = {
-    val windows = panelWindows(spark, dir)
+    // the windows table is referenced three times (existing, target
+    // slice, overlapping batch) — materialize the tiny frame once
+    // instead of re-deriving distinct Mondays from the feed per
+    // reference (6 feed scans → 1; Prof `scans` sweep)
+    val windows = panelWindows(spark, dir).localCheckpoint()
     val cutoff = broadcast(windows.agg(date_sub(max("panel_monday"), 14).as("cut")))
     val target = windows.crossJoin(cutoff)
       .filter(col("panel_monday") <= col("cut")).drop("cut")

@@ -123,10 +123,14 @@ GROUP BY md5(text)"""))
     * story can't drift. */
   private[graft] def ngramJaccardPairs(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // build-once idiom (same as dedup_minhash): without the barrier the
+    // self-join instantiates the interpreted shingle transform per side
+    // — two full gram builds before the bucket-local pair loop
     val docs = ViewingData.table(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         TextFunctions.shingles("text", 3).as("grams"))
+      .localCheckpoint()
     val a = docs.as("a")
     val b = docs.as("b")
     a.join(b, expr("a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id"))
