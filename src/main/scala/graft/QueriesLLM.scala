@@ -189,6 +189,71 @@ FROM documents"""))
        substring(md5('graft-shuffle-42:' || CAST(doc_id AS VARCHAR)), 1, 2) AS shard
 FROM documents"""))
 
+  /** Source-mixture sampling: pre-training corpora are blended by
+    * SOURCE at target proportions (web downsampled, curated sources
+    * kept). Deterministic keep-decision per doc: lowercase-hex md5
+    * compares identically in both engines, so a string-range threshold
+    * IS an exact rate (first two hex chars uniform over 256 buckets —
+    * '80' ≈ 0.5, '40' ≈ 0.25). No rand(), so retries/reshards keep the
+    * same rows, and the filter is scan-speed with no shuffle. */
+  private val corpusMix = Q(
+    "corpus_mix",
+    (s, dir) => {
+      val key = substring(
+        md5(concat(lit("graft-mix-7:"), col("doc_id").cast("string")).cast("binary")),
+        1, 2)
+      ViewingData.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), key.as("mix_key"))
+        .filter(
+          col("source").isin("src0", "src1") || // curated: keep all
+          (col("source").isin("src2", "src3") && col("mix_key") < "80") || // 1/2
+          col("mix_key") < "40") // everything else: 1/4
+    },
+    Some("""WITH keyed AS (
+  SELECT doc_id, source,
+         substring(md5('graft-mix-7:' || CAST(doc_id AS VARCHAR)), 1, 2) AS mix_key
+  FROM documents)
+SELECT doc_id, source, mix_key
+FROM keyed
+WHERE source IN ('src0','src1')
+   OR (source IN ('src2','src3') AND mix_key < '80')
+   OR mix_key < '40'"""))
+
+  /** Unigram language-model scoring (the CCNet/quality-filter signal
+    * a real LM perplexity approximates): corpus-wide unigram
+    * frequencies, then each doc scored by its tokens' mean log
+    * probability. Two aggregations: token frequencies (one |vocab|
+    * shuffle, map-side combined) and per-doc means (one |docs|
+    * shuffle). The token→frequency join carries no hint: vocab ≪
+    * corpus, so AQE broadcasts it while it fits and shuffles when a
+    * 100-TB vocabulary wouldn't. The token table is built ONCE
+    * (checkpoint) for both consumers. */
+  private val textUnigramLogprob = Q(
+    "text_unigram_logprob",
+    (s, dir) => {
+      val toks = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .localCheckpoint()
+      val freq = toks.groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
+      val total = freq.agg(sum("c").as("n"))
+      toks.join(freq, "tok").crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+          round(avg(log(col("c") / col("n"))), 6).as("logprob"),
+          count(lit(1)).cast("long").as("n_tokens"))
+    },
+    Some("""WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+f AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM t GROUP BY tok),
+n AS (SELECT SUM(c) AS n FROM f)
+SELECT doc_id,
+       round(avg(ln(c / n)), 6) AS logprob,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM t JOIN f USING (tok) CROSS JOIN n
+GROUP BY doc_id"""))
+
   /** REAL container-header decode, oracle-checked by construction:
     * build a bit-valid PNG signature + IHDR and a JPEG (APP0 + SOF0)
     * with doc-derived dimensions, then recover them — PNG via
@@ -362,5 +427,5 @@ WINDOW w AS (PARTITION BY shard ORDER BY doc_id
 
   val all: Seq[Q] =
     Seq(textRepetition, textDecontaminate, piiScrubQ, corpusShuffle,
-      mmHeaderParse, qualityGate, corpusPrep)
+      corpusMix, textUnigramLogprob, mmHeaderParse, qualityGate, corpusPrep)
 }
