@@ -270,6 +270,54 @@ FROM checked"""))
     (s, dir) => datesAsStrings(Pipeline.weightedEvents(s, dir)),
     Some(veCte + "\nSELECT * REPLACE (CAST(metadata_date AS VARCHAR) AS metadata_date, CAST(panel_monday AS VARCHAR) AS panel_monday) FROM weighted"))
 
+  /** SCD2 dimension build from weekly snapshots (the warehouse pattern
+    * the reference's geo_weights feed implies: weekly panel-weight
+    * snapshots → effective-dated history for as-of joins). Change
+    * compression (LAG) then range closing (LEAD over the survivors) —
+    * both windows share hashpartitioning(smba_id), so the whole build
+    * is ONE shuffle of the snapshot table. The tracked weight gets a
+    * deterministic weekly perturbation (epoch-day mod 3) because the
+    * synthetic weight is constant per member — the oracle reproduces
+    * it, so compression has real work to verify. */
+  private val scd2Weights = Q(
+    "q_scd2_weights",
+    (s, dir) => {
+      val w1 = Window.partitionBy("smba_id").orderBy("metadata_date")
+      val snaps = ViewingData.geoWeights(s, dir)
+        .withColumn("w",
+          col("geo_weight") +
+            pmod(datediff(col("metadata_date"), to_date(lit("1970-01-01"))), lit(3)))
+      val changed = snaps
+        .withColumn("prev_w", lag("w", 1).over(w1))
+        .filter(col("prev_w").isNull || col("w") =!= col("prev_w"))
+      datesAsStrings(changed
+        .withColumn("effective_to", date_sub(lead("metadata_date", 1).over(w1), 1))
+        .select(
+          col("smba_id"), col("hh_id"), col("w").cast("long").as("weight"),
+          col("metadata_date").as("effective_from"),
+          col("effective_to"),
+          col("effective_to").isNull.as("is_current")))
+    },
+    Some(veCte + """,
+snaps AS (
+  SELECT smba_id, hh_id,
+         geo_weight + (metadata_date - DATE '1970-01-01') % 3 AS w,
+         metadata_date
+  FROM geo_weights),
+changed AS (
+  SELECT *, LAG(w) OVER (PARTITION BY smba_id ORDER BY metadata_date) AS prev_w
+  FROM snaps),
+scd AS (
+  SELECT smba_id, hh_id, w, metadata_date AS effective_from,
+         LEAD(metadata_date) OVER (PARTITION BY smba_id ORDER BY metadata_date) - 1
+           AS effective_to
+  FROM changed WHERE prev_w IS NULL OR w <> prev_w)
+SELECT smba_id, hh_id, CAST(w AS BIGINT) AS weight,
+       CAST(effective_from AS VARCHAR) AS effective_from,
+       CAST(effective_to AS VARCHAR) AS effective_to,
+       effective_to IS NULL AS is_current
+FROM scd"""))
+
   private val sessionize = Q(
     "q_sessionize",
     (s, dir) => datesAsStrings(Pipeline.sessions(s, dir)),
@@ -764,7 +812,7 @@ FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t >= r.rt"""))
     ingestCast, partitionExtract, ingestReject,
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
     audienceMetrics, incrementalMerge, upsertMergeQ, affectedRebuild, watermarkQ,
-    controlTableQ, panelWindowsMergeQ,
+    controlTableQ, panelWindowsMergeQ, scd2Weights,
     q1Agg, joinDims, joinFact, topkWindow, rollupQ, distinctQ, semiAnti,
     pivotCase, runningWindow) ++ QueriesML.all ++ QueriesExt.all ++ QueriesLLM.all
 }
