@@ -112,6 +112,32 @@ class LakeWriterSpec extends SparkTestBase {
     assert(err.getMessage.contains("unsupported feed format"))
   }
 
+  test("publish: swaps atomically and cleans stale crash leftovers") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("publish").toString
+    def write(path: String, v: Long): Unit =
+      Seq(v).toDF("x").coalesce(1).write.mode("overwrite").parquet(path)
+    val target = s"$root/t"
+    write(target, 1L) // live copy
+    // a previous run crashed between its two renames: stale __old__ AND
+    // a stale staging dir are both lying around
+    write(s"$target.__old__", 99L)
+    write(LakeWriter.stagingPath(target) + "_zombie", 98L)
+    // current run stages a fresh rewrite and publishes
+    val staged = LakeWriter.stagingPath(target)
+    write(staged, 2L)
+    LakeWriter.publish(spark, staged, target)
+    assert(spark.read.parquet(target).as[Long].collect().toSeq == Seq(2L))
+    assert(!new java.io.File(staged).exists(), "staging must be promoted away")
+    assert(!new java.io.File(s"$target.__old__").exists(),
+      "previous copy must be dropped after a successful swap")
+    // publishing onto a path with NO existing target also works (first write)
+    val fresh = s"$root/fresh"
+    write(LakeWriter.stagingPath(fresh), 7L)
+    LakeWriter.publish(spark, LakeWriter.stagingPath(fresh), fresh)
+    assert(spark.read.parquet(fresh).as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("JSONL and CSV hive layouts round-trip with equal content") {
     import spark.implicits._
     val root = Files.createTempDirectory("lake2").toString
