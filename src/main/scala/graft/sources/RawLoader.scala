@@ -129,11 +129,20 @@ object RawLoader {
     *     recorded; skipped files are never opened.
     *
     * Row counts come from `observe()` on the single write pass — no
-    * second scan. The ledger append follows the data append, so a
-    * crash BETWEEN the two re-loads at most that run's files on retry
-    * (at-least-once); compose with [[graft.operators.IncrementalMerge]]
-    * insert-only on a row key for exactly-once, or land on a table
-    * format whose COPY equivalent commits both atomically. */
+    * second scan.
+    *
+    * Commit protocol (the manifest pattern table formats use): each
+    * run's rows land in their own `run=<id>` directory where the id is
+    * a DETERMINISTIC digest of the loaded file set, and the ledger
+    * append is the COMMIT. A crash between data write and ledger
+    * append leaves an uncommitted run dir that (a) [[readCommitted]]
+    * never sees (it reads only ledger-committed runs), (b) the retry
+    * heals in place — the same fresh set digests to the same run id,
+    * so the rewrite overwrites the partial dir before committing it —
+    * and (c) [[vacuumUncommitted]] deletes if the retry never comes
+    * (e.g. the stage files were withdrawn). Plain
+    * `spark.read.parquet(target)` still works and sees at-least-once
+    * semantics; the committed reader sees exactly-once. */
   def copyInto(spark: SparkSession, root: String, feed: String,
       targetPath: String, ledgerPath: String): CopyResult = {
     import scala.jdk.CollectionConverters._
@@ -151,20 +160,54 @@ object RawLoader {
         .select("file_name").collect().map(_.getString(0)).toSet
     val fresh = files.filterNot(loaded)
     if (fresh.isEmpty) return CopyResult(0, files.size, 0)
+    val runId = java.security.MessageDigest.getInstance("MD5")
+      .digest(fresh.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val obs = new org.apache.spark.sql.Observation()
     withPathCols(spark.read.parquet(fresh: _*))
       .observe(obs, count(lit(1)).as("rows"))
-      .write.mode("append").parquet(targetPath)
+      .write.mode("overwrite") // heals a crashed run's partial dir
+      .parquet(s"$targetPath/run=$runId")
     val rows = obs.get("rows").asInstanceOf[Long]
     spark.createDataFrame(
         fresh.map(org.apache.spark.sql.Row(_)).asJava,
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("file_name",
             org.apache.spark.sql.types.StringType, nullable = false))))
+      .withColumn("run_id", lit(runId))
       .withColumn("loaded_at", current_timestamp())
       .withColumn("run_rows", lit(rows)) // rows of the RUN that loaded this file
       .coalesce(1)
-      .write.mode("append").parquet(ledgerPath)
+      .write.mode("append").parquet(ledgerPath) // <- the commit point
     CopyResult(fresh.size, files.size - fresh.size, rows)
+  }
+
+  /** Exactly-once read of a [[copyInto]] target: only runs the ledger
+    * committed. The ledger is metadata-sized (a row per loaded file);
+    * its distinct run ids select whole directories, so this is a
+    * partition-pruned read, not a row filter. */
+  def readCommitted(spark: SparkSession, targetPath: String,
+      ledgerPath: String): DataFrame = {
+    val runs = spark.read.parquet(ledgerPath)
+      .select("run_id").distinct().collect().map(_.getString(0))
+    require(runs.nonEmpty, s"no committed runs in $ledgerPath")
+    spark.read.parquet(runs.toIndexedSeq.map(r => s"$targetPath/run=$r"): _*)
+  }
+
+  /** Deletes run directories with no ledger commit (crashed loads whose
+    * retry never came). Returns the deleted run ids. */
+  def vacuumUncommitted(spark: SparkSession, targetPath: String,
+      ledgerPath: String): Seq[String] = {
+    val tp = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) return Seq.empty
+    val committed = spark.read.parquet(ledgerPath)
+      .select("run_id").distinct().collect().map(_.getString(0)).toSet
+    val orphans = fs.listStatus(tp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("run="))
+      .map(_.getPath)
+      .filterNot(p => committed.contains(p.getName.stripPrefix("run=")))
+    orphans.foreach(p => fs.delete(p, true))
+    orphans.map(_.getName.stripPrefix("run="))
   }
 }

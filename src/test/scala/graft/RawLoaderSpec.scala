@@ -88,6 +88,36 @@ class RawLoaderSpec extends SparkTestBase {
     // ledger is one row per loaded file
     assert(spark.read.parquet(ledger).count() ==
       first.filesLoaded + backfill.filesLoaded)
+
+    // ---- crash between data write and ledger commit ----
+    // simulate: run a load, then roll the ledger back to its pre-run
+    // state (the data run dir stays = crashed-before-commit)
+    val ledgerSnap = s"$root/out/ledger_snap"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(ledger), new java.io.File(ledgerSnap))
+    day("08", Seq(7L, 8L))
+    RawLoader.copyInto(spark, root, "ACR", target, ledger)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ledger))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(ledgerSnap), new java.io.File(ledger))
+    // plain read = at-least-once (sees the uncommitted run);
+    // committed read = exactly-once (does not)
+    assert(spark.read.parquet(target).count() == 8)
+    assert(RawLoader.readCommitted(spark, target, ledger).count() == 6,
+      "committed reader must not see the uncommitted run")
+    // the retry HEALS in place: same fresh set → same run id → the
+    // partial dir is overwritten, then committed; no duplicates anywhere
+    val retry = RawLoader.copyInto(spark, root, "ACR", target, ledger)
+    assert(retry.rowsLoaded == 2, retry)
+    assert(spark.read.parquet(target).count() == 8, "no duplicate data files")
+    assert(RawLoader.readCommitted(spark, target, ledger)
+      .select("id").as[Long].collect().sorted.toSeq == (1L to 8L))
+
+    // ---- vacuum: an orphan run whose retry never comes ----
+    Seq(99L).toDF("id").write.parquet(s"$target/run=deadbeef")
+    val deleted = RawLoader.vacuumUncommitted(spark, target, ledger)
+    assert(deleted == Seq("deadbeef"), deleted)
+    assert(spark.read.parquet(target).count() == 8, "committed runs untouched")
   }
 
   test("date predicate prunes to matching files only") {
