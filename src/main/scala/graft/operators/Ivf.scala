@@ -80,6 +80,40 @@ object Ivf {
     (index, cents)
   }
 
+  /** Persists a built index CELL-PARTITIONED (`cells/<cellCol>=…`
+    * directories + a single-file centroid table): the production
+    * build-once/probe-many layout. Because the corpus lands one
+    * directory per cell, a probe becomes a PARTITION-PRUNED read —
+    * nprobe directories opened, the rest of the 100-TB index never
+    * listed, which is the file-level analogue of the in-memory
+    * cell filter. */
+  def writeIndex(index: DataFrame, cents: DataFrame, cellCol: String,
+      path: String): Unit = {
+    index.write.partitionBy(cellCol).mode("overwrite").parquet(s"$path/cells")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a [[writeIndex]]-persisted index. Centroid ranking runs on
+    * the (tiny) centroid table and the winning `nprobe` cell ids are
+    * collected driver-side — control-plane metadata, like any
+    * partition predicate — so the cells scan carries a LITERAL
+    * partition filter and prunes statically at file listing. */
+  def probeIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+      query: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      nprobe: Int, k: Int, qCol: String = "q"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val qCells = query.crossJoin(broadcast(cents))
+      .withColumn("__sim", dotNative(col(qCol), col("centroid")))
+      .orderBy(col("__sim").desc, col(cellCol)).limit(nprobe)
+      .select(col(cellCol)).collect().map(_.get(0))
+    spark.read.parquet(s"$path/cells")
+      .filter(col(cellCol).isin(qCells.toIndexedSeq: _*))
+      .crossJoin(broadcast(query))
+      .select(col(idCol), col(cellCol),
+        round(dotNative(col(vecCol), col(qCol)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol)).limit(k)
+  }
+
   /** Top-k by cosine for one query vector, searching only its
     * `nprobe` nearest cells. `index` must carry (idCol, vecCol,
     * cellCol) with unit-normalized vectors — build it once via

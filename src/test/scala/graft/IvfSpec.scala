@@ -56,6 +56,44 @@ class IvfSpec extends SparkTestBase {
       s"probing every cell must reproduce brute force exactly: $sweep")
   }
 
+  test("persisted index: probe matches in-memory probe and prunes to nprobe partitions") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    graft.plans.GraftExtensions.register(spark)
+    val dir = "/root/testdata/sf0.01"
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/idx"
+    val v = graft.sources.ViewingData.table(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"),
+        normalize(toDouble(col("embedding"))).as("e"))
+      .localCheckpoint()
+    val cents = graft.operators.Ivf.centroids(v, "label", "e").localCheckpoint()
+    val index = graft.operators.Ivf.assign(v, cents, "vec_id", "e", "label")
+      .filter(col("vec_id") =!= 0).localCheckpoint()
+    graft.operators.Ivf.writeIndex(index, cents, "label", path)
+    val query = v.filter(col("vec_id") === 0).select(col("e").as("q"))
+
+    val mem = graft.operators.Ivf.probe(index, cents, query,
+      "vec_id", "e", "label", nprobe = 3, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val persisted = graft.operators.Ivf.probeIndexed(spark, path, query,
+      "vec_id", "e", "label", nprobe = 3, k = 10)
+    assert(persisted.select("vec_id").as[Long].collect().toSet == mem,
+      "persisted probe must reproduce the in-memory probe")
+
+    // the scale property: the cells scan carries a literal partition
+    // filter — only the probed directories are read
+    val scans = persisted.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata("Location").contains("cells") => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.metadata("PartitionFilters").contains("label"),
+      scans.head.metadata("PartitionFilters"))
+    assert(scans.head.selectedPartitions.partitionCount == 3,
+      s"expected 3 pruned partitions, got ${scans.head.selectedPartitions.partitionCount}")
+  }
+
   test("Lloyd refinement recovers true clusters from a bad seed") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions._
