@@ -662,11 +662,75 @@ FROM events GROUP BY 1"""))
        CAST(weekofyear(o_orderdate) AS BIGINT) AS isoweek
 FROM orders"""))
 
+  /** Funnel / sequential-pattern analysis (the behavioral-OLAP
+    * workload a viewing dataset exists for): per user, a `view`
+    * converts if the FIRST `click` lands within an hour, and that
+    * click converts if the first `purchase` follows within an hour —
+    * strictly ordered, earliest-match semantics. Shape: two
+    * user-keyed range joins, each followed by a min-aggregate back to
+    * one row per funnel step. Both joins shuffle on user_id only (the
+    * natural funnel key — co-partitioned after the first exchange);
+    * ranges bound the per-user pair loop, never |events|². */
+  private val funnel = Q(
+    "q_funnel",
+    (s, dir) => {
+      val ev = ViewingData.table(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("t"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("t"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("t").as("ct"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("t").as("pt"))
+      val withClick = views
+        .join(clicks,
+          col("user_id") === col("cu") &&
+          col("ct") > col("t") && col("ct") <= col("t") + 3600L, "left")
+        .groupBy("user_id", "event_id", "t")
+        .agg(min("ct").as("click_t"))
+      val withPurchase = withClick
+        .join(purchases,
+          col("user_id") === col("pu") &&
+          col("pt") > col("click_t") && col("pt") <= col("click_t") + 3600L, "left")
+        .groupBy("user_id", "event_id", "t", "click_t")
+        .agg(min("pt").as("purchase_t"))
+      withPurchase.agg(
+        count(lit(1)).as("n_views"),
+        count(col("click_t")).as("n_view_click"),
+        count(col("purchase_t")).as("n_view_click_purchase"),
+        round(count(col("click_t")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("click_rate"),
+        round(count(col("purchase_t")).cast("double") /
+          nullif(count(col("click_t")), lit(0)).cast("double"), 6).as("purchase_rate"))
+    },
+    Some("""WITH ev AS (
+  SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events),
+v AS (SELECT user_id, event_id, t FROM ev WHERE event_type = 'view'),
+c AS (SELECT user_id AS cu, t AS ct FROM ev WHERE event_type = 'click'),
+p AS (SELECT user_id AS pu, t AS pt FROM ev WHERE event_type = 'purchase'),
+wc AS (
+  SELECT v.user_id, v.event_id, v.t, MIN(c.ct) AS click_t
+  FROM v LEFT JOIN c ON v.user_id = c.cu AND c.ct > v.t AND c.ct <= v.t + 3600
+  GROUP BY v.user_id, v.event_id, v.t),
+wp AS (
+  SELECT wc.user_id, wc.event_id, wc.t, wc.click_t, MIN(p.pt) AS purchase_t
+  FROM wc LEFT JOIN p ON wc.user_id = p.pu AND p.pt > wc.click_t AND p.pt <= wc.click_t + 3600
+  GROUP BY wc.user_id, wc.event_id, wc.t, wc.click_t)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(COUNT(click_t) AS BIGINT) AS n_view_click,
+       CAST(COUNT(purchase_t) AS BIGINT) AS n_view_click_purchase,
+       round(CAST(COUNT(click_t) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS click_rate,
+       round(CAST(COUNT(purchase_t) AS DOUBLE) /
+             CAST(NULLIF(COUNT(click_t), 0) AS DOUBLE), 6) AS purchase_rate
+FROM wp"""))
+
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
     approxAggs, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
     tryCast, skewAgg, statsAgg, skewJoin, dqAudit, dedupKeepCanonical,
-    stringFuncs2, bitAggs, dateFuncs2)
+    stringFuncs2, bitAggs, dateFuncs2, funnel)
 }
