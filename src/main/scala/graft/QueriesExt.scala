@@ -726,11 +726,46 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_views,
              CAST(NULLIF(COUNT(click_t), 0) AS DOUBLE), 6) AS purchase_rate
 FROM wp"""))
 
+  /** Cohort retention (the other canonical behavioral-OLAP matrix):
+    * users cohorted by FIRST active week, each cell = how many of the
+    * cohort were active k weeks later. Three aggregations, each
+    * map-side combined: per-user first week (|users| shuffle), distinct
+    * (user, week) activity (same key — co-partitioned), cohort×offset
+    * counts (|cohorts×offsets| — tiny). The user→cohort join is keyed
+    * on user_id like everything before it, so the whole query is ONE
+    * logical repartition by user followed by a rollup. */
+  private val retention = Q(
+    "q_retention",
+    (s, dir) => {
+      val wk = date_trunc("week", col("ts")).cast("date")
+      val activity = ViewingData.table(s, dir, "events")
+        .select(col("user_id"), wk.as("week")).distinct()
+      val cohorts = activity.groupBy("user_id")
+        .agg(min("week").as("cohort_week"))
+      activity.join(cohorts, "user_id")
+        .select(col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("active_users"))
+        .select(col("cohort_week").cast("string").as("cohort_week"),
+          col("week_offset"), col("active_users"))
+    },
+    Some("""WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events),
+cohorts AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY user_id)
+SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
+       CAST((a.week - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity a JOIN cohorts c USING (user_id)
+GROUP BY c.cohort_week, (a.week - c.cohort_week) // 7"""))
+
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
     approxAggs, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
     tryCast, skewAgg, statsAgg, skewJoin, dqAudit, dedupKeepCanonical,
-    stringFuncs2, bitAggs, dateFuncs2, funnel)
+    stringFuncs2, bitAggs, dateFuncs2, funnel, retention)
 }
