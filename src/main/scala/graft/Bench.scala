@@ -4,10 +4,22 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main. Stdout contract (the driver tail-captures a bounded
   * buffer and parses the LAST line):
   *
-  *   - one line PER QUERY first:  {"query":"q1_agg","sec":1.234,"passes":2}
+  *   - a `{"query":"__calib__","sec":…,"passes":1}` line FIRST — a
+  *     fixed-cost, sf-independent shuffle+agg run right after warm-up,
+  *   - one line PER QUERY next:  {"query":"q1_agg","sec":1.234,"passes":2}
   *     (`sec` is null when the query failed — never a -1 sentinel)
+  *   - a second `__calib__` line (same query, run after the whole suite),
   *   - then ONE SHORT final line: {"metric":"total","value":N,"unit":"sec",
-  *     "sf":"...","passes":2,"n_queries":N}
+  *     "sf":"...","passes":2,"n_queries":N,"calib_sec":[a,b]}
+  *
+  * Calibration: per-query wall times on the driver VM swing ~2× run to
+  * run for reasons unrelated to the plans (noisy-neighbor VM drift, GC).
+  * The two `__calib__` runs bracket the suite with a workload whose cost
+  * is constant by construction (spark.range → hash shuffle → sum, no
+  * files, no data-size dependence), so any round's per-query numbers can
+  * be normalized: divide by mean(calib_sec) / reference_calib before
+  * comparing across rounds. A round where calib itself doubled is a slow
+  * VM, not a regression. `value` (total) still excludes calibration.
   *
   * The final line deliberately carries no per-query map: with 76 queries
   * that map exceeded the driver's tail buffer and truncated the line's
@@ -50,6 +62,21 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
       }
     }
+    // Constant-cost calibration workload: 64M synthetic longs hashed into
+    // 4096 groups and summed — one shuffle, full codegen, zero file I/O,
+    // zero dependence on SPARK_GRAFT_SF_DIR. Its wall time moves only
+    // when the VM does.
+    def calib(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0L, 64L * 1024 * 1024, 1L, 32)
+        .select((pmod(col("id") * lit(2654435761L), lit(4096))).as("k"), col("id").as("v"))
+        .groupBy("k").agg(sum("v").as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibLine(sec: Double): Unit =
+      println(s"""{"query":"__calib__","sec":$sec,"passes":1}""")
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -60,6 +87,8 @@ object Bench {
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => graft.sources.ViewingData.table(spark, sfDir, t).count())
     names.take(2).foreach(exec)
+    calib() // calib's own warm-up (first run JITs its codegen'd stage)
+    val calibBefore = calib()
     // Wall times swing ~2× run to run (GC/JIT/VM noise lands on random
     // queries); per-query MIN over two back-to-back passes reports
     // steady-state throughput, the JMH practice. Second passes stop once
@@ -77,15 +106,18 @@ object Bench {
       val best = (t1.toSeq ++ t2.toSeq).minOption
       (n, best, t1.size + t2.size)
     }
+    val calibAfter = calib()
+    calibLine(calibBefore)
     results.foreach { case (n, best, p) =>
       println(s"""{"query":"$n","sec":${best.map(_.toString).getOrElse("null")},"passes":$p}""")
     }
+    calibLine(calibAfter)
     val total = results.flatMap(_._2).sum
     // summary passes = weakest SUCCESSFUL query (failed queries print
     // sec:null on their own line; they must not zero the contract field)
     val succeeded = results.filter(_._2.isDefined)
     val minPasses = if (succeeded.isEmpty) 0 else succeeded.map(_._3).min
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$minPasses,"n_queries":${results.size}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$minPasses,"n_queries":${results.size},"calib_sec":[$calibBefore,$calibAfter]}""")
     spark.stop()
   }
 }
