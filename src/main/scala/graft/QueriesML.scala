@@ -365,6 +365,38 @@ WHERE rk <= 10"""))
     },
     None)
 
+  private val annIvfPq = Q(
+    "ann_ivfpq",
+    (s, dir) => {
+      // The composed production index: IVF cells persisted as parquet
+      // directories carrying PQ residual codes. Probe = directory-
+      // pruned cells → literal-LUT ADC shortlist → exact re-rank of
+      // shortlist ids only. Rows-only (seeded k-means + quantization
+      // have no DuckDB twin); IvfPqSpec pins ≥0.9 recall@10 vs brute
+      // force plus the pruned-read layout.
+      graft.plans.GraftExtensions.register(s)
+      import s.implicits._
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("label"),
+          normalize(toDouble(col("embedding"))).as("e"))
+        .localCheckpoint()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      // one Lloyd round per quantizer here: the bench rebuilds the
+      // index every run, and build cost is amortized build-once/
+      // probe-many in production; IvfPqSpec pins recall at the full
+      // default rounds
+      operators.IvfPq.writeIndex(v, "vec_id", "e", "label", path,
+        m = 16, k = 16, ivfRounds = 1, pqRounds = 2)
+      val q = v.filter(col("vec_id") === 0).select("e").as[Seq[Double]].head()
+      operators.IvfPq.probe(s, path, v.filter(col("vec_id") =!= 0), q,
+          "vec_id", "e", "label", nprobe = 8, k = 10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+    },
+    None)
+
   /** Batch k-NN join — top-k neighbors for EVERY vector at once, the
     * offline shape retrieval indexing and embedding-dedup actually
     * run (the single-query probes above are the serving shape).
@@ -517,7 +549,7 @@ GROUP BY 1, 2"""))
   val all: Seq[Q] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
-    annBruteforce, annBucketed, annIvf, annKnnJoin, annQ8,
+    annBruteforce, annBucketed, annIvf, annIvfPq, annKnnJoin, annQ8,
     mmBinaryMeta, mmDecode,
     streamBatchParity)
 }

@@ -52,6 +52,21 @@ object VectorFunctions {
     * error ([[graft.plans.VecDotQ8]]). */
   def dotQ8(a: Column, b: Column): Column = call_function("vec_dot_q8", a, b)
 
+  /** Element-wise vector sum AGGREGATE ([[graft.plans.VecSum]]) — the
+    * centroid primitive: `groupBy(cell).agg(vecSum(vec))` shuffles one
+    * partial-sum row per (partition, cell) where a posexplode
+    * formulation shuffles n×d element rows. Requires
+    * `plans.GraftExtensions.register(spark)` (idempotent). */
+  def vecSum(v: Column): Column = call_function("vec_sum", v)
+
+  /** 0-based index of the `mat` row maximizing `v·mat[i] + bias[i]`
+    * (first max wins ties) — the quantizer-assignment kernel
+    * ([[graft.plans.VecArgmaxDot]]): `bias = −‖c‖²/2` gives L2
+    * argmin, `bias = 0` cosine argmax over unit vectors. Pass the
+    * codebook as nested literals for a one-node codegen'd plan. */
+  def argmaxDot(v: Column, mat: Column, bias: Column): Column =
+    call_function("vec_argmax_dot", v, mat, bias)
+
   /** Random-hyperplane LSH bucket (signed projections packed to a long).
     * Hyperplane components are pseudo-random ±1 derived from
     * xxhash64(plane, dim) — deterministic across runs and engines, no

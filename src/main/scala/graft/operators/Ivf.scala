@@ -21,16 +21,16 @@ import graft.functions.VectorFunctions._
   */
 object Ivf {
 
-  /** Element-wise mean per cell: posexplode → (cell, pos) avg →
-    * re-assemble ordered by pos. One narrow shuffle of (cells × dim)
-    * groups; map-side partial avg keeps it |cells|·dim-sized. */
+  /** Element-wise mean per cell via the native [[vecSum]] aggregate:
+    * ONE exchange carrying one partial-sum row per (partition, cell)
+    * — map-side combine over dense arrays — where a posexplode
+    * formulation shuffles n×d element rows through two exchanges.
+    * Requires `plans.GraftExtensions.register` (all callers do). */
   def centroids(v: DataFrame, cellCol: String, vecCol: String): DataFrame =
-    v.select(col(cellCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy(col(cellCol), col("pos")).agg(avg("x").as("m"))
-      .groupBy(col(cellCol))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+    v.groupBy(col(cellCol))
+      .agg(vecSum(col(vecCol)).as("__s"), count(lit(1)).as("__n"))
       .select(col(cellCol),
-        normalize(transform(col("pm"), p => p.getField("m"))).as("centroid"))
+        normalize(transform(col("__s"), x => x / col("__n"))).as("centroid"))
 
   /** Assign every vector to its highest-cosine centroid (vectors must
     * be unit-normalized; ties break on the greater cell id for
@@ -58,26 +58,28 @@ object Ivf {
 
   /** Lloyd refinement: alternate [[centroids]] / [[assign]] from the
     * seed cells. Spherical k-means on DataFrames — each round is one
-    * narrow centroid aggregate + one broadcast re-assignment, with
-    * checkpoints truncating lineage. Quantization error (mean cosine
-    * to own centroid) is non-decreasing per round; a handful of
-    * rounds is standard for IVF index builds. Returns (index, cents).
+    * narrow centroid aggregate + one broadcast re-assignment.
+    * Quantization error (mean cosine to own centroid) is
+    * non-decreasing per round; a handful of rounds is standard for
+    * IVF index builds. Returns (index, cents).
     *
-    * Storage: each round's checkpoint supersedes the last; dropped
-    * rounds' blocks are reclaimed by Spark's ContextCleaner once the
-    * old DataFrame references go out of scope (they do — the vars are
-    * reassigned), so steady-state storage is one corpus copy plus the
-    * in-flight round, not rounds× copies. */
+    * Only the LAST round materializes (one checkpoint for the index,
+    * one pass over it for the final centroids): intermediate rounds
+    * stay lazy — each round re-assigns from `v` (which the caller
+    * holds materialized), so the lineage is a linear ~3·rounds-
+    * exchange chain, trivially planned for the handful of rounds an
+    * index build runs, and we pay rounds× fewer materialization jobs
+    * than a checkpoint-per-round loop. */
   def refine(v: DataFrame, idCol: String, vecCol: String, cellCol: String,
       rounds: Int): (DataFrame, DataFrame) = {
-    val base = v.localCheckpoint()
-    var index = base
-    var cents = centroids(index, cellCol, vecCol).localCheckpoint()
-    for (_ <- 0 until rounds) {
-      index = assign(base, cents, idCol, vecCol, cellCol).localCheckpoint()
-      cents = centroids(index, cellCol, vecCol).localCheckpoint()
+    var index = v
+    var cents = centroids(index, cellCol, vecCol)
+    for (i <- 0 until rounds) {
+      index = assign(v, cents, idCol, vecCol, cellCol)
+      if (i == rounds - 1) index = index.localCheckpoint()
+      cents = centroids(index, cellCol, vecCol)
     }
-    (index, cents)
+    (index, cents.localCheckpoint())
   }
 
   /** Persists a built index CELL-PARTITIONED (`cells/<cellCol>=…`
@@ -89,7 +91,11 @@ object Ivf {
     * cell filter. */
   def writeIndex(index: DataFrame, cents: DataFrame, cellCol: String,
       path: String): Unit = {
-    index.write.partitionBy(cellCol).mode("overwrite").parquet(s"$path/cells")
+    // repartition by cell so writer tasks line up with cell
+    // directories — few large files per cell instead of tasks×cells
+    // small ones (the small-files problem at index-build scale)
+    index.repartition(col(cellCol))
+      .write.partitionBy(cellCol).mode("overwrite").parquet(s"$path/cells")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
@@ -112,6 +118,45 @@ object Ivf {
       .select(col(idCol), col(cellCol),
         round(dotNative(col(vecCol), col(qCol)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol)).limit(k)
+  }
+
+  /** Batch probe of a [[writeIndex]]-persisted index: top-k for a
+    * whole query SET in one pass — the offline shape (retrieval
+    * indexing, embedding dedup) where per-query [[probeIndexed]]
+    * round-trips would dominate.
+    *
+    * Shape: per-query cell ranking is a broadcast of the tiny
+    * centroid table + one WindowGroupLimit top-nprobe (map-side
+    * partial top-k, no full sort); the cells scan runs ONCE with a
+    * literal partition filter over the UNION of every query's probed
+    * cells (distinct cell ids collected driver-side — control-plane
+    * metadata bounded by |cells|, not |queries|); candidate scoring
+    * is a broadcast hash join of the pruned scan against the
+    * (query, cell) pairs; the final per-query top-k is again
+    * WindowGroupLimit. Nothing scales with |queries|×|corpus| except
+    * the probed-cell candidate set itself — the IVF contract. */
+  def probeIndexedBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, nprobe: Int, k: Int, qIdCol: String = "query_id",
+      qCol: String = "q"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.read.parquet(s"$path/centroids")
+    val qCells = queries.crossJoin(broadcast(cents))
+      .withColumn("__sim", dotNative(col(qCol), col("centroid")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(qIdCol).orderBy(col("__sim").desc, col(cellCol))))
+      .filter(col("__r") <= nprobe)
+      .select(col(qIdCol), col(qCol), col(cellCol))
+      .localCheckpoint() // consumed twice: cell-id union + candidate join
+    val probedCells = qCells.select(cellCol).distinct().collect().map(_.get(0))
+    spark.read.parquet(s"$path/cells")
+      .filter(col(cellCol).isin(probedCells.toIndexedSeq: _*))
+      .join(broadcast(qCells), cellCol)
+      .select(col(qIdCol), col(idCol), col(cellCol),
+        round(dotNative(col(vecCol), col(qCol)), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(qIdCol).orderBy(col("cos_sim").desc, col(idCol))))
+      .filter(col("rank") <= k)
   }
 
   /** Top-k by cosine for one query vector, searching only its

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.dotNative
+
+/** IVF-PQ — the FAISS production ANN index, composed from this
+  * library's two halves: [[Ivf]] coarse cells (refined centroids,
+  * cell-partitioned storage, directory-pruned probes) carrying [[Pq]]
+  * codes instead of raw vectors.
+  *
+  * The codes are PQ-encoded RESIDUALS (x − centroid(cell)), the FAISS
+  * IVF-PQ encoding: residuals are centered near zero so a shared
+  * codebook spends its k codes on the intra-cell structure rather
+  * than on cell offsets. Scoring splits exactly:
+  *
+  *   q·x ≈ q·c(cell) + q·r ≈ q·c(cell) + Σ_s lut[s][code_s]
+  *
+  * Both terms are control-plane literals at probe time — the nprobe
+  * q·centroid scalars and the m×k residual LUT — so scoring the codes
+  * table is a pure per-row projection: NO join, NO shuffle, and the
+  * file listing itself prunes to nprobe cell directories. A 100-TB
+  * raw corpus stores as |corpus|·m small ints (32× narrower at
+  * m=16,k=16 over 64-dim doubles); the probe reads nprobe/cells of
+  * THAT, and the exact re-rank reads full vectors only for the
+  * shortlist ids.
+  */
+object IvfPq {
+
+  /** Residual per row: vec − centroid(cell). One broadcast of the tiny
+    * centroid table; the corpus never shuffles here. */
+  private def residuals(index: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, cellCol: String): DataFrame =
+    index.join(broadcast(cents), cellCol)
+      .select(col(idCol), col(cellCol),
+        zip_with(col(vecCol), col("centroid"), (a, b) => a - b).as("resid"))
+
+  /** Builds and persists the full index at `path`:
+    *   - `cells/<cellCol>=…/`  PQ code rows (idCol, codes) per IVF cell
+    *   - `centroids/`          refined coarse centroids (cellCol, centroid)
+    *   - `codebooks/`          shared residual codebooks (seg, code, centroid)
+    *
+    * Input vectors must be unit-normalized (the [[Ivf]] contract).
+    * Build cost: the Lloyd rounds of both quantizers + one shuffle to
+    * partition codes by cell — paid once; every probe after is a
+    * pruned read. */
+  def writeIndex(v: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, path: String, m: Int, k: Int,
+      ivfRounds: Int = 2, pqRounds: Int = 3): Unit = {
+    val (index, cents) = Ivf.refine(v, idCol, vecCol, cellCol, ivfRounds)
+    val resid = residuals(index, cents, idCol, vecCol, cellCol)
+      .localCheckpoint()
+    val books = Pq.train(resid, idCol, "resid", m, k, pqRounds)
+    // encode is a pure projection, so the cell id rides along — no
+    // join needed to re-attach it before the partitioned write; the
+    // repartition lines writer tasks up with cell directories so each
+    // cell lands as few large files, not tasks×cells small ones
+    Pq.encode(resid, books, idCol, "resid", m, carry = Seq(cellCol))
+      .repartition(col(cellCol))
+      .write.partitionBy(cellCol).mode("overwrite").parquet(s"$path/cells")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    books.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** ADC shortlist from a persisted index for a single query vector
+    * `q` (unit-normalized): rank centroids driver-side, read ONLY the
+    * winning nprobe cell directories, score each code row as
+    * q·c(cell) + Σ_s lut[s][codes[s]] with both terms literal.
+    * Returns (idCol, cellCol, adc_score) — the `shortlist` biggest. */
+  def adcShortlist(spark: SparkSession, path: String, q: Seq[Double],
+      idCol: String, cellCol: String, nprobe: Int,
+      shortlist: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col(cellCol), col("centroid")).collect()
+      .map(r => (r.get(0), {
+        val c = r.getSeq[Double](1)
+        q.zip(c).map { case (a, b) => a * b }.sum
+      }))
+    val probed = cents.sortBy { case (cell, d) => (-d, cell.toString) }
+      .take(nprobe)
+    // q·centroid per probed cell, a literal map keyed by cell id
+    val cellDot = element_at(
+      map(probed.flatMap { case (cell, d) => Seq(lit(cell), lit(d)) }: _*),
+      col(cellCol))
+    val books = spark.read.parquet(s"$path/codebooks").collect()
+      .map { r =>
+        val s = r.getAs[Int]("seg"); val c = r.getAs[Int]("code")
+        val cent = r.getSeq[Double](r.fieldIndex("centroid"))
+        (s, c, cent)
+      }
+    val m = books.map(_._1).max + 1
+    val segLen = q.length / m
+    // lut[s][code] = q_s · residual-codebook centroid — shared across
+    // cells because residual codebooks are cell-independent
+    val lutLit = array((0 until m).map { s =>
+      val row = books.filter(_._1 == s).sortBy(_._2).map { case (_, _, cent) =>
+        q.slice(s * segLen, (s + 1) * segLen)
+          .zip(cent).map { case (a, b) => a * b }.sum
+      }
+      array(row.map(lit).toIndexedSeq: _*)
+    }: _*)
+    val residScore = (0 until m)
+      .map(s => element_at(element_at(lutLit, s + 1), col("codes")(s) + 1))
+      .reduce(_ + _)
+    spark.read.parquet(s"$path/cells")
+      .filter(col(cellCol).isin(probed.map(_._1).toIndexedSeq: _*))
+      .select(col(idCol), col(cellCol),
+        round(cellDot + residScore, 6).as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol)).limit(shortlist)
+  }
+
+  /** Full serving path: ADC shortlist (codes-only, pruned read) →
+    * exact cosine re-rank against `corpus` (idCol, vecCol with
+    * unit-normalized vectors — read only for the shortlist ids via a
+    * broadcast semi-join). Returns (idCol, cos_sim) top-k. */
+  def probe(spark: SparkSession, path: String, corpus: DataFrame,
+      q: Seq[Double], idCol: String, vecCol: String, cellCol: String,
+      nprobe: Int, k: Int, shortlistFactor: Int = 10): DataFrame = {
+    val short = adcShortlist(spark, path, q, idCol, cellCol,
+      nprobe, k * shortlistFactor)
+    corpus.join(broadcast(short.select(idCol)), idCol)
+      .select(col(idCol),
+        round(dotNative(col(vecCol), lit(q.toArray)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol)).limit(k)
+  }
+}

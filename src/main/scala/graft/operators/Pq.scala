@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.dotNative
+import graft.functions.VectorFunctions.{argmaxDot, dotNative, vecSum}
 
 /** Product quantization (the FAISS PQ memory layout): split each
   * d-dim vector into `m` segments, k-means each segment to a `k`-entry
@@ -25,91 +25,119 @@ object Pq {
   private def seg(vecCol: Column, s: Int, segLen: Int): Column =
     slice(vecCol, s * segLen + 1, segLen)
 
-  /** Element-wise mean per cell (unnormalized — PQ centroids live in
-    * the segment's own scale). */
-  private def meanCentroids(df: DataFrame, cellCol: String, vecCol: String): DataFrame =
-    df.select(col(cellCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy(col(cellCol), col("pos")).agg(avg("x").as("m"))
-      .groupBy(col(cellCol))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col(cellCol), transform(col("pm"), p => p.getField("m")).as("centroid"))
+  /** Per-segment L2 argmin against a LITERAL codebook via the native
+    * [[argmaxDot]] kernel: argmax of sv·c − ‖c‖²/2 (the L2
+    * objective), first max wins ties (= smallest cell id). One
+    * codegen'd expression node per segment. */
+  private def argminL2(sv: Column,
+      cands: Seq[(Int, Array[Double])]): Column =
+    element_at(lit(cands.map(_._1).toArray),
+      argmaxDot(sv,
+        typedlit(cands.map(_._2.toSeq)),
+        typedlit(cands.map { case (_, c) => -c.map(x => x * x).sum / 2.0 }))
+        + 1)
 
-  /** L2 assignment: every row to its nearest centroid (ties break on
-    * the smaller cell id). Same broadcast + max_by shape as
-    * [[Ivf.assign]] — one row per vector leaves the aggregate. */
-  private def assignL2(df: DataFrame, cents: DataFrame, idCol: String,
-      vecCol: String, cellCol: String): DataFrame = {
-    val c = cents
-      .withColumnRenamed(cellCol, "__cell")
-      .withColumn("__cn2", dotNative(col("centroid"), col("centroid")))
-    df.drop(cellCol)
-      .crossJoin(broadcast(c))
-      .withColumn("__score",
-        dotNative(col(vecCol), col("centroid")) - col("__cn2") / 2.0)
-      .groupBy(idCol)
-      .agg(max_by(
-        struct(col(vecCol), col("__cell")),
-        struct(col("__score"), -col("__cell"))).as("__best"))
-      .select(col(idCol),
-        col(s"__best.$vecCol").as(vecCol),
-        col("__best.__cell").as(cellCol))
+  /** One Lloyd sync over all m segments: assign each (row, segment)
+    * to a cell — the hashed seed when `books` is null, else the
+    * literal-codebook L2 argmin — then per-(seg, cell) mean via ONE
+    * [[vecSum]] exchange, collected driver-side. The codebook is
+    * control-plane metadata (m·k·segLen doubles), so each round is
+    * exactly one narrow shuffle + one tiny collect — the MLlib
+    * k-means shape (driver syncs centers between iterations). */
+  private def lloydRound(sampled: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, segLen: Int,
+      books: Array[(Int, Int, Array[Double])]): Array[(Int, Int, Array[Double])] = {
+    val entries = (0 until m).map { s =>
+      val sv = seg(col(vecCol), s, segLen)
+      val cell =
+        if (books == null)
+          pmod(xxhash64(col(idCol), lit(s)), lit(k)).cast("int")
+        else
+          argminL2(sv, books.filter(_._1 == s).sortBy(_._2)
+            .map { case (_, c, cent) => (c, cent) }.toSeq)
+      struct(lit(s).as("seg"), cell.as("cell"), sv.as("sv"))
+    }
+    sampled.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.seg").as("seg"), col("e.cell").as("cell"),
+        col("e.sv").as("sv"))
+      .groupBy("seg", "cell")
+      .agg(vecSum(col("sv")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        val cnt = r.getLong(3)
+        (r.getInt(0), r.getInt(1),
+          r.getSeq[Double](2).map(_ / cnt).toArray)
+      }
   }
 
   /** Trains one codebook per segment. Returns (seg, code, centroid)
     * with DENSE code ids 0..<cells per segment — array-indexable, which
-    * is what lets ADC scoring be a literal lookup. Codebook training
-    * iterates Lloyd rounds per segment; the per-segment frames are
-    * m narrow slices of one checkpointed pass over the corpus. */
+    * is what lets ADC scoring be a literal lookup.
+    *
+    * All m segments train together: each Lloyd round is ONE exchange
+    * (the [[vecSum]] centroid aggregate over the exploded segments)
+    * plus one control-plane collect, whether m is 4 or 64. Training
+    * input is capped at `trainCap` rows via a deterministic
+    * hash-sample (the FAISS shape: codebooks come from a sample,
+    * [[encode]] covers everything), so training cost is independent
+    * of corpus size. */
   def train(v: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int, rounds: Int): DataFrame = {
-    val d = v.select(size(col(vecCol))).first().getInt(0)
+      m: Int, k: Int, rounds: Int, trainCap: Long = 1L << 16): DataFrame = {
+    val head = v.agg(first(size(col(vecCol))).as("d"),
+      count(lit(1)).as("n")).head()
+    val d = head.getInt(0); val n = head.getLong(1)
     require(d % m == 0, s"dim $d must divide into $m segments")
     val segLen = d / m
-    val base = v.localCheckpoint()
-    val books = (0 until m).map { s =>
-      var part = base.select(col(idCol),
-        seg(col(vecCol), s, segLen).as("sv"),
-        pmod(xxhash64(col(idCol), lit(s)), lit(k)).cast("int").as("cell"))
-      var cents = meanCentroids(part, "cell", "sv")
-      for (_ <- 0 until rounds) {
-        part = assignL2(part, cents, idCol, "sv", "cell")
-        cents = meanCentroids(part, "cell", "sv")
-      }
-      cents.select(lit(s).as("seg"), col("cell"), col("centroid"))
+    val sampled = if (n <= trainCap) v else {
+      // hash-threshold sample: deterministic (retry/reshard-stable),
+      // no rand(), expected |sample| ≈ trainCap
+      val den = 1000000L
+      v.filter(pmod(xxhash64(col(idCol)), lit(den)) <
+        lit(trainCap * den / n))
     }
-    val raw = books.reduce(_ unionByName _)
-    // densify code ids per segment (empty cells leave holes)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("seg").orderBy("cell")
-    raw.withColumn("code", (row_number().over(w) - 1).cast("int"))
-      .select("seg", "code", "centroid")
-      .localCheckpoint()
+    var books: Array[(Int, Int, Array[Double])] = null
+    for (_ <- 0 to rounds)
+      books = lloydRound(sampled, idCol, vecCol, m, k, segLen, books)
+    // densify code ids per segment (empty cells leave holes) and
+    // emit as a local-relation DataFrame — the codebook is tiny
+    val dense = books.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (s, rows) => rows.sortBy(_._2).zipWithIndex.map {
+        case ((_, _, cent), i) => (s, i, cent.toSeq)
+      }
+    }
+    val spark = v.sparkSession
+    import spark.implicits._
+    dense.toDF("seg", "code", "centroid")
   }
 
   /** Encodes every vector: per segment, the L2-nearest code id →
-    * `codes array<int>` ordered by segment. One broadcast of the (m×k)
-    * codebook; one aggregate per segment folded into a single
-    * groupBy(id) pass. */
+    * `codes array<int>` ordered by segment. The trained codebook is
+    * control-plane metadata (m×k rows, like the ADC LUT) — it is
+    * collected once and inlined as LITERALS, so encoding is a pure
+    * per-row projection: ZERO shuffle, ZERO join, embarrassingly
+    * parallel over any corpus size. Scoring is argmin L2 via
+    * sv·c − ‖c‖²/2; ties resolve to the smallest code id
+    * (array_position finds the FIRST max). `carry` columns pass
+    * through unchanged (e.g. the IVF cell id) so callers never need
+    * a join to re-attach them. */
   def encode(v: DataFrame, codebooks: DataFrame, idCol: String,
-      vecCol: String, m: Int): DataFrame = {
+      vecCol: String, m: Int, carry: Seq[String] = Nil): DataFrame = {
     val d = v.select(size(col(vecCol))).first().getInt(0)
     val segLen = d / m
-    val cb = codebooks
-      .withColumn("cn2", dotNative(col("centroid"), col("centroid")))
-    val exploded = v.select(col(idCol) +: (0 until m).map(s =>
-      seg(col(vecCol), s, segLen).as(s"sv$s")): _*)
-      .unpivot(Array(col(idCol)),
-        (0 until m).map(s => col(s"sv$s")).toArray, "segName", "sv")
-      .withColumn("seg", expr("CAST(substring(segName, 3) AS INT)"))
-    exploded
-      .join(broadcast(cb), "seg")
-      .withColumn("__score",
-        dotNative(col("sv"), col("centroid")) - col("cn2") / 2.0)
-      .groupBy(col(idCol), col("seg"))
-      .agg(max_by(col("code"), struct(col("__score"), -col("code"))).as("code"))
-      .groupBy(idCol)
-      .agg(array_sort(collect_list(struct(col("seg"), col("code")))).as("sc"))
-      .select(col(idCol), transform(col("sc"), p => p.getField("code")).as("codes"))
+    val books = codebooks.collect().map { r =>
+      (r.getAs[Int]("seg"), r.getAs[Int]("code"),
+        r.getSeq[Double](r.fieldIndex("centroid")))
+    }
+    val codeExprs = (0 until m).map { s =>
+      val cands = books.filter(_._1 == s).sortBy(_._2)
+      // dense code ids == row index, so the kernel's argmax IS the code
+      argmaxDot(seg(col(vecCol), s, segLen),
+        typedlit(cands.map(_._3.toSeq).toSeq),
+        typedlit(cands.map { case (_, _, c) =>
+          -c.map(x => x * x).sum / 2.0 }.toSeq))
+    }
+    v.select(col(idCol) +: carry.map(col) :+
+      array(codeExprs: _*).as("codes"): _*)
   }
 
   /** ADC top-k: the query's per-(segment, code) dot contributions are

@@ -43,7 +43,16 @@ object GraftExtensions {
     (
       new FunctionIdentifier("vec_dot_q8"),
       new ExpressionInfo(classOf[VecDotQ8].getName, "vec_dot_q8"),
-      (children: Seq[Expression]) => VecDotQ8(children(0), children(1))))
+      (children: Seq[Expression]) => VecDotQ8(children(0), children(1))),
+    (
+      new FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[VecSum].getName, "vec_sum"),
+      (children: Seq[Expression]) => VecSum(children(0))),
+    (
+      new FunctionIdentifier("vec_argmax_dot"),
+      new ExpressionInfo(classOf[VecArgmaxDot].getName, "vec_argmax_dot"),
+      (children: Seq[Expression]) =>
+        VecArgmaxDot(children(0), children(1), children(2))))
 
   /** Idempotent runtime registration: functions into the session's
     * registry, the dot-product rewrite into the experimental optimizer

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import graft.operators.IvfPq
+
+class IvfPqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("IVF-PQ: persisted layout prunes to nprobe cells; rerank recall@10 >= 0.9") {
+    graft.plans.GraftExtensions.register(spark)
+    val dir = "/root/testdata/sf0.01"
+    val path = Files.createTempDirectory("ivfpq").toString
+    val v = graft.sources.ViewingData.table(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"),
+        normalize(toDouble(col("embedding"))).as("e"))
+      .localCheckpoint()
+    IvfPq.writeIndex(v, "vec_id", "e", "label", path, m = 16, k = 16)
+
+    // layout: every corpus row encoded, cell directories on disk
+    val cells = spark.read.parquet(s"$path/cells")
+    assert(cells.count() == v.count())
+    assert(cells.select(size(col("codes"))).distinct().as[Int].collect()
+      .toSeq == Seq(16), "every row carries m codes")
+
+    val q = v.filter(col("vec_id") === 0).select("e").as[Seq[Double]].head()
+    // nprobe=8 of 10 cells: the synthetic embeddings are only weakly
+    // clustered, so the COARSE quantizer bounds recall (IvfSpec's sweep
+    // reaches 0.9 at nprobe=8); the PQ shortlist + exact re-rank must
+    // not lose anything the probed cells contain.
+    val nprobe = 8
+
+    // the probed scan reads exactly nprobe partition directories
+    val short = IvfPq.adcShortlist(spark, path, q, "vec_id", "label",
+      nprobe, shortlist = 100)
+    // partition pruning is visible in the scan's selected partitions
+    val fs = short.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.head.toString.contains("cells") => f
+    }
+    assert(fs.nonEmpty, "codes scan missing from plan")
+    assert(fs.head.selectedPartitions.partitionCount == nprobe,
+      s"probe must list exactly $nprobe cell directories, " +
+        s"got ${fs.head.selectedPartitions.partitionCount}")
+
+    // recall: exact brute-force top-10 vs rerank(ADC shortlist)
+    val exact = v.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), dotNative(col("e"), lit(q.toArray)).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = IvfPq.probe(spark, path, v.filter(col("vec_id") =!= 0), q,
+        "vec_id", "e", "label", nprobe, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact & got).size / 10.0
+    assert(recall >= 0.9, s"IVF-PQ rerank recall@10: $recall " +
+      s"(exact=$exact got=$got)")
+  }
+}

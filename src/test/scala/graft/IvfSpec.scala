@@ -94,6 +94,51 @@ class IvfSpec extends SparkTestBase {
       s"expected 3 pruned partitions, got ${scans.head.selectedPartitions.partitionCount}")
   }
 
+  test("batch probe: parity with per-query probes, one cells scan") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    graft.plans.GraftExtensions.register(spark)
+    val dir = "/root/testdata/sf0.01"
+    val path = java.nio.file.Files.createTempDirectory("ivfbatch").toString + "/idx"
+    val v = graft.sources.ViewingData.table(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"),
+        normalize(toDouble(col("embedding"))).as("e"))
+      .localCheckpoint()
+    val cents = graft.operators.Ivf.centroids(v, "label", "e").localCheckpoint()
+    val index = graft.operators.Ivf.assign(v, cents, "vec_id", "e", "label")
+      .localCheckpoint()
+    graft.operators.Ivf.writeIndex(index, cents, "label", path)
+
+    val qIds = Seq(0L, 1L, 2L, 3L)
+    val queries = v.filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id").as("query_id"), col("e").as("q"))
+      .localCheckpoint()
+    val batch = graft.operators.Ivf.probeIndexedBatch(spark, path, queries,
+      "vec_id", "e", "label", nprobe = 3, k = 10)
+
+    // parity: each query's batch rows == its single-query probe
+    val got = batch.select("query_id", "vec_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    qIds.foreach { qid =>
+      val single = graft.operators.Ivf.probeIndexed(spark, path,
+          queries.filter(col("query_id") === qid).select("q"),
+          "vec_id", "e", "label", nprobe = 3, k = 10)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got(qid) == single,
+        s"query $qid: batch=${got(qid)} single=$single")
+    }
+
+    // one pruned scan of the cells table serves the whole batch
+    val scans = batch.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata("Location").contains("cells") => s
+    }
+    assert(scans.size == 1, s"expected exactly one cells scan, got ${scans.size}")
+    assert(scans.head.metadata("PartitionFilters").contains("label"),
+      scans.head.metadata("PartitionFilters"))
+  }
+
   test("Lloyd refinement recovers true clusters from a bad seed") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions._

@@ -109,6 +109,57 @@ class NativeExpressionSpec extends SparkTestBase {
     assert(recall >= 0.9, s"int8 recall@10: $recall (full=$full q8=$q8)")
   }
 
+  test("vec_sum matches the posexplode mean pipeline and skips nulls") {
+    GraftExtensions.register(spark)
+    val v = ViewingData.table(spark, Sf, "embeddings")
+      .select(col("label"), VectorFunctions.toDouble(col("embedding")).as("e"))
+      .repartition(8) // partial buffers must merge across partitions
+    val got = v.groupBy("label")
+      .agg(VectorFunctions.vecSum(col("e")).as("s"))
+      .select(col("label"), explode(col("s")).as("x"))
+      .groupBy("label").agg(round(sum("x"), 6).as("total"))
+    val oracle = v.select(col("label"), explode(col("e")).as("x"))
+      .groupBy("label").agg(round(sum("x"), 6).as("total"))
+    assert(got.exceptAll(oracle).isEmpty && oracle.exceptAll(got).isEmpty,
+      "vec_sum totals must match the exploded scalar sum")
+
+    // null rows are skipped; all-null groups yield null
+    val withNulls = Seq(
+      ("a", Some(Seq(1.0, 2.0))), ("a", None), ("a", Some(Seq(3.0, 4.0))),
+      ("b", None)).toDF("g", "e")
+    val r = withNulls.groupBy("g")
+      .agg(VectorFunctions.vecSum(col("e")).as("s"))
+      .orderBy("g").collect()
+    assert(r(0).getSeq[Double](1) == Seq(4.0, 6.0))
+    assert(r(1).isNullAt(1), "all-null group must aggregate to null")
+  }
+
+  test("vec_argmax_dot matches a driver-side argmax and breaks ties low") {
+    GraftExtensions.register(spark)
+    val v = ViewingData.table(spark, Sf, "embeddings")
+      .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("e"))
+    val cands = v.orderBy("vec_id").limit(5)
+      .select("e").as[Seq[Double]].collect().map(_.toArray)
+    val bias = cands.map(c => -c.map(x => x * x).sum / 2.0)
+    val got = v.select(col("vec_id"),
+        VectorFunctions.argmaxDot(col("e"),
+          typedlit(cands.map(_.toSeq).toSeq), typedlit(bias.toSeq)).as("i"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vs = v.select("vec_id", "e").as[(Long, Seq[Double])].collect()
+    vs.foreach { case (id, e) =>
+      val scores = cands.zip(bias).map { case (c, b) =>
+        c.zip(e).map { case (a, x) => a * x }.sum + b }
+      val expect = scores.indexOf(scores.max) // first max = lowest index
+      assert(got(id) == expect, s"vec $id: got ${got(id)} expect $expect")
+    }
+    // explicit tie: two identical candidates → the lower index wins
+    val tied = Seq(Seq(1.0, 0.0)).toDF("e").select(
+      VectorFunctions.argmaxDot(col("e"),
+        typedlit(Seq(Seq(0.5, 0.5), Seq(0.5, 0.5))),
+        typedlit(Seq(0.0, 0.0))).as("i")).head().getInt(0)
+    assert(tied == 0, "ties must resolve to the first (lowest) index")
+  }
+
   test("registration is idempotent and works via SQL too") {
     GraftExtensions.register(spark)
     GraftExtensions.register(spark)
