@@ -9,10 +9,15 @@ import org.apache.spark.sql.functions._
   * INSERT` keyed on (smba_id, exposure_start_ts) with a watermark filter
   * `metadata_date > last_successful_run_date`. On Spark the same
   * semantics are a LEFT ANTI join of the new batch against the target's
-  * keys followed by a UNION — insert-only merge. The anti join shuffles
-  * only the (small) new batch when the target side is pre-bucketed by
-  * the merge key; at 100 TB the target would be a bucketed/Delta-style
-  * table so only matching key buckets are scanned.
+  * keys followed by a UNION — insert-only merge. At 100 TB the target
+  * is a table bucketed by the FULL merge key
+  * (`bucketBy(n, "smba_id", "exposure_start_ts")` — a key subset
+  * cannot satisfy the join's required distribution and the planner
+  * falls back to a shuffled scan), so the anti join reads the target's
+  * buckets in place and shuffles only the (small) new batch —
+  * demonstrated and pinned in BucketedJoinSpec ("bucketed MERGE
+  * target"). Delta/Iceberg MERGE INTO replaces the whole pattern where
+  * a table format is available.
   */
 object IncrementalMerge {
 

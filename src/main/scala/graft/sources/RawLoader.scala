@@ -112,6 +112,10 @@ object RawLoader {
     * numbers per COPY statement). */
   final case class CopyResult(filesLoaded: Long, filesSkipped: Long, rowsLoaded: Long)
 
+  private val FileNameSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_name",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+
   /** Snowflake `COPY INTO`'s idempotence unit is the FILE: every load
     * is recorded in load-history, and re-running the COPY (ingest
     * re-triggers, the one-shot backfill of ingest-backfill.sql replayed
@@ -123,8 +127,10 @@ object RawLoader {
     *   - candidate files = recursive `*.parquet` listing under the
     *     feed — the same driver-side metadata walk Spark's own
     *     FileIndex performs for ANY read of the path, not a data scan;
-    *   - already-loaded = the ledger parquet (one row per loaded file —
-    *     metadata-sized, read once per run);
+    *   - already-loaded = the ledger parquet (one row per loaded file),
+    *     diffed against the candidates by ANTI-JOIN so the full load
+    *     history never sits in driver memory however long the feed
+    *     lives ([[compactLedger]] keeps its file count flat);
     *   - only the difference is scanned, appended to the target, and
     *     recorded; skipped files are never opened.
     *
@@ -154,11 +160,18 @@ object RawLoader {
       .map(_.getPath.toUri.toString)
       .filter(_.endsWith(".parquet")).toSeq.sorted
     val ledgerExists = fs.exists(new org.apache.hadoop.fs.Path(ledgerPath))
-    val loaded: Set[String] =
-      if (!ledgerExists) Set.empty
-      else spark.read.parquet(ledgerPath)
-        .select("file_name").collect().map(_.getString(0)).toSet
-    val fresh = files.filterNot(loaded)
+    // Candidate-vs-ledger diff as an ANTI-JOIN: the ledger (one row
+    // per file EVER loaded — grows without bound) never materializes
+    // on the driver; only the fresh set (this run's new files, small
+    // in steady state) comes back. Driver memory stays bounded by the
+    // stage listing Spark's own FileIndex would perform anyway.
+    val candDf = spark.createDataFrame(
+      files.map(org.apache.spark.sql.Row(_)).asJava, FileNameSchema)
+    val freshDf =
+      if (!ledgerExists) candDf
+      else candDf.join(spark.read.parquet(ledgerPath).select("file_name"),
+        Seq("file_name"), "left_anti")
+    val fresh = freshDf.collect().map(_.getString(0)).toSeq.sorted
     if (fresh.isEmpty) return CopyResult(0, files.size, 0)
     val runId = java.security.MessageDigest.getInstance("MD5")
       .digest(fresh.mkString("\n").getBytes("UTF-8"))
@@ -170,16 +183,31 @@ object RawLoader {
       .parquet(s"$targetPath/run=$runId")
     val rows = obs.get("rows").asInstanceOf[Long]
     spark.createDataFrame(
-        fresh.map(org.apache.spark.sql.Row(_)).asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("file_name",
-            org.apache.spark.sql.types.StringType, nullable = false))))
+        fresh.map(org.apache.spark.sql.Row(_)).asJava, FileNameSchema)
       .withColumn("run_id", lit(runId))
       .withColumn("loaded_at", current_timestamp())
       .withColumn("run_rows", lit(rows)) // rows of the RUN that loaded this file
       .coalesce(1)
       .write.mode("append").parquet(ledgerPath) // <- the commit point
     CopyResult(fresh.size, files.size - fresh.size, rows)
+  }
+
+  /** Compacts the load-history ledger. Every [[copyInto]] commit
+    * appends one small parquet file, so a feed loaded every few hours
+    * accretes thousands of tiny ledger files whose per-file open cost
+    * eventually dominates the anti-join's read. Rewrites the ledger
+    * into `numFiles` files, staged next to the live ledger and
+    * published by atomic rename ([[LakeWriter.publish]]) — at every
+    * instant a complete ledger exists on disk, so a crash anywhere
+    * loses nothing and commit atomicity is preserved. Single-writer
+    * assumption (as with COPY itself): run it from the same serialized
+    * ingest DAG slot as copyInto, not concurrently with one. */
+  def compactLedger(spark: SparkSession, ledgerPath: String,
+      numFiles: Int = 1): Unit = {
+    val staged = LakeWriter.stagingPath(ledgerPath)
+    spark.read.parquet(ledgerPath).repartition(numFiles)
+      .write.mode("overwrite").parquet(staged)
+    LakeWriter.publish(spark, staged, ledgerPath)
   }
 
   /** Exactly-once read of a [[copyInto]] target: only runs the ledger

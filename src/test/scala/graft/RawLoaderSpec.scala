@@ -118,6 +118,26 @@ class RawLoaderSpec extends SparkTestBase {
     val deleted = RawLoader.vacuumUncommitted(spark, target, ledger)
     assert(deleted == Seq("deadbeef"), deleted)
     assert(spark.read.parquet(target).count() == 8, "committed runs untouched")
+
+    // ---- ledger compaction: many per-commit files → one, losslessly ----
+    def ledgerFiles() = new java.io.File(ledger).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(ledgerFiles() > 1, "each commit should have appended a file")
+    val beforeRows = spark.read.parquet(ledger).count()
+    RawLoader.compactLedger(spark, ledger)
+    assert(ledgerFiles() == 1, "compaction must leave a single file")
+    assert(spark.read.parquet(ledger).count() == beforeRows,
+      "compaction must not lose commits")
+    // skip behavior and the committed view survive compaction
+    val postCompact = RawLoader.copyInto(spark, root, "ACR", target, ledger)
+    assert(postCompact.filesLoaded == 0, postCompact)
+    assert(RawLoader.readCommitted(spark, target, ledger).count() == 8)
+    // and new arrivals still load + commit against the compacted ledger
+    day("09", Seq(9L))
+    val after = RawLoader.copyInto(spark, root, "ACR", target, ledger)
+    assert(after.rowsLoaded == 1, after)
+    assert(RawLoader.readCommitted(spark, target, ledger)
+      .select("id").as[Long].collect().sorted.toSeq == (1L to 9L))
   }
 
   test("date predicate prunes to matching files only") {

@@ -55,4 +55,77 @@ class StreamPipelineSpec extends SparkTestBase {
       assert(counts == 0, "merge sink must keep one row per (key, sessionStart)")
     } finally q.stop()
   }
+
+  test("crash mid-micro-batch: restart from checkpoint lands exactly-once") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("streamcrash").toString
+    val target = root + "/sessions"
+    val ckpt = root + "/ckpt"
+    val keys = Seq("key", "sessionStart")
+    val nKeys = 8
+    // fires once per JVM: q1 dies on it, q2 (same JVM) sails past
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start() = {
+      val src = graft.streaming.RateSim.exposuresPerBatch(spark,
+        rowsPerBatch = 200, nKeys = nKeys,
+        baseEpoch = 1700000000L, maxDelaySeconds = 20L)
+      val sessions = StreamSessionize.sessions(src,
+        gapSeconds = 5L, minSessionSeconds = 2L,
+        watermarkDelay = "40 seconds")
+      sessions.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(
+          (batch: org.apache.spark.sql.Dataset[StreamSessionize.ClosedSession], id: Long) => {
+            MergeSink.insertOnlyParquet(target, keys)(batch.toDF(), id)
+            // injected crash AFTER the data write, BEFORE Spark commits
+            // the micro-batch offset — the worst-case window: data is
+            // on disk but the batch WILL replay on restart
+            if (id >= 2 && crashed.compareAndSet(false, true))
+              throw new RuntimeException("injected mid-batch crash")
+          })
+        .start()
+    }
+    def deadline() = System.nanoTime() + 90L * 1000 * 1000 * 1000
+    val q1 = start()
+    val d1 = deadline()
+    while (q1.isActive && System.nanoTime() < d1) Thread.sleep(100)
+    assert(!q1.isActive, "query must die from the injected crash")
+    assert(q1.exception.isDefined, "the termination must be the crash")
+    val landedBeforeRestart = spark.read.parquet(target).count()
+    assert(landedBeforeRestart > 0, "crashed run must have landed batches")
+
+    val q2 = start()
+    try {
+      // restart replays the uncommitted batch, then advances new ones
+      val d2 = deadline()
+      while (q2.recentProgress.count(_.numInputRows > 0) < 3 &&
+             System.nanoTime() < d2) Thread.sleep(100)
+      assert(q2.recentProgress.count(_.numInputRows > 0) >= 3,
+        "restarted query must make progress")
+      // watermark recovered from the checkpoint, not reset to epoch:
+      // the FIRST post-restart batch already carries a 2023+ watermark
+      val firstWm = q2.recentProgress
+        .filter(_.numInputRows > 0).head.eventTime.get("watermark")
+      assert(firstWm != null && firstWm >= "2023",
+        s"watermark must recover from checkpoint, got $firstWm")
+
+      q2.stop()
+      // exactly-once despite the replay: one row per key, and the
+      // stream kept appending after the crash point
+      val out = spark.read.parquet(target)
+      val dups = out.groupBy("key", "sessionStart").count()
+        .filter(col("count") > 1).count()
+      assert(dups == 0,
+        "replayed micro-batch must not duplicate sessions")
+      assert(out.count() > landedBeforeRestart,
+        "pipeline must keep producing after recovery")
+      // state recovered: post-restart batches still hold ≤ nKeys open
+      // sessions (the watermark bound), not a rebuilt-from-zero blowup
+      val stateRows = q2.recentProgress.filter(_.numInputRows > 0)
+        .map(_.stateOperators.head.numRowsTotal)
+      assert(stateRows.forall(_ <= nKeys),
+        s"recovered state must stay bounded: ${stateRows.toSeq}")
+    } finally if (q2.isActive) q2.stop()
+  }
 }
