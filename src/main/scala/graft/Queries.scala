@@ -246,6 +246,39 @@ SELECT event_id,
                  CASE WHEN NOT ok_user THEN 'smba_id' END) END AS reasons
 FROM checked"""))
 
+  private val ingestValidate = Q(
+    "q_ingest_validate",
+    (s, dir) => {
+      // VALIDATION_MODE=RETURN_ERRORS over the same planted-error feed
+      // as q_ingest_reject: dry-run the casts, emit one row per cast
+      // error, load nothing. A row failing BOTH casts yields two rows
+      // (Snowflake reports each error), which the oracle's per-cast
+      // UNION ALL mirrors exactly.
+      val raw = t(s, dir, "events").select(
+        col("event_id"),
+        when(col("event_id") % 13 === 0,
+          concat(lit("x"), col("value").cast("string")))
+          .otherwise(col("value").cast("string")).as("raw_duration"),
+        when(col("event_id") % 17 === 0, lit("9999-99-99"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd")).as("raw_date"))
+      graft.operators.Quality.validationErrors(raw, Seq(
+        ("duration", col("raw_duration"), expr("try_cast(raw_duration AS DOUBLE)")),
+        ("metadata_date", col("raw_date"), expr("try_cast(raw_date AS DATE)"))),
+        Seq(col("event_id")))
+    },
+    Some("""WITH raw AS (
+  SELECT event_id,
+         CASE WHEN event_id % 13 = 0 THEN 'x' || CAST(value AS VARCHAR)
+              ELSE CAST(value AS VARCHAR) END AS raw_duration,
+         CASE WHEN event_id % 17 = 0 THEN '9999-99-99'
+              ELSE strftime(ts, '%Y-%m-%d') END AS raw_date
+  FROM events)
+SELECT event_id, 'duration' AS error_column, raw_duration AS raw_value
+FROM raw WHERE raw_duration IS NOT NULL AND TRY_CAST(raw_duration AS DOUBLE) IS NULL
+UNION ALL
+SELECT event_id, 'metadata_date' AS error_column, raw_date AS raw_value
+FROM raw WHERE raw_date IS NOT NULL AND TRY_CAST(raw_date AS DATE) IS NULL"""))
+
   // ---------------------------------------------------------------------
   // B. Reference ETL
   // ---------------------------------------------------------------------
@@ -809,7 +842,7 @@ FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t >= r.rt"""))
   val all: Seq[Q] = Seq(
     percentiles, stringFuncs, dateFuncs, cubeQ, scalarSubquery,
     setOps, nestedTypes, asofJoin,
-    ingestCast, partitionExtract, ingestReject,
+    ingestCast, partitionExtract, ingestReject, ingestValidate,
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
     audienceMetrics, incrementalMerge, upsertMergeQ, affectedRebuild, watermarkQ,
     controlTableQ, panelWindowsMergeQ, scd2Weights,

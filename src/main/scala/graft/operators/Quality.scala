@@ -75,6 +75,29 @@ object Quality {
     (typed, marked.filter(size(col("reject_reasons")) > 0))
   }
 
+  /** COPY INTO `VALIDATION_MODE = RETURN_ERRORS` semantics: dry-run
+    * the load and return ONE ROW PER CAST ERROR — (id columns,
+    * `error_column`, `raw_value`) — writing nothing. Snowflake's form
+    * reports (file, line, error); file/line are meaningless for a
+    * columnar frame, so the row identity columns take their role.
+    * The plan is the same single-scan try_cast projection as
+    * [[tryIngest]] with an explode of the failure array — valid rows
+    * produce an empty array and vanish at the generator, so at 100 TB
+    * the dry-run costs one scan and emits only the (rare) errors. */
+  def validationErrors(raw: DataFrame, casts: Seq[(String, Column, Column)],
+      idCols: Seq[Column]): DataFrame = {
+    require(casts.nonEmpty, "validationErrors needs at least one required cast")
+    val errs = filter(
+      array(casts.map { case (name, rawCol, casted) =>
+        when(rawCol.isNotNull && casted.isNull,
+          struct(lit(name).as("error_column"), rawCol.cast("string").as("raw_value")))
+          .otherwise(lit(null))
+      }: _*),
+      e => e.isNotNull)
+    raw.select(idCols :+ explode(errs).as("err"): _*)
+      .select(idCols :+ col("err.error_column") :+ col("err.raw_value"): _*)
+  }
+
   /** The single-pass marking half of [[tryIngest]]: adds
     * `reject_reasons` (names of failed NON-NULL casts, in `casts`
     * order) without splitting the frame — for summaries or sinks that

@@ -28,7 +28,37 @@ object TaskDag {
       after: Seq[String] = Seq.empty,
       run: SparkSession => Unit)
 
-  final case class TaskResult(name: String, ok: Boolean, error: Option[String], seconds: Double)
+  final case class TaskResult(
+      name: String, ok: Boolean, error: Option[String], seconds: Double,
+      attempts: Int = 1)
+
+  /** Snowflake tasks carry two failure knobs this DAG must mirror
+    * (etl-dag.sql:3-5 creates tasks whose production form sets them):
+    * `TASK_AUTO_RETRY_ATTEMPTS` — re-run a failed task up to N extra
+    * times before declaring the run failed — and
+    * `SUSPEND_TASK_AFTER_NUM_FAILURES` — after N CONSECUTIVE failed
+    * runs the task auto-suspends and stays suspended (skipping its
+    * dependents) until an operator resumes it, so a permanently broken
+    * upstream stops burning warehouse credits every tick. */
+  final case class Policy(
+      maxRetries: Int = 0,
+      suspendAfterFailures: Int = Int.MaxValue) {
+    require(maxRetries >= 0, "maxRetries must be >= 0")
+    require(suspendAfterFailures >= 1, "suspendAfterFailures must be >= 1")
+  }
+
+  /** Cross-run failure bookkeeping for [[Policy]]: persisted by the
+    * caller between ticks exactly like the `lastRun` watermark of
+    * [[runScheduled]] (the task_control pattern — at scale this is a
+    * two-column parquet next to the control table). `resume` is the
+    * operator's `ALTER TASK … RESUME`: clears suspension AND the
+    * consecutive-failure count, so the task gets a fresh budget. */
+  final case class DagState(
+      consecutiveFailures: Map[String, Int] = Map.empty,
+      suspended: Set[String] = Set.empty) {
+    def resume(task: String): DagState =
+      DagState(consecutiveFailures - task, suspended - task)
+  }
 
   /** Kahn's topological sort; rejects cycles and unknown deps. */
   def order(tasks: Seq[Task]): Seq[Task] = {
@@ -72,23 +102,73 @@ object TaskDag {
   /** Runs in dependency order; a failed task skips its transitive
     * dependents (matching Snowflake task-graph semantics) but
     * independent branches continue. */
-  def run(spark: SparkSession, tasks: Seq[Task]): Seq[TaskResult] = {
+  def run(spark: SparkSession, tasks: Seq[Task]): Seq[TaskResult] =
+    runWithPolicy(spark, tasks, Policy(), DagState())._1
+
+  /** [[run]] under a failure [[Policy]], threading [[DagState]]
+    * across invocations. Per task: suspended → not attempted (its
+    * dependents skip, like any failure); otherwise attempted up to
+    * `1 + maxRetries` times within THIS run (Snowflake's
+    * TASK_AUTO_RETRY_ATTEMPTS retries the graph; per-task is the
+    * strictly-finer grain — an idempotent task re-runs alone instead
+    * of re-running the whole day). A run that still fails bumps the
+    * task's consecutive-failure count and, at `suspendAfterFailures`,
+    * suspends it; success resets the count. Skipped dependents don't
+    * touch counts — they weren't attempted, and charging them would
+    * suspend the whole downstream graph for one broken root. */
+  def runWithPolicy(spark: SparkSession, tasks: Seq[Task], policy: Policy,
+      state: DagState): (Seq[TaskResult], DagState) = {
     val failed = mutable.Set.empty[String]
-    order(tasks).map { t =>
-      if (t.after.exists(failed.contains)) {
+    val counts = mutable.Map(state.consecutiveFailures.toSeq: _*)
+    val suspended = mutable.Set(state.suspended.toSeq: _*)
+    val results = order(tasks).map { t =>
+      if (suspended.contains(t.name)) {
         failed += t.name
-        TaskResult(t.name, ok = false, Some("skipped: upstream failed"), 0.0)
+        TaskResult(t.name, ok = false, Some("suspended"), 0.0, attempts = 0)
+      } else if (t.after.exists(failed.contains)) {
+        failed += t.name
+        TaskResult(t.name, ok = false, Some("skipped: upstream failed"), 0.0, attempts = 0)
       } else {
         val t0 = System.nanoTime()
-        try {
-          t.run(spark)
-          TaskResult(t.name, ok = true, None, (System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            failed += t.name
-            TaskResult(t.name, ok = false, Some(e.getMessage), (System.nanoTime() - t0) / 1e9)
+        var attempt = 0
+        var outcome: Option[String] = None
+        var done = false
+        while (!done) {
+          attempt += 1
+          try { t.run(spark); outcome = None; done = true }
+          catch {
+            case e: Throwable =>
+              outcome = Some(e.getMessage)
+              done = attempt > policy.maxRetries
+          }
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        if (outcome.isEmpty) {
+          counts -= t.name
+          TaskResult(t.name, ok = true, None, secs, attempt)
+        } else {
+          failed += t.name
+          val n = counts.getOrElse(t.name, 0) + 1
+          counts(t.name) = n
+          if (n >= policy.suspendAfterFailures) suspended += t.name
+          TaskResult(t.name, ok = false, outcome, secs, attempt)
         }
       }
     }
+    (results, DagState(counts.toMap, suspended.toSet))
   }
+
+  /** [[runScheduled]] under a [[Policy]]: ticks that come due while a
+    * task is suspended still fire the graph (independent branches keep
+    * running — Snowflake suspends the TASK, not the schedule), and the
+    * returned [[DagState]] is what the caller persists alongside the
+    * fired tick. */
+  def runScheduledWithPolicy(spark: SparkSession, tasks: Seq[Task], cron: Cron,
+      lastRun: java.time.Instant, now: java.time.Instant,
+      policy: Policy, state: DagState)
+      : Option[(java.time.Instant, Seq[TaskResult], DagState)] =
+    cron.ticksBetween(lastRun, now).lastOption.map { tick =>
+      val (results, next) = runWithPolicy(spark, tasks, policy, state)
+      (tick, results, next)
+    }
 }

@@ -68,4 +68,28 @@ class QualitySpec extends SparkTestBase {
     assert(r(3L)._2 == "d")
     assert(r(4L) == (("a", "duration,d")), "reason order follows the casts Seq")
   }
+
+  test("validationErrors: RETURN_ERRORS dry-run — one row per error, parity with tryIngest") {
+    val raw = Seq(
+      (1L, Some("12.5"), Some("2024-01-05")),
+      (2L, Some("xx"), Some("2024-01-06")),
+      (3L, Some("7"), Some("9999-99-99")),
+      (4L, Some("a"), Some("b")),
+      (5L, None: Option[String], Some("2024-01-07"))
+    ).toDF("id", "raw_d", "raw_dt")
+    val casts = Seq(
+      ("duration", col("raw_d"), expr("try_cast(raw_d AS DOUBLE)")),
+      ("d", col("raw_dt"), expr("try_cast(raw_dt AS DATE)")))
+    val errs = Quality.validationErrors(raw, casts, Seq(col("id")))
+      .as[(Long, String, String)].collect().toSet
+    // one row PER error: row 4 fails both casts -> two rows
+    assert(errs == Set(
+      (2L, "duration", "xx"),
+      (3L, "d", "9999-99-99"),
+      (4L, "duration", "a"),
+      (4L, "d", "b")))
+    // parity: the error'd row ids are exactly tryIngest's quarantine
+    val (_, rejected) = Quality.tryIngest(raw, casts)
+    assert(errs.map(_._1) == rejected.select("id").as[Long].collect().toSet)
+  }
 }

@@ -39,6 +39,65 @@ class TaskDagSpec extends SparkTestBase {
     }
   }
 
+  test("policy: retries recover a flaky task within one run") {
+    var calls = 0
+    val (results, state) = TaskDag.runWithPolicy(spark, Seq(
+      Task("flaky", run = { _ =>
+        calls += 1
+        if (calls < 3) throw new RuntimeException("transient")
+      })), TaskDag.Policy(maxRetries = 2), TaskDag.DagState())
+    assert(results.head.ok && results.head.attempts == 3)
+    // success resets the consecutive-failure counter
+    assert(state.consecutiveFailures.isEmpty && state.suspended.isEmpty)
+  }
+
+  test("policy: consecutive failed runs auto-suspend; resume clears") {
+    val boom = Seq(Task("boom", run = _ => throw new RuntimeException("x")),
+      Task("child", Seq("boom"), _ => ()))
+    val policy = TaskDag.Policy(maxRetries = 1, suspendAfterFailures = 2)
+    // run 1: fails (2 attempts), not yet suspended
+    val (r1, s1) = TaskDag.runWithPolicy(spark, boom, policy, TaskDag.DagState())
+    assert(!r1.head.ok && r1.head.attempts == 2)
+    assert(s1.consecutiveFailures("boom") == 1 && !s1.suspended("boom"))
+    // run 2: fails again -> suspended
+    val (r2, s2) = TaskDag.runWithPolicy(spark, boom, policy, s1)
+    assert(s2.suspended("boom"))
+    assert(r2.map(r => r.name -> r.error).toMap.apply("child")
+      == Some("skipped: upstream failed"))
+    // run 3: suspended task is not attempted at all, dependents skip
+    val (r3, s3) = TaskDag.runWithPolicy(spark, boom, policy, s2)
+    val byName = r3.map(r => r.name -> r).toMap
+    assert(byName("boom").attempts == 0 && byName("boom").error == Some("suspended"))
+    assert(!byName("child").ok)
+    assert(s3.suspended("boom"))
+    // operator RESUME: fresh failure budget
+    val resumed = s3.resume("boom")
+    assert(!resumed.suspended("boom") && !resumed.consecutiveFailures.contains("boom"))
+    val (_, s4) = TaskDag.runWithPolicy(spark, boom, policy, resumed)
+    assert(s4.consecutiveFailures("boom") == 1 && !s4.suspended("boom"))
+  }
+
+  test("policy: suspension stops the task, not the schedule") {
+    // a suspended branch must not block independent branches or ticks
+    var others = 0
+    val tasks = Seq(
+      Task("boom", run = _ => throw new RuntimeException("x")),
+      Task("other", run = _ => others += 1))
+    val cron = graft.operators.Cron.parse("0 5 * * *")
+    val policy = TaskDag.Policy(suspendAfterFailures = 1)
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val t1 = java.time.Instant.parse("2024-01-01T06:00:00Z")
+    val t2 = java.time.Instant.parse("2024-01-02T06:00:00Z")
+    val Some((tick1, r1, s1)) =
+      TaskDag.runScheduledWithPolicy(spark, tasks, cron, t0, t1, policy, TaskDag.DagState())
+    assert(s1.suspended("boom") && r1.exists(r => r.name == "other" && r.ok))
+    val Some((tick2, r2, s2)) =
+      TaskDag.runScheduledWithPolicy(spark, tasks, cron, tick1, t2, policy, s1)
+    assert(tick2.isAfter(tick1))
+    assert(r2.map(r => r.name -> r.ok).toMap.apply("other") && others == 2)
+    assert(s2.suspended("boom"))
+  }
+
   test("dailyDag materializes the reference's table chain end-to-end") {
     val out = Files.createTempDirectory("dag").toString
     val results = TaskDag.run(spark, Pipeline.dailyDag(Sf, out))
