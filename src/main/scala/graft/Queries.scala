@@ -838,10 +838,33 @@ r AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS rt,
 SELECT e.event_id, e.k, r.ref_order, CAST(r.rt AS VARCHAR) AS ref_odate
 FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t >= r.rt"""))
 
+  private val asofNative = Q(
+    "q_asof_native",
+    (s, dir) => {
+      // The SAME as-of query through the custom broadcast physical
+      // operator (plans.BroadcastAsOfJoin): identical oracle proves the
+      // zero-shuffle plan computes identical semantics.
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id").as("k"), to_date(col("ts")).as("t"))
+      val r = t(s, dir, "orders")
+        .select(col("o_custkey").as("k"),
+          to_date(col("o_orderdate")).as("t"), col("o_orderkey"))
+        .groupBy("k", "t").agg(max("o_orderkey").as("ref_order"))
+        .withColumn("ref_odate", col("t").cast("string"))
+      operators.AsOfJoin.nearestBeforeBroadcast(ev, r, "k", "t", Seq("ref_order", "ref_odate"))
+        .select("event_id", "k", "ref_order", "ref_odate")
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id AS k, CAST(ts AS DATE) AS t FROM events),
+r AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS rt,
+             CAST(MAX(o_orderkey) AS BIGINT) AS ref_order
+      FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.k, r.ref_order, CAST(r.rt AS VARCHAR) AS ref_odate
+FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t >= r.rt"""))
+
   // ---------------------------------------------------------------------
   val all: Seq[Q] = Seq(
     percentiles, stringFuncs, dateFuncs, cubeQ, scalarSubquery,
-    setOps, nestedTypes, asofJoin,
+    setOps, nestedTypes, asofJoin, asofNative,
     ingestCast, partitionExtract, ingestReject, ingestValidate,
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
     audienceMetrics, incrementalMerge, upsertMergeQ, affectedRebuild, watermarkQ,

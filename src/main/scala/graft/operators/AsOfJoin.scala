@@ -54,4 +54,43 @@ object AsOfJoin {
       .select(left.columns.map(col) ++
         rightCarry.map(c => col(s"__carry.$c").as(c)): _*)
   }
+
+  /** [[nearestBefore]] as the custom BROADCAST physical operator
+    * ([[graft.plans.BroadcastAsOfJoin]]): same semantics, but the left
+    * (fact) side is NEVER shuffled or sorted — each row probes a
+    * broadcast per-key sorted index. Use when the right side is
+    * dimension-sized (it is broadcast in full); fall back to
+    * `nearestBefore` when both sides are large. */
+  def nearestBeforeBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightCarry: Seq[String]): DataFrame = {
+    require(rightCarry.nonEmpty, "rightCarry must name at least one column")
+    require(!rightCarry.exists(left.columns.contains),
+      s"carry columns ${rightCarry.mkString(",")} collide with left columns")
+    val spark = left.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    // Fresh-alias every right column so its exprIds can never collide
+    // with the left subtree (self-join safe without analyzer dedup).
+    val rdf = right.select(
+      col(keyCol).as("__asof_k") +: col(tsCol).as("__asof_t") +:
+        rightCarry.map(c => col(c).as(c)): _*)
+    val rplan = rdf.queryExecution.analyzed
+    val rOut = rplan.output
+    val lplan = left.queryExecution.analyzed
+    def lAttr(name: String) = {
+      val hits = lplan.output.filter(_.name.equalsIgnoreCase(name))
+      require(hits.size == 1, s"left column $name resolved to ${hits.size} attributes")
+      hits.head
+    }
+    val (lk, lt) = (lAttr(keyCol), lAttr(tsCol))
+    require(lk.dataType == rOut(0).dataType,
+      s"as-of key types differ: ${lk.dataType} vs ${rOut(0).dataType}")
+    require(lt.dataType == rOut(1).dataType,
+      s"as-of time types differ: ${lt.dataType} vs ${rOut(1).dataType}")
+    org.apache.spark.sql.graft.PlanBridge.dataFrame(spark,
+      graft.plans.BroadcastAsOfJoin(lk, lt, rOut(0), rOut(1), rOut.drop(2), lplan, rplan))
+  }
 }

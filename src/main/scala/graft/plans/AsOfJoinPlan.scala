@@ -1,0 +1,160 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+
+/** Whole-operator Catalyst extension for the BROADCAST as-of join —
+  * the (c) rung of the extension ladder (custom LogicalPlan +
+  * SparkStrategy + SparkPlan) reserved for semantics the built-in
+  * operators can't express efficiently.
+  *
+  * Why it exists when [[graft.operators.AsOfJoin.nearestBefore]]
+  * already works: the union+window form must SHUFFLE the fact side on
+  * the key to sort each group — one full exchange of the 100-TB side.
+  * When the right side is dimension-sized (weight snapshots, panel
+  * windows, rate cards — the reference's own as-of shapes,
+  * etl-ddl-backfill.sql:60-77), the as-of is resolvable per fact ROW
+  * against a broadcast index: zero exchange, zero sort on the fact
+  * side, O(log W) binary-search probe per row, and the fact side's
+  * partitioning/ordering survive for downstream stages (`.explain`
+  * shows no Exchange above the scan). That plan is not expressible by
+  * composing existing operators: a broadcast range join explodes
+  * every fact row across all <= candidates before re-aggregating.
+  *
+  * Semantics match `nearestBefore`: greatest right time <= left time
+  * per key; unmatched (or NULL key/time) left rows carry NULLs; right
+  * rows with NULL key/time never match; the right side must be unique
+  * per (key, time) — ties have no defined winner there.
+  */
+case class BroadcastAsOfJoin(
+    leftKey: Attribute,
+    leftTime: Attribute,
+    rightKey: Attribute,
+    rightTime: Attribute,
+    carry: Seq[Attribute],
+    left: LogicalPlan,
+    right: LogicalPlan) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ carry.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): BroadcastAsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy for graft's custom logical nodes; injected via
+  * [[GraftExtensions]] (conf route) or `GraftExtensions.register`
+  * (live-session route). */
+object GraftStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: BroadcastAsOfJoin =>
+      BroadcastAsOfJoinExec(j.leftKey, j.leftTime, j.rightKey, j.rightTime,
+        j.carry.map(_.withNullability(true)), planLater(j.left), planLater(j.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical broadcast as-of join. Declares
+  * `BroadcastDistribution(IdentityBroadcastMode)` on the right so
+  * EnsureRequirements inserts the standard BroadcastExchange (AQE
+  * wraps it in a broadcast query stage as usual); the left side keeps
+  * its distribution AND its ordering — this node is a per-row map
+  * over the fact stream. Each partition builds a key -> time-sorted
+  * carry-row index from the broadcast array (dimension-sized, so the
+  * O(|R| log |R|) build is noise), then probes with a floor binary
+  * search per fact row. */
+case class BroadcastAsOfJoinExec(
+    leftKey: Attribute,
+    leftTime: Attribute,
+    rightKey: Attribute,
+    rightTime: Attribute,
+    carry: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ carry
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  /** Physical long extraction for the supported time types (all
+    * long- or int-backed, so the probe compares primitives). */
+  private def asLong(dt: DataType): (InternalRow, Int) => Long = dt match {
+    case TimestampType | TimestampNTZType | LongType => (r, i) => r.getLong(i)
+    case DateType | IntegerType => (r, i) => r.getInt(i).toLong
+    case other => throw new UnsupportedOperationException(
+      s"as-of time column must be timestamp/date/integral, got $other")
+  }
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val bRows = right.executeBroadcast[Array[InternalRow]]()
+    val rOut = right.output
+    val lOut = left.output
+    val rKeyIdx = rOut.indexWhere(_.exprId == rightKey.exprId)
+    val rTimeIdx = rOut.indexWhere(_.exprId == rightTime.exprId)
+    val lKeyIdx = lOut.indexWhere(_.exprId == leftKey.exprId)
+    val lTimeIdx = lOut.indexWhere(_.exprId == leftTime.exprId)
+    require(rKeyIdx >= 0 && rTimeIdx >= 0, "right key/time not in child output")
+    require(lKeyIdx >= 0 && lTimeIdx >= 0, "left key/time not in child output")
+    val rGetT = asLong(rightTime.dataType)
+    val lGetT = asLong(leftTime.dataType)
+    val carryAttrs = carry
+    val outAttrs = output
+    val rightKeyAttr = rightKey
+    val leftKeyAttr = leftKey
+
+    left.execute().mapPartitions({ iter =>
+      val rKeyProj = UnsafeProjection.create(Seq(rightKeyAttr), rOut)
+      val carryProj = UnsafeProjection.create(carryAttrs, rOut)
+      val grouped = mutable.HashMap.empty[UnsafeRow, mutable.ArrayBuffer[(Long, UnsafeRow)]]
+      bRows.value.foreach { r =>
+        if (!r.isNullAt(rKeyIdx) && !r.isNullAt(rTimeIdx)) {
+          val k = rKeyProj(r).copy()
+          grouped.getOrElseUpdate(k, mutable.ArrayBuffer.empty) +=
+            ((rGetT(r, rTimeIdx), carryProj(r).copy()))
+        }
+      }
+      val index = new java.util.HashMap[UnsafeRow, (Array[Long], Array[UnsafeRow])](
+        grouped.size * 2 + 1)
+      grouped.foreach { case (k, buf) =>
+        val sorted = buf.sortBy(_._1)
+        index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+      }
+      val lKeyProj = UnsafeProjection.create(Seq(leftKeyAttr), lOut)
+      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ carryAttrs)
+      val joined = new JoinedRow
+      val nullCarry = new GenericInternalRow(carryAttrs.size)
+      iter.map { lrow =>
+        var hit: UnsafeRow = null
+        if (!lrow.isNullAt(lKeyIdx) && !lrow.isNullAt(lTimeIdx)) {
+          val entry = index.get(lKeyProj(lrow))
+          if (entry != null) {
+            val times = entry._1
+            val t = lGetT(lrow, lTimeIdx)
+            var lo = 0
+            var hi = times.length - 1
+            var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            if (ans >= 0) hit = entry._2(ans)
+          }
+        }
+        resultProj(joined(lrow, if (hit == null) nullCarry else hit))
+      }
+    }, preservesPartitioning = true)
+  }
+}

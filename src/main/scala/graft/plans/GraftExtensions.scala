@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectPlannerStrategy(_ => GraftStrategy)
   }
 }
 
@@ -66,5 +67,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDotProduct
+    if (!spark.experimental.extraStrategies.contains(GraftStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftStrategy
   }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+/** The custom broadcast as-of physical operator
+  * (plans.BroadcastAsOfJoin / BroadcastAsOfJoinExec) vs the
+  * union+window reference implementation: same semantics, no fact-side
+  * exchange. */
+class AsOfJoinNativeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def leftDf = Seq(
+    (1L, 10L, 100L), // between r-rows -> floor match
+    (2L, 10L, 5L),   // before all right rows -> null carry
+    (3L, 10L, 200L), // exact tie with a right ts -> that row
+    (4L, 99L, 100L), // key absent on right -> null carry
+    (5L, 11L, 150L)  // different key, independent floor
+  ).toDF("id", "k", "t")
+
+  private def rightDf = Seq(
+    (10L, 50L, "a", Some(1.0)),
+    (10L, 200L, "b", None: Option[Double]), // null payload must arrive as-is
+    (11L, 100L, "c", Some(3.0)),
+    (11L, 160L, "d", Some(4.0))
+  ).toDF("k", "t", "tag", "w")
+
+  test("broadcast as-of matches the union+window form row for row") {
+    val native = AsOfJoin.nearestBeforeBroadcast(leftDf, rightDf, "k", "t", Seq("tag", "w"))
+    val ref = AsOfJoin.nearestBefore(leftDf, rightDf, "k", "t", Seq("tag", "w"))
+    assert(native.columns.toSeq == ref.columns.toSeq)
+    val n = native.orderBy("id").collect().toSeq
+    assert(n == ref.orderBy("id").collect().toSeq)
+    // spot semantics: floor match, miss, exact tie, absent key
+    val byId = n.map(r => r.getLong(0) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(byId(1L) == ((Some("a"), Some(1.0))))
+    assert(byId(2L) == ((None, None)))
+    assert(byId(3L) == ((Some("b"), None)), "tie matches; matched row's OWN null survives")
+    assert(byId(4L) == ((None, None)))
+    assert(byId(5L) == ((Some("c"), Some(3.0))))
+  }
+
+  test("NULL left key/time rows pass through with null carry") {
+    val l = Seq((Some(10L), Some(100L)), (None: Option[Long], Some(100L)),
+      (Some(10L), None: Option[Long])).toDF("k", "t")
+    val out = AsOfJoin.nearestBeforeBroadcast(l, rightDf, "k", "t", Seq("tag"))
+    assert(out.count() == 3)
+    assert(out.filter(col("tag").isNotNull).count() == 1)
+  }
+
+  test("plan: zero exchange and no sort on the fact side") {
+    val native = AsOfJoin.nearestBeforeBroadcast(leftDf, rightDf, "k", "t", Seq("tag"))
+    native.collect() // materialize through AQE
+    val p = native.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastAsOfJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), s"fact side must not shuffle:\n$p")
+    assert(!p.contains("Sort "), s"fact side must not sort:\n$p")
+    assert(p.contains("BroadcastExchange"), s"right side must broadcast:\n$p")
+  }
+
+  test("self-join (left and right derive from the same frame) is safe") {
+    val base = Seq((10L, 50L, 1L), (10L, 100L, 2L), (11L, 70L, 3L)).toDF("k", "t", "v")
+    // each row finds the latest row at-or-before its own time: itself
+    val prior = base.withColumnRenamed("v", "self_v")
+    val out = AsOfJoin.nearestBeforeBroadcast(base, prior, "k", "t", Seq("self_v"))
+    assert(out.count() == 3)
+    assert(out.filter(col("v") === col("self_v")).count() == 3)
+  }
+
+  test("parity with union+window on the sf0.001 as-of workload") {
+    val ev = graft.sources.ViewingData.table(spark, Sf, "events")
+      .select(col("event_id"), col("user_id").as("k"), to_date(col("ts")).as("t"))
+    val r = graft.sources.ViewingData.table(spark, Sf, "orders")
+      .select(col("o_custkey").as("k"), to_date(col("o_orderdate")).as("t"),
+        col("o_orderkey"))
+      .groupBy("k", "t").agg(max("o_orderkey").as("ref_order"))
+    val a = AsOfJoin.nearestBeforeBroadcast(ev, r, "k", "t", Seq("ref_order"))
+      .select("event_id", "ref_order")
+    val b = AsOfJoin.nearestBefore(ev, r, "k", "t", Seq("ref_order"))
+      .select("event_id", "ref_order")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
