@@ -97,6 +97,27 @@ SELECT doc_id, CAST(len(tris) AS BIGINT) AS n_tri,
        END AS dup_ratio
 FROM tg"""))
 
+  /** One oracle for both decontamination implementations: the bloom
+    * prefilter is false-positive-only and the exact join re-verifies,
+    * so results are bit-identical by construction. */
+  private val decontamOracle = """WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id, CASE WHEN len(toks) < 5 THEN []
+           ELSE list_transform(range(1, len(toks)-3),
+                i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]) END AS grams
+  FROM t),
+test AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+train_g AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hit_grams
+         FROM train_g JOIN test USING (gram) GROUP BY doc_id)
+SELECT g.doc_id,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.hit_grams, 0) AS BIGINT) AS n_contaminated,
+       coalesce(h.hit_grams, 0) > 0 AS contaminated
+FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+WHERE g.doc_id % 97 <> 0"""
+
   /** Train/test decontamination: any training doc sharing a 5-gram
     * with the held-out set (doc_id % 97 = 0 here; any id predicate
     * works) is flagged. The test set's distinct 5-grams are tiny
@@ -132,23 +153,58 @@ FROM tg"""))
           coalesce(col("hit_grams"), lit(0L)).as("n_contaminated"),
           (coalesce(col("hit_grams"), lit(0L)) > 0).as("contaminated"))
     },
-    Some("""WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
-g AS (
-  SELECT doc_id, CASE WHEN len(toks) < 5 THEN []
-           ELSE list_transform(range(1, len(toks)-3),
-                i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]) END AS grams
-  FROM t),
-test AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
-train_g AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
-hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hit_grams
-         FROM train_g JOIN test USING (gram) GROUP BY doc_id)
-SELECT g.doc_id,
-       CAST(len(list_distinct(grams)) AS BIGINT) AS n_grams,
-       CAST(coalesce(h.hit_grams, 0) AS BIGINT) AS n_contaminated,
-       coalesce(h.hit_grams, 0) > 0 AS contaminated
-FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
-WHERE g.doc_id % 97 <> 0"""))
+    Some(decontamOracle))
+
+  /** Decontamination via BLOOM semi-join reduction — the 100-TB form.
+    * text_decontaminate broadcasts the test set's exact distinct grams;
+    * that works while the benchmark suite is small, but a large
+    * held-out corpus's gram set is GBs where its bloom is MBs. Here
+    * the test grams fold into ONE binary sketch
+    * (`bloom_filter_agg`, Spark's own runtime-filter aggregate, one
+    * scalar row), every train gram passes the codegen'd
+    * `might_contain` probe BEFORE the distinct — so the gram shuffle
+    * carries only probable hits (~fpp of the corpus instead of all of
+    * it) — and the surviving candidates re-verify against the exact
+    * test set, which removes the false positives: identical output to
+    * text_decontaminate, proven by sharing its oracle. */
+  private val textDecontaminateBloom = Q(
+    "text_decontaminate_bloom",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val grams = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextFunctions.wordNgrams(col("toks"), 5).as("grams"))
+        .localCheckpoint()
+      grams.createOrReplaceTempView("decon_grams_bloom")
+      // might_contain demands its bloom be a constant or SCALAR
+      // SUBQUERY (same contract Spark's InjectRuntimeFilter plans) —
+      // hence SQL: the sketch stays a one-row plan node, never a
+      // driver value.
+      s.sql("""
+WITH test AS (
+  SELECT DISTINCT gram FROM (
+    SELECT explode(grams) AS gram FROM decon_grams_bloom WHERE doc_id % 97 = 0)),
+cand AS (
+  SELECT DISTINCT doc_id, gram
+  FROM (SELECT doc_id, explode(grams) AS gram
+        FROM decon_grams_bloom WHERE doc_id % 97 != 0)
+  WHERE might_contain(
+          (SELECT bloom_filter_agg(xxhash64(gram), 100000L, 800000L) FROM test),
+          xxhash64(gram))),
+hits AS (
+  SELECT c.doc_id, count(1) AS hit_grams
+  FROM cand c JOIN test t ON c.gram = t.gram
+  GROUP BY c.doc_id),
+train AS (
+  SELECT doc_id, CAST(size(array_distinct(grams)) AS BIGINT) AS n_grams
+  FROM decon_grams_bloom WHERE doc_id % 97 != 0)
+SELECT tr.doc_id, tr.n_grams,
+       coalesce(h.hit_grams, 0L) AS n_contaminated,
+       coalesce(h.hit_grams, 0L) > 0 AS contaminated
+FROM train tr LEFT JOIN hits h ON tr.doc_id = h.doc_id""")
+    },
+    Some(decontamOracle))
 
   /** PII redaction with per-kind counts (counted on the original
     * text). Four regex passes in one projection — scan-speed, no
@@ -426,6 +482,6 @@ WINDOW w AS (PARTITION BY shard ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
 
   val all: Seq[Q] =
-    Seq(textRepetition, textDecontaminate, piiScrubQ, corpusShuffle,
+    Seq(textRepetition, textDecontaminate, textDecontaminateBloom, piiScrubQ, corpusShuffle,
       corpusMix, textUnigramLogprob, mmHeaderParse, qualityGate, corpusPrep)
 }

@@ -53,7 +53,29 @@ object GraftExtensions {
       new FunctionIdentifier("vec_argmax_dot"),
       new ExpressionInfo(classOf[VecArgmaxDot].getName, "vec_argmax_dot"),
       (children: Seq[Expression]) =>
-        VecArgmaxDot(children(0), children(1), children(2))))
+        VecArgmaxDot(children(0), children(1), children(2))),
+    // Spark's OWN bloom machinery (what InjectRuntimeFilter plans
+    // internally), surfaced as callable functions for explicit
+    // semi-join reduction: bloom_filter_agg(xxhash64(k), items, bits)
+    // builds one binary sketch; might_contain(bf, xxhash64(k)) is the
+    // codegen'd probe (bloom first). False-positive-only, so an exact
+    // join AFTER the prefilter keeps results exact.
+    (
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))),
+    (
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))))
 
   /** Idempotent runtime registration: functions into the session's
     * registry, the dot-product rewrite into the experimental optimizer
