@@ -260,6 +260,34 @@ FROM documents d ANTI JOIN dupes USING (doc_id)"""))
         percentile_approx(col("value"), lit(0.95), lit(10000)).as("approx_p95")),
     None)
 
+  /** Reach counting as SKETCH PARTIAL AGGREGATION — how the
+    * reference's v_audience_metrics COUNT(DISTINCT household) actually
+    * runs at 100 TB: exact distinct doesn't pre-aggregate (every id
+    * must reach its reduce key), but an HLL sketch is a fixed-width
+    * mergeable register array, so each day folds into one 2-4 KB
+    * sketch and ANY rollup (week, campaign, all-time) is a union of
+    * sketches — no second pass over the events. Spark's
+    * hll_sketch_agg/hll_union_agg are the Apache DataSketches HLL
+    * (deterministic: same input set → same registers), and sketch
+    * union is lossless over registers, so merged-daily == direct
+    * whole-period BY CONSTRUCTION — SketchSpec pins that identity and
+    * the error vs exact distinct. No DuckDB oracle: its
+    * approx_count_distinct is a different sketch family (rows-only
+    * gate, like q_approx). */
+  private val hllReach = Q(
+    "q_hll_reach",
+    (s, dir) => {
+      val daily = ViewingData.table(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      daily.groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+    },
+    None)
+
   /** Text normalization for training corpora: strip URLs, lowercase,
     * collapse whitespace — all codegen'd regexp_replace. */
   private val textNormalize = Q(
@@ -764,7 +792,7 @@ GROUP BY c.cohort_week, (a.week - c.cohort_week) // 7"""))
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
-    approxAggs, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
+    approxAggs, hllReach, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
     tryCast, skewAgg, statsAgg, skewJoin, dqAudit, dedupKeepCanonical,
     stringFuncs2, bitAggs, dateFuncs2, funnel, retention)

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** HLL sketch partial aggregation (q_hll_reach): the two invariants
+  * that make sketches the 100-TB distinct-count shape.
+  *
+  *  1. MERGEABILITY IS LOSSLESS: union of per-day sketches == one
+  *     whole-period sketch, register for register — so rollups never
+  *     re-scan events. DataSketches HLL insertion is deterministic
+  *     per input SET (order-insensitive by construction), which makes
+  *     this an exact equality, not an approximation.
+  *  2. The estimate tracks the exact distinct count within the
+  *     configured error (lgK=14 → rsd ~0.8%; assert 5% ≈ >5σ).
+  */
+class SketchSpec extends SparkTestBase {
+
+  test("merged daily sketches == direct whole-period sketch estimate") {
+    val ev = graft.sources.ViewingData.table(spark, Sf, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val merged = ev.groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14))).as("est"))
+    val m = merged.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val d = direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == d, s"sketch union must be lossless: $m vs $d")
+  }
+
+  test("estimate within 5% of exact distinct per group") {
+    val ev = graft.sources.ViewingData.table(spark, Sf, "events")
+    val est = SparkEntry.queries("q_hll_reach")(spark, Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val e = est(k)
+      assert(math.abs(e - n) <= math.max(1L, (n * 0.05).toLong),
+        s"$k: estimate $e vs exact $n")
+    }
+  }
+
+  test("plan: daily sketches pre-aggregate map-side (partial HLL agg)") {
+    val p = SparkEntry.queries("q_hll_reach")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // two-level aggregate: partial hll_sketch_agg below the exchange,
+    // merge above — the property that makes the rollup one pass
+    assert(p.contains("partial_hll_sketch_agg") || p.contains("partial hll_sketch_agg")
+      || "HashAggregate.*hll_sketch_agg".r.findAllIn(p).size >= 2, p)
+  }
+}
