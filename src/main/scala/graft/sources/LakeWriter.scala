@@ -83,6 +83,56 @@ object LakeWriter {
     publish(spark, staged, src)
   }
 
+  /** Z-ORDER clustering (the OPTIMIZE ZORDER layout): rewrite a table
+    * so every file covers a NARROW range of BOTH `colA` and `colB`,
+    * making parquet min/max stats prune files for predicates on either
+    * column. A sort can only cluster its leading column — files then
+    * span the full range of every other column and no stat prunes
+    * them; interleaving quantile-bucket bits (Morton order) spreads
+    * locality across both dimensions at ~sqrt cost to each.
+    *
+    * Buckets are QUANTILE-based (percentile_approx boundaries — the
+    * rank-based normalization range-partitioning uses), not
+    * min/max-linear, so skewed columns still split evenly. The
+    * boundary fetch is one aggregate row (control-plane, like the IVF
+    * centroid collect); bucketing and bit-interleave are codegen'd
+    * column expressions; the write is repartitionByRange on the
+    * z-value — total cost one range exchange, same as any sorted
+    * rewrite. Files are sized by `nFiles`, staged and published by
+    * rename with the same crash contract as [[compact]]. */
+  def zorderBy(spark: org.apache.spark.sql.SparkSession, path: String,
+      colA: String, colB: String, nFiles: Int, buckets: Int = 64): Unit = {
+    require(buckets > 1 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val bits = java.lang.Integer.numberOfTrailingZeros(buckets)
+    val df = spark.read.parquet(path)
+    val probs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    val bounds = df.agg(
+      percentile_approx(col(colA).cast("double"), probs, lit(10000)),
+      percentile_approx(col(colB).cast("double"), probs, lit(10000))).head()
+    def boundary(i: Int): Seq[Double] = bounds.getSeq[Double](i)
+    // bucket id = #boundaries <= value (0..buckets-1), over a literal
+    // boundary array — codegen'd, no join
+    def bucketOf(c: String, bs: Seq[Double]) =
+      size(filter(
+        array(bs.map(lit): _*),
+        b => b <= col(c).cast("double"))).cast("long")
+    def interleave(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+        acc
+          .bitwiseOR(shiftleft(a.bitwiseAND(lit(1L << i)), i + 1))
+          .bitwiseOR(shiftleft(b.bitwiseAND(lit(1L << i)), i))
+      }
+    val z = interleave(bucketOf(colA, boundary(0)), bucketOf(colB, boundary(1)))
+    val staged = stagingPath(path)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(staged)
+    publish(spark, staged, path)
+  }
+
   /** Sibling staging location for a full-rewrite-then-swap of `target`.
     * Inside the parent dir (rename must not cross filesystems), named
     * so directory readers of the parent can't mistake it for data. */
