@@ -260,6 +260,46 @@ FROM documents d ANTI JOIN dupes USING (doc_id)"""))
         percentile_approx(col("value"), lit(0.95), lit(10000)).as("approx_p95")),
     None)
 
+  /** Gaps-and-islands: per-user CONSECUTIVE-DAY activity streaks —
+    * the workhorse behind Snowflake MATCH_RECOGNIZE's most common
+    * pattern (`PATTERN (A+)` over a calendar). The island id is the
+    * date minus a per-user dense day index: constant within a
+    * consecutive run, strictly increasing across gaps. ONE exchange
+    * on user_id serves the distinct, the window, and the two
+    * aggregations — the same single-shuffle discipline as
+    * q_sessionize, which is this operator at second granularity. */
+  private val islands = Q(
+    "q_islands",
+    (s, dir) => {
+      val days = ViewingData.table(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val streaks = days
+        .withColumn("island", date_sub(col("day"), row_number().over(w)))
+        .groupBy("user_id", "island")
+        .agg(count(lit(1)).as("len"))
+      streaks.groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_streaks"),
+          max("len").as("max_streak_days"),
+          sum("len").as("active_days"))
+    },
+    Some("""WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+streaks AS (
+  SELECT user_id,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS island,
+         day
+  FROM days),
+per_island AS (
+  SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS len
+  FROM streaks GROUP BY user_id, island)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS max_streak_days,
+       CAST(SUM(len) AS BIGINT) AS active_days
+FROM per_island GROUP BY user_id"""))
+
   /** Reach counting as SKETCH PARTIAL AGGREGATION — how the
     * reference's v_audience_metrics COUNT(DISTINCT household) actually
     * runs at 100 TB: exact distinct doesn't pre-aggregate (every id
@@ -792,7 +832,7 @@ GROUP BY c.cohort_week, (a.week - c.cohort_week) // 7"""))
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
-    approxAggs, hllReach, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
+    approxAggs, hllReach, islands, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
     tryCast, skewAgg, statsAgg, skewJoin, dqAudit, dedupKeepCanonical,
     stringFuncs2, bitAggs, dateFuncs2, funnel, retention)

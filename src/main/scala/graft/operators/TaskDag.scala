@@ -60,6 +60,34 @@ object TaskDag {
       DagState(consecutiveFailures - task, suspended - task)
   }
 
+  /** [[DagState]] persisted as the task-control pattern: one parquet
+    * row per task carrying (consecutive_failures, suspended), written
+    * through the staged-publish rename so a crash between runs never
+    * leaves a torn state file. Load of an absent path is the fresh
+    * state — first run needs no bootstrap step. */
+  def saveState(spark: SparkSession, state: DagState, path: String): Unit = {
+    import spark.implicits._
+    val rows = (state.consecutiveFailures.keySet ++ state.suspended).toSeq.sorted
+      .map(t => (t, state.consecutiveFailures.getOrElse(t, 0), state.suspended.contains(t)))
+    val staged = graft.sources.LakeWriter.stagingPath(path)
+    rows.toDF("task", "consecutive_failures", "suspended")
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    graft.sources.LakeWriter.publish(spark, staged, path)
+  }
+
+  def loadState(spark: SparkSession, path: String): DagState = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) DagState()
+    else {
+      val rows = spark.read.parquet(path)
+        .select("task", "consecutive_failures", "suspended").collect()
+      DagState(
+        rows.map(r => r.getString(0) -> r.getInt(1)).toMap.filter(_._2 > 0),
+        rows.filter(_.getBoolean(2)).map(_.getString(0)).toSet)
+    }
+  }
+
   /** Kahn's topological sort; rejects cycles and unknown deps. */
   def order(tasks: Seq[Task]): Seq[Task] = {
     val byName = tasks.map(t => t.name -> t).toMap

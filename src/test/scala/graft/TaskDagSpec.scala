@@ -98,6 +98,17 @@ class TaskDagSpec extends SparkTestBase {
     assert(s2.suspended("boom"))
   }
 
+  test("policy: DagState round-trips through parquet (task_control pattern)") {
+    val path = Files.createTempDirectory("dagstate").toString + "/state"
+    assert(TaskDag.loadState(spark, path) == TaskDag.DagState(), "absent -> fresh")
+    val s = TaskDag.DagState(Map("a" -> 2, "b" -> 1), Set("a"))
+    TaskDag.saveState(spark, s, path)
+    assert(TaskDag.loadState(spark, path) == s)
+    // overwrite with the resumed state; load reflects it
+    TaskDag.saveState(spark, s.resume("a"), path)
+    assert(TaskDag.loadState(spark, path) == TaskDag.DagState(Map("b" -> 1), Set.empty))
+  }
+
   test("dailyDag materializes the reference's table chain end-to-end") {
     val out = Files.createTempDirectory("dag").toString
     val results = TaskDag.run(spark, Pipeline.dailyDag(Sf, out))
