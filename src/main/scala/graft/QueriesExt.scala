@@ -328,6 +328,25 @@ FROM per_island GROUP BY user_id"""))
     },
     None)
 
+  /** q_hll_reach's EXACT sibling: distinct counting as a custom
+    * bitmap TypedImperativeAggregate (plans.BitmapDistinct). Same
+    * partial-aggregate property — each map partition folds ids into a
+    * bitset, the exchange carries one buffer per (partition, group),
+    * OR-merge is lossless — but the answer is exact, so unlike any
+    * sketch it oracle-checks against DuckDB's COUNT(DISTINCT). The
+    * trade: buffer size is domain/8 bytes (dense surrogate ids), vs
+    * the sketch's fixed 2-4 KB at ~1% error. */
+  private val bitmapReach = Q(
+    "q_bitmap_reach",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      ViewingData.table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("bitmap_distinct(user_id)").as("n_users"))
+    },
+    Some("""SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type"""))
+
   /** Text normalization for training corpora: strip URLs, lowercase,
     * collapse whitespace — all codegen'd regexp_replace. */
   private val textNormalize = Q(
@@ -832,7 +851,7 @@ GROUP BY c.cohort_week, (a.week - c.cohort_week) // 7"""))
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
-    approxAggs, hllReach, islands, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
+    approxAggs, hllReach, bitmapReach, islands, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
     tryCast, skewAgg, statsAgg, skewJoin, dqAudit, dedupKeepCanonical,
     stringFuncs2, bitAggs, dateFuncs2, funnel, retention)

@@ -1,0 +1,188 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Growable uncompressed bitset keyed by non-negative long ids —
+  * the aggregation buffer of [[BitmapDistinct]]. Grows by doubling to
+  * the highest bit seen; serializes as (nWords, words…). For the
+  * dense-id domains it targets (household/user surrogate keys) this
+  * is ids/8 bytes per GROUP — a 10M-id domain is 1.25 MB, and the
+  * map-side partial OR-merge means executors exchange one buffer per
+  * (partition, group), never the ids. */
+final class LongBitmap(var words: Array[Long]) {
+  def this() = this(new Array[Long](4))
+
+  def set(id: Long): Unit = {
+    require(id >= 0, s"bitmap_distinct requires non-negative ids, got $id")
+    val w = (id >>> 6).toInt
+    if (w >= words.length) {
+      val grown = new Array[Long](java.lang.Integer.highestOneBit(w) * 2 max 4)
+      System.arraycopy(words, 0, grown, 0, words.length)
+      words = grown
+    }
+    words(w) |= 1L << (id & 63)
+  }
+
+  def or(other: LongBitmap): LongBitmap = {
+    if (other.words.length > words.length) {
+      val grown = new Array[Long](other.words.length)
+      System.arraycopy(words, 0, grown, 0, words.length)
+      words = grown
+    }
+    var i = 0
+    while (i < other.words.length) { words(i) |= other.words(i); i += 1 }
+    this
+  }
+
+  def cardinality: Long = {
+    var n = 0L
+    var i = 0
+    while (i < words.length) { n += java.lang.Long.bitCount(words(i)); i += 1 }
+    n
+  }
+
+  def toBytes: Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + words.length * 8)
+    bb.putInt(words.length)
+    words.foreach(bb.putLong)
+    bb.array()
+  }
+}
+
+object LongBitmap {
+  def fromBytes(bytes: Array[Byte]): LongBitmap = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val words = new Array[Long](n)
+    var i = 0
+    while (i < n) { words(i) = bb.getLong; i += 1 }
+    new LongBitmap(words)
+  }
+}
+
+/** EXACT distinct counting as a mergeable partial aggregate — the
+  * precise sibling of q_hll_reach's sketches, for id domains dense
+  * enough to bitmap (surrogate-keyed households/users; the reference's
+  * reach metric, etl-ddl-backfill.sql:188-218). COUNT(DISTINCT id)
+  * cannot pre-aggregate (every id must cross the exchange);
+  * `bitmap_distinct(id)` folds each map partition into a bitset and
+  * merges by OR, so the shuffle carries one buffer per group per
+  * partition and the result is still EXACT — which also makes it
+  * oracle-checkable against DuckDB's COUNT(DISTINCT), unlike any
+  * sketch. A custom [[TypedImperativeAggregate]]: the third Catalyst
+  * extension kind in graft/plans (scalar Expression with codegen,
+  * planner strategy + physical operator, and now a typed aggregate).
+  */
+case class BitmapDistinct(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[LongBitmap] with UnaryLike[Expression] {
+
+  override def prettyName: String = "bitmap_distinct"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_distinct requires BIGINT ids, got ${child.dataType.sql}")
+
+  override def createAggregationBuffer(): LongBitmap = new LongBitmap()
+
+  override def update(buffer: LongBitmap, input: InternalRow): LongBitmap = {
+    val v = child.eval(input)
+    if (v != null) buffer.set(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: LongBitmap, other: LongBitmap): LongBitmap =
+    buffer.or(other)
+
+  override def eval(buffer: LongBitmap): Any = buffer.cardinality
+
+  override def serialize(buffer: LongBitmap): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): LongBitmap = LongBitmap.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapDistinct =
+    copy(child = newChild)
+}
+
+/** [[BitmapDistinct]] that RETURNS the bitmap (binary) instead of its
+  * cardinality — the materialization half of the rollup pair, exactly
+  * as hll_sketch_agg is to hll_sketch_estimate: persist per-day
+  * bitmaps once, answer any coarser distinct-count by OR-merging them
+  * ([[BitmapOrCount]]) without rescanning events, and EXACTLY. */
+case class BitmapAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[LongBitmap] with UnaryLike[Expression] {
+
+  override def prettyName: String = "bitmap_agg"
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_agg requires BIGINT ids, got ${child.dataType.sql}")
+  override def createAggregationBuffer(): LongBitmap = new LongBitmap()
+  override def update(buffer: LongBitmap, input: InternalRow): LongBitmap = {
+    val v = child.eval(input)
+    if (v != null) buffer.set(v.asInstanceOf[Long])
+    buffer
+  }
+  override def merge(buffer: LongBitmap, other: LongBitmap): LongBitmap = buffer.or(other)
+  override def eval(buffer: LongBitmap): Any = buffer.toBytes
+  override def serialize(buffer: LongBitmap): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): LongBitmap = LongBitmap.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapAgg =
+    copy(child = newChild)
+}
+
+/** OR-merge of serialized bitmaps ([[BitmapAgg]] outputs) → exact
+  * distinct count of the union. */
+case class BitmapOrCount(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[LongBitmap] with UnaryLike[Expression] {
+
+  override def prettyName: String = "bitmap_or_count"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_or_count requires BINARY bitmaps, got ${child.dataType.sql}")
+  override def createAggregationBuffer(): LongBitmap = new LongBitmap()
+  override def update(buffer: LongBitmap, input: InternalRow): LongBitmap = {
+    val v = child.eval(input)
+    if (v != null) buffer.or(LongBitmap.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+  override def merge(buffer: LongBitmap, other: LongBitmap): LongBitmap = buffer.or(other)
+  override def eval(buffer: LongBitmap): Any = buffer.cardinality
+  override def serialize(buffer: LongBitmap): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): LongBitmap = LongBitmap.fromBytes(bytes)
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapOrCount =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapOrCount =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapOrCount =
+    copy(child = newChild)
+}

@@ -61,6 +61,18 @@ object GraftExtensions {
     // codegen'd probe (bloom first). False-positive-only, so an exact
     // join AFTER the prefilter keeps results exact.
     (
+      new FunctionIdentifier("bitmap_distinct"),
+      new ExpressionInfo(classOf[BitmapDistinct].getName, "bitmap_distinct"),
+      (children: Seq[Expression]) => BitmapDistinct(children(0))),
+    (
+      new FunctionIdentifier("bitmap_agg"),
+      new ExpressionInfo(classOf[BitmapAgg].getName, "bitmap_agg"),
+      (children: Seq[Expression]) => BitmapAgg(children(0))),
+    (
+      new FunctionIdentifier("bitmap_or_count"),
+      new ExpressionInfo(classOf[BitmapOrCount].getName, "bitmap_or_count"),
+      (children: Seq[Expression]) => BitmapOrCount(children(0))),
+    (
       new FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

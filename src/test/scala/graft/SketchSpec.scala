@@ -44,6 +44,38 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("bitmap_distinct == exact COUNT(DISTINCT); daily bitmap rollup == direct") {
+    graft.plans.GraftExtensions.register(spark)
+    val ev = graft.sources.ViewingData.table(spark, Sf, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = ev.groupBy("event_type")
+      .agg(expr("bitmap_distinct(user_id)").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(direct == exact, "bitmap aggregate must be exact")
+    // persist-then-merge: daily binary bitmaps OR-merged give the SAME
+    // exact answer without touching events again
+    val merged = ev.groupBy("event_type", "day")
+      .agg(expr("bitmap_agg(user_id)").as("bm"))
+      .groupBy("event_type")
+      .agg(expr("bitmap_or_count(bm)").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == exact, "bitmap OR-merge must be lossless and exact")
+  }
+
+  test("bitmap buffer grows and serializes across sparse id ranges") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    // ids spanning five orders of magnitude force buffer growth,
+    // serialization of uneven word lengths, and merge of unequal sizes
+    val ids = Seq(0L, 1L, 63L, 64L, 1000L, 100000L, 1000000L, 1000000L)
+    val n = ids.toDF("id").repartition(4)
+      .agg(expr("bitmap_distinct(id)")).head.getLong(0)
+    assert(n == ids.distinct.size)
+  }
+
   test("plan: daily sketches pre-aggregate map-side (partial HLL agg)") {
     val p = SparkEntry.queries("q_hll_reach")(spark, Sf)
       .queryExecution.executedPlan.toString
