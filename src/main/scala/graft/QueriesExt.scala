@@ -347,6 +347,38 @@ FROM per_island GROUP BY user_id"""))
     Some("""SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type"""))
 
+  /** The bitmap-algebra payoff: EXACT pairwise audience overlap
+    * between event types, computed from 5 materialized bitmaps — ONE
+    * scan of events builds the per-segment bitmaps, then every
+    * intersection is a popcount-AND over two buffers
+    * (`bitmap_and_count`) in a 5×5 crossJoin of one-row-per-segment
+    * frames. The oracle has to self-join the per-user activity table
+    * (|users × types|² work); the bitmap form never touches events
+    * again — the 100-TB overlap-matrix shape (ad-reach overlap,
+    * channel cannibalization). */
+  private val audienceOverlap = Q(
+    "q_audience_overlap",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val bm = ViewingData.table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("bitmap_agg(user_id)").as("bm"))
+      val a = bm.select(col("event_type").as("type_a"), col("bm").as("bm_a"))
+      val b = bm.select(col("event_type").as("type_b"), col("bm").as("bm_b"))
+      a.crossJoin(broadcast(b))
+        .select(col("type_a"), col("type_b"),
+          expr("bitmap_and_count(bm_a, bm_b)").as("overlap_users"))
+    },
+    Some("""WITH peru AS (SELECT DISTINCT event_type, user_id FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+ov AS (SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS c
+       FROM peru a JOIN peru b ON a.user_id = b.user_id
+       GROUP BY 1, 2)
+SELECT t1.event_type AS type_a, t2.event_type AS type_b,
+       CAST(COALESCE(ov.c, 0) AS BIGINT) AS overlap_users
+FROM types t1 CROSS JOIN types t2
+LEFT JOIN ov ON ov.ta = t1.event_type AND ov.tb = t2.event_type"""))
+
   /** Text normalization for training corpora: strip URLs, lowercase,
     * collapse whitespace — all codegen'd regexp_replace. */
   private val textNormalize = Q(
@@ -851,7 +883,7 @@ GROUP BY c.cohort_week, (a.week - c.cohort_week) // 7"""))
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
-    approxAggs, hllReach, bitmapReach, islands, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
+    approxAggs, hllReach, bitmapReach, audienceOverlap, islands, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
     tryCast, skewAgg, statsAgg, skewJoin, dqAudit, dedupKeepCanonical,
     stringFuncs2, bitAggs, dateFuncs2, funnel, retention)

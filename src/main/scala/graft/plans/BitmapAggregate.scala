@@ -67,6 +67,53 @@ object LongBitmap {
   }
 }
 
+/** Exact intersection cardinality of two serialized bitmaps
+  * ([[BitmapAgg]] outputs) — the set-algebra payoff of materialized
+  * bitmaps: audience OVERLAP between any two segments is an AND over
+  * two buffers, no scan, no join back to the fact table. A plain
+  * binary expression (two bitmap columns in, BIGINT out); the word
+  * loop is branch-free popcount. */
+case class BitmapAndCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def prettyName: String = "bitmap_and_count"
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_and_count requires two BINARY bitmaps, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    BitmapAndCount.andCount(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.BitmapAndCount.andCount($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapAndCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object BitmapAndCount {
+  /** Static popcount-AND over two serialized bitmaps; called from both
+    * interpreted eval and generated code. */
+  def andCount(l: Array[Byte], r: Array[Byte]): Long = {
+    val a = LongBitmap.fromBytes(l).words
+    val b = LongBitmap.fromBytes(r).words
+    val n = math.min(a.length, b.length)
+    var i = 0
+    var c = 0L
+    while (i < n) { c += java.lang.Long.bitCount(a(i) & b(i)); i += 1 }
+    c
+  }
+}
+
 /** EXACT distinct counting as a mergeable partial aggregate — the
   * precise sibling of q_hll_reach's sketches, for id domains dense
   * enough to bitmap (surrogate-keyed households/users; the reference's

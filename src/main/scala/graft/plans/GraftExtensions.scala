@@ -73,6 +73,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[BitmapOrCount].getName, "bitmap_or_count"),
       (children: Seq[Expression]) => BitmapOrCount(children(0))),
     (
+      new FunctionIdentifier("bitmap_and_count"),
+      new ExpressionInfo(classOf[BitmapAndCount].getName, "bitmap_and_count"),
+      (children: Seq[Expression]) => BitmapAndCount(children(0), children(1))),
+    (
       new FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

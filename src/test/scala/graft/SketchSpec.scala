@@ -65,6 +65,24 @@ class SketchSpec extends SparkTestBase {
     assert(merged == exact, "bitmap OR-merge must be lossless and exact")
   }
 
+  test("bitmap_and_count: exact overlap, unequal buffer widths, empty intersection") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 1000000L),          // wide buffer
+      ("b", 2L), ("b", 3L),                           // narrow buffer
+      ("c", 7L)                                       // disjoint from b
+    ).toDF("seg", "id")
+    val bm = df.groupBy("seg").agg(expr("bitmap_agg(id)").as("bm"))
+    val pairs = bm.select(col("seg").as("sa"), col("bm").as("ba"))
+      .crossJoin(bm.select(col("seg").as("sb"), col("bm").as("bb")))
+      .select(col("sa"), col("sb"), expr("bitmap_and_count(ba, bb)").as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(pairs(("a", "b")) == 1L && pairs(("b", "a")) == 1L) // {2}
+    assert(pairs(("a", "a")) == 3L, "self-overlap = cardinality")
+    assert(pairs(("b", "c")) == 0L, "disjoint segments")
+  }
+
   test("bitmap buffer grows and serializes across sparse id ranges") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
