@@ -360,9 +360,13 @@ FROM events GROUP BY event_type"""))
     "q_audience_overlap",
     (s, dir) => {
       graft.plans.GraftExtensions.register(s)
+      // localCheckpoint: both crossJoin sides read the SAME 5-row
+      // bitmap table — without it each side re-scans events (Prof
+      // census catches the double read)
       val bm = ViewingData.table(s, dir, "events")
         .groupBy("event_type")
         .agg(expr("bitmap_agg(user_id)").as("bm"))
+        .localCheckpoint()
       val a = bm.select(col("event_type").as("type_a"), col("bm").as("bm_a"))
       val b = bm.select(col("event_type").as("type_b"), col("bm").as("bm_b"))
       a.crossJoin(broadcast(b))
