@@ -66,7 +66,28 @@ object AsOfJoin {
       right: DataFrame,
       keyCol: String,
       tsCol: String,
-      rightCarry: Seq[String]): DataFrame = {
+      rightCarry: Seq[String]): DataFrame =
+    broadcastAsOf(left, right, keyCol, tsCol, rightCarry, forward = false)
+
+  /** Forward as-of: each left row picks the right row with the LEAST
+    * timestamp >= its own, per key (DuckDB `ASOF ... ON l.t <= r.t`) —
+    * next scheduled airing, next price change. Same broadcast
+    * zero-fact-exchange plan; the probe is a ceiling search. */
+  def nearestAfterBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightCarry: Seq[String]): DataFrame =
+    broadcastAsOf(left, right, keyCol, tsCol, rightCarry, forward = true)
+
+  private def broadcastAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightCarry: Seq[String],
+      forward: Boolean): DataFrame = {
     require(rightCarry.nonEmpty, "rightCarry must name at least one column")
     require(!rightCarry.exists(left.columns.contains),
       s"carry columns ${rightCarry.mkString(",")} collide with left columns")
@@ -91,6 +112,7 @@ object AsOfJoin {
     require(lt.dataType == rOut(1).dataType,
       s"as-of time types differ: ${lt.dataType} vs ${rOut(1).dataType}")
     org.apache.spark.sql.graft.PlanBridge.dataFrame(spark,
-      graft.plans.BroadcastAsOfJoin(lk, lt, rOut(0), rOut(1), rOut.drop(2), lplan, rplan))
+      graft.plans.BroadcastAsOfJoin(lk, lt, rOut(0), rOut(1), rOut.drop(2), forward,
+        lplan, rplan))
   }
 }

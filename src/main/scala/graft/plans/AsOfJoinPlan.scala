@@ -39,6 +39,7 @@ case class BroadcastAsOfJoin(
     rightKey: Attribute,
     rightTime: Attribute,
     carry: Seq[Attribute],
+    forward: Boolean,
     left: LogicalPlan,
     right: LogicalPlan) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ carry.map(_.withNullability(true))
@@ -54,7 +55,8 @@ object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: BroadcastAsOfJoin =>
       BroadcastAsOfJoinExec(j.leftKey, j.leftTime, j.rightKey, j.rightTime,
-        j.carry.map(_.withNullability(true)), planLater(j.left), planLater(j.right)) :: Nil
+        j.carry.map(_.withNullability(true)), j.forward,
+        planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
   }
 }
@@ -74,6 +76,7 @@ case class BroadcastAsOfJoinExec(
     rightKey: Attribute,
     rightTime: Attribute,
     carry: Seq[Attribute],
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -136,6 +139,7 @@ case class BroadcastAsOfJoinExec(
       val resultProj = UnsafeProjection.create(outAttrs, lOut ++ carryAttrs)
       val joined = new JoinedRow
       val nullCarry = new GenericInternalRow(carryAttrs.size)
+      val fwd = forward
       iter.map { lrow =>
         var hit: UnsafeRow = null
         if (!lrow.isNullAt(lKeyIdx) && !lrow.isNullAt(lTimeIdx)) {
@@ -146,9 +150,18 @@ case class BroadcastAsOfJoinExec(
             var lo = 0
             var hi = times.length - 1
             var ans = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+            if (fwd) {
+              // least right time >= t (ceiling)
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (times(mid) >= t) { ans = mid; hi = mid - 1 } else lo = mid + 1
+              }
+            } else {
+              // greatest right time <= t (floor)
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+              }
             }
             if (ans >= 0) hit = entry._2(ans)
           }

@@ -67,6 +67,20 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     assert(out.filter(col("v") === col("self_v")).count() == 3)
   }
 
+  test("forward as-of: ceiling match, tie, and past-the-end miss") {
+    val out = AsOfJoin.nearestAfterBroadcast(leftDf, rightDf, "k", "t", Seq("tag"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(out(1L) == Some("b"), "t=100 -> next right at 200")
+    assert(out(2L) == Some("a"), "t=5 -> next right at 50")
+    assert(out(3L) == Some("b"), "exact tie at 200 matches")
+    assert(out(4L) == None, "absent key")
+    assert(out(5L) == Some("d"), "t=150 -> next right at 160")
+    // past the last right row -> miss
+    val late = Seq((9L, 10L, 999L)).toDF("id", "k", "t")
+    val lateOut = AsOfJoin.nearestAfterBroadcast(late, rightDf, "k", "t", Seq("tag"))
+    assert(lateOut.collect().head.get(3) == null)
+  }
+
   test("parity with union+window on the sf0.001 as-of workload") {
     val ev = graft.sources.ViewingData.table(spark, Sf, "events")
       .select(col("event_id"), col("user_id").as("k"), to_date(col("ts")).as("t"))
