@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-versioned table directory — the reproducibility contract a
+  * training pipeline needs from its corpus store (train against a
+  * PINNED version while ingestion keeps committing; re-run a job
+  * months later against the exact bytes it saw), provided over plain
+  * parquet with the same rename-based atomicity as
+  * [[LakeWriter.publish]]. Snowflake gets this from TIME TRAVEL /
+  * zero-copy cloning; Delta/Iceberg from snapshot ids — this is that
+  * contract's filesystem fallback, and on a lake those formats replace
+  * it wholesale.
+  *
+  * Layout: `root/v=N/` per version plus `root/_latest` (a one-line
+  * manifest holding N). A version directory is written STAGED and
+  * renamed in before the manifest flips, and the manifest flip itself
+  * is a rename — readers never observe a half-written version, and a
+  * crash between the two renames leaves `_latest` on the previous
+  * version with the new directory complete but unreferenced (the next
+  * commit reuses the slot; `vacuum` reaps it).
+  */
+object Snapshots {
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionsOn(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new Path(root)
+    val f = fs(spark, root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
+  }
+
+  /** Reads `_latest`; None for an empty/absent table. A committed
+    * version directory not yet referenced by the manifest (crash
+    * window) is deliberately invisible. */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+    val m = new Path(root, "_latest")
+    val f = fs(spark, root)
+    if (!f.exists(m)) None
+    else {
+      val in = f.open(m)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Commits `df` as the next version and returns its number. The
+    * version dir lands complete (staged + rename) BEFORE the manifest
+    * flips, so concurrent readers of `read`/`readVersion` are never
+    * torn; pinned readers of old versions are untouched. */
+  def commit(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val next = latestVersion(spark, root).getOrElse(
+      versionsOn(spark, root).lastOption.getOrElse(0L)) + 1
+    val target = s"$root/v=$next"
+    val staged = LakeWriter.stagingPath(target)
+    df.write.mode("overwrite").parquet(staged)
+    LakeWriter.publish(spark, staged, target)
+    val f = fs(spark, root)
+    val tmp = new Path(root, s"_latest.tmp.$next")
+    val out = f.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    val manifest = new Path(root, "_latest")
+    f.delete(manifest, false)
+    if (!f.rename(tmp, manifest))
+      throw new java.io.IOException(s"snapshot commit: cannot flip $manifest")
+    next
+  }
+
+  /** Latest committed snapshot. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root, latestVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed snapshot at $root")))
+
+  /** A pinned snapshot — the reproducible-training read path. */
+  def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
+    spark.read.parquet(s"$root/v=$version")
+
+  /** Drops versions older than the newest `keep`, never the manifest's
+    * current version, plus any unreferenced crash leftovers beyond it. */
+  def vacuum(spark: SparkSession, root: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "must keep at least the current version")
+    val current = latestVersion(spark, root)
+    val all = versionsOn(spark, root)
+    val keepSet = (all.takeRight(keep) ++ current).toSet
+    val drop = all.filterNot(keepSet.contains)
+    val f = fs(spark, root)
+    drop.foreach(v => f.delete(new Path(root, s"v=$v"), true))
+    drop
+  }
+}

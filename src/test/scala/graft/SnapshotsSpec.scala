@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.{LakeWriter, Snapshots}
+
+/** Snapshot versioning: pinned reproducible reads, crash-window
+  * invisibility, vacuum retention. */
+class SnapshotsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("commit/read/readVersion: pinned versions survive later commits") {
+    val root = Files.createTempDirectory("snap").toString + "/t"
+    assert(Snapshots.latestVersion(spark, root).isEmpty)
+    val v1 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    val v2 = Snapshots.commit(Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "s"), root)
+    assert(v1 == 1L && v2 == 2L)
+    assert(Snapshots.read(spark, root).count() == 3)
+    // the pinned v1 read is byte-stable after v2 committed
+    val pinned = Snapshots.readVersion(spark, root, v1)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(pinned == Seq((1L, "a"), (2L, "b")))
+    assert(Snapshots.latestVersion(spark, root) == Some(2L))
+  }
+
+  test("crash window: a complete but unreferenced version dir is invisible") {
+    val root = Files.createTempDirectory("snap2").toString + "/t"
+    Snapshots.commit(Seq(1L).toDF("id"), root)
+    // simulate a crash AFTER the v=2 dir landed but BEFORE the manifest
+    // flip: write the dir directly, leave _latest at 1
+    Seq(1L, 2L).toDF("id").write.parquet(s"$root/v=2")
+    assert(Snapshots.latestVersion(spark, root) == Some(1L))
+    assert(Snapshots.read(spark, root).count() == 1)
+    // the next commit reuses the slot and the new data wins
+    val v = Snapshots.commit(Seq(10L, 20L, 30L).toDF("id"), root)
+    assert(v == 2L)
+    assert(Snapshots.read(spark, root).as[Long].collect().sorted.toSeq
+      == Seq(10L, 20L, 30L))
+  }
+
+  test("vacuum keeps the newest K and the current version") {
+    val root = Files.createTempDirectory("snap3").toString + "/t"
+    (1 to 4).foreach(i => Snapshots.commit(Seq(i.toLong).toDF("id"), root))
+    val dropped = Snapshots.vacuum(spark, root, keep = 2)
+    assert(dropped == Seq(1L, 2L))
+    assert(Snapshots.readVersion(spark, root, 3L).count() == 1)
+    assert(Snapshots.read(spark, root).as[Long].head() == 4L)
+    intercept[Exception] { Snapshots.readVersion(spark, root, 1L).collect() }
+  }
+}
