@@ -61,6 +61,69 @@ object GraftStrategy extends SparkStrategy {
   }
 }
 
+/** Executor-side probe index for the codegen path: per-key
+  * time-sorted carry rows behind a primitive-long key map. Built
+  * lazily once per codegen'd task from the broadcast array. */
+final class AsOfProbeIndex(
+    map: java.util.HashMap[java.lang.Long, (Array[Long], Array[UnsafeRow])],
+    forward: Boolean) {
+  /** Matched carry row or null — floor (backward) / ceiling (forward)
+    * binary search over the key's sorted times. */
+  def probe(key: Long, t: Long): UnsafeRow = {
+    val entry = map.get(key)
+    if (entry == null) return null
+    val times = entry._1
+    var lo = 0
+    var hi = times.length - 1
+    var ans = -1
+    if (forward) {
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (times(mid) >= t) { ans = mid; hi = mid - 1 } else lo = mid + 1
+      }
+    } else {
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      }
+    }
+    if (ans < 0) null else entry._2(ans)
+  }
+}
+
+/** Serializable recipe shipped in the codegen references array; builds
+  * the [[AsOfProbeIndex]] on first use inside the generated task. */
+final class AsOfIndexBuilder(
+    bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]],
+    rOut: Seq[Attribute],
+    rightKey: Attribute,
+    rightTime: Attribute,
+    carry: Seq[Attribute],
+    timeIsInt: Boolean,
+    forward: Boolean) extends Serializable {
+
+  def build(): AsOfProbeIndex = {
+    val rKeyIdx = rOut.indexWhere(_.exprId == rightKey.exprId)
+    val rTimeIdx = rOut.indexWhere(_.exprId == rightTime.exprId)
+    val carryProj = UnsafeProjection.create(carry, rOut)
+    val grouped = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, UnsafeRow)]]
+    bc.value.foreach { r =>
+      if (!r.isNullAt(rKeyIdx) && !r.isNullAt(rTimeIdx)) {
+        val t = if (timeIsInt) r.getInt(rTimeIdx).toLong else r.getLong(rTimeIdx)
+        grouped.getOrElseUpdate(r.getLong(rKeyIdx), mutable.ArrayBuffer.empty) +=
+          ((t, carryProj(r).copy()))
+      }
+    }
+    val map = new java.util.HashMap[java.lang.Long, (Array[Long], Array[UnsafeRow])](
+      grouped.size * 2 + 1)
+    grouped.foreach { case (k, buf) =>
+      val sorted = buf.sortBy(_._1)
+      map.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+    }
+    new AsOfProbeIndex(map, forward)
+  }
+}
+
 /** Physical broadcast as-of join. Declares
   * `BroadcastDistribution(IdentityBroadcastMode)` on the right so
   * EnsureRequirements inserts the standard BroadcastExchange (AQE
@@ -78,7 +141,8 @@ case class BroadcastAsOfJoinExec(
     carry: Seq[Attribute],
     forward: Boolean,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan) extends BinaryExecNode
+  with org.apache.spark.sql.execution.CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ carry
 
@@ -87,6 +151,74 @@ case class BroadcastAsOfJoinExec(
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  // ---- whole-stage codegen: the fact side stays inside the stream's
+  // codegen span; the probe is one static-shaped call per row. The
+  // generated path keys the index by primitive long — other key types
+  // take the interpreted doExecute via supportCodegen=false (the
+  // stream still wraps in WholeStageCodegen around an InputAdapter).
+  override def supportCodegen: Boolean =
+    leftKey.dataType == LongType &&
+      left.isInstanceOf[org.apache.spark.sql.execution.CodegenSupport]
+
+  // exactly one output row per input row, and carry values come from
+  // stable copied index rows — nothing downstream can observe reuse
+  // (the default walks BOTH children and the broadcast side isn't part
+  // of this codegen tree)
+  override def needCopyResult: Boolean = false
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].inputRDDs()
+
+  override protected def doProduce(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext): String =
+    left.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].produce(ctx, this)
+
+  override def doConsume(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      input: Seq[org.apache.spark.sql.catalyst.expressions.codegen.ExprCode],
+      row: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode): String = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, ExprCode, JavaCode}
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.BindReferences
+    val bc = right.executeBroadcast[Array[InternalRow]]()
+    val timeIsInt = rightTime.dataType == DateType || rightTime.dataType == IntegerType
+    val builder = new AsOfIndexBuilder(
+      bc, right.output, rightKey, rightTime, carry, timeIsInt, forward)
+    val builderRef = ctx.addReferenceObj("asofBuilder", builder,
+      classOf[AsOfIndexBuilder].getName)
+    val idxTerm = ctx.addMutableState(classOf[AsOfProbeIndex].getName, "asofIndex")
+    ctx.currentVars = input
+    val keyEv = BindReferences.bindReference(
+      leftKey: org.apache.spark.sql.catalyst.expressions.Expression, left.output).genCode(ctx)
+    val timeEv = BindReferences.bindReference(
+      leftTime: org.apache.spark.sql.catalyst.expressions.Expression, left.output).genCode(ctx)
+    val matched = ctx.freshName("asofMatched")
+    val carryVars = carry.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val getter = CodeGenerator.getValue(matched, a.dataType, i.toString)
+      val codeStr =
+        s"""
+           |boolean $isNull = ($matched == null) || $matched.isNullAt($i);
+           |$jt $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} : ($getter);
+         """.stripMargin
+      ExprCode(code"$codeStr",
+        JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
+    s"""
+       |if ($idxTerm == null) { $idxTerm = $builderRef.build(); }
+       |${keyEv.code}
+       |${timeEv.code}
+       |org.apache.spark.sql.catalyst.expressions.UnsafeRow $matched = null;
+       |if (!(${keyEv.isNull}) && !(${timeEv.isNull})) {
+       |  $matched = $idxTerm.probe(${keyEv.value}, (long) ${timeEv.value});
+       |}
+       |${carryVars.map(_.code).mkString("\n")}
+       |${consume(ctx, input ++ carryVars)}
+     """.stripMargin
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =

@@ -48,7 +48,7 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     assert(out.filter(col("tag").isNotNull).count() == 1)
   }
 
-  test("plan: zero exchange and no sort on the fact side") {
+  test("plan: zero exchange, no sort, and codegen'd probe on the fact side") {
     val native = AsOfJoin.nearestBeforeBroadcast(leftDf, rightDf, "k", "t", Seq("tag"))
     native.collect() // materialize through AQE
     val p = native.queryExecution.executedPlan.toString
@@ -56,6 +56,10 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"), s"fact side must not shuffle:\n$p")
     assert(!p.contains("Sort "), s"fact side must not sort:\n$p")
     assert(p.contains("BroadcastExchange"), s"right side must broadcast:\n$p")
+    // long keys take the whole-stage-codegen path: the operator prints
+    // inside a codegen span (starred), not behind an InputAdapter
+    assert("\\*\\(\\d+\\) BroadcastAsOfJoin".r.findFirstIn(p).isDefined,
+      s"probe must be inside WholeStageCodegen:\n$p")
   }
 
   test("self-join (left and right derive from the same frame) is safe") {
