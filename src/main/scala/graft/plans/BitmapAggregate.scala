@@ -114,6 +114,43 @@ object BitmapAndCount {
   }
 }
 
+/** Union of two serialized bitmaps → serialized bitmap. With
+  * [[BitmapAgg]] this is the incremental-maintenance primitive: OR a
+  * micro-batch's bitmap into the stored one. OR is IDEMPOTENT and
+  * commutative, so replayed batches converge without dedup state —
+  * at-least-once delivery yields exactly-once reach by algebra. */
+case class BitmapOr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def prettyName: String = "bitmap_or"
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bitmap_or requires two BINARY bitmaps, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    BitmapOr.or(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.BitmapOr.or($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BitmapOr =
+    copy(left = newLeft, right = newRight)
+}
+
+object BitmapOr {
+  def or(l: Array[Byte], r: Array[Byte]): Array[Byte] =
+    LongBitmap.fromBytes(l).or(LongBitmap.fromBytes(r)).toBytes
+}
+
 /** EXACT distinct counting as a mergeable partial aggregate — the
   * precise sibling of q_hll_reach's sketches, for id domains dense
   * enough to bitmap (surrogate-keyed households/users; the reference's

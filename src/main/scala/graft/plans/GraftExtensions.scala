@@ -77,6 +77,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[BitmapAndCount].getName, "bitmap_and_count"),
       (children: Seq[Expression]) => BitmapAndCount(children(0), children(1))),
     (
+      new FunctionIdentifier("bitmap_or"),
+      new ExpressionInfo(classOf[BitmapOr].getName, "bitmap_or"),
+      (children: Seq[Expression]) => BitmapOr(children(0), children(1))),
+    (
       new FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

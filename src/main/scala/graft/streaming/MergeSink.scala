@@ -76,6 +76,44 @@ object MergeSink {
     allBatches.map(_.dropDuplicates(keys))
       .reduce((t, b) => IncrementalMerge.insertOnly(t, b, keys))
 
+  /** Streaming maintenance of EXACT reach bitmaps: each micro-batch's
+    * ids fold into per-(group, day) bitmaps (`bitmap_agg`) and OR into
+    * the stored table (`bitmap_or`), staged + published like
+    * [[upsertParquet]]. Because OR is idempotent and commutative, a
+    * REPLAYED batch converges to the same table — at-least-once
+    * delivery gives exactly-once reach with NO dedup state, the
+    * algebraic version of the anti-join contract
+    * ([[insertOnlyParquet]]) — and any rollup (reach per group over
+    * any day range) is a `bitmap_or_count` over the tiny bitmap table,
+    * never a rescan of events. Only groups TOUCHED by the batch are
+    * rewritten. */
+  def bitmapReachParquet(bitmapPath: String, groupCols: Seq[String],
+      idCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions.{coalesce, col, expr}
+    val batchBm = batch.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"bitmap_agg($idCol)").as("__bm_new"))
+    val path = new org.apache.hadoop.fs.Path(bitmapPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(path)) batchBm.select(
+        groupCols.map(col) :+ col("__bm_new").as("bm"): _*)
+      else {
+        val target = spark.read.parquet(bitmapPath)
+        target.join(batchBm, groupCols, "full_outer")
+          .select(groupCols.map(col) :+
+            coalesce(
+              expr("bitmap_or(bm, __bm_new)"),  // both present
+              col("__bm_new"),                   // new group
+              col("bm")                          // untouched group
+            ).as("bm"): _*)
+      }
+    val staged = graft.sources.LakeWriter.stagingPath(bitmapPath)
+    merged.write.mode(SaveMode.Overwrite).parquet(staged)
+    graft.sources.LakeWriter.publish(spark, staged, bitmapPath)
+  }
+
   /** Streaming maintenance of an aggregated rollup (reference:
     * v_audience_metrics, etl-ddl-backfill.sql:188-218 — a VIEW there;
     * at scale you materialize it and maintain it incrementally): each

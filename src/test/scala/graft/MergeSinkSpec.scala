@@ -32,6 +32,43 @@ class MergeSinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("bitmap reach sink: exactly-once by OR-idempotence, rollup == exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.register(spark)
+    val target = Files.createTempDirectory("bmreach").toString + "/t"
+    val input = MemoryStream[(String, String, Long)]
+    val q = input.toDF().toDF("seg", "day", "uid").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(MergeSink.bitmapReachParquet(target, Seq("seg", "day"), "uid") _)
+      .start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    try {
+      val b1 = Seq(("a", "d1", 1L), ("a", "d1", 2L), ("b", "d1", 1L))
+      val b2 = Seq(("a", "d2", 2L), ("a", "d2", 3L), ("b", "d1", 9L))
+      input.addData(b1: _*); q.processAllAvailable(); all ++= b1
+      input.addData(b2: _*); q.processAllAvailable(); all ++= b2
+      // REPLAY batch 1 in full (at-least-once source): OR is idempotent,
+      // the table must not change
+      def counts() = spark.read.parquet(target)
+        .groupBy("seg", "day").agg(expr("bitmap_or_count(bm)").as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val before = counts()
+      input.addData(b1: _*); q.processAllAvailable()
+      val after = counts()
+      assert(after == before, "replayed batch must be a no-op")
+      // any rollup from the bitmap table == exact distinct over all input
+      val perSeg = spark.read.parquet(target)
+        .groupBy("seg").agg(expr("bitmap_or_count(bm)").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = all.toSeq.toDF("seg", "day", "uid")
+        .groupBy("seg").agg(countDistinct("uid").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perSeg == exact, s"$perSeg vs $exact")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert: restated values replace, newest version wins") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
