@@ -347,6 +347,30 @@ FROM per_island GROUP BY user_id"""))
     Some("""SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY event_type"""))
 
+  /** Snowflake APPROX_PERCENTILE_ACCUMULATE/COMBINE/ESTIMATE as a
+    * registry row: daily GK digests per event_type, combined, then
+    * p50/p95 read off the merged sketch — the persist-once/
+    * answer-later percentile workflow (store per-day sketches, answer
+    * any later range's percentile without rescanning). Rows-only:
+    * digest estimates are approximate (SketchSpec pins the GK rank
+    * bound for direct AND merged paths). */
+  private val quantileSketch = Q(
+    "q_quantile_sketch",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      ViewingData.table(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("value").cast("double").as("v"))
+        .groupBy("event_type", "day")
+        .agg(expr("qsketch_agg(v)").as("sk"))
+        .groupBy("event_type")
+        .agg(expr("qsketch_combine(sk)").as("sk"))
+        .select(col("event_type"),
+          expr("qsketch_estimate(sk, 0.5D)").as("p50"),
+          expr("qsketch_estimate(sk, 0.95D)").as("p95"))
+    },
+    None)
+
   /** The bitmap-algebra payoff: EXACT pairwise audience overlap
     * between event types, computed from 5 materialized bitmaps — ONE
     * scan of events builds the per-segment bitmaps, then every
@@ -887,7 +911,7 @@ GROUP BY c.cohort_week, (a.week - c.cohort_week) // 7"""))
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
-    approxAggs, hllReach, bitmapReach, audienceOverlap, islands, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
+    approxAggs, hllReach, bitmapReach, audienceOverlap, quantileSketch, islands, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
     tryCast, skewAgg, statsAgg, skewJoin, dqAudit, dedupKeepCanonical,
     stringFuncs2, bitAggs, dateFuncs2, funnel, retention)

@@ -81,6 +81,18 @@ object GraftExtensions {
       new ExpressionInfo(classOf[BitmapOr].getName, "bitmap_or"),
       (children: Seq[Expression]) => BitmapOr(children(0), children(1))),
     (
+      new FunctionIdentifier("qsketch_agg"),
+      new ExpressionInfo(classOf[QSketchAgg].getName, "qsketch_agg"),
+      (children: Seq[Expression]) => QSketchAgg(children(0))),
+    (
+      new FunctionIdentifier("qsketch_combine"),
+      new ExpressionInfo(classOf[QSketchCombine].getName, "qsketch_combine"),
+      (children: Seq[Expression]) => QSketchCombine(children(0))),
+    (
+      new FunctionIdentifier("qsketch_estimate"),
+      new ExpressionInfo(classOf[QSketchEstimate].getName, "qsketch_estimate"),
+      (children: Seq[Expression]) => QSketchEstimate(children(0), children(1))),
+    (
       new FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,

@@ -94,6 +94,32 @@ class SketchSpec extends SparkTestBase {
     assert(n == ids.distinct.size)
   }
 
+  test("quantile sketches: GK rank bound holds for direct AND daily-merged digests") {
+    graft.plans.GraftExtensions.register(spark)
+    val ev = graft.sources.ViewingData.table(spark, Sf, "events")
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("value").cast("double").as("v"))
+    val direct = ev.groupBy("event_type")
+      .agg(expr("qsketch_estimate(qsketch_agg(v), 0.5D)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val merged = SparkEntry.queries("q_quantile_sketch")(spark, Sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = ev.collect().map(r => (r.getString(0), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def rankOf(vs: Array[Double], x: Double): Double =
+      vs.count(_ <= x).toDouble / vs.length
+    rows.foreach { case (k, vs) =>
+      // rank error bound: ε=1e-4 per digest; allow 2% slack for the
+      // daily merge and value ties
+      assert(math.abs(rankOf(vs, direct(k)) - 0.5) < 0.02,
+        s"$k direct p50 rank ${rankOf(vs, direct(k))}")
+      assert(math.abs(rankOf(vs, merged(k)._1) - 0.5) < 0.02,
+        s"$k merged p50 rank ${rankOf(vs, merged(k)._1)}")
+      assert(math.abs(rankOf(vs, merged(k)._2) - 0.95) < 0.02,
+        s"$k merged p95 rank ${rankOf(vs, merged(k)._2)}")
+    }
+  }
+
   test("plan: daily sketches pre-aggregate map-side (partial HLL agg)") {
     val p = SparkEntry.queries("q_hll_reach")(spark, Sf)
       .queryExecution.executedPlan.toString
