@@ -260,6 +260,35 @@ FROM documents d ANTI JOIN dupes USING (doc_id)"""))
         percentile_approx(col("value"), lit(0.95), lit(10000)).as("approx_p95")),
     None)
 
+  /** Snowflake CONNECT BY (hierarchy traversal with
+    * SYS_CONNECT_BY_PATH) over a deterministic tree derived from
+    * documents (parent = doc_id/7, single root 0, depth ≤ 4):
+    * `operators.Hierarchy.connectBy` resolves one LEVEL per
+    * driver-coordinated join round — rounds bound by tree depth, not
+    * rows. Oracle is the equivalent ANSI recursive CTE. */
+  private val connectBy = Q(
+    "q_connect_by",
+    (s, dir) => {
+      val nodes = ViewingData.table(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") === 0, lit(null).cast("long"))
+            .otherwise(floor(col("doc_id") / 7).cast("long")).as("parent"))
+      operators.Hierarchy.connectBy(nodes, "doc_id", "parent")
+    },
+    Some("""WITH RECURSIVE nodes AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 0 THEN NULL ELSE doc_id // 7 END AS parent
+  FROM documents),
+h AS (
+  SELECT doc_id, doc_id AS root_id, 0 AS depth,
+         CAST(doc_id AS VARCHAR) AS path
+  FROM nodes WHERE parent IS NULL
+  UNION ALL
+  SELECT n.doc_id, h.root_id, h.depth + 1,
+         h.path || '/' || CAST(n.doc_id AS VARCHAR)
+  FROM nodes n JOIN h ON n.parent = h.doc_id)
+SELECT doc_id, root_id, depth, path FROM h"""))
+
   /** Gaps-and-islands: per-user CONSECUTIVE-DAY activity streaks —
     * the workhorse behind Snowflake MATCH_RECOGNIZE's most common
     * pattern (`PATTERN (A+)` over a calendar). The island id is the
@@ -911,7 +940,7 @@ GROUP BY c.cohort_week, (a.week - c.cohort_week) // 7"""))
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
-    approxAggs, hllReach, bitmapReach, audienceOverlap, quantileSketch, islands, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
+    approxAggs, hllReach, bitmapReach, audienceOverlap, quantileSketch, connectBy, islands, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
     tryCast, skewAgg, statsAgg, skewJoin, dqAudit, dedupKeepCanonical,
     stringFuncs2, bitAggs, dateFuncs2, funnel, retention)
