@@ -67,7 +67,17 @@ object AsOfJoin {
       keyCol: String,
       tsCol: String,
       rightCarry: Seq[String]): DataFrame =
-    broadcastAsOf(left, right, keyCol, tsCol, rightCarry, forward = false)
+    broadcastAsOf(left, right, Seq(keyCol), tsCol, rightCarry, forward = false)
+
+  /** Multi-column-key form: the as-of key is the tuple of `keyCols`
+    * (e.g. (hh_id, title, content_id) for per-content rate cards). */
+  def nearestBeforeBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      rightCarry: Seq[String]): DataFrame =
+    broadcastAsOf(left, right, keyCols, tsCol, rightCarry, forward = false)
 
   /** Forward as-of: each left row picks the right row with the LEAST
     * timestamp >= its own, per key (DuckDB `ASOF ... ON l.t <= r.t`) —
@@ -79,15 +89,16 @@ object AsOfJoin {
       keyCol: String,
       tsCol: String,
       rightCarry: Seq[String]): DataFrame =
-    broadcastAsOf(left, right, keyCol, tsCol, rightCarry, forward = true)
+    broadcastAsOf(left, right, Seq(keyCol), tsCol, rightCarry, forward = true)
 
   private def broadcastAsOf(
       left: DataFrame,
       right: DataFrame,
-      keyCol: String,
+      keyCols: Seq[String],
       tsCol: String,
       rightCarry: Seq[String],
       forward: Boolean): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
     require(rightCarry.nonEmpty, "rightCarry must name at least one column")
     require(!rightCarry.exists(left.columns.contains),
       s"carry columns ${rightCarry.mkString(",")} collide with left columns")
@@ -96,23 +107,29 @@ object AsOfJoin {
     // Fresh-alias every right column so its exprIds can never collide
     // with the left subtree (self-join safe without analyzer dedup).
     val rdf = right.select(
-      col(keyCol).as("__asof_k") +: col(tsCol).as("__asof_t") +:
-        rightCarry.map(c => col(c).as(c)): _*)
+      keyCols.zipWithIndex.map { case (k, i) => col(k).as(s"__asof_k$i") } ++
+        (col(tsCol).as("__asof_t") +: rightCarry.map(c => col(c).as(c))): _*)
     val rplan = rdf.queryExecution.analyzed
     val rOut = rplan.output
+    val rKeys = rOut.take(keyCols.size)
+    val rTime = rOut(keyCols.size)
+    val rCarry = rOut.drop(keyCols.size + 1)
     val lplan = left.queryExecution.analyzed
     def lAttr(name: String) = {
       val hits = lplan.output.filter(_.name.equalsIgnoreCase(name))
       require(hits.size == 1, s"left column $name resolved to ${hits.size} attributes")
       hits.head
     }
-    val (lk, lt) = (lAttr(keyCol), lAttr(tsCol))
-    require(lk.dataType == rOut(0).dataType,
-      s"as-of key types differ: ${lk.dataType} vs ${rOut(0).dataType}")
-    require(lt.dataType == rOut(1).dataType,
-      s"as-of time types differ: ${lt.dataType} vs ${rOut(1).dataType}")
+    val lKeys = keyCols.map(lAttr)
+    val lt = lAttr(tsCol)
+    lKeys.zip(rKeys).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"as-of key types differ for ${l.name}: ${l.dataType} vs ${r.dataType}")
+    }
+    require(lt.dataType == rTime.dataType,
+      s"as-of time types differ: ${lt.dataType} vs ${rTime.dataType}")
     org.apache.spark.sql.graft.PlanBridge.dataFrame(spark,
-      graft.plans.BroadcastAsOfJoin(lk, lt, rOut(0), rOut(1), rOut.drop(2), forward,
+      graft.plans.BroadcastAsOfJoin(lKeys, lt, rKeys, rTime, rCarry, forward,
         lplan, rplan))
   }
 }

@@ -34,9 +34,9 @@ import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, Ti
   * per (key, time) — ties have no defined winner there.
   */
 case class BroadcastAsOfJoin(
-    leftKey: Attribute,
+    leftKeys: Seq[Attribute],
     leftTime: Attribute,
-    rightKey: Attribute,
+    rightKeys: Seq[Attribute],
     rightTime: Attribute,
     carry: Seq[Attribute],
     forward: Boolean,
@@ -54,7 +54,7 @@ case class BroadcastAsOfJoin(
 object GraftStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: BroadcastAsOfJoin =>
-      BroadcastAsOfJoinExec(j.leftKey, j.leftTime, j.rightKey, j.rightTime,
+      BroadcastAsOfJoinExec(j.leftKeys, j.leftTime, j.rightKeys, j.rightTime,
         j.carry.map(_.withNullability(true)), j.forward,
         planLater(j.left), planLater(j.right)) :: Nil
     case _ => Nil
@@ -134,9 +134,9 @@ final class AsOfIndexBuilder(
   * O(|R| log |R|) build is noise), then probes with a floor binary
   * search per fact row. */
 case class BroadcastAsOfJoinExec(
-    leftKey: Attribute,
+    leftKeys: Seq[Attribute],
     leftTime: Attribute,
-    rightKey: Attribute,
+    rightKeys: Seq[Attribute],
     rightTime: Attribute,
     carry: Seq[Attribute],
     forward: Boolean,
@@ -158,7 +158,7 @@ case class BroadcastAsOfJoinExec(
   // take the interpreted doExecute via supportCodegen=false (the
   // stream still wraps in WholeStageCodegen around an InputAdapter).
   override def supportCodegen: Boolean =
-    leftKey.dataType == LongType &&
+    leftKeys.size == 1 && leftKeys.head.dataType == LongType &&
       left.isInstanceOf[org.apache.spark.sql.execution.CodegenSupport]
 
   // exactly one output row per input row, and carry values come from
@@ -184,13 +184,13 @@ case class BroadcastAsOfJoinExec(
     val bc = right.executeBroadcast[Array[InternalRow]]()
     val timeIsInt = rightTime.dataType == DateType || rightTime.dataType == IntegerType
     val builder = new AsOfIndexBuilder(
-      bc, right.output, rightKey, rightTime, carry, timeIsInt, forward)
+      bc, right.output, rightKeys.head, rightTime, carry, timeIsInt, forward)
     val builderRef = ctx.addReferenceObj("asofBuilder", builder,
       classOf[AsOfIndexBuilder].getName)
     val idxTerm = ctx.addMutableState(classOf[AsOfProbeIndex].getName, "asofIndex")
     ctx.currentVars = input
     val keyEv = BindReferences.bindReference(
-      leftKey: org.apache.spark.sql.catalyst.expressions.Expression, left.output).genCode(ctx)
+      leftKeys.head: org.apache.spark.sql.catalyst.expressions.Expression, left.output).genCode(ctx)
     val timeEv = BindReferences.bindReference(
       leftTime: org.apache.spark.sql.catalyst.expressions.Expression, left.output).genCode(ctx)
     val matched = ctx.freshName("asofMatched")
@@ -237,25 +237,25 @@ case class BroadcastAsOfJoinExec(
     val bRows = right.executeBroadcast[Array[InternalRow]]()
     val rOut = right.output
     val lOut = left.output
-    val rKeyIdx = rOut.indexWhere(_.exprId == rightKey.exprId)
+    val rKeyIdxs = rightKeys.map(k => rOut.indexWhere(_.exprId == k.exprId))
     val rTimeIdx = rOut.indexWhere(_.exprId == rightTime.exprId)
-    val lKeyIdx = lOut.indexWhere(_.exprId == leftKey.exprId)
+    val lKeyIdxs = leftKeys.map(k => lOut.indexWhere(_.exprId == k.exprId))
     val lTimeIdx = lOut.indexWhere(_.exprId == leftTime.exprId)
-    require(rKeyIdx >= 0 && rTimeIdx >= 0, "right key/time not in child output")
-    require(lKeyIdx >= 0 && lTimeIdx >= 0, "left key/time not in child output")
+    require(rKeyIdxs.forall(_ >= 0) && rTimeIdx >= 0, "right key/time not in child output")
+    require(lKeyIdxs.forall(_ >= 0) && lTimeIdx >= 0, "left key/time not in child output")
     val rGetT = asLong(rightTime.dataType)
     val lGetT = asLong(leftTime.dataType)
     val carryAttrs = carry
     val outAttrs = output
-    val rightKeyAttr = rightKey
-    val leftKeyAttr = leftKey
+    val rightKeyAttrs = rightKeys
+    val leftKeyAttrs = leftKeys
 
     left.execute().mapPartitions({ iter =>
-      val rKeyProj = UnsafeProjection.create(Seq(rightKeyAttr), rOut)
+      val rKeyProj = UnsafeProjection.create(rightKeyAttrs, rOut)
       val carryProj = UnsafeProjection.create(carryAttrs, rOut)
       val grouped = mutable.HashMap.empty[UnsafeRow, mutable.ArrayBuffer[(Long, UnsafeRow)]]
       bRows.value.foreach { r =>
-        if (!r.isNullAt(rKeyIdx) && !r.isNullAt(rTimeIdx)) {
+        if (!rKeyIdxs.exists(r.isNullAt) && !r.isNullAt(rTimeIdx)) {
           val k = rKeyProj(r).copy()
           grouped.getOrElseUpdate(k, mutable.ArrayBuffer.empty) +=
             ((rGetT(r, rTimeIdx), carryProj(r).copy()))
@@ -267,14 +267,14 @@ case class BroadcastAsOfJoinExec(
         val sorted = buf.sortBy(_._1)
         index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
       }
-      val lKeyProj = UnsafeProjection.create(Seq(leftKeyAttr), lOut)
+      val lKeyProj = UnsafeProjection.create(leftKeyAttrs, lOut)
       val resultProj = UnsafeProjection.create(outAttrs, lOut ++ carryAttrs)
       val joined = new JoinedRow
       val nullCarry = new GenericInternalRow(carryAttrs.size)
       val fwd = forward
       iter.map { lrow =>
         var hit: UnsafeRow = null
-        if (!lrow.isNullAt(lKeyIdx) && !lrow.isNullAt(lTimeIdx)) {
+        if (!lKeyIdxs.exists(lrow.isNullAt) && !lrow.isNullAt(lTimeIdx)) {
           val entry = index.get(lKeyProj(lrow))
           if (entry != null) {
             val times = entry._1

@@ -85,6 +85,21 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     assert(lateOut.collect().head.get(3) == null)
   }
 
+  test("multi-column keys: (k1, k2) tuple keys resolve independently") {
+    val l = Seq(
+      (1L, 10L, "x", 100L), // matches (10,x) floor 50 -> "a"
+      (2L, 10L, "y", 100L), // matches (10,y) floor 90 -> "c"
+      (3L, 10L, "z", 100L)  // no (10,z) entries -> null
+    ).toDF("id", "k1", "k2", "t")
+    val r = Seq(
+      (10L, "x", 50L, "a"), (10L, "x", 200L, "b"),
+      (10L, "y", 90L, "c")
+    ).toDF("k1", "k2", "t", "tag")
+    val out = AsOfJoin.nearestBeforeBroadcast(l, r, Seq("k1", "k2"), "t", Seq("tag"))
+      .orderBy("id").collect().map(row => row.getLong(0) -> Option(row.get(4))).toMap
+    assert(out(1L) == Some("a") && out(2L) == Some("c") && out(3L) == None)
+  }
+
   test("parity with union+window on the sf0.001 as-of workload") {
     val ev = graft.sources.ViewingData.table(spark, Sf, "events")
       .select(col("event_id"), col("user_id").as("k"), to_date(col("ts")).as("t"))
