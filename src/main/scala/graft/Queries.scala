@@ -861,10 +861,40 @@ r AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS rt,
 SELECT e.event_id, e.k, r.ref_order, CAST(r.rt AS VARCHAR) AS ref_odate
 FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t >= r.rt"""))
 
+  private val asofMulti = Q(
+    "q_asof_multi",
+    (s, dir) => {
+      // Tuple-keyed as-of through the custom operator: each event picks
+      // the member's latest order of the SAME order-priority class
+      // placed on or before the event date — (custkey, priority) key.
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id").as("k"),
+        concat(lit("P"), (col("event_id") % 3).cast("string")).as("cls"),
+        to_date(col("ts")).as("t"))
+      val r = t(s, dir, "orders")
+        .select(col("o_custkey").as("k"),
+          concat(lit("P"), (col("o_orderkey") % 3).cast("string")).as("cls"),
+          to_date(col("o_orderdate")).as("t"), col("o_orderkey"))
+        .groupBy("k", "cls", "t").agg(max("o_orderkey").as("ref_order"))
+      operators.AsOfJoin.nearestBeforeBroadcast(ev, r, Seq("k", "cls"), "t", Seq("ref_order"))
+        .select("event_id", "k", "cls", "ref_order")
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id AS k,
+                   'P' || CAST(event_id % 3 AS VARCHAR) AS cls,
+                   CAST(ts AS DATE) AS t FROM events),
+r AS (SELECT o_custkey AS k,
+             'P' || CAST(o_orderkey % 3 AS VARCHAR) AS cls,
+             CAST(o_orderdate AS DATE) AS rt,
+             CAST(MAX(o_orderkey) AS BIGINT) AS ref_order
+      FROM orders GROUP BY 1, 2, 3)
+SELECT e.event_id, e.k, e.cls, r.ref_order
+FROM ev e ASOF LEFT JOIN r
+  ON e.k = r.k AND e.cls = r.cls AND e.t >= r.rt"""))
+
   // ---------------------------------------------------------------------
   val all: Seq[Q] = Seq(
     percentiles, stringFuncs, dateFuncs, cubeQ, scalarSubquery,
-    setOps, nestedTypes, asofJoin, asofNative,
+    setOps, nestedTypes, asofJoin, asofNative, asofMulti,
     ingestCast, partitionExtract, ingestReject, ingestValidate,
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
     audienceMetrics, incrementalMerge, upsertMergeQ, affectedRebuild, watermarkQ,
