@@ -861,6 +861,44 @@ r AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS rt,
 SELECT e.event_id, e.k, r.ref_order, CAST(r.rt AS VARCHAR) AS ref_odate
 FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t >= r.rt"""))
 
+  private val cdcApply = Q(
+    "q_cdc_apply",
+    (s, dir) => {
+      // Full MERGE incl. WHEN MATCHED DELETE: a deterministic CDC
+      // stream over the events table — two change versions per some
+      // keys (version 2 wins), tombstones mixed in, upserts of absent
+      // keys (insert path), deletes of absent keys (no-op path).
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 7 =!= 0)
+        .select(col("event_id"), col("value"))
+      val c1 = ev.filter(col("event_id") % 5 === 0).select(
+        col("event_id"), (col("value") * 2).as("value"), lit(1).as("version"),
+        when(col("event_id") % 3 === 0, lit("delete")).otherwise(lit("upsert")).as("op"))
+      val c2 = ev.filter(col("event_id") % 10 === 0).select(
+        col("event_id"), (col("value") * 3).as("value"), lit(2).as("version"),
+        when(col("event_id") % 4 === 0, lit("delete")).otherwise(lit("upsert")).as("op"))
+      operators.IncrementalMerge.applyCdc(
+          base, c1.unionByName(c2), Seq("event_id"), Seq("version"), "op")
+        .select(col("event_id"), round(col("value"), 6).as("value"))
+    },
+    Some("""WITH base AS (SELECT event_id, value FROM events WHERE event_id % 7 <> 0),
+changes AS (
+  SELECT event_id, value * 2 AS value, 1 AS version,
+         CASE WHEN event_id % 3 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM events WHERE event_id % 5 = 0
+  UNION ALL
+  SELECT event_id, value * 3, 2,
+         CASE WHEN event_id % 4 = 0 THEN 'delete' ELSE 'upsert' END
+  FROM events WHERE event_id % 10 = 0),
+winner AS (
+  SELECT event_id, value, op FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY version DESC) AS rn
+    FROM changes) WHERE rn = 1),
+kept AS (SELECT b.event_id, b.value FROM base b ANTI JOIN winner USING (event_id))
+SELECT event_id, round(value, 6) AS value FROM kept
+UNION ALL
+SELECT event_id, round(value, 6) AS value FROM winner WHERE op <> 'delete'"""))
+
   private val asofMulti = Q(
     "q_asof_multi",
     (s, dir) => {
@@ -894,7 +932,7 @@ FROM ev e ASOF LEFT JOIN r
   // ---------------------------------------------------------------------
   val all: Seq[Q] = Seq(
     percentiles, stringFuncs, dateFuncs, cubeQ, scalarSubquery,
-    setOps, nestedTypes, asofJoin, asofNative, asofMulti,
+    setOps, nestedTypes, asofJoin, asofNative, asofMulti, cdcApply,
     ingestCast, partitionExtract, ingestReject, ingestValidate,
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
     audienceMetrics, incrementalMerge, upsertMergeQ, affectedRebuild, watermarkQ,

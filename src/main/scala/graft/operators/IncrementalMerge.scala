@@ -52,6 +52,29 @@ object IncrementalMerge {
     keep.unionByName(latest)
   }
 
+  /** CDC apply — the full Snowflake MERGE including `WHEN MATCHED …
+    * THEN DELETE`: `changes` carries an `opCol` ('upsert' or 'delete',
+    * a CDC tombstone). Per key the HIGHEST `versionCols` change wins
+    * (a delete followed by a later re-insert resurrects the row);
+    * winning deletes remove the key from the target, winning upserts
+    * replace-or-insert. Same scale shape as [[upsert]]: the change
+    * set's distinct keys drive the target anti join (broadcast for
+    * micro-batches, AQE-sized otherwise), the target never shuffles.
+    * Apply is idempotent: replaying the same change set converges. */
+  def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
+      versionCols: Seq[String], opCol: String,
+      broadcastKeys: Boolean = true): DataFrame = {
+    val latest = latestPerKey(changes, keys, versionCols)
+    val keySet = latest.select(keys.map(col): _*).distinct()
+    val keep = target.join(
+      if (broadcastKeys) broadcast(keySet) else keySet, keys, "left_anti")
+    // full-row-image CDC contract: changes carry every target column
+    // (plus version/op metadata, projected away here)
+    val upserts = latest.filter(col(opCol) =!= "delete")
+      .select(target.columns.map(col): _*)
+    keep.unionByName(upserts)
+  }
+
   /** One row per key: the highest `versionCols` ordering wins — the
     * version-dedupe half of [[upsert]], also used alone on a first
     * batch with no target yet. */

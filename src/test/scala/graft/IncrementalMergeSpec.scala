@@ -49,6 +49,26 @@ class IncrementalMergeSpec extends SparkTestBase {
     }
   }
 
+  test("applyCdc: tombstones delete, later versions resurrect, replay converges") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "ignored", 1, "delete"),  // delete existing
+      (1L, "a2", 2, "upsert"),       // later version resurrects key 1
+      (2L, "ignored", 1, "delete"),  // delete existing, stays deleted
+      (4L, "d", 1, "upsert"),        // insert new
+      (9L, "ignored", 1, "delete")   // delete absent -> no-op
+    ).toDF("k", "v", "version", "op")
+    val out = graft.operators.IncrementalMerge
+      .applyCdc(target, changes, Seq("k"), Seq("version"), "op")
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "a2", 3L -> "c", 4L -> "d"), m.toString)
+    // replay: applying the same change set to the result converges
+    val replay = graft.operators.IncrementalMerge
+      .applyCdc(out, changes, Seq("k"), Seq("version"), "op")
+    assert(replay.collect().map(r => r.getLong(0) -> r.getString(1)).toMap == m)
+  }
+
   test("affectedKeys returns distinct group keys of the batch") {
     val batch = Seq((1L, "x"), (1L, "x"), (2L, "y")).toDF("hh", "title")
     assert(IncrementalMerge.affectedKeys(batch, Seq("hh", "title")).count() == 2)
