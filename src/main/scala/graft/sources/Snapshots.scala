@@ -82,6 +82,24 @@ object Snapshots {
   def readVersion(spark: SparkSession, root: String, version: Long): DataFrame =
     spark.read.parquet(s"$root/v=$version")
 
+  /** Snowflake table-STREAM / `CHANGES` semantics over the snapshot
+    * layer: the row-level delta between two committed versions, each
+    * row tagged `__op` = 'insert' | 'delete' (an update appears as the
+    * delete of the old row plus the insert of the new one — exactly
+    * Snowflake's default stream encoding). Multiset semantics
+    * (exceptAll both ways), so duplicate-row cardinality changes are
+    * deltas too. Consume-once workflows persist the version they last
+    * read as their offset — the same watermark discipline as
+    * task_control, with the snapshot id as the cursor. */
+  def changes(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val from = readVersion(spark, root, fromVersion)
+    val to = readVersion(spark, root, toVersion)
+    to.exceptAll(from).withColumn("__op", lit("insert"))
+      .unionByName(from.exceptAll(to).withColumn("__op", lit("delete")))
+  }
+
   /** Drops versions older than the newest `keep`, never the manifest's
     * current version, plus any unreferenced crash leftovers beyond it. */
   def vacuum(spark: SparkSession, root: String, keep: Int): Seq[Long] = {

@@ -100,6 +100,28 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     assert(out(1L) == Some("a") && out(2L) == Some("c") && out(3L) == None)
   }
 
+  test("streaming enrichment: the custom operator runs inside foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("asofstream").toString + "/t"
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, Long)]
+    val q = input.toDF().toDF("id", "k", "t").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        AsOfJoin.nearestBeforeBroadcast(batch, rightDf, "k", "t", Seq("tag"))
+          .write.mode("append").parquet(dir)
+      }
+      .start()
+    try {
+      input.addData((1L, 10L, 100L), (2L, 10L, 5L))
+      q.processAllAvailable()
+      input.addData((3L, 11L, 170L))
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir).orderBy("id")
+        .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+      assert(out == Map(1L -> Some("a"), 2L -> None, 3L -> Some("d")))
+    } finally q.stop()
+  }
+
   test("parity with union+window on the sf0.001 as-of workload") {
     val ev = graft.sources.ViewingData.table(spark, Sf, "events")
       .select(col("event_id"), col("user_id").as("k"), to_date(col("ts")).as("t"))

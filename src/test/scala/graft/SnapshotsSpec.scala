@@ -39,6 +39,24 @@ class SnapshotsSpec extends SparkTestBase {
       == Seq(10L, 20L, 30L))
   }
 
+  test("changes: row-level delta between versions, updates as delete+insert") {
+    val root = Files.createTempDirectory("snap4").toString + "/t"
+    Snapshots.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root)
+    Snapshots.commit(Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v"), root)
+    val delta = Snapshots.changes(spark, root, 1L, 2L)
+      .as[(Long, String, String)].collect().toSet
+    assert(delta == Set(
+      (2L, "B", "insert"), (4L, "d", "insert"),  // update half + new row
+      (2L, "b", "delete"), (3L, "c", "delete")), delta.toString)
+    // applying the delta to v1 reproduces v2 (stream-consumer contract)
+    val v1 = Snapshots.readVersion(spark, root, 1L)
+    val applied = v1.unionByName(
+        delta.toSeq.filter(_._3 == "insert").map(t => (t._1, t._2)).toDF("k", "v"))
+      .exceptAll(delta.toSeq.filter(_._3 == "delete").map(t => (t._1, t._2)).toDF("k", "v"))
+    val v2 = Snapshots.readVersion(spark, root, 2L)
+    assert(applied.exceptAll(v2).isEmpty && v2.exceptAll(applied).isEmpty)
+  }
+
   test("vacuum keeps the newest K and the current version") {
     val root = Files.createTempDirectory("snap3").toString + "/t"
     (1 to 4).foreach(i => Snapshots.commit(Seq(i.toLong).toDF("id"), root))
