@@ -17,8 +17,10 @@ object LakeWriter {
 
   /** `format`: parquet (columnar lake), json (JSONL — the interchange
     * format LLM corpus tooling expects; Spark writes one JSON object
-    * per line), or csv (header on, so the round-trip is self-describing
-    * modulo types — CSV readers must supply or infer a schema). */
+    * per line), orc (the columnar alternative — same pushdown/stats
+    * story as parquet, for stacks standardized on it), or csv (header
+    * on, so the round-trip is self-describing modulo types — CSV
+    * readers must supply or infer a schema). */
   def writeHiveAs(
       df: DataFrame, tsCol: String, root: String, feed: String, format: String): Unit = {
     val partitioned = df
@@ -54,14 +56,15 @@ object LakeWriter {
   def compact(spark: org.apache.spark.sql.SparkSession, root: String,
       feed: String, tsCol: String, targetBytes: Long = 128L << 20,
       format: String = "parquet"): Unit = {
-    require(Seq("parquet", "json", "csv").contains(format),
-      s"compact: unsupported feed format '$format' (parquet|json|csv)")
+    require(Seq("parquet", "orc", "json", "csv").contains(format),
+      s"compact: unsupported feed format '$format' (parquet|orc|json|csv)")
     val src = s"$root/$feed"
     val path = new org.apache.hadoop.fs.Path(src)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(path).getLength
     val df = (format match {
       case "parquet" => spark.read.parquet(src)
+      case "orc"     => spark.read.orc(src)
       case "json"    => spark.read.json(src)
       case "csv"     => spark.read
         .option("header", "true").option("inferSchema", "true").csv(src)

@@ -89,12 +89,13 @@ class LakeWriterSpec extends SparkTestBase {
     val events = ViewingData.table(spark, Sf, "events")
       .select("event_id", "ts", "user_id", "event_type").limit(120)
       .repartition(8) // fragment each day
-    for (fmt <- Seq("json", "csv")) {
+    for (fmt <- Seq("json", "csv", "orc")) {
       val feed = s"EV_$fmt"
       LakeWriter.writeHiveAs(events, "ts", root, feed, fmt)
       def readBack = (if (fmt == "csv")
           spark.read.option("header", "true").option("inferSchema", "true")
             .csv(s"$root/$feed")
+        else if (fmt == "orc") spark.read.orc(s"$root/$feed")
         else spark.read.json(s"$root/$feed"))
         .select(col("event_id").cast("long"), col("user_id").cast("long"),
           col("event_type"))
@@ -108,7 +109,7 @@ class LakeWriterSpec extends SparkTestBase {
     }
     // mismatched format fails fast with a clear message, not a decode error
     val err = intercept[IllegalArgumentException](
-      LakeWriter.compact(spark, root, "EV_json", "ts", format = "orc"))
+      LakeWriter.compact(spark, root, "EV_json", "ts", format = "avro"))
     assert(err.getMessage.contains("unsupported feed format"))
   }
 
