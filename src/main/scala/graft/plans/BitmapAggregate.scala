@@ -3,7 +3,7 @@ package graft.plans
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -21,6 +21,11 @@ final class LongBitmap(var words: Array[Long]) {
 
   def set(id: Long): Unit = {
     require(id >= 0, s"bitmap_distinct requires non-negative ids, got $id")
+    // word index must stay an exact Int: beyond ~2^37 the toInt would
+    // silently alias ids into wrong buckets (and the buffer would be
+    // >1 GB anyway — that domain belongs to the HLL path)
+    require(id < (1L << 37),
+      s"bitmap aggregate supports dense ids < 2^37, got $id — use hll_sketch_agg")
     val w = (id >>> 6).toInt
     if (w >= words.length) {
       val grown = new Array[Long](java.lang.Integer.highestOneBit(w) * 2 max 4)
