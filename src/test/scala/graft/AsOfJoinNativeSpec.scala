@@ -100,6 +100,29 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     assert(out(1L) == Some("a") && out(2L) == Some("c") && out(3L) == None)
   }
 
+  test("string keys take the interpreted path (no codegen) with identical semantics") {
+    val l = Seq(("u1", 100L, 1L), ("u2", 100L, 2L), ("u3", 100L, 3L))
+      .toDF("k", "t", "id")
+    val r = Seq(("u1", 50L, "a"), ("u1", 200L, "b"), ("u2", 90L, "c"))
+      .toDF("k", "t", "tag")
+    val out = AsOfJoin.nearestBeforeBroadcast(l, r, "k", "t", Seq("tag"))
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    // non-long key: the operator must NOT claim a codegen span
+    assert(!"\\*\\(\\d+\\) BroadcastAsOfJoin".r.findFirstIn(p).isDefined, p)
+    val m = out.collect().map(row => row.getLong(2) -> Option(row.get(3))).toMap
+    assert(m == Map(1L -> Some("a"), 2L -> Some("c"), 3L -> None))
+  }
+
+  test("empty sides: empty right -> all null carry; empty left -> empty output") {
+    val emptyR = rightDf.filter(col("k") === -1L)
+    val allNull = AsOfJoin.nearestBeforeBroadcast(leftDf, emptyR, "k", "t", Seq("tag", "w"))
+    assert(allNull.count() == 5 && allNull.filter(col("tag").isNotNull).count() == 0)
+    val emptyL = leftDf.filter(col("id") === -1L)
+    assert(AsOfJoin.nearestBeforeBroadcast(emptyL, rightDf, "k", "t", Seq("tag", "w"))
+      .count() == 0)
+  }
+
   test("streaming enrichment: the custom operator runs inside foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("asofstream").toString + "/t"
