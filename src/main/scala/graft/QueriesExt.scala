@@ -289,6 +289,27 @@ h AS (
   FROM nodes n JOIN h ON n.parent = h.doc_id)
 SELECT doc_id, root_id, depth, path FROM h"""))
 
+  /** Link-graph quality signal (`operators.PageRank`): damped
+    * PageRank over a deterministic document graph (tree edges
+    * doc_id→doc_id/7 plus pseudo-random cross links) — the
+    * web-curation feature that ranks pages by link authority.
+    * Rows-only (no recursive-aggregate SQL twin); PageRankSpec pins
+    * hand-computed fixpoints and the rank-sum conservation law. */
+  private val pagerank = Q(
+    "graph_pagerank",
+    (s, dir) => {
+      val docs = ViewingData.table(s, dir, "documents").select(col("doc_id"))
+      val tree = docs.filter(col("doc_id") > 0)
+        .select(col("doc_id").as("src"), floor(col("doc_id") / 7).cast("long").as("dst"))
+      val cross = docs
+        .select(col("doc_id").as("src"),
+          pmod(col("doc_id") * 31, lit(500)).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      operators.PageRank.run(tree.unionByName(cross), "src", "dst", iterations = 15)
+        .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
+    },
+    None)
+
   /** Gaps-and-islands: per-user CONSECUTIVE-DAY activity streaks —
     * the workhorse behind Snowflake MATCH_RECOGNIZE's most common
     * pattern (`PATTERN (A+)` over a calendar). The island id is the
@@ -940,7 +961,7 @@ GROUP BY c.cohort_week, (a.week - c.cohort_week) // 7"""))
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
-    approxAggs, hllReach, bitmapReach, audienceOverlap, quantileSketch, connectBy, islands, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
+    approxAggs, hllReach, bitmapReach, audienceOverlap, quantileSketch, connectBy, pagerank, islands, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
     tryCast, skewAgg, statsAgg, skewJoin, dqAudit, dedupKeepCanonical,
     stringFuncs2, bitAggs, dateFuncs2, funnel, retention)
