@@ -305,7 +305,9 @@ SELECT doc_id, root_id, depth, path FROM h"""))
         .select(col("doc_id").as("src"),
           pmod(col("doc_id") * 31, lit(500)).cast("long").as("dst"))
         .filter(col("src") =!= col("dst"))
-      operators.PageRank.run(tree.unionByName(cross), "src", "dst", iterations = 15)
+      // 10 iterations: the registry demo's graph is depth-4ish, well
+      // converged by 10; PageRankSpec drives its own counts
+      operators.PageRank.run(tree.unionByName(cross), "src", "dst", iterations = 10)
         .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
     },
     None)
