@@ -323,8 +323,15 @@ SELECT doc_id, root_id, depth, path FROM h"""))
   private val islands = Q(
     "q_islands",
     (s, dir) => {
+      // ONE user_id exchange end to end: hashpartitioning(user_id)
+      // satisfies the (user_id, day) distinct's clustering AND the
+      // window's — without the explicit repartition the planner
+      // shuffles twice ((user_id, day) then user_id). PlanAuditSpec
+      // pins the single exchange.
       val days = ViewingData.table(s, dir, "events")
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .repartition(col("user_id"))
+        .distinct()
       val w = Window.partitionBy("user_id").orderBy("day")
       val streaks = days
         .withColumn("island", date_sub(col("day"), row_number().over(w)))

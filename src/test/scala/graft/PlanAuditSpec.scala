@@ -138,4 +138,31 @@ class PlanAuditSpec extends SparkTestBase {
     val splits = "split\\(".r.findAllIn(p).size
     assert(splits <= 2, s"gate signals are being re-derived ($splits split() calls):\n$p")
   }
+
+  test("q_bitmap_reach pre-aggregates map-side (two-level bitmap aggregate)") {
+    val p = plan("q_bitmap_reach")
+    // partial bitmap_distinct below the exchange, merge above — the
+    // property that gives COUNT(DISTINCT)'s answer sum()'s shuffle
+    assert("ObjectHashAggregate.*partial_bitmap_distinct".r.findFirstIn(p).isDefined
+      || "partial_bitmap_distinct".r.findAllIn(p).size >= 1, p)
+    assert("bitmap_distinct".r.findAllIn(p).size >= 2, s"two levels expected:\n$p")
+  }
+
+  test("text_decontaminate_bloom probes the sketch BEFORE the gram distinct") {
+    val p = plan("text_decontaminate_bloom")
+    // the might_contain filter must sit below the candidate distinct's
+    // exchange: the gram shuffle carries only probable hits
+    val i = p.indexOf("might_contain")
+    assert(i >= 0, p)
+    val exchangeAfter = p.indexOf("Exchange hashpartitioning", 0)
+    // textual order in the executed plan tree: the filter appears
+    // DEEPER (later in the string) than the distinct exchange above it
+    assert(i > exchangeAfter, s"bloom probe must be under the distinct exchange:\n$p")
+  }
+
+  test("q_islands runs distinct + window + both rollups on one user exchange") {
+    val p = plan("q_islands")
+    val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(userExchanges == 1, s"expected ONE user_id shuffle, got $userExchanges:\n$p")
+  }
 }
