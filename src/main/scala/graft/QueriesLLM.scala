@@ -275,6 +275,44 @@ WHERE source IN ('src0','src1')
    OR (source IN ('src2','src3') AND mix_key < '80')
    OR mix_key < '40'"""))
 
+  /** Per-document WEIGHTED Poisson sampling — corpus_mix's continuous
+    * sibling (that one applies per-SOURCE constant rates; curation
+    * also wants per-doc rates from a quality/length signal). Rate =
+    * min(1, ws_tokens/200) here; the keep decision compares the doc's
+    * 16-bit md5 slice against the rate's 4-hex-digit threshold string
+    * — deterministic, retry/reshard-stable, no rand(), and EXACTLY
+    * reproducible in the DuckDB twin (threshold capped at 0xffff, so
+    * rate 1.0 keeps 65535/65536 — the bias is one key value, identical
+    * on both engines). Scan-speed filter, zero shuffle. */
+  private val sampleWeighted = Q(
+    "q_sample_weighted",
+    (s, dir) => {
+      val nTok = TextFunctions.wsTokenCount(col("text"))
+      val rate = least(lit(1.0), nTok / lit(200.0))
+      val threshold = lpad(lower(hex(
+        least(lit(65535L), floor(rate * 65536).cast("long")))), 4, "0")
+      val key = substring(
+        md5(concat(lit("graft-wsamp-3:"), col("doc_id").cast("string")).cast("binary")),
+        1, 4)
+      ViewingData.table(s, dir, "documents")
+        .select(col("doc_id"), nTok.as("ws_tokens"), key.as("samp_key"),
+          threshold.as("keep_below"))
+        .filter(col("samp_key") < col("keep_below"))
+    },
+    Some("""WITH scored AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+         substring(md5('graft-wsamp-3:' || CAST(doc_id AS VARCHAR)), 1, 4) AS samp_key
+  FROM documents),
+thresholded AS (
+  SELECT doc_id, ws_tokens, samp_key,
+         lpad(lower(to_hex(CAST(least(65535,
+              floor(least(1.0, ws_tokens / 200.0) * 65536)) AS BIGINT))), 4, '0')
+           AS keep_below
+  FROM scored)
+SELECT doc_id, ws_tokens, samp_key, keep_below
+FROM thresholded WHERE samp_key < keep_below"""))
+
   /** Unigram language-model scoring (the CCNet/quality-filter signal
     * a real LM perplexity approximates): corpus-wide unigram
     * frequencies, then each doc scored by its tokens' mean log
@@ -483,5 +521,5 @@ WINDOW w AS (PARTITION BY shard ORDER BY doc_id
 
   val all: Seq[Q] =
     Seq(textRepetition, textDecontaminate, textDecontaminateBloom, piiScrubQ, corpusShuffle,
-      corpusMix, textUnigramLogprob, mmHeaderParse, qualityGate, corpusPrep)
+      corpusMix, sampleWeighted, textUnigramLogprob, mmHeaderParse, qualityGate, corpusPrep)
 }
