@@ -58,6 +58,24 @@ class ZOrderSpec extends SparkTestBase {
     assert(zV < sV * 0.6, s"z-order must beat sort on the non-leading dim: $zV vs $sV")
   }
 
+  test("quantile buckets balance files under heavy skew") {
+    // min/max-linear bucketing would dump almost every row of a
+    // power-law column into one bucket; quantile boundaries must keep
+    // the files row-balanced regardless
+    val dir = Files.createTempDirectory("zskew").toString + "/t"
+    graft.sources.ViewingData.table(spark, Sf, "events")
+      .select(col("event_id"), col("user_id"),
+        pow(col("value"), 4).as("skewed"))
+      .write.parquet(dir)
+    LakeWriter.zorderBy(spark, dir, "user_id", "skewed", nFiles = 8)
+    val counts = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(f => spark.read.parquet(f.getAbsolutePath).count())
+    assert(counts.length > 4, counts.mkString(","))
+    assert(counts.max.toDouble / counts.min <= 3.0,
+      s"files must stay row-balanced under skew: ${counts.mkString(",")}")
+  }
+
   test("stat pruning: point predicates on either column touch a minority of files") {
     val zdir = Files.createTempDirectory("zorder2").toString + "/t"
     graft.sources.ViewingData.table(spark, Sf, "events")
