@@ -877,8 +877,13 @@ FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t >= r.rt"""))
       val c2 = ev.filter(col("event_id") % 10 === 0).select(
         col("event_id"), (col("value") * 3).as("value"), lit(2).as("version"),
         when(col("event_id") % 4 === 0, lit("delete")).otherwise(lit("upsert")).as("op"))
+      // checkpoint the change set: applyCdc consumes it twice (key set
+      // + upserts) and a real CDC batch arrives materialized anyway —
+      // without it the demo re-derives the changes from events per
+      // consumer (Prof census: 5 events scans -> 2)
+      val changes = c1.unionByName(c2).localCheckpoint()
       operators.IncrementalMerge.applyCdc(
-          base, c1.unionByName(c2), Seq("event_id"), Seq("version"), "op")
+          base, changes, Seq("event_id"), Seq("version"), "op")
         .select(col("event_id"), round(col("value"), 6).as("value"))
     },
     Some("""WITH base AS (SELECT event_id, value FROM events WHERE event_id % 7 <> 0),
