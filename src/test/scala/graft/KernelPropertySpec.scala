@@ -1,0 +1,84 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+import graft.plans.{AsOfProbeIndex, BitmapAndCount, BitmapOr, LongBitmap}
+
+/** Randomized property tests for the pure-JVM kernels inside the
+  * custom operators — no Spark session needed, so these pin the
+  * algebra the distributed specs build on: bitmap set semantics and
+  * the as-of floor/ceiling probe vs naive linear scans. (Plain
+  * ScalaCheck Gen + fixed seeds — scalatestplus isn't on the offline
+  * classpath.) */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private val idsGen: Gen[List[Long]] = Gen.listOf(Gen.chooseNum(0L, 1L << 20))
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private def mk(xs: List[Long]): LongBitmap = {
+    val m = new LongBitmap(); xs.foreach(m.set); m
+  }
+
+  test("bitmap cardinality == distinct count; serialization round-trips") {
+    (1 to 50).foreach { i =>
+      val ids = sample(idsGen, i.toLong)
+      val bm = mk(ids)
+      assert(bm.cardinality == ids.distinct.size, s"seed $i")
+      assert(LongBitmap.fromBytes(bm.toBytes).cardinality == bm.cardinality, s"seed $i")
+    }
+  }
+
+  test("bitmap OR == set union; AND count == intersection size") {
+    (1 to 50).foreach { i =>
+      val a = sample(idsGen, i.toLong)
+      val b = sample(idsGen, (i + 1000).toLong)
+      val union = BitmapOr.or(mk(a).toBytes, mk(b).toBytes)
+      val inter = BitmapAndCount.andCount(mk(a).toBytes, mk(b).toBytes)
+      assert(LongBitmap.fromBytes(union).cardinality == (a.toSet ++ b.toSet).size, s"seed $i")
+      assert(inter == (a.toSet & b.toSet).size, s"seed $i")
+    }
+  }
+
+  test("bitmap OR is idempotent and commutative (the streaming-sink contract)") {
+    (1 to 50).foreach { i =>
+      val a = sample(idsGen, i.toLong)
+      val b = sample(idsGen, (i + 2000).toLong)
+      val ab = BitmapOr.or(mk(a).toBytes, mk(b).toBytes)
+      val abReplay = BitmapOr.or(ab, mk(b).toBytes)
+      val ba = BitmapOr.or(mk(b).toBytes, mk(a).toBytes)
+      assert(java.util.Arrays.equals(
+        LongBitmap.fromBytes(abReplay).words, LongBitmap.fromBytes(ab).words), s"seed $i")
+      assert(LongBitmap.fromBytes(ba).cardinality ==
+        LongBitmap.fromBytes(ab).cardinality, s"seed $i")
+    }
+  }
+
+  test("as-of probe == naive linear floor/ceiling scan on random time sets") {
+    val timesGen = Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted)
+    val proj = UnsafeProjection.create(Array[DataType](LongType))
+    (1 to 80).foreach { i =>
+      val times = sample(timesGen, i.toLong)
+      val t = sample(Gen.chooseNum(-1100L, 1100L), (i + 500).toLong)
+      val fwd = i % 2 == 0
+      // each row carries its own time, so the probe result is checkable
+      val rows = times.map(x => proj(InternalRow(x)).copy()).toArray
+      val map = new java.util.HashMap[java.lang.Long, (Array[Long], Array[UnsafeRow])]()
+      map.put(1L, (times.toArray, rows))
+      val idx = new AsOfProbeIndex(map, fwd)
+      val got = Option(idx.probe(1L, t)).map(_.getLong(0))
+      val want =
+        if (fwd) times.find(_ >= t)
+        else times.reverse.find(_ <= t)
+      assert(got == want, s"seed $i fwd=$fwd t=$t times=$times")
+      assert(idx.probe(2L, t) == null, "absent key")
+    }
+  }
+}
