@@ -62,14 +62,21 @@ object GraftStrategy extends SparkStrategy {
 }
 
 /** Executor-side probe index for the codegen path: per-key
-  * time-sorted carry rows behind a primitive-long key map. Built
+  * time-sorted carry rows behind a key map. Keys are boxed Longs or
+  * UTF8Strings (both with value equals/hashCode); the generated call
+  * site picks the overload matching the key's java type. Built
   * lazily once per codegen'd task from the broadcast array. */
 final class AsOfProbeIndex(
-    map: java.util.HashMap[java.lang.Long, (Array[Long], Array[UnsafeRow])],
+    map: java.util.HashMap[AnyRef, (Array[Long], Array[UnsafeRow])],
     forward: Boolean) {
+  /** Primitive-long entry point for LongType keys (boxes once per row,
+    * same cost the HashMap lookup always paid). */
+  def probe(key: Long, t: Long): UnsafeRow =
+    probe(java.lang.Long.valueOf(key): AnyRef, t)
+
   /** Matched carry row or null — floor (backward) / ceiling (forward)
     * binary search over the key's sorted times. */
-  def probe(key: Long, t: Long): UnsafeRow = {
+  def probe(key: AnyRef, t: Long): UnsafeRow = {
     val entry = map.get(key)
     if (entry == null) return null
     val times = entry._1
@@ -99,6 +106,7 @@ final class AsOfIndexBuilder(
     rightKey: Attribute,
     rightTime: Attribute,
     carry: Seq[Attribute],
+    keyIsString: Boolean,
     timeIsInt: Boolean,
     forward: Boolean) extends Serializable {
 
@@ -106,15 +114,20 @@ final class AsOfIndexBuilder(
     val rKeyIdx = rOut.indexWhere(_.exprId == rightKey.exprId)
     val rTimeIdx = rOut.indexWhere(_.exprId == rightTime.exprId)
     val carryProj = UnsafeProjection.create(carry, rOut)
-    val grouped = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, UnsafeRow)]]
+    val grouped = mutable.HashMap.empty[AnyRef, mutable.ArrayBuffer[(Long, UnsafeRow)]]
     bc.value.foreach { r =>
       if (!r.isNullAt(rKeyIdx) && !r.isNullAt(rTimeIdx)) {
         val t = if (timeIsInt) r.getInt(rTimeIdx).toLong else r.getLong(rTimeIdx)
-        grouped.getOrElseUpdate(r.getLong(rKeyIdx), mutable.ArrayBuffer.empty) +=
+        // UTF8String keys are copied out of the row buffer so index
+        // entries never alias broadcast row storage
+        val k: AnyRef =
+          if (keyIsString) r.getUTF8String(rKeyIdx).copy()
+          else java.lang.Long.valueOf(r.getLong(rKeyIdx))
+        grouped.getOrElseUpdate(k, mutable.ArrayBuffer.empty) +=
           ((t, carryProj(r).copy()))
       }
     }
-    val map = new java.util.HashMap[java.lang.Long, (Array[Long], Array[UnsafeRow])](
+    val map = new java.util.HashMap[AnyRef, (Array[Long], Array[UnsafeRow])](
       grouped.size * 2 + 1)
     grouped.foreach { case (k, buf) =>
       val sorted = buf.sortBy(_._1)
@@ -154,18 +167,31 @@ case class BroadcastAsOfJoinExec(
 
   // ---- whole-stage codegen: the fact side stays inside the stream's
   // codegen span; the probe is one static-shaped call per row. The
-  // generated path keys the index by primitive long — other key types
-  // take the interpreted doExecute via supportCodegen=false (the
-  // stream still wraps in WholeStageCodegen around an InputAdapter).
+  // generated path keys the index by boxed long or UTF8String — the
+  // reference's own flagship as-of keys on a VARCHAR device id
+  // (ingest-ddl.sql:2, etl-ddl-backfill.sql:116), so string keys must
+  // not drop out of the stream's codegen span. Other key types (and
+  // multi-column tuples) take the interpreted doExecute via
+  // supportCodegen=false (the stream still wraps in WholeStageCodegen
+  // around an InputAdapter).
   override def supportCodegen: Boolean =
-    leftKeys.size == 1 && leftKeys.head.dataType == LongType &&
+    leftKeys.size == 1 &&
+      (leftKeys.head.dataType == LongType ||
+        leftKeys.head.dataType == org.apache.spark.sql.types.StringType) &&
       left.isInstanceOf[org.apache.spark.sql.execution.CodegenSupport]
 
-  // exactly one output row per input row, and carry values come from
-  // stable copied index rows — nothing downstream can observe reuse
-  // (the default walks BOTH children and the broadcast side isn't part
-  // of this codegen tree)
-  override def needCopyResult: Boolean = false
+  // This node itself is 1:1 (one output row per input row) and carry
+  // values come from stable copied index rows, so IT never forces a
+  // copy — but the streamed child's requirement must still surface: if
+  // a multi-output operator (e.g. a duplicate-key broadcast hash join)
+  // sits under the as-of in the same codegen span, the top-level
+  // append() must copy or every buffered row aliases one reused
+  // UnsafeRow. Do NOT call super: the default walks BOTH children and
+  // the broadcast side isn't part of this codegen tree.
+  override def needCopyResult: Boolean = left match {
+    case c: org.apache.spark.sql.execution.CodegenSupport => c.needCopyResult
+    case _ => false
+  }
 
   override def inputRDDs(): Seq[RDD[InternalRow]] =
     left.asInstanceOf[org.apache.spark.sql.execution.CodegenSupport].inputRDDs()
@@ -183,8 +209,9 @@ case class BroadcastAsOfJoinExec(
     import org.apache.spark.sql.catalyst.expressions.BindReferences
     val bc = right.executeBroadcast[Array[InternalRow]]()
     val timeIsInt = rightTime.dataType == DateType || rightTime.dataType == IntegerType
+    val keyIsString = rightKeys.head.dataType == org.apache.spark.sql.types.StringType
     val builder = new AsOfIndexBuilder(
-      bc, right.output, rightKeys.head, rightTime, carry, timeIsInt, forward)
+      bc, right.output, rightKeys.head, rightTime, carry, keyIsString, timeIsInt, forward)
     val builderRef = ctx.addReferenceObj("asofBuilder", builder,
       classOf[AsOfIndexBuilder].getName)
     val idxTerm = ctx.addMutableState(classOf[AsOfProbeIndex].getName, "asofIndex")
@@ -207,15 +234,22 @@ case class BroadcastAsOfJoinExec(
       ExprCode(code"$codeStr",
         JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
     }
+    // string keys dispatch to the AnyRef overload (UTF8String value
+    // equality); long keys hit the primitive overload
+    val keyArg =
+      if (keyIsString) s"(Object) ${keyEv.value}" else s"${keyEv.value}"
+    // carryVars keep their code attached: consume() emits it exactly
+    // once (via evaluateRequiredVariables or the row projection).
+    // Emitting it here TOO would declare each variable twice and fail
+    // janino compilation -> silent interpreted fallback.
     s"""
        |if ($idxTerm == null) { $idxTerm = $builderRef.build(); }
        |${keyEv.code}
        |${timeEv.code}
        |org.apache.spark.sql.catalyst.expressions.UnsafeRow $matched = null;
        |if (!(${keyEv.isNull}) && !(${timeEv.isNull})) {
-       |  $matched = $idxTerm.probe(${keyEv.value}, (long) ${timeEv.value});
+       |  $matched = $idxTerm.probe($keyArg, (long) ${timeEv.value});
        |}
-       |${carryVars.map(_.code).mkString("\n")}
        |${consume(ctx, input ++ carryVars)}
      """.stripMargin
   }

@@ -49,6 +49,7 @@ class AsOfJoinNativeSpec extends SparkTestBase {
   }
 
   test("plan: zero exchange, no sort, and codegen'd probe on the fact side") {
+    withStrictCodegen {
     val native = AsOfJoin.nearestBeforeBroadcast(leftDf, rightDf, "k", "t", Seq("tag"))
     native.collect() // materialize through AQE
     val p = native.queryExecution.executedPlan.toString
@@ -60,6 +61,7 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     // inside a codegen span (starred), not behind an InputAdapter
     assert("\\*\\(\\d+\\) BroadcastAsOfJoin".r.findFirstIn(p).isDefined,
       s"probe must be inside WholeStageCodegen:\n$p")
+    }
   }
 
   test("self-join (left and right derive from the same frame) is safe") {
@@ -100,7 +102,10 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     assert(out(1L) == Some("a") && out(2L) == Some("c") && out(3L) == None)
   }
 
-  test("string keys take the interpreted path (no codegen) with identical semantics") {
+  test("string keys stay inside WholeStageCodegen with identical semantics") {
+    // the reference's flagship as-of keys on a VARCHAR device id — the
+    // probe must not drop the fact stream out of its codegen span
+    withStrictCodegen {
     val l = Seq(("u1", 100L, 1L), ("u2", 100L, 2L), ("u3", 100L, 3L))
       .toDF("k", "t", "id")
     val r = Seq(("u1", 50L, "a"), ("u1", 200L, "b"), ("u2", 90L, "c"))
@@ -108,10 +113,61 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     val out = AsOfJoin.nearestBeforeBroadcast(l, r, "k", "t", Seq("tag"))
     out.collect()
     val p = out.queryExecution.executedPlan.toString
-    // non-long key: the operator must NOT claim a codegen span
-    assert(!"\\*\\(\\d+\\) BroadcastAsOfJoin".r.findFirstIn(p).isDefined, p)
+    assert("\\*\\(\\d+\\) BroadcastAsOfJoin".r.findFirstIn(p).isDefined,
+      s"string-keyed probe must be inside WholeStageCodegen:\n$p")
     val m = out.collect().map(row => row.getLong(2) -> Option(row.get(3))).toMap
     assert(m == Map(1L -> Some("a"), 2L -> Some("c"), 3L -> None))
+    }
+  }
+
+  test("string keys: tie, miss, null key, and forward direction") {
+    val l = Seq(
+      (Some("u1"), Some(200L), 1L), // exact tie -> "b"
+      (Some("u1"), Some(10L), 2L),  // before all -> null
+      (None: Option[String], Some(100L), 3L), // null key -> null carry
+      (Some("u2"), None: Option[Long], 4L)    // null time -> null carry
+    ).toDF("k", "t", "id")
+    val r = Seq(("u1", 50L, "a"), ("u1", 200L, "b"), ("u2", 90L, "c"))
+      .toDF("k", "t", "tag")
+    val back = AsOfJoin.nearestBeforeBroadcast(l, r, "k", "t", Seq("tag"))
+      .collect().map(row => row.getLong(2) -> Option(row.get(3))).toMap
+    assert(back == Map(1L -> Some("b"), 2L -> None, 3L -> None, 4L -> None))
+    val fwd = AsOfJoin.nearestAfterBroadcast(l, r, "k", "t", Seq("tag"))
+      .collect().map(row => row.getLong(2) -> Option(row.get(3))).toMap
+    assert(fwd == Map(1L -> Some("b"), 2L -> Some("a"), 3L -> None, 4L -> None))
+  }
+
+  test("needCopyResult propagates: duplicate-key broadcast join under the as-of in one span") {
+    // A non-unique-key broadcast hash join is multi-output-for-one-input:
+    // if the as-of masks the streamed child's copy requirement, the
+    // top-level append() reuses one UnsafeRow buffer and every fact
+    // row's join fan-out collapses to the last copy — silent wrong rows.
+    withStrictCodegen {
+    val facts = Seq((1L, 10L, 100L), (2L, 11L, 150L)).toDF("id", "k", "t")
+    val dup = Seq((1L, "p"), (1L, "q"), (2L, "r"), (2L, "s")).toDF("id", "side")
+    val enriched = facts.join(broadcast(dup), "id") // 2 rows per fact row
+    val out = AsOfJoin.nearestBeforeBroadcast(enriched, rightDf, "k", "t", Seq("tag"))
+    val rows = out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    // the hash join and the as-of probe must share ONE codegen span for
+    // this test to exercise the copy path
+    val asofSpan = "\\*\\((\\d+)\\) BroadcastAsOfJoin".r.findFirstMatchIn(p).map(_.group(1))
+    val bhjSpan = "\\*\\((\\d+)\\) BroadcastHashJoin".r.findFirstMatchIn(p).map(_.group(1))
+    assert(asofSpan.isDefined && asofSpan == bhjSpan,
+      s"join and as-of must share a codegen span:\n$p")
+    // the span top must emit append(row.copy()): the duplicate-key hash
+    // join is multi-output-for-one-input and its requirement has to
+    // survive the as-of (needCopyResult propagation)
+    val gen = org.apache.spark.sql.execution.debug.codegenString(
+      out.queryExecution.executedPlan)
+    assert(gen.contains(".copy());"),
+      "span top must copy appended rows when a fan-out join sits below the as-of")
+    val got = rows.map(r => (r.getLong(0), r.getString(3), Option(r.get(4)))).toSet
+    assert(got == Set(
+      (1L, "p", Some("a")), (1L, "q", Some("a")),
+      (2L, "r", Some("c")), (2L, "s", Some("c"))),
+      s"fan-out rows must not alias one buffer: $got")
+    }
   }
 
   test("empty sides: empty right -> all null carry; empty left -> empty output") {

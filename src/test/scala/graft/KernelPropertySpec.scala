@@ -70,8 +70,8 @@ class KernelPropertySpec extends AnyFunSuite {
       val fwd = i % 2 == 0
       // each row carries its own time, so the probe result is checkable
       val rows = times.map(x => proj(InternalRow(x)).copy()).toArray
-      val map = new java.util.HashMap[java.lang.Long, (Array[Long], Array[UnsafeRow])]()
-      map.put(1L, (times.toArray, rows))
+      val map = new java.util.HashMap[AnyRef, (Array[Long], Array[UnsafeRow])]()
+      map.put(java.lang.Long.valueOf(1L), (times.toArray, rows))
       val idx = new AsOfProbeIndex(map, fwd)
       val got = Option(idx.probe(1L, t)).map(_.getLong(0))
       val want =

@@ -23,4 +23,15 @@ object SparkTestBase {
 abstract class SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.spark
   val Sf = "/root/testdata/sf0.001"
+
+  /** Run `f` with janino fallback disabled: a whole-stage-codegen
+    * compile error THROWS instead of silently dropping to interpreted
+    * execution (the plan string still shows the starred span on
+    * fallback, so only this catches a broken doConsume). */
+  def withStrictCodegen[T](f: => T): T = {
+    val key = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try f finally spark.conf.set(key, prev)
+  }
 }
