@@ -60,11 +60,23 @@ object IncrementalMerge {
     * replace-or-insert. Same scale shape as [[upsert]]: the change
     * set's distinct keys drive the target anti join (broadcast for
     * micro-batches, AQE-sized otherwise), the target never shuffles.
-    * Apply is idempotent: replaying the same change set converges. */
+    * Apply is idempotent: replaying the same change set converges.
+    *
+    * A NULL or unrecognized `opCol` value FAILS the job (raise_error,
+    * evaluated distributed at scan speed) instead of being silently
+    * treated as a delete: `=!= 'delete'` evaluates NULL for a NULL op,
+    * so the row would vanish from the upsert set while its key was
+    * already anti-joined out of the target — a malformed change record
+    * must fail fast, not erase a row. */
   def applyCdc(target: DataFrame, changes: DataFrame, keys: Seq[String],
       versionCols: Seq[String], opCol: String,
       broadcastKeys: Boolean = true): DataFrame = {
-    val latest = latestPerKey(changes, keys, versionCols)
+    val validated = changes.withColumn(opCol,
+      when(col(opCol).isin("upsert", "delete"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"applyCdc: $opCol must be 'upsert' or 'delete', got '"),
+          coalesce(col(opCol).cast("string"), lit("NULL")), lit("'")))))
+    val latest = latestPerKey(validated, keys, versionCols)
     val keySet = latest.select(keys.map(col): _*).distinct()
     val keep = target.join(
       if (broadcastKeys) broadcast(keySet) else keySet, keys, "left_anti")

@@ -21,14 +21,20 @@ final class LongBitmap(var words: Array[Long]) {
 
   def set(id: Long): Unit = {
     require(id >= 0, s"bitmap_distinct requires non-negative ids, got $id")
-    // word index must stay an exact Int: beyond ~2^37 the toInt would
-    // silently alias ids into wrong buckets (and the buffer would be
-    // >1 GB anyway — that domain belongs to the HLL path)
-    require(id < (1L << 37),
-      s"bitmap aggregate supports dense ids < 2^37, got $id — use hll_sketch_agg")
+    // the bound must keep every derived quantity representable: the
+    // word index an exact Int, the doubled growth positive, and the
+    // serialized buffer length (4 + words*8) an Int. 2^33 ids ->
+    // <= 2^27 words -> <= 1 GiB buffer; sparser/larger domains belong
+    // to the HLL path.
+    require(id < LongBitmap.MaxId,
+      s"bitmap aggregate supports dense ids < 2^33, got $id — use hll_sketch_agg")
     val w = (id >>> 6).toInt
     if (w >= words.length) {
-      val grown = new Array[Long](java.lang.Integer.highestOneBit(w) * 2 max 4)
+      // growth computed in Long and capped: Integer.highestOneBit*2
+      // went negative for w >= 2^30
+      val doubled = java.lang.Long.highestOneBit(w.toLong) * 2L
+      val size = math.min(math.max(doubled, 4L), LongBitmap.MaxWords.toLong).toInt
+      val grown = new Array[Long](size)
       System.arraycopy(words, 0, grown, 0, words.length)
       words = grown
     }
@@ -62,6 +68,11 @@ final class LongBitmap(var words: Array[Long]) {
 }
 
 object LongBitmap {
+  /** Exclusive id bound: 2^33 dense ids = at most 2^27 words = a 1 GiB
+    * buffer whose serialized length still fits an Int. */
+  val MaxId: Long = 1L << 33
+  private[plans] val MaxWords: Int = 1 << 27
+
   def fromBytes(bytes: Array[Byte]): LongBitmap = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt

@@ -36,13 +36,17 @@ object Snapshots {
       .sorted
   }
 
-  /** Reads `_latest`; None for an empty/absent table. A committed
-    * version directory not yet referenced by the manifest (crash
-    * window) is deliberately invisible. */
+  /** Reads `_latest`; None for an empty/absent table. If the manifest
+    * is missing but committed version directories exist (a legacy
+    * delete+rename crash, or a store that lost the file), recovery
+    * falls back to the newest listed directory — version dirs are
+    * published atomically, so whatever the listing shows is complete.
+    * With the overwrite-rename flip in [[commit]] the manifest is
+    * otherwise never absent, even mid-flip. */
   def latestVersion(spark: SparkSession, root: String): Option[Long] = {
     val m = new Path(root, "_latest")
     val f = fs(spark, root)
-    if (!f.exists(m)) None
+    if (!f.exists(m)) versionsOn(spark, root).lastOption
     else {
       val in = f.open(m)
       try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
@@ -67,9 +71,23 @@ object Snapshots {
     val out = f.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
     val manifest = new Path(root, "_latest")
-    f.delete(manifest, false)
-    if (!f.rename(tmp, manifest))
-      throw new java.io.IOException(s"snapshot commit: cannot flip $manifest")
+    // Flip with an OVERWRITE rename: one atomic operation, so a
+    // concurrent reader always sees either the old or the new manifest
+    // and a crash can never lose it (delete-then-rename had a window
+    // where _latest was absent). Schemes without FileContext fall back
+    // to delete+rename; latestVersion()'s listing fallback covers the
+    // residual window there.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        manifest.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(manifest),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        f.delete(manifest, false)
+        if (!f.rename(tmp, manifest))
+          throw new java.io.IOException(s"snapshot commit: cannot flip $manifest")
+    }
     next
   }
 

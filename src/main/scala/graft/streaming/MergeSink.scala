@@ -50,7 +50,12 @@ object MergeSink {
     * whole table if lineage blocks died after the delete started). On
     * a lake this batch function becomes Delta/Iceberg `MERGE INTO` and
     * the rewrite disappears. Restated late data converges because
-    * replays re-assert the same (key, version) winners. */
+    * replays re-assert the same (key, version) winners.
+    *
+    * SCALE NOTE: the full-target rewrite is O(|target|) per batch —
+    * fine for compact dimension tables, unusable for a deep fact
+    * table on a minutes cadence. Use [[upsertPartitionedParquet]]
+    * there: it rewrites only the partitions a batch touches. */
   def upsertParquet(targetPath: String, keys: Seq[String], versionCols: Seq[String])(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -66,6 +71,72 @@ object MergeSink {
       merged.write.mode(SaveMode.Overwrite).parquet(staged)
       graft.sources.LakeWriter.publish(spark, staged, targetPath)
     }
+  }
+
+  /** Partition-pruned upsert sink — the scale form of [[upsertParquet]]
+    * (reference: etl-dag.sql:49-84, the watermark-scoped MERGE that
+    * touches only the affected days). The target is hive-partitioned on
+    * `partitionCol`; each micro-batch
+    *   1. resolves its per-key winners (highest `versionCols`),
+    *   2. collects the TOUCHED partition values (micro-batch-bounded →
+    *      control-plane),
+    *   3. reads only those partitions (`PartitionFilters` prune the
+    *      scan to the touched directories),
+    *   4. merges and writes the touched partitions to staging,
+    *   5. swaps ONLY the touched partition directories into the target.
+    * Per-batch cost is O(|touched partitions|), not O(|target|): a
+    * minutes-cadence stream against a years-deep table rewrites one or
+    * two day directories. Untouched directories are never opened,
+    * written, or renamed — their files stay byte-identical.
+    *
+    * Contract: `partitionCol` must be non-null and FUNCTIONALLY
+    * DETERMINED by the key (a key never moves partitions between
+    * versions), or the stale copy in the old partition would survive;
+    * this is the same constraint Snowflake's watermark MERGE and a
+    * Delta partitioned MERGE place on their partition column. Each
+    * partition swap is an atomic rename; a crash between swaps leaves
+    * some partitions advanced — replaying the batch converges because
+    * per-partition upsert is idempotent ((key, version) winners
+    * re-assert). Partition values should be string/integral primitives
+    * so hive partition-type inference round-trips them. */
+  def upsertPartitionedParquet(targetPath: String, partitionCol: String,
+      keys: Seq[String], versionCols: Seq[String])(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = batch.sparkSession
+    val latest = IncrementalMerge.latestPerKey(batch, keys, versionCols)
+      .persist()
+    try {
+      val touched = latest.select(col(partitionCol)).distinct().collect().map(_.get(0))
+      require(!touched.contains(null),
+        s"upsertPartitionedParquet: $partitionCol must be non-null on every batch row")
+      if (touched.isEmpty) return // empty batch: nothing to swap
+      val path = new org.apache.hadoop.fs.Path(targetPath)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) {
+        latest.write.partitionBy(partitionCol).parquet(targetPath)
+        return
+      }
+      // prune the read to touched directories; basePath keeps the
+      // partition column in the schema for the merge + rewrite
+      val target = spark.read.option("basePath", targetPath).parquet(targetPath)
+        .filter(col(partitionCol).isin(touched: _*))
+      val merged = IncrementalMerge.upsert(target, latest, keys, versionCols)
+      val staged = graft.sources.LakeWriter.stagingPath(targetPath)
+      val stagedP = new org.apache.hadoop.fs.Path(staged)
+      if (fs.exists(stagedP)) fs.delete(stagedP, true)
+      merged.write.partitionBy(partitionCol).parquet(staged)
+      // swap exactly the partition directories the merge produced (the
+      // staged output holds only touched partitions by construction);
+      // directory names come from the writer, so hive value escaping
+      // is never re-derived here
+      fs.listStatus(stagedP).filter(_.getPath.getName.startsWith(s"$partitionCol="))
+        .foreach { st =>
+          graft.sources.LakeWriter.publish(spark,
+            st.getPath.toString, s"$targetPath/${st.getPath.getName}")
+        }
+      fs.delete(stagedP, true)
+    } finally latest.unpersist()
   }
 
   /** Batch-side equivalence helper (spec + docs): the result any

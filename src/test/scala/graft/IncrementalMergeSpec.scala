@@ -69,6 +69,25 @@ class IncrementalMergeSpec extends SparkTestBase {
     assert(replay.collect().map(r => r.getLong(0) -> r.getString(1)).toMap == m)
   }
 
+  test("applyCdc: NULL or unrecognized op fails fast instead of deleting the row") {
+    import spark.implicits._
+    val target = Seq((1L, "a")).toDF("k", "v")
+    def apply(op: Option[String]) = graft.operators.IncrementalMerge
+      .applyCdc(target,
+        Seq((1L, "a2", 1, op)).toDF("k", "v", "version", "op"),
+        Seq("k"), Seq("version"), "op")
+      .collect()
+    def chain(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${chain(t.getCause)}"
+    val eNull = intercept[Exception](apply(None))
+    assert(chain(eNull).contains("must be 'upsert' or 'delete'"), chain(eNull))
+    val eBogus = intercept[Exception](apply(Some("UPSERT")))
+    assert(chain(eBogus).contains("must be 'upsert' or 'delete'"), chain(eBogus))
+    // valid ops still flow
+    assert(apply(Some("upsert")).map(r => r.getLong(0) -> r.getString(1)).toMap
+      == Map(1L -> "a2"))
+  }
+
   test("affectedKeys returns distinct group keys of the batch") {
     val batch = Seq((1L, "x"), (1L, "x"), (2L, "y")).toDF("hh", "title")
     assert(IncrementalMerge.affectedKeys(batch, Seq("hh", "title")).count() == 2)

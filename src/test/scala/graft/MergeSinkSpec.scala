@@ -91,6 +91,66 @@ class MergeSinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("partitioned upsert: untouched partition files stay byte-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val target = Files.createTempDirectory("upsertpart").toString + "/t"
+    val input = MemoryStream[(Long, Int, String, Long)]
+    val q = input.toDF().toDF("k", "day", "v", "ver").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(MergeSink.upsertPartitionedParquet(
+        target, "day", Seq("k"), Seq("ver")) _)
+      .start()
+    def partFiles(day: Int): Seq[(String, Long, Long)] = {
+      val d = new java.io.File(s"$target/day=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .map(f => (f.getName, f.length, f.lastModified)).sortBy(_._1)
+    }
+    try {
+      input.addData((1L, 1, "a", 10L), (2L, 2, "b", 10L), (3L, 3, "c", 10L))
+      q.processAllAvailable()
+      val d1Before = partFiles(1)
+      val d3Before = partFiles(3)
+      // batch 2 touches ONLY day=2: restates k=2 and inserts k=4
+      input.addData((2L, 2, "b-new", 20L), (4L, 2, "d", 20L))
+      q.processAllAvailable()
+      assert(partFiles(1) == d1Before && partFiles(3) == d3Before,
+        "untouched partitions must keep the same files, sizes, and mtimes")
+      val rows = spark.read.parquet(target)
+        .select("k", "day", "v", "ver").as[(Long, Int, String, Long)]
+        .collect().sortBy(_._1)
+      assert(rows.toSeq == Seq((1L, 1, "a", 10L), (2L, 2, "b-new", 20L),
+        (3L, 3, "c", 10L), (4L, 2, "d", 20L)), s"got ${rows.toSeq}")
+      // replay of batch 2 converges (idempotent per-partition upsert)
+      input.addData((2L, 2, "b-new", 20L), (4L, 2, "d", 20L))
+      q.processAllAvailable()
+      val replayed = spark.read.parquet(target)
+        .select("k", "day", "v", "ver").as[(Long, Int, String, Long)]
+        .collect().sortBy(_._1)
+      assert(replayed.toSeq == rows.toSeq, "replayed batch must converge")
+      assert(partFiles(1) == d1Before && partFiles(3) == d3Before,
+        "replay must still leave untouched partitions alone")
+    } finally q.stop()
+  }
+
+  test("partitioned upsert == full-rewrite upsert on the same batches") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("upsertparity").toString
+    val part = s"$root/part"
+    val full = s"$root/full"
+    val b1 = Seq((1L, 1, "a", 10L), (2L, 1, "b", 10L), (3L, 2, "c", 10L))
+      .toDF("k", "day", "v", "ver")
+    val b2 = Seq((1L, 1, "a2", 20L), (4L, 3, "d", 20L), (4L, 3, "d2", 21L))
+      .toDF("k", "day", "v", "ver")
+    Seq(b1, b2).zipWithIndex.foreach { case (b, i) =>
+      MergeSink.upsertPartitionedParquet(part, "day", Seq("k"), Seq("ver"))(b, i.toLong)
+      MergeSink.upsertParquet(full, Seq("k"), Seq("ver"))(b, i.toLong)
+    }
+    def load(p: String) = spark.read.option("basePath", p).parquet(p)
+      .select("k", "day", "v", "ver").as[(Long, Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(load(part) == load(full), s"${load(part)} vs ${load(full)}")
+  }
+
   test("expectedTarget matches the sink when the FIRST batch has dup keys") {
     import spark.implicits._
     val b1 = Seq((1L, "a"), (1L, "a2"), (2L, "b")).toDF("k", "v") // intra-batch dup

@@ -39,6 +39,23 @@ class SnapshotsSpec extends SparkTestBase {
       == Seq(10L, 20L, 30L))
   }
 
+  test("lost manifest: readers recover from the directory listing") {
+    val root = Files.createTempDirectory("snap5").toString + "/t"
+    Snapshots.commit(Seq(1L).toDF("id"), root)
+    Snapshots.commit(Seq(1L, 2L).toDF("id"), root)
+    // simulate a store that lost _latest (or a legacy delete+rename
+    // crash): committed version dirs are complete, manifest gone
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_latest"))
+    assert(Snapshots.latestVersion(spark, root) == Some(2L),
+      "latestVersion must fall back to the newest listed version dir")
+    assert(Snapshots.read(spark, root).count() == 2)
+    // the next commit continues the numbering and restores the manifest
+    val v = Snapshots.commit(Seq(1L, 2L, 3L).toDF("id"), root)
+    assert(v == 3L)
+    assert(Snapshots.latestVersion(spark, root) == Some(3L))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_latest")))
+  }
+
   test("changes: row-level delta between versions, updates as delete+insert") {
     val root = Files.createTempDirectory("snap4").toString + "/t"
     Snapshots.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), root)
