@@ -293,8 +293,52 @@ SELECT doc_id, root_id, depth, path FROM h"""))
     * PageRank over a deterministic document graph (tree edges
     * doc_id→doc_id/7 plus pseudo-random cross links) — the
     * web-curation feature that ranks pages by link authority.
-    * Rows-only (no recursive-aggregate SQL twin); PageRankSpec pins
+    * The DuckDB twin UNROLLS the fixed iteration count as a chained
+    * CTE (r1..rN) — DuckDB recursive CTEs cannot aggregate over the
+    * recursive table, but fixed-point-free unrolling is plain SQL.
+    * Both engines round to 6 dp; PageRankSpec additionally pins
     * hand-computed fixpoints and the rank-sum conservation law. */
+  private val PrIterations = 10
+
+  private def pagerankOracle: String = {
+    // every CTE is MATERIALIZED: DuckDB inlines CTEs by default, so an
+    // unrolled 10-iteration chain would re-expand edges (and the
+    // documents scan under it) once per reference and exhaust file
+    // handles before it exhausted patience
+    val base = """WITH edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, CAST(FLOOR(doc_id / 7) AS BIGINT) AS dst
+    FROM documents WHERE doc_id > 0
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 31) % 500 AS dst
+    FROM documents WHERE doc_id <> (doc_id * 31) % 500)),
+nodes AS MATERIALIZED (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+sinks AS MATERIALIZED (SELECT id FROM nodes WHERE id NOT IN (SELECT src FROM outdeg)),
+r0 AS MATERIALIZED (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"""
+    // (1.0 - 0.85) mirrors the Spark side's lit(1.0 - damping) so both
+    // engines evaluate the identical IEEE expression, not a re-typed
+    // decimal literal
+    val iters = (1 to PrIterations).map { k =>
+      s"""r$k AS MATERIALIZED (
+  SELECT n.id,
+         (1.0 - 0.85) + 0.85 * (COALESCE(i.inflow, 0) + d.mass / nn.n) AS rank
+  FROM nodes n
+  CROSS JOIN nn
+  CROSS JOIN (SELECT COALESCE(SUM(r.rank), 0) AS mass
+              FROM r${k - 1} r JOIN sinks s ON r.id = s.id) d
+  LEFT JOIN (SELECT e.dst AS id, SUM(r.rank / o.deg) AS inflow
+             FROM edges e
+             JOIN outdeg o ON e.src = o.src
+             JOIN r${k - 1} r ON r.id = e.src
+             GROUP BY e.dst) i ON n.id = i.id)"""
+    }
+    (base +: iters).mkString(",\n") +
+      s"\nSELECT id AS doc_id, ROUND(rank, 6) AS rank FROM r$PrIterations"
+  }
+
   private val pagerank = Q(
     "graph_pagerank",
     (s, dir) => {
@@ -307,10 +351,11 @@ SELECT doc_id, root_id, depth, path FROM h"""))
         .filter(col("src") =!= col("dst"))
       // 10 iterations: the registry demo's graph is depth-4ish, well
       // converged by 10; PageRankSpec drives its own counts
-      operators.PageRank.run(tree.unionByName(cross), "src", "dst", iterations = 10)
+      operators.PageRank.run(tree.unionByName(cross), "src", "dst",
+        iterations = PrIterations)
         .select(col("id").as("doc_id"), round(col("rank"), 6).as("rank"))
     },
-    None)
+    Some(pagerankOracle))
 
   /** Gaps-and-islands: per-user CONSECUTIVE-DAY activity streaks —
     * the workhorse behind Snowflake MATCH_RECOGNIZE's most common
@@ -886,21 +931,13 @@ FROM orders"""))
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id"), col("t"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("cu"), col("t").as("ct"))
+        .select(col("user_id"), col("t"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("pu"), col("t").as("pt"))
-      val withClick = views
-        .join(clicks,
-          col("user_id") === col("cu") &&
-          col("ct") > col("t") && col("ct") <= col("t") + 3600L, "left")
-        .groupBy("user_id", "event_id", "t")
-        .agg(min("ct").as("click_t"))
-      val withPurchase = withClick
-        .join(purchases,
-          col("user_id") === col("pu") &&
-          col("pt") > col("click_t") && col("pt") <= col("click_t") + 3600L, "left")
-        .groupBy("user_id", "event_id", "t", "click_t")
-        .agg(min("pt").as("purchase_t"))
+        .select(col("user_id"), col("t"))
+      // uncapped = exact; operators.Funnel.capCandidates is the
+      // hot-key bound, spec'd in FunnelSkewSpec
+      val withPurchase = operators.Funnel.steps(
+        views, clicks, purchases, windowSec = 3600L, capPerWindow = None)
       withPurchase.agg(
         count(lit(1)).as("n_views"),
         count(col("click_t")).as("n_view_click"),

@@ -186,6 +186,32 @@ object TaskDag {
     (results, DagState(counts.toMap, suspended.toSet))
   }
 
+  /** `SHOW TASKS IN SCHEMA` (etl-dag.sql:157) as a projection over the
+    * graph + [[DagState]] + the last run's results: one row per task
+    * with its dependency edge, schedule (roots only — dependents run
+    * AFTER, exactly Snowflake's layout), suspension state, the
+    * consecutive-failure count the [[Policy]] acts on, and the last
+    * run's outcome. Control-plane sized (|tasks| rows), built on the
+    * driver like the state it reads. */
+  def show(spark: SparkSession, tasks: Seq[Task], state: DagState,
+      schedule: Option[String] = None,
+      lastResults: Seq[TaskResult] = Seq.empty): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val byName = lastResults.map(r => r.name -> r).toMap
+    order(tasks).map { t =>
+      val last = byName.get(t.name)
+      (t.name,
+        if (t.after.isEmpty) schedule else None,
+        t.after.mkString(","),
+        if (state.suspended.contains(t.name)) "suspended" else "started",
+        state.consecutiveFailures.getOrElse(t.name, 0),
+        last.map(_.ok),
+        last.flatMap(_.error),
+        last.map(_.seconds))
+    }.toDF("task", "schedule", "after", "state", "consecutive_failures",
+      "last_ok", "last_error", "last_seconds")
+  }
+
   /** [[runScheduled]] under a [[Policy]]: ticks that come due while a
     * task is suspended still fire the graph (independent branches keep
     * running — Snowflake suspends the TASK, not the schedule), and the

@@ -98,6 +98,31 @@ class TaskDagSpec extends SparkTestBase {
     assert(s2.suspended("boom"))
   }
 
+  test("show: SHOW TASKS projection over a suspended + healthy mix") {
+    val tasks = Seq(
+      Task("root", run = _ => ()),
+      Task("boom", after = Seq("root"), run = _ => throw new RuntimeException("kaput")),
+      Task("leaf", after = Seq("boom"), run = _ => ()))
+    val policy = TaskDag.Policy(suspendAfterFailures = 1)
+    val (results, state) =
+      TaskDag.runWithPolicy(spark, tasks, policy, TaskDag.DagState())
+    val df = TaskDag.show(spark, tasks, state,
+      schedule = Some("USING CRON 0 5 * * * UTC"), lastResults = results)
+    val rows = df.collect().map(r => r.getString(0) -> r).toMap
+    assert(df.columns.toSeq == Seq("task", "schedule", "after", "state",
+      "consecutive_failures", "last_ok", "last_error", "last_seconds"))
+    // roots carry the cron; dependents run AFTER (Snowflake layout)
+    assert(rows("root").getString(1) == "USING CRON 0 5 * * * UTC")
+    assert(rows("boom").isNullAt(1) && rows("boom").getString(2) == "root")
+    assert(rows("root").getString(3) == "started" &&
+      rows("root").getBoolean(5) && rows("root").getInt(4) == 0)
+    assert(rows("boom").getString(3) == "suspended" &&
+      !rows("boom").getBoolean(5) && rows("boom").getInt(4) == 1 &&
+      rows("boom").getString(6) == "kaput")
+    assert(rows("leaf").getString(3) == "started" &&
+      rows("leaf").getString(6) == "skipped: upstream failed")
+  }
+
   test("policy: DagState round-trips through parquet (task_control pattern)") {
     val path = Files.createTempDirectory("dagstate").toString + "/state"
     assert(TaskDag.loadState(spark, path) == TaskDag.DagState(), "absent -> fresh")
