@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sbt's junit-xml reports (target/test-reports) are never pruned, so a
+// report from a deleted spec lingers forever and reads as a failure to
+// a naive grep. Wipe the dir before each test run: what remains is
+// exactly the latest run.
+Test / testOptions += Tests.Setup(() => sbt.IO.delete(file("target/test-reports")))
 // The bench/verify harness parses a bare JSON line from stdout; sbt's
 // default logger prefixes forked-run output with "[info] ", which breaks
 // that parse. StdoutOutput pipes the forked JVM's stdout through raw.

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-sensitivity sweep harness (not part of the library surface).
+  *
+  * `runMain graft.Sweep <srcSfDir> <workDir> <factor> <q1,q2,...>`
+  *
+  * Builds a `factor`-times replica of the source SF tables under
+  * `workDir` (cached across runs), then times each named registry
+  * query on it (noop sink, min of two). Replication offsets every
+  * entity key (user/customer/order/doc/vec) by a copy-sized constant,
+  * so the KEY COUNT grows by `factor` while per-key event density
+  * stays flat — the shape a real 100-TB corpus has, and the one that
+  * keeps per-key loops (funnel, sessionize) honest: duplicating ids
+  * instead would multiply per-key density and measure a skew
+  * pathology, not scale.
+  *
+  * `ann_ivfpq_probe` is special-cased: the index is built once
+  * (untimed) and only the probe path is measured — the production
+  * shape, build-once/probe-many.
+  */
+object Sweep {
+
+  private val Off = 1000000000000L // key offset per copy; far above any sf id
+
+  private def scaleTable(spark: SparkSession, src: String, dst: String,
+      name: String, factor: Int, keyCols: Seq[String],
+      perCopy: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
+    val out = s"$dst/$name.parquet"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(out))) return
+    val base = graft.sources.ViewingData.table(spark, src, name)
+    val copies = (0 until factor).map { k =>
+      perCopy(keyCols.foldLeft(base) { (df, c) =>
+        df.withColumn(c, col(c) + lit(k * Off))
+      }, k)
+    }
+    copies.reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(out)
+  }
+
+  private def scaleUp(spark: SparkSession, src: String, dst: String,
+      factor: Int, verbatimDocs: Boolean): Unit = {
+    // entity keys offset consistently so every cross-table join still
+    // lands (events.user_id ↔ customer.c_custkey ↔ orders.o_custkey)
+    scaleTable(spark, src, dst, "events", factor, Seq("event_id", "user_id"))
+    scaleTable(spark, src, dst, "customer", factor, Seq("c_custkey"))
+    scaleTable(spark, src, dst, "orders", factor, Seq("o_orderkey", "o_custkey"))
+    // organic mode perturbs each copy's n_chars so replicas land in
+    // distinct (lang, n_chars) near-dup buckets: duplicate-cluster
+    // sizes stay constant as the corpus grows (how a real corpus
+    // scales). verbatim mode keeps exact copies: every doc becomes a
+    // factor-way duplicate clique — the adversarial dedup density.
+    scaleTable(spark, src, dst, "documents", factor, Seq("doc_id"),
+      perCopy = if (verbatimDocs) (df, _) => df
+        else (df, k) => df.withColumn("n_chars", col("n_chars") + lit(k)))
+    scaleTable(spark, src, dst, "embeddings", factor, Seq("vec_id"))
+    scaleTable(spark, src, dst, "lineitem", factor, Seq("l_orderkey"))
+    // enum-like dimensions stay 1x: their fk values are unchanged
+    Seq("region", "nation", "supplier", "part")
+      .foreach(t => scaleTable(spark, src, dst, t, 1, Seq.empty))
+  }
+
+  private def minOfTwo(body: => Unit): Double = {
+    def once: Double = {
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+    math.min(once, once)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val work = args(1)
+    val factor = args(2).toInt
+    val names = args(3).split(",").toSeq
+    val verbatimDocs = args.length > 4 && args(4) == "verbatim"
+    val spark = SparkSession.builder().master(
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    scaleUp(spark, src, work, factor, verbatimDocs)
+    names.foreach {
+      case "ann_ivfpq_probe" =>
+        graft.plans.GraftExtensions.register(spark)
+        import spark.implicits._
+        val v = graft.sources.ViewingData.table(spark, work, "embeddings")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("vec_id"), col("label"),
+            graft.functions.VectorFunctions.normalize(
+              graft.functions.VectorFunctions.toDouble(col("embedding"))).as("e"))
+          .localCheckpoint()
+        val path = s"$work/ivfpq_index"
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+          operators.IvfPq.writeIndex(v, "vec_id", "e", "label", path,
+            m = 16, k = 16, ivfRounds = 1, pqRounds = 2)
+        val q = v.filter(col("vec_id") === 0).select("e").as[Seq[Double]].head()
+        val sec = minOfTwo {
+          operators.IvfPq.probe(spark, path, v.filter(col("vec_id") =!= 0), q,
+            "vec_id", "e", "label", nprobe = 8, k = 10)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"SWEEP ${"ann_ivfpq_probe"}%-28s x$factor%-3d $sec%8.3f s")
+      case name =>
+        val sec = minOfTwo {
+          SparkEntry.queries(name)(spark, work)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"SWEEP $name%-28s x$factor%-3d $sec%8.3f s")
+    }
+    spark.stop()
+  }
+}

@@ -98,6 +98,40 @@ final class AsOfProbeIndex(
   }
 }
 
+/** Executor-level cache of built probe indexes, keyed by
+  * (application, broadcast id, operator fingerprint). The broadcast
+  * ships ROWS (IdentityBroadcastMode); without this cache every TASK
+  * re-built its own index — at 32 cores over a million-row right side
+  * that is 32× the build CPU and, worse, 32× the heap (the x10 scale
+  * sweep measured q_asof_native collapsing into GC exactly this way).
+  * One build per executor, concurrent probers share the read-only
+  * index — the same discipline Spark's own HashedRelation broadcast
+  * follows. SoftReferences let the executor drop an index under
+  * memory pressure; the next task rebuilds. */
+object AsOfIndexCache {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Int), java.lang.ref.SoftReference[AnyRef]]()
+
+  def getOrBuild[T <: AnyRef](bcId: Long, fingerprint: Int, build: () => T): T = {
+    val appId = org.apache.spark.SparkEnv.get.conf.getAppId
+    val key = (appId, bcId, fingerprint)
+    var result: AnyRef = null
+    while (result == null) {
+      // computeIfAbsent serializes builders of the SAME key: one task
+      // builds, its siblings wait and share
+      val ref = cache.computeIfAbsent(key,
+        _ => new java.lang.ref.SoftReference[AnyRef](build()))
+      result = ref.get()
+      if (result == null) cache.remove(key, ref) // collected: rebuild
+    }
+    if (cache.size > 64) { // drop collected entries, bound stale ids
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) if (it.next().getValue.get() == null) it.remove()
+    }
+    result.asInstanceOf[T]
+  }
+}
+
 /** Serializable recipe shipped in the codegen references array; builds
   * the [[AsOfProbeIndex]] on first use inside the generated task. */
 final class AsOfIndexBuilder(
@@ -110,7 +144,14 @@ final class AsOfIndexBuilder(
     timeIsInt: Boolean,
     forward: Boolean) extends Serializable {
 
-  def build(): AsOfProbeIndex = {
+  /** Executor-cached: one physical build per executor, not per task. */
+  def build(): AsOfProbeIndex =
+    AsOfIndexCache.getOrBuild(bc.id,
+      (1, rightKey.exprId.id, rightTime.exprId.id, carry.map(_.exprId.id),
+        keyIsString, timeIsInt, forward).hashCode,
+      () => buildIndex())
+
+  private def buildIndex(): AsOfProbeIndex = {
     val rKeyIdx = rOut.indexWhere(_.exprId == rightKey.exprId)
     val rTimeIdx = rOut.indexWhere(_.exprId == rightTime.exprId)
     val carryProj = UnsafeProjection.create(carry, rOut)
@@ -284,23 +325,29 @@ case class BroadcastAsOfJoinExec(
     val rightKeyAttrs = rightKeys
     val leftKeyAttrs = leftKeys
 
+    val fingerprint = (2, rightKeyAttrs.map(_.exprId.id), rightTime.exprId.id,
+      carryAttrs.map(_.exprId.id), forward).hashCode
     left.execute().mapPartitions({ iter =>
-      val rKeyProj = UnsafeProjection.create(rightKeyAttrs, rOut)
-      val carryProj = UnsafeProjection.create(carryAttrs, rOut)
-      val grouped = mutable.HashMap.empty[UnsafeRow, mutable.ArrayBuffer[(Long, UnsafeRow)]]
-      bRows.value.foreach { r =>
-        if (!rKeyIdxs.exists(r.isNullAt) && !r.isNullAt(rTimeIdx)) {
-          val k = rKeyProj(r).copy()
-          grouped.getOrElseUpdate(k, mutable.ArrayBuffer.empty) +=
-            ((rGetT(r, rTimeIdx), carryProj(r).copy()))
+      // executor-cached like the codegen path: one build per executor
+      val index = AsOfIndexCache.getOrBuild(bRows.id, fingerprint, () => {
+        val rKeyProj = UnsafeProjection.create(rightKeyAttrs, rOut)
+        val carryProj = UnsafeProjection.create(carryAttrs, rOut)
+        val grouped = mutable.HashMap.empty[UnsafeRow, mutable.ArrayBuffer[(Long, UnsafeRow)]]
+        bRows.value.foreach { r =>
+          if (!rKeyIdxs.exists(r.isNullAt) && !r.isNullAt(rTimeIdx)) {
+            val k = rKeyProj(r).copy()
+            grouped.getOrElseUpdate(k, mutable.ArrayBuffer.empty) +=
+              ((rGetT(r, rTimeIdx), carryProj(r).copy()))
+          }
         }
-      }
-      val index = new java.util.HashMap[UnsafeRow, (Array[Long], Array[UnsafeRow])](
-        grouped.size * 2 + 1)
-      grouped.foreach { case (k, buf) =>
-        val sorted = buf.sortBy(_._1)
-        index.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
-      }
+        val idx = new java.util.HashMap[UnsafeRow, (Array[Long], Array[UnsafeRow])](
+          grouped.size * 2 + 1)
+        grouped.foreach { case (k, buf) =>
+          val sorted = buf.sortBy(_._1)
+          idx.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+        }
+        idx
+      })
       val lKeyProj = UnsafeProjection.create(leftKeyAttrs, lOut)
       val resultProj = UnsafeProjection.create(outAttrs, lOut ++ carryAttrs)
       val joined = new JoinedRow
