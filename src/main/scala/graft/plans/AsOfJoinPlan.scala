@@ -133,37 +133,44 @@ object AsOfIndexCache {
 }
 
 /** Serializable recipe shipped in the codegen references array; builds
-  * the [[AsOfProbeIndex]] on first use inside the generated task. */
+  * the [[AsOfProbeIndex]] on first use inside the generated task.
+  * `keyMode`: 0 = single long (boxed), 1 = single UTF8String, 2 =
+  * composite UnsafeRow of all key columns (the generated probe side
+  * builds the same row shape with GenerateUnsafeProjection). */
 final class AsOfIndexBuilder(
     bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]],
     rOut: Seq[Attribute],
-    rightKey: Attribute,
+    rightKeys: Seq[Attribute],
     rightTime: Attribute,
     carry: Seq[Attribute],
-    keyIsString: Boolean,
+    keyMode: Int,
     timeIsInt: Boolean,
     forward: Boolean) extends Serializable {
 
   /** Executor-cached: one physical build per executor, not per task. */
   def build(): AsOfProbeIndex =
     AsOfIndexCache.getOrBuild(bc.id,
-      (1, rightKey.exprId.id, rightTime.exprId.id, carry.map(_.exprId.id),
-        keyIsString, timeIsInt, forward).hashCode,
+      (1, rightKeys.map(_.exprId.id), rightTime.exprId.id, carry.map(_.exprId.id),
+        keyMode, timeIsInt, forward).hashCode,
       () => buildIndex())
 
   private def buildIndex(): AsOfProbeIndex = {
-    val rKeyIdx = rOut.indexWhere(_.exprId == rightKey.exprId)
+    val rKeyIdxs = rightKeys.map(k => rOut.indexWhere(_.exprId == k.exprId))
+    val rKeyIdx = rKeyIdxs.head
     val rTimeIdx = rOut.indexWhere(_.exprId == rightTime.exprId)
+    val keyProj = UnsafeProjection.create(rightKeys, rOut)
     val carryProj = UnsafeProjection.create(carry, rOut)
     val grouped = mutable.HashMap.empty[AnyRef, mutable.ArrayBuffer[(Long, UnsafeRow)]]
     bc.value.foreach { r =>
-      if (!r.isNullAt(rKeyIdx) && !r.isNullAt(rTimeIdx)) {
+      if (!rKeyIdxs.exists(r.isNullAt) && !r.isNullAt(rTimeIdx)) {
         val t = if (timeIsInt) r.getInt(rTimeIdx).toLong else r.getLong(rTimeIdx)
-        // UTF8String keys are copied out of the row buffer so index
-        // entries never alias broadcast row storage
-        val k: AnyRef =
-          if (keyIsString) r.getUTF8String(rKeyIdx).copy()
-          else java.lang.Long.valueOf(r.getLong(rKeyIdx))
+        // keys are copied out of the row buffer so index entries never
+        // alias broadcast row storage
+        val k: AnyRef = keyMode match {
+          case 0 => java.lang.Long.valueOf(r.getLong(rKeyIdx))
+          case 1 => r.getUTF8String(rKeyIdx).copy()
+          case _ => keyProj(r).copy()
+        }
         grouped.getOrElseUpdate(k, mutable.ArrayBuffer.empty) +=
           ((t, carryProj(r).copy()))
       }
@@ -208,18 +215,23 @@ case class BroadcastAsOfJoinExec(
 
   // ---- whole-stage codegen: the fact side stays inside the stream's
   // codegen span; the probe is one static-shaped call per row. The
-  // generated path keys the index by boxed long or UTF8String — the
-  // reference's own flagship as-of keys on a VARCHAR device id
-  // (ingest-ddl.sql:2, etl-ddl-backfill.sql:116), so string keys must
-  // not drop out of the stream's codegen span. Other key types (and
-  // multi-column tuples) take the interpreted doExecute via
-  // supportCodegen=false (the stream still wraps in WholeStageCodegen
-  // around an InputAdapter).
+  // generated path keys the index by boxed long, UTF8String (the
+  // reference's own flagship as-of keys on a VARCHAR device id —
+  // ingest-ddl.sql:2, etl-ddl-backfill.sql:116), or a composite
+  // UnsafeRow for tuple keys (built by GenerateUnsafeProjection, the
+  // same shape Spark's hash-join codegen uses for its stream-side
+  // key). Every key shape stays inside the span.
   override def supportCodegen: Boolean =
-    leftKeys.size == 1 &&
-      (leftKeys.head.dataType == LongType ||
-        leftKeys.head.dataType == org.apache.spark.sql.types.StringType) &&
+    leftKeys.nonEmpty &&
       left.isInstanceOf[org.apache.spark.sql.execution.CodegenSupport]
+
+  private def keyMode: Int =
+    if (leftKeys.size > 1) 2
+    else leftKeys.head.dataType match {
+      case LongType => 0
+      case org.apache.spark.sql.types.StringType => 1
+      case _ => 2
+    }
 
   // This node itself is 1:1 (one output row per input row) and carry
   // values come from stable copied index rows, so IT never forces a
@@ -250,15 +262,24 @@ case class BroadcastAsOfJoinExec(
     import org.apache.spark.sql.catalyst.expressions.BindReferences
     val bc = right.executeBroadcast[Array[InternalRow]]()
     val timeIsInt = rightTime.dataType == DateType || rightTime.dataType == IntegerType
-    val keyIsString = rightKeys.head.dataType == org.apache.spark.sql.types.StringType
+    val mode = keyMode
     val builder = new AsOfIndexBuilder(
-      bc, right.output, rightKeys.head, rightTime, carry, keyIsString, timeIsInt, forward)
+      bc, right.output, rightKeys, rightTime, carry, mode, timeIsInt, forward)
     val builderRef = ctx.addReferenceObj("asofBuilder", builder,
       classOf[AsOfIndexBuilder].getName)
     val idxTerm = ctx.addMutableState(classOf[AsOfProbeIndex].getName, "asofIndex")
     ctx.currentVars = input
-    val keyEv = BindReferences.bindReference(
-      leftKeys.head: org.apache.spark.sql.catalyst.expressions.Expression, left.output).genCode(ctx)
+    // scalar modes evaluate the single key column; tuple mode builds
+    // the composite UnsafeRow key with GenerateUnsafeProjection (what
+    // HashJoin's codegen does for its stream-side key)
+    val keyEv =
+      if (mode == 2)
+        org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+          .createCode(ctx, leftKeys.map(k => BindReferences.bindReference(
+            k: org.apache.spark.sql.catalyst.expressions.Expression, left.output)))
+      else BindReferences.bindReference(
+        leftKeys.head: org.apache.spark.sql.catalyst.expressions.Expression,
+        left.output).genCode(ctx)
     val timeEv = BindReferences.bindReference(
       leftTime: org.apache.spark.sql.catalyst.expressions.Expression, left.output).genCode(ctx)
     val matched = ctx.freshName("asofMatched")
@@ -275,10 +296,13 @@ case class BroadcastAsOfJoinExec(
       ExprCode(code"$codeStr",
         JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
     }
-    // string keys dispatch to the AnyRef overload (UTF8String value
-    // equality); long keys hit the primitive overload
+    // string/tuple keys dispatch to the AnyRef overload (UTF8String /
+    // UnsafeRow value equality); long keys hit the primitive overload.
+    // Tuple keys with a null field probe harmlessly: the index holds
+    // no null-field keys (right rows with null keys never match), so
+    // the lookup misses — same carry-NULL outcome as the scalar guard.
     val keyArg =
-      if (keyIsString) s"(Object) ${keyEv.value}" else s"${keyEv.value}"
+      if (mode == 0) s"${keyEv.value}" else s"(Object) ${keyEv.value}"
     // carryVars keep their code attached: consume() emits it exactly
     // once (via evaluateRequiredVariables or the row projection).
     // Emitting it here TOO would declare each variable twice and fail

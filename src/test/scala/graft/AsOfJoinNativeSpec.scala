@@ -87,19 +87,28 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     assert(lateOut.collect().head.get(3) == null)
   }
 
-  test("multi-column keys: (k1, k2) tuple keys resolve independently") {
+  test("multi-column keys: (k1, k2) tuple keys resolve independently, in codegen") {
+    withStrictCodegen {
     val l = Seq(
       (1L, 10L, "x", 100L), // matches (10,x) floor 50 -> "a"
       (2L, 10L, "y", 100L), // matches (10,y) floor 90 -> "c"
-      (3L, 10L, "z", 100L)  // no (10,z) entries -> null
+      (3L, 10L, "z", 100L), // no (10,z) entries -> null
+      (4L, 10L, null.asInstanceOf[String], 100L) // null key field -> null carry
     ).toDF("id", "k1", "k2", "t")
     val r = Seq(
       (10L, "x", 50L, "a"), (10L, "x", 200L, "b"),
       (10L, "y", 90L, "c")
     ).toDF("k1", "k2", "t", "tag")
-    val out = AsOfJoin.nearestBeforeBroadcast(l, r, Seq("k1", "k2"), "t", Seq("tag"))
-      .orderBy("id").collect().map(row => row.getLong(0) -> Option(row.get(4))).toMap
-    assert(out(1L) == Some("a") && out(2L) == Some("c") && out(3L) == None)
+    val df = AsOfJoin.nearestBeforeBroadcast(l, r, Seq("k1", "k2"), "t", Seq("tag"))
+    df.collect() // materialize through AQE before reading the plan
+    val out = df.orderBy("id").collect().map(row => row.getLong(0) -> Option(row.get(4))).toMap
+    assert(out(1L) == Some("a") && out(2L) == Some("c") && out(3L) == None &&
+      out(4L) == None)
+    // tuple keys probe with a composite UnsafeRow INSIDE the span
+    val p = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) BroadcastAsOfJoin".r.findFirstIn(p).isDefined,
+      s"tuple-keyed probe must be inside WholeStageCodegen:\n$p")
+    }
   }
 
   test("string keys stay inside WholeStageCodegen with identical semantics") {
