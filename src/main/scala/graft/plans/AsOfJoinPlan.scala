@@ -113,7 +113,10 @@ object AsOfIndexCache {
     (String, Long, Int), java.lang.ref.SoftReference[AnyRef]]()
 
   def getOrBuild[T <: AnyRef](bcId: Long, fingerprint: Int, build: () => T): T = {
-    val appId = org.apache.spark.SparkEnv.get.conf.getAppId
+    // app id scopes entries so broadcast ids from a restarted context
+    // can't collide with a predecessor's (absent env = bare JVM tests)
+    val appId = Option(org.apache.spark.SparkEnv.get)
+      .map(_.conf.getAppId).getOrElse("no-app")
     val key = (appId, bcId, fingerprint)
     var result: AnyRef = null
     while (result == null) {

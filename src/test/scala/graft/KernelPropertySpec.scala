@@ -61,6 +61,33 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("AsOfIndexCache: concurrent probers share ONE build per key; keys isolate") {
+    // 32 threads race the same (broadcast id, fingerprint): exactly
+    // one build must run and everyone must get the same instance —
+    // the per-executor contract that replaced the per-task build
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(32)
+    try {
+      val tasks = (1 to 64).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[AnyRef] {
+          def call(): AnyRef =
+            graft.plans.AsOfIndexCache.getOrBuild(999999L, 42, () => {
+              builds.incrementAndGet()
+              Thread.sleep(20) // widen the race window
+              new Object
+            })
+        })
+      }
+      val got = tasks.map(_.get())
+      assert(builds.get() == 1, s"expected one build, got ${builds.get()}")
+      assert(got.distinct.size == 1, "all callers must share the same instance")
+      // a different fingerprint on the same broadcast id is a new key
+      val other = graft.plans.AsOfIndexCache.getOrBuild(999999L, 43,
+        () => new Object)
+      assert(!(other eq got.head))
+    } finally pool.shutdown()
+  }
+
   test("as-of probe == naive linear floor/ceiling scan on random time sets") {
     val timesGen = Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)).map(_.distinct.sorted)
     val proj = UnsafeProjection.create(Array[DataType](LongType))
