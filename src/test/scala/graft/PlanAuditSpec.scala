@@ -165,4 +165,26 @@ class PlanAuditSpec extends SparkTestBase {
     val userExchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
     assert(userExchanges == 1, s"expected ONE user_id shuffle, got $userExchanges:\n$p")
   }
+
+  test("partitioned upsert's target read prunes to the touched partitions") {
+    // the exact read shape upsertPartitionedParquet issues: filter on
+    // the partition column must land in PartitionFilters (directory
+    // pruning), leaving the data filter list empty — the O(touched)
+    // claim in the sink's contract
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prunepin").toString + "/t"
+    (1 to 300).map(i => (i.toLong, i % 30, s"v$i"))
+      .toDF("k", "day", "v").write.partitionBy("day").parquet(dir)
+    val pruned = spark.read.option("basePath", dir).parquet(dir)
+      .filter(org.apache.spark.sql.functions.col("day").isin(7, 8))
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "day")),
+      s"day filter must be a partition filter: ${scan.partitionFilters}")
+    // directory pruning is real: only the two touched partitions' files
+    // are selected for read
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"expected 2 selected partitions, got ${scan.selectedPartitions.partitionCount}")
+  }
 }
