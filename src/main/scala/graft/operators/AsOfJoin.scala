@@ -69,6 +69,28 @@ object AsOfJoin {
       rightCarry: Seq[String]): DataFrame =
     broadcastAsOf(left, right, Seq(keyCol), tsCol, rightCarry, forward = false)
 
+  /** Size-routed as-of: picks the broadcast probe for dimension-sized
+    * right sides and the union+window form beyond `maxBroadcastBytes`
+    * (default 128 MiB — an index comfortably inside executor memory),
+    * using Catalyst's size estimate so NO job runs to decide — the
+    * same discipline as Spark's autoBroadcastJoinThreshold. This is
+    * the r6 decade-sweep crossover guidance as code: the broadcast
+    * probe wins while the per-executor index fits (zero fact
+    * exchange); past that, the shuffled form's one fact exchange is
+    * the plan that survives. */
+  def nearestBeforeAuto(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightCarry: Seq[String],
+      maxBroadcastBytes: Long = 128L << 20): DataFrame = {
+    val est = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(maxBroadcastBytes))
+      nearestBeforeBroadcast(left, right, keyCol, tsCol, rightCarry)
+    else nearestBefore(left, right, keyCol, tsCol, rightCarry)
+  }
+
   /** Multi-column-key form: the as-of key is the tuple of `keyCols`
     * (e.g. (hh_id, title, content_id) for per-content rate cards). */
   def nearestBeforeBroadcast(

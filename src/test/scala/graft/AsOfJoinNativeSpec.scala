@@ -179,6 +179,22 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     }
   }
 
+  test("nearestBeforeAuto routes on the right side's size estimate") {
+    // dimension-sized right -> the broadcast probe (zero fact exchange)
+    val small = AsOfJoin.nearestBeforeAuto(leftDf, rightDf, "k", "t", Seq("tag"))
+    small.collect()
+    assert(small.queryExecution.executedPlan.toString.contains("BroadcastAsOfJoin"))
+    // force the estimate over a 1-byte ceiling -> union+window form
+    // (Window over the key, no custom operator)
+    val big = AsOfJoin.nearestBeforeAuto(leftDf, rightDf, "k", "t", Seq("tag"),
+      maxBroadcastBytes = 1L)
+    big.collect()
+    val p = big.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastAsOfJoin") && p.contains("Window"), p)
+    // both routes produce identical rows
+    assert(small.exceptAll(big).isEmpty && big.exceptAll(small).isEmpty)
+  }
+
   test("empty sides: empty right -> all null carry; empty left -> empty output") {
     val emptyR = rightDf.filter(col("k") === -1L)
     val allNull = AsOfJoin.nearestBeforeBroadcast(leftDf, emptyR, "k", "t", Seq("tag", "w"))
