@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Sweep {
 
-  private val Off = 1000000000000L // key offset per copy; far above any sf id
+  // key offset per copy: far above any organic sf id, but small enough
+  // that a ×10 replica's ids stay inside the exact-bitmap domain
+  // (LongBitmap.MaxId = 2^33) so dense-id reach queries sweep too
+  private val Off = 1L << 25
 
   private def scaleTable(spark: SparkSession, src: String, dst: String,
       name: String, factor: Int, keyCols: Seq[String],

@@ -9,77 +9,107 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
-/** Growable uncompressed bitset keyed by non-negative long ids —
-  * the aggregation buffer of [[BitmapDistinct]]. Grows by doubling to
-  * the highest bit seen; serializes as (nWords, words…). For the
-  * dense-id domains it targets (household/user surrogate keys) this
-  * is ids/8 bytes per GROUP — a 10M-id domain is 1.25 MB, and the
-  * map-side partial OR-merge means executors exchange one buffer per
-  * (partition, group), never the ids. */
-final class LongBitmap(var words: Array[Long]) {
-  def this() = this(new Array[Long](4))
+/** CHUNKED exact bitset keyed by non-negative long ids — the
+  * aggregation buffer of [[BitmapDistinct]] (the roaring-bitmap idea
+  * with fixed dense containers). Ids partition into 64Ki-id chunks
+  * (`id >>> 16`); only TOUCHED chunks allocate their 8 KiB word
+  * array, held in a sorted map. Memory therefore tracks the id
+  * CLUSTERS actually present, not the maximum id: a dense 10M-id
+  * domain is ~1.25 MB (same as a flat bitset), and a sharded or
+  * offset id space (surrogate blocks per region/tenant, the x10
+  * sweep's replica layout) costs per-cluster, where the former flat
+  * buffer sized itself by max-id and collapsed 38× on the sweep.
+  * Serialization is (nChunks, [chunkId, 1024 words]*) in ascending
+  * chunk order — byte-deterministic for a given id set, so OR-replay
+  * produces identical bytes (the streaming sink's idempotence
+  * contract). The map-side partial OR-merge still means executors
+  * exchange one buffer per (partition, group), never the ids. */
+final class LongBitmap(
+    val chunks: java.util.TreeMap[java.lang.Long, Array[Long]]) {
+  def this() = this(new java.util.TreeMap[java.lang.Long, Array[Long]]())
+
+  import LongBitmap.{ChunkWords, MaxChunks}
 
   def set(id: Long): Unit = {
     require(id >= 0, s"bitmap_distinct requires non-negative ids, got $id")
-    // the bound must keep every derived quantity representable: the
-    // word index an exact Int, the doubled growth positive, and the
-    // serialized buffer length (4 + words*8) an Int. 2^33 ids ->
-    // <= 2^27 words -> <= 1 GiB buffer; sparser/larger domains belong
-    // to the HLL path.
-    require(id < LongBitmap.MaxId,
-      s"bitmap aggregate supports dense ids < 2^33, got $id — use hll_sketch_agg")
-    val w = (id >>> 6).toInt
-    if (w >= words.length) {
-      // growth computed in Long and capped: Integer.highestOneBit*2
-      // went negative for w >= 2^30
-      val doubled = java.lang.Long.highestOneBit(w.toLong) * 2L
-      val size = math.min(math.max(doubled, 4L), LongBitmap.MaxWords.toLong).toInt
-      val grown = new Array[Long](size)
-      System.arraycopy(words, 0, grown, 0, words.length)
-      words = grown
+    val key = java.lang.Long.valueOf(id >>> 16)
+    var words = chunks.get(key)
+    if (words == null) {
+      require(chunks.size < MaxChunks,
+        s"bitmap aggregate exceeded $MaxChunks chunks (~${MaxChunks * 64}Ki-id " +
+          "clusters) — id domain too sparse or too large, use hll_sketch_agg")
+      words = new Array[Long](ChunkWords)
+      chunks.put(key, words)
     }
-    words(w) |= 1L << (id & 63)
+    words(((id >>> 6) & (ChunkWords - 1)).toInt) |= 1L << (id & 63)
   }
 
   def or(other: LongBitmap): LongBitmap = {
-    if (other.words.length > words.length) {
-      val grown = new Array[Long](other.words.length)
-      System.arraycopy(words, 0, grown, 0, words.length)
-      words = grown
+    val it = other.chunks.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val mine = chunks.get(e.getKey)
+      if (mine == null) {
+        require(chunks.size < MaxChunks,
+          s"bitmap aggregate exceeded $MaxChunks chunks — use hll_sketch_agg")
+        chunks.put(e.getKey, e.getValue.clone()) // never alias the other buffer
+      } else {
+        var i = 0
+        val theirs = e.getValue
+        while (i < ChunkWords) { mine(i) |= theirs(i); i += 1 }
+      }
     }
-    var i = 0
-    while (i < other.words.length) { words(i) |= other.words(i); i += 1 }
     this
   }
 
   def cardinality: Long = {
     var n = 0L
-    var i = 0
-    while (i < words.length) { n += java.lang.Long.bitCount(words(i)); i += 1 }
+    val it = chunks.values().iterator()
+    while (it.hasNext) {
+      val words = it.next()
+      var i = 0
+      while (i < ChunkWords) { n += java.lang.Long.bitCount(words(i)); i += 1 }
+    }
     n
   }
 
   def toBytes: Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + words.length * 8)
-    bb.putInt(words.length)
-    words.foreach(bb.putLong)
+    val bb = ByteBuffer.allocate(4 + chunks.size * (8 + ChunkWords * 8))
+    bb.putInt(chunks.size)
+    val it = chunks.entrySet().iterator() // TreeMap: ascending chunk id
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey)
+      val words = e.getValue
+      var i = 0
+      while (i < ChunkWords) { bb.putLong(words(i)); i += 1 }
+    }
     bb.array()
   }
 }
 
 object LongBitmap {
-  /** Exclusive id bound: 2^33 dense ids = at most 2^27 words = a 1 GiB
-    * buffer whose serialized length still fits an Int. */
-  val MaxId: Long = 1L << 33
-  private[plans] val MaxWords: Int = 1 << 27
+  /** 1024 longs per chunk = 64Ki ids = 8 KiB. */
+  private[plans] val ChunkWords: Int = 1 << 10
+  /** Serialized bound stays ~1 GiB: 2^17 chunks covers 2^33 DENSE ids
+    * (the former flat-bitset limit) or any sparser domain with up to
+    * 131k distinct 64Ki-id clusters. */
+  private[plans] val MaxChunks: Int = 1 << 17
 
   def fromBytes(bytes: Array[Byte]): LongBitmap = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val words = new Array[Long](n)
-    var i = 0
-    while (i < n) { words(i) = bb.getLong; i += 1 }
-    new LongBitmap(words)
+    val m = new java.util.TreeMap[java.lang.Long, Array[Long]]()
+    var c = 0
+    while (c < n) {
+      val key = bb.getLong
+      val words = new Array[Long](ChunkWords)
+      var i = 0
+      while (i < ChunkWords) { words(i) = bb.getLong; i += 1 }
+      m.put(key, words)
+      c += 1
+    }
+    new LongBitmap(m)
   }
 }
 
@@ -118,14 +148,25 @@ case class BitmapAndCount(left: Expression, right: Expression)
 
 object BitmapAndCount {
   /** Static popcount-AND over two serialized bitmaps; called from both
-    * interpreted eval and generated code. */
+    * interpreted eval and generated code. Only chunks PRESENT IN BOTH
+    * contribute — the chunked layout makes disjoint id clusters free. */
   def andCount(l: Array[Byte], r: Array[Byte]): Long = {
-    val a = LongBitmap.fromBytes(l).words
-    val b = LongBitmap.fromBytes(r).words
-    val n = math.min(a.length, b.length)
-    var i = 0
+    val a = LongBitmap.fromBytes(l).chunks
+    val b = LongBitmap.fromBytes(r).chunks
+    val (small, big) = if (a.size <= b.size) (a, b) else (b, a)
     var c = 0L
-    while (i < n) { c += java.lang.Long.bitCount(a(i) & b(i)); i += 1 }
+    val it = small.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val other = big.get(e.getKey)
+      if (other != null) {
+        val mine = e.getValue
+        var i = 0
+        while (i < mine.length) {
+          c += java.lang.Long.bitCount(mine(i) & other(i)); i += 1
+        }
+      }
+    }
     c
   }
 }
