@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Sweep {
 
-  // key offset per copy: far above any organic sf id, but small enough
-  // that a ×10 replica's ids stay inside the exact-bitmap domain
-  // (LongBitmap.MaxId = 2^33) so dense-id reach queries sweep too
+  // key offset per copy: far above the organic sf ids (validated per
+  // table below), but small enough that a ×10 replica's ids stay
+  // inside the exact-bitmap chunk budget so dense-id reach queries
+  // sweep too
   private val Off = 1L << 25
 
   private def scaleTable(spark: SparkSession, src: String, dst: String,
@@ -36,6 +37,13 @@ object Sweep {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(out))) return
     val base = graft.sources.ViewingData.table(spark, src, name)
+    // replica keys must stay disjoint across copies or the sweep
+    // silently measures per-key density (a skew pathology), not scale
+    keyCols.foreach { c =>
+      val mx = base.agg(max(col(c))).head.getLong(0)
+      require(mx < Off,
+        s"scaleTable($name): max($c)=$mx >= copy offset $Off — raise Off")
+    }
     val copies = (0 until factor).map { k =>
       perCopy(keyCols.foldLeft(base) { (df, c) =>
         df.withColumn(c, col(c) + lit(k * Off))
@@ -48,6 +56,24 @@ object Sweep {
 
   private def scaleUp(spark: SparkSession, src: String, dst: String,
       factor: Int, verbatimDocs: Boolean): Unit = {
+    // replicas are cached in dst — a marker pins the parameters that
+    // shaped them, so a re-run with a different factor or doc mode
+    // rebuilds instead of silently timing stale data under a new label
+    val marker = new org.apache.hadoop.fs.Path(dst, "_SWEEP_META")
+    val meta = s"src=$src factor=$factor verbatimDocs=$verbatimDocs"
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val prev = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      if (prev != meta) {
+        fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      }
+    }
+    if (!fs.exists(marker)) {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dst))
+      val outS = fs.create(marker, true)
+      try outS.write(meta.getBytes("UTF-8")) finally outS.close()
+    }
     // entity keys offset consistently so every cross-table join still
     // lands (events.user_id ↔ customer.c_custkey ↔ orders.o_custkey)
     scaleTable(spark, src, dst, "events", factor, Seq("event_id", "user_id"))
@@ -88,7 +114,8 @@ object Sweep {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "16g")
+      // driver heap comes from the launcher (SPARK_DRIVER_MEM -> sbt
+      // -Xmx): setting spark.driver.memory after JVM start is a no-op
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     scaleUp(spark, src, work, factor, verbatimDocs)

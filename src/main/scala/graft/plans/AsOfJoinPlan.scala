@@ -110,14 +110,19 @@ final class AsOfProbeIndex(
   * memory pressure; the next task rebuilds. */
 object AsOfIndexCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, Int), java.lang.ref.SoftReference[AnyRef]]()
+    (String, Long, AnyRef), java.lang.ref.SoftReference[AnyRef]]()
 
-  def getOrBuild[T <: AnyRef](bcId: Long, fingerprint: Int, build: () => T): T = {
+  /** `recipe` must be an equals-comparable description of the FULL
+    * operator configuration (key/time/carry expr ids, direction, key
+    * mode) — under ReuseExchange two different as-of operators can
+    * legally share one broadcast id, and only recipe EQUALITY (not a
+    * 32-bit hash) guarantees they never serve each other's index. */
+  def getOrBuild[T <: AnyRef](bcId: Long, recipe: AnyRef, build: () => T): T = {
     // app id scopes entries so broadcast ids from a restarted context
     // can't collide with a predecessor's (absent env = bare JVM tests)
     val appId = Option(org.apache.spark.SparkEnv.get)
       .map(_.conf.getAppId).getOrElse("no-app")
-    val key = (appId, bcId, fingerprint)
+    val key = (appId, bcId, recipe)
     var result: AnyRef = null
     while (result == null) {
       // computeIfAbsent serializes builders of the SAME key: one task
@@ -154,7 +159,7 @@ final class AsOfIndexBuilder(
   def build(): AsOfProbeIndex =
     AsOfIndexCache.getOrBuild(bc.id,
       (1, rightKeys.map(_.exprId.id), rightTime.exprId.id, carry.map(_.exprId.id),
-        keyMode, timeIsInt, forward).hashCode,
+        keyMode, timeIsInt, forward),
       () => buildIndex())
 
   private def buildIndex(): AsOfProbeIndex = {
@@ -352,11 +357,11 @@ case class BroadcastAsOfJoinExec(
     val rightKeyAttrs = rightKeys
     val leftKeyAttrs = leftKeys
 
-    val fingerprint = (2, rightKeyAttrs.map(_.exprId.id), rightTime.exprId.id,
-      carryAttrs.map(_.exprId.id), forward).hashCode
+    val recipe = (2, rightKeyAttrs.map(_.exprId.id), rightTime.exprId.id,
+      carryAttrs.map(_.exprId.id), forward)
     left.execute().mapPartitions({ iter =>
       // executor-cached like the codegen path: one build per executor
-      val index = AsOfIndexCache.getOrBuild(bRows.id, fingerprint, () => {
+      val index = AsOfIndexCache.getOrBuild(bRows.id, recipe, () => {
         val rKeyProj = UnsafeProjection.create(rightKeyAttrs, rOut)
         val carryProj = UnsafeProjection.create(carryAttrs, rOut)
         val grouped = mutable.HashMap.empty[UnsafeRow, mutable.ArrayBuffer[(Long, UnsafeRow)]]

@@ -36,8 +36,9 @@ final class LongBitmap(
     var words = chunks.get(key)
     if (words == null) {
       require(chunks.size < MaxChunks,
-        s"bitmap aggregate exceeded $MaxChunks chunks (~${MaxChunks * 64}Ki-id " +
-          "clusters) — id domain too sparse or too large, use hll_sketch_agg")
+        s"bitmap aggregate exceeded $MaxChunks chunks of 64Ki ids each " +
+          "(2^33 dense ids, or as many distinct 64Ki-id clusters) — id " +
+          "domain too sparse or too large, use hll_sketch_agg")
       words = new Array[Long](ChunkWords)
       chunks.put(key, words)
     }
@@ -74,7 +75,8 @@ final class LongBitmap(
   }
 
   def toBytes: Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + chunks.size * (8 + ChunkWords * 8))
+    val bb = ByteBuffer.allocate(4 + 4 + chunks.size * (8 + ChunkWords * 8))
+    bb.putInt(LongBitmap.ChunkedMagic) // format tag: legacy flat had nWords >= 0 here
     bb.putInt(chunks.size)
     val it = chunks.entrySet().iterator() // TreeMap: ascending chunk id
     while (it.hasNext) {
@@ -95,19 +97,43 @@ object LongBitmap {
     * (the former flat-bitset limit) or any sparser domain with up to
     * 131k distinct 64Ki-id clusters. */
   private[plans] val MaxChunks: Int = 1 << 17
+  /** Header tag of the chunked format. The legacy flat format began
+    * with its non-negative word count, so a negative tag is
+    * unambiguous and old persisted buffers (H11 bitmap tables written
+    * before the chunk change) still load via the legacy branch. */
+  private[plans] val ChunkedMagic: Int = -2
 
   def fromBytes(bytes: Array[Byte]): LongBitmap = {
     val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt
+    val head = bb.getInt
     val m = new java.util.TreeMap[java.lang.Long, Array[Long]]()
-    var c = 0
-    while (c < n) {
-      val key = bb.getLong
-      val words = new Array[Long](ChunkWords)
-      var i = 0
-      while (i < ChunkWords) { words(i) = bb.getLong; i += 1 }
-      m.put(key, words)
-      c += 1
+    if (head == ChunkedMagic) {
+      val n = bb.getInt
+      var c = 0
+      while (c < n) {
+        val key = bb.getLong
+        val words = new Array[Long](ChunkWords)
+        var i = 0
+        while (i < ChunkWords) { words(i) = bb.getLong; i += 1 }
+        m.put(key, words)
+        c += 1
+      }
+    } else {
+      // legacy flat (nWords, words...) buffer: re-chunk it. head IS
+      // the word count; flat word w covers ids [w*64, w*64+63] ->
+      // chunk w >>> 10, offset w & 1023.
+      require(head >= 0, s"corrupt bitmap buffer: header $head")
+      var w = 0
+      while (w < head) {
+        val v = bb.getLong
+        if (v != 0L) {
+          val key = java.lang.Long.valueOf((w >>> 10).toLong)
+          var words = m.get(key)
+          if (words == null) { words = new Array[Long](ChunkWords); m.put(key, words) }
+          words(w & (ChunkWords - 1)) = v
+        }
+        w += 1
+      }
     }
     new LongBitmap(m)
   }

@@ -26,14 +26,22 @@ object Snapshots {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private val VersionDir = "v=(\\d+)".r
+
   private def versionsOn(spark: SparkSession, root: String): Seq[Long] = {
     val p = new Path(root)
     val f = fs(spark, root)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
-      .sorted
+      // exact v=<digits> only: crash leftovers like v=2.__staging__ /
+      // v=2.__old__ must not wedge the listing (they are precisely the
+      // states the fallback recovers FROM)
+      .collect { case s if s.isDirectory =>
+        s.getPath.getName match {
+          case VersionDir(n) => Some(n.toLong)
+          case _ => None
+        }
+      }.flatten.sorted
   }
 
   /** Reads `_latest`; None for an empty/absent table. If the manifest
@@ -60,8 +68,9 @@ object Snapshots {
     * torn; pinned readers of old versions are untouched. */
   def commit(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
-    val next = latestVersion(spark, root).getOrElse(
-      versionsOn(spark, root).lastOption.getOrElse(0L)) + 1
+    // latestVersion already falls back to the directory listing when
+    // the manifest is absent, so one call covers every recovery case
+    val next = latestVersion(spark, root).getOrElse(0L) + 1
     val target = s"$root/v=$next"
     val staged = LakeWriter.stagingPath(target)
     df.write.mode("overwrite").parquet(staged)

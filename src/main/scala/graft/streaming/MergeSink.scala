@@ -94,11 +94,18 @@ object MergeSink {
     * versions), or the stale copy in the old partition would survive;
     * this is the same constraint Snowflake's watermark MERGE and a
     * Delta partitioned MERGE place on their partition column. Each
-    * partition swap is an atomic rename; a crash between swaps leaves
-    * some partitions advanced — replaying the batch converges because
-    * per-partition upsert is idempotent ((key, version) winners
-    * re-assert). Partition values should be string/integral primitives
-    * so hive partition-type inference round-trips them. */
+    * partition swap is move-aside + promote, with the moved-aside
+    * copy held OUTSIDE the table root (`<target>.__swap__/<dir>`) so
+    * a concurrent full-table read never sees a stray directory and
+    * partition-type inference never meets a mangled value. A crash
+    * between the two renames leaves that partition parked in
+    * `.__swap__`; every subsequent batch HEALS first — any parked
+    * directory whose live twin is absent is restored before anything
+    * is read — so no crash point loses rows, and replaying the batch
+    * converges because per-partition upsert is idempotent ((key,
+    * version) winners re-assert). Partition values should be
+    * string/integral primitives so hive partition-type inference
+    * round-trips them. */
   def upsertPartitionedParquet(targetPath: String, partitionCol: String,
       keys: Seq[String], versionCols: Seq[String])(
       batch: DataFrame, batchId: Long): Unit = {
@@ -113,6 +120,20 @@ object MergeSink {
       if (touched.isEmpty) return // empty batch: nothing to swap
       val path = new org.apache.hadoop.fs.Path(targetPath)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val swapRoot = new org.apache.hadoop.fs.Path(targetPath + ".__swap__")
+      // HEAL any interrupted swap from a previous batch: a partition
+      // parked in swapRoot with no live twin is the only copy of its
+      // rows — restore it before reading anything. A parked dir whose
+      // live twin exists is a stale leftover (crash after promote);
+      // drop it.
+      if (fs.exists(swapRoot)) {
+        fs.listStatus(swapRoot).foreach { st =>
+          val live = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+          if (!fs.exists(live)) fs.rename(st.getPath, live)
+          else fs.delete(st.getPath, true)
+        }
+        fs.delete(swapRoot, true)
+      }
       if (!fs.exists(path)) {
         latest.write.partitionBy(partitionCol).parquet(targetPath)
         return
@@ -130,11 +151,19 @@ object MergeSink {
       // staged output holds only touched partitions by construction);
       // directory names come from the writer, so hive value escaping
       // is never re-derived here
+      fs.mkdirs(swapRoot)
       fs.listStatus(stagedP).filter(_.getPath.getName.startsWith(s"$partitionCol="))
         .foreach { st =>
-          graft.sources.LakeWriter.publish(spark,
-            st.getPath.toString, s"$targetPath/${st.getPath.getName}")
+          val live = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+          val parked = new org.apache.hadoop.fs.Path(swapRoot, st.getPath.getName)
+          if (fs.exists(live) && !fs.rename(live, parked))
+            throw new java.io.IOException(s"partition swap: cannot park $live")
+          if (!fs.rename(st.getPath, live)) {
+            if (fs.exists(parked)) fs.rename(parked, live) // restore
+            throw new java.io.IOException(s"partition swap: cannot promote to $live")
+          }
         }
+      fs.delete(swapRoot, true)
       fs.delete(stagedP, true)
     } finally latest.unpersist()
   }

@@ -62,6 +62,23 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("legacy flat bitmap buffers still load (negative format tag discriminates)") {
+    // hand-roll the pre-chunk (nWords, words...) layout a persisted
+    // H11 bitmap table would hold, and check it decodes and OR-merges
+    // with the chunked format
+    val ids = List(1L, 64L, 100000L)
+    val nWords = (100000L >>> 6).toInt + 1
+    val words = new Array[Long](nWords)
+    ids.foreach(id => words((id >>> 6).toInt) |= 1L << (id & 63))
+    val bb = java.nio.ByteBuffer.allocate(4 + nWords * 8)
+    bb.putInt(nWords); words.foreach(bb.putLong)
+    val legacy = bb.array()
+    assert(LongBitmap.fromBytes(legacy).cardinality == 3)
+    val merged = BitmapOr.or(legacy, mk(List(7L, 64L)).toBytes)
+    assert(LongBitmap.fromBytes(merged).cardinality == 4)
+    assert(BitmapAndCount.andCount(legacy, mk(List(64L, 9L)).toBytes) == 1)
+  }
+
   test("chunked bitmap: sharded/offset id clusters cost per-cluster, stay exact") {
     // 10 id clusters separated by 2^40 — the sharded-surrogate layout
     // (region/tenant id blocks, or a scale-replica's offsets) that the
@@ -92,7 +109,7 @@ class KernelPropertySpec extends AnyFunSuite {
       val tasks = (1 to 64).map { _ =>
         pool.submit(new java.util.concurrent.Callable[AnyRef] {
           def call(): AnyRef =
-            graft.plans.AsOfIndexCache.getOrBuild(999999L, 42, () => {
+            graft.plans.AsOfIndexCache.getOrBuild(999999L, Integer.valueOf(42), () => {
               builds.incrementAndGet()
               Thread.sleep(20) // widen the race window
               new Object
@@ -103,7 +120,7 @@ class KernelPropertySpec extends AnyFunSuite {
       assert(builds.get() == 1, s"expected one build, got ${builds.get()}")
       assert(got.distinct.size == 1, "all callers must share the same instance")
       // a different fingerprint on the same broadcast id is a new key
-      val other = graft.plans.AsOfIndexCache.getOrBuild(999999L, 43,
+      val other = graft.plans.AsOfIndexCache.getOrBuild(999999L, Integer.valueOf(43),
         () => new Object)
       assert(!(other eq got.head))
     } finally pool.shutdown()

@@ -133,6 +133,30 @@ class MergeSinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("partitioned upsert heals an interrupted swap before reading") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("upsertheal").toString + "/t"
+    val sink = MergeSink.upsertPartitionedParquet(target, "day", Seq("k"), Seq("ver")) _
+    sink(Seq((1L, 1, "a", 10L), (2L, 2, "b", 10L)).toDF("k", "day", "v", "ver"), 0L)
+    // simulate a crash BETWEEN park and promote: day=1 sits in the
+    // swap root (the only copy of its rows), the live dir is gone
+    val fs = new java.io.File(target)
+    val swap = new java.io.File(target + ".__swap__")
+    assert(swap.mkdirs())
+    assert(new java.io.File(fs, "day=1").renameTo(new java.io.File(swap, "day=1")))
+    // a full-table read during the crash window must not see the
+    // parked copy (it lives OUTSIDE the table root)
+    assert(spark.read.parquet(target).select("k").as[Long].collect().toSeq == Seq(2L))
+    // the next batch touches only day=2 — heal must still restore day=1
+    sink(Seq((2L, 2, "b2", 20L)).toDF("k", "day", "v", "ver"), 1L)
+    val rows = spark.read.parquet(target)
+      .select("k", "day", "v", "ver").as[(Long, Int, String, Long)]
+      .collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, 1, "a", 10L), (2L, 2, "b2", 20L)),
+      s"parked partition must be restored, got ${rows.toSeq}")
+    assert(!swap.exists(), "swap root must be cleared after heal")
+  }
+
   test("partitioned upsert == full-rewrite upsert on the same batches") {
     import spark.implicits._
     val root = Files.createTempDirectory("upsertparity").toString
