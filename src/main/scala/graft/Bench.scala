@@ -23,7 +23,12 @@ import org.apache.spark.sql.SparkSession
   *
   * The final line deliberately carries no per-query map: with 76 queries
   * that map exceeded the driver's tail buffer and truncated the line's
-  * head, yielding an unparseable bench in rounds 1–2.
+  * head, yielding an unparseable bench in rounds 1–2. The FULL map goes
+  * to the committed side file instead (`bench/history.jsonl`, one line
+  * per run via [[BenchHistory]]) — stdout is for the driver's bounded
+  * tail buffer, the file is the falsifiable record: when a round's
+  * total moves, the per-query history says WHICH queries moved and
+  * whether calib moved with them (VM drift) or alone (real regression).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -118,6 +123,74 @@ object Bench {
     val succeeded = results.filter(_._2.isDefined)
     val minPasses = if (succeeded.isEmpty) 0 else succeeded.map(_._3).min
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$minPasses,"n_queries":${results.size},"calib_sec":[$calibBefore,$calibAfter]}""")
+    BenchHistory.append(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench/history.jsonl"),
+      BenchHistory.line(sfDir, calibBefore, calibAfter, total, results))
     spark.stop()
   }
+}
+
+/** The committed per-query record the stdout contract can't carry.
+  * One JSON line per bench RUN appended to `bench/history.jsonl`
+  * (git-tracked), holding the complete per-query map plus the calib
+  * bracket and the commit it ran against. Analysis rule: a query's
+  * cross-round regression is real only if `sec / calib_mean` moved —
+  * raw seconds move with the VM (the round-6 driver total swung +23%
+  * on calib drift alone, and without this file that was unfalsifiable
+  * until a full manual re-run). */
+object BenchHistory {
+  /** Render one run as a single JSON line. Key order is stable
+    * (sorted query names) so consecutive runs diff cleanly. */
+  def line(
+      sfDir: String,
+      calibBefore: Double,
+      calibAfter: Double,
+      total: Double,
+      results: Seq[(String, Option[Double], Int)]): String = {
+    val ts = java.time.Instant.now().toString
+    val calibMean = (calibBefore + calibAfter) / 2.0
+    val qs = results.sortBy(_._1).map { case (n, sec, passes) =>
+      val s = sec.map(v => f"$v%.4f").getOrElse("null")
+      s""""$n":{"sec":$s,"passes":$passes}"""
+    }.mkString(",")
+    f"""{"ts":"$ts","git":"${gitHead()}","sf":"$sfDir","calib_sec":[$calibBefore%.4f,$calibAfter%.4f],"calib_mean":$calibMean%.4f,"total_sec":$total%.4f,"n_queries":${results.size},"queries":{$qs}}"""
+  }
+
+  /** Append (create parents on first run). Best-effort by design: a
+    * read-only checkout must not fail the bench — stdout is still the
+    * driver contract; the file is the record. */
+  def append(path: String, jsonLine: String): Unit =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(
+        p, (jsonLine + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch {
+      case e: Exception => System.err.println(s"[bench] history append skipped: $e")
+    }
+
+  /** Short commit sha of the working tree the bench ran in, resolved
+    * by reading .git directly (no shell-out — the bench must not fork
+    * processes on the driver VM). */
+  private[graft] def gitHead(dir: String = "."): String =
+    try {
+      val git = java.nio.file.Paths.get(dir, ".git")
+      val head = new String(
+        java.nio.file.Files.readAllBytes(git.resolve("HEAD")), "UTF-8").trim
+      val sha =
+        if (head.startsWith("ref: ")) {
+          val ref = git.resolve(head.stripPrefix("ref: "))
+          if (java.nio.file.Files.exists(ref))
+            new String(java.nio.file.Files.readAllBytes(ref), "UTF-8").trim
+          else { // packed-refs fallback after gc
+            val packed = git.resolve("packed-refs")
+            scala.io.Source.fromFile(packed.toFile, "UTF-8").getLines()
+              .find(_.endsWith(" " + head.stripPrefix("ref: ")))
+              .map(_.split(" ")(0)).getOrElse("")
+          }
+        } else head
+      if (sha.isEmpty) "unknown" else sha.take(12)
+    } catch { case _: Exception => "unknown" }
 }
