@@ -4,11 +4,13 @@ import scala.collection.mutable
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, BroadcastMode, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DateType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Whole-operator Catalyst extension for the BROADCAST as-of join —
   * the (c) rung of the extension ladder (custom LogicalPlan +
@@ -61,11 +63,12 @@ object GraftStrategy extends SparkStrategy {
   }
 }
 
-/** Executor-side probe index for the codegen path: per-key
-  * time-sorted carry rows behind a key map. Keys are boxed Longs or
-  * UTF8Strings (both with value equals/hashCode); the generated call
-  * site picks the overload matching the key's java type. Built
-  * lazily once per codegen'd task from the broadcast array. */
+/** Probe index shared by both exec paths: per-key time-sorted carry
+  * rows behind a key map. Keys are boxed Longs, UTF8Strings, or
+  * composite UnsafeRows (all with value equals/hashCode); the
+  * generated call site picks the overload matching the key's java
+  * type. Built once on the DRIVER by [[AsOfIndexMode]] and decoded
+  * zero-copy per executor by [[AsOfBlobDecoder]]. */
 final class AsOfProbeIndex(
     map: java.util.HashMap[AnyRef, (Array[Long], Array[UnsafeRow])],
     forward: Boolean) {
@@ -98,16 +101,16 @@ final class AsOfProbeIndex(
   }
 }
 
-/** Executor-level cache of built probe indexes, keyed by
+/** Executor-level cache of decoded probe indexes, keyed by
   * (application, broadcast id, operator fingerprint). The broadcast
-  * ships ROWS (IdentityBroadcastMode); without this cache every TASK
-  * re-built its own index — at 32 cores over a million-row right side
-  * that is 32× the build CPU and, worse, 32× the heap (the x10 scale
-  * sweep measured q_asof_native collapsing into GC exactly this way).
-  * One build per executor, concurrent probers share the read-only
+  * ships the driver-built index BLOB ([[AsOfIndexMode]]); without
+  * this cache every TASK re-parsed it — the pre-round-6 per-task
+  * variant of that (a full group+sort rebuild then) collapsed the x10
+  * scale sweep into GC at 32 cores over a 1.5M-row right side. One
+  * decode per executor, concurrent probers share the read-only
   * index — the same discipline Spark's own HashedRelation broadcast
   * follows. SoftReferences let the executor drop an index under
-  * memory pressure; the next task rebuilds. */
+  * memory pressure; the next task re-decodes. */
 object AsOfIndexCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, AnyRef), java.lang.ref.SoftReference[AnyRef]]()
@@ -140,68 +143,169 @@ object AsOfIndexCache {
   }
 }
 
-/** Serializable recipe shipped in the codegen references array; builds
-  * the [[AsOfProbeIndex]] on first use inside the generated task.
+/** Custom [[BroadcastMode]]: the probe index is built ONCE on the
+  * DRIVER (inside BroadcastExchange's collect thread, exactly where
+  * Spark's own HashedRelationBroadcastMode builds its hash map) and
+  * shipped pre-sorted as a single binary blob. Executors decode it
+  * zero-copy — every carry row and string key is an [[UnsafeRow]] /
+  * [[UTF8String]] POINTING INTO the blob — so the per-executor cost
+  * drops from a full group+sort+project rebuild (O(n log n), the
+  * pre-round-6 per-TASK version of which collapsed the x10 sweep into
+  * GC) to one linear parse. The blob also ships LESS than the row
+  * broadcast it replaces: keys appear once per key instead of once
+  * per row, and only carry columns travel — not the whole right side.
+  *
+  * `HashedRelation` itself is sealed, so the transform result is the
+  * other shape BroadcastExchange size-accounts: an Array[InternalRow]
+  * holding ONE row with one BinaryType field (`dataSize` = blob size,
+  * an honest number for the 8 GB broadcast guard).
+  *
+  * Fields are child-output POSITIONS and types — no expression ids —
+  * so the mode is canonical by construction and exchange reuse
+  * compares structurally.
+  *
   * `keyMode`: 0 = single long (boxed), 1 = single UTF8String, 2 =
-  * composite UnsafeRow of all key columns (the generated probe side
-  * builds the same row shape with GenerateUnsafeProjection). */
-final class AsOfIndexBuilder(
-    bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]],
-    rOut: Seq[Attribute],
-    rightKeys: Seq[Attribute],
-    rightTime: Attribute,
-    carry: Seq[Attribute],
-    keyMode: Int,
+  * composite UnsafeRow of all key columns (the probe side builds the
+  * same row shape with GenerateUnsafeProjection). */
+case class AsOfIndexMode(
+    keyIdxs: Seq[Int],
+    keyTypes: Seq[DataType],
+    timeIdx: Int,
     timeIsInt: Boolean,
-    forward: Boolean) extends Serializable {
+    carryIdxs: Seq[Int],
+    carryTypes: Seq[DataType],
+    keyMode: Int) extends BroadcastMode {
 
-  /** Executor-cached: one physical build per executor, not per task. */
-  def build(): AsOfProbeIndex =
-    AsOfIndexCache.getOrBuild(bc.id,
-      (1, rightKeys.map(_.exprId.id), rightTime.exprId.id, carry.map(_.exprId.id),
-        keyMode, timeIsInt, forward),
-      () => buildIndex())
+  override def canonicalized: BroadcastMode = this
 
-  private def buildIndex(): AsOfProbeIndex = {
-    val rKeyIdxs = rightKeys.map(k => rOut.indexWhere(_.exprId == k.exprId))
-    val rKeyIdx = rKeyIdxs.head
-    val rTimeIdx = rOut.indexWhere(_.exprId == rightTime.exprId)
-    val keyProj = UnsafeProjection.create(rightKeys, rOut)
-    val carryProj = UnsafeProjection.create(carry, rOut)
+  override def transform(rows: Array[InternalRow]): Any =
+    transform(rows.iterator, None)
+
+  override def transform(
+      rows: Iterator[InternalRow], sizeHint: Option[Long]): Any = {
+    val keyProj =
+      if (keyMode == 2)
+        UnsafeProjection.create(keyIdxs.zip(keyTypes).map { case (i, dt) =>
+          BoundReference(i, dt, nullable = true) }.toArray)
+      else null
+    val carryProj = UnsafeProjection.create(carryIdxs.zip(carryTypes).map {
+      case (i, dt) => BoundReference(i, dt, nullable = true) }.toArray)
     val grouped = mutable.HashMap.empty[AnyRef, mutable.ArrayBuffer[(Long, UnsafeRow)]]
-    bc.value.foreach { r =>
-      if (!rKeyIdxs.exists(r.isNullAt) && !r.isNullAt(rTimeIdx)) {
-        val t = if (timeIsInt) r.getInt(rTimeIdx).toLong else r.getLong(rTimeIdx)
-        // keys are copied out of the row buffer so index entries never
-        // alias broadcast row storage
+    rows.foreach { r =>
+      // rows with a null key field or null time can never match — they
+      // don't enter the index at all
+      if (!keyIdxs.exists(r.isNullAt) && !r.isNullAt(timeIdx)) {
+        val t = if (timeIsInt) r.getInt(timeIdx).toLong else r.getLong(timeIdx)
         val k: AnyRef = keyMode match {
-          case 0 => java.lang.Long.valueOf(r.getLong(rKeyIdx))
-          case 1 => r.getUTF8String(rKeyIdx).copy()
+          case 0 => java.lang.Long.valueOf(r.getLong(keyIdxs.head))
+          case 1 => r.getUTF8String(keyIdxs.head).copy()
           case _ => keyProj(r).copy()
         }
         grouped.getOrElseUpdate(k, mutable.ArrayBuffer.empty) +=
           ((t, carryProj(r).copy()))
       }
     }
-    val map = new java.util.HashMap[AnyRef, (Array[Long], Array[UnsafeRow])](
-      grouped.size * 2 + 1)
+    // blob layout: int keyMode | int nKeys | per key:
+    //   key (mode 0: long; mode 1/2: int len + bytes)
+    //   int n | n× long time (sorted asc) | n× (int len + row bytes)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(keyMode)
+    out.writeInt(grouped.size)
     grouped.foreach { case (k, buf) =>
+      keyMode match {
+        case 0 => out.writeLong(k.asInstanceOf[java.lang.Long].longValue())
+        case 1 =>
+          val b = k.asInstanceOf[UTF8String].getBytes
+          out.writeInt(b.length); out.write(b)
+        case _ =>
+          val kr = k.asInstanceOf[UnsafeRow]
+          out.writeInt(kr.getSizeInBytes); out.write(kr.getBytes)
+      }
       val sorted = buf.sortBy(_._1)
-      map.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+      out.writeInt(sorted.length)
+      sorted.foreach(e => out.writeLong(e._1))
+      sorted.foreach { e =>
+        out.writeInt(e._2.getSizeInBytes); out.write(e._2.getBytes)
+      }
+    }
+    out.flush()
+    val blobProj = UnsafeProjection.create(Array[DataType](BinaryType))
+    Array[InternalRow](
+      blobProj(InternalRow(bos.toByteArray)).copy(): InternalRow)
+  }
+}
+
+/** Executor-side view of the driver-built blob: one linear parse per
+  * EXECUTOR (cached — the broadcast value itself is shared per
+  * executor by TorrentBroadcast, and [[AsOfIndexCache]] shares the
+  * decoded index the same way). Decoded rows alias the blob bytes —
+  * no copies; the blob lives exactly as long as the index. */
+final class AsOfBlobDecoder(
+    bc: org.apache.spark.broadcast.Broadcast[Array[InternalRow]],
+    nKeyFields: Int,
+    nCarryFields: Int,
+    forward: Boolean) extends Serializable {
+
+  def build(): AsOfProbeIndex =
+    AsOfIndexCache.getOrBuild(bc.id, (3, nKeyFields, nCarryFields, forward),
+      () => decode())
+
+  private def decode(): AsOfProbeIndex = {
+    // getBinary copies once per decode (per executor); all index rows
+    // then point into this private copy
+    val blob = bc.value(0).getBinary(0)
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    val keyMode = bb.getInt
+    val nKeys = bb.getInt
+    val map = new java.util.HashMap[AnyRef, (Array[Long], Array[UnsafeRow])](
+      nKeys * 2 + 1)
+    var i = 0
+    while (i < nKeys) {
+      val k: AnyRef = keyMode match {
+        case 0 => java.lang.Long.valueOf(bb.getLong)
+        case 1 =>
+          val len = bb.getInt; val off = bb.position()
+          bb.position(off + len)
+          UTF8String.fromBytes(blob, off, len)
+        case _ =>
+          val len = bb.getInt; val off = bb.position()
+          bb.position(off + len)
+          val r = new UnsafeRow(nKeyFields)
+          r.pointTo(blob, Platform.BYTE_ARRAY_OFFSET + off, len)
+          r
+      }
+      val n = bb.getInt
+      val times = new Array[Long](n)
+      var j = 0
+      while (j < n) { times(j) = bb.getLong; j += 1 }
+      val rowsArr = new Array[UnsafeRow](n)
+      j = 0
+      while (j < n) {
+        val len = bb.getInt; val off = bb.position()
+        bb.position(off + len)
+        val r = new UnsafeRow(nCarryFields)
+        r.pointTo(blob, Platform.BYTE_ARRAY_OFFSET + off, len)
+        rowsArr(j) = r
+        j += 1
+      }
+      map.put(k, (times, rowsArr))
+      i += 1
     }
     new AsOfProbeIndex(map, forward)
   }
 }
 
 /** Physical broadcast as-of join. Declares
-  * `BroadcastDistribution(IdentityBroadcastMode)` on the right so
+  * `BroadcastDistribution(AsOfIndexMode)` on the right so
   * EnsureRequirements inserts the standard BroadcastExchange (AQE
-  * wraps it in a broadcast query stage as usual); the left side keeps
-  * its distribution AND its ordering — this node is a per-row map
-  * over the fact stream. Each partition builds a key -> time-sorted
-  * carry-row index from the broadcast array (dimension-sized, so the
-  * O(|R| log |R|) build is noise), then probes with a floor binary
-  * search per fact row. */
+  * wraps it in a broadcast query stage as usual) — and that exchange's
+  * collect thread BUILDS the index on the driver via the custom mode,
+  * exactly how Spark's own hash joins drive HashedRelation
+  * construction. The left side keeps its distribution AND its
+  * ordering — this node is a per-row map over the fact stream; each
+  * executor decodes the shipped index once (linear, zero-copy) and
+  * probes with a floor/ceiling binary search per fact row. */
 case class BroadcastAsOfJoinExec(
     leftKeys: Seq[Attribute],
     leftTime: Attribute,
@@ -215,8 +319,23 @@ case class BroadcastAsOfJoinExec(
 
   override def output: Seq[Attribute] = left.output ++ carry
 
+  /** The broadcast mode carries right-child POSITIONS, so the built
+    * index is keyed/sorted/projected before it ever leaves the
+    * driver. */
+  private def indexMode: AsOfIndexMode = {
+    val rOut = right.output
+    AsOfIndexMode(
+      keyIdxs = rightKeys.map(k => rOut.indexWhere(_.exprId == k.exprId)),
+      keyTypes = rightKeys.map(_.dataType),
+      timeIdx = rOut.indexWhere(_.exprId == rightTime.exprId),
+      timeIsInt = rightTime.dataType == DateType || rightTime.dataType == IntegerType,
+      carryIdxs = carry.map(c => rOut.indexWhere(_.exprId == c.exprId)),
+      carryTypes = carry.map(_.dataType),
+      keyMode = keyMode)
+  }
+
   override def requiredChildDistribution: Seq[Distribution] =
-    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+    UnspecifiedDistribution :: BroadcastDistribution(indexMode) :: Nil
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -269,12 +388,10 @@ case class BroadcastAsOfJoinExec(
     import org.apache.spark.sql.catalyst.expressions.codegen.Block._
     import org.apache.spark.sql.catalyst.expressions.BindReferences
     val bc = right.executeBroadcast[Array[InternalRow]]()
-    val timeIsInt = rightTime.dataType == DateType || rightTime.dataType == IntegerType
     val mode = keyMode
-    val builder = new AsOfIndexBuilder(
-      bc, right.output, rightKeys, rightTime, carry, mode, timeIsInt, forward)
-    val builderRef = ctx.addReferenceObj("asofBuilder", builder,
-      classOf[AsOfIndexBuilder].getName)
+    val builder = new AsOfBlobDecoder(bc, leftKeys.size, carry.size, forward)
+    val builderRef = ctx.addReferenceObj("asofDecoder", builder,
+      classOf[AsOfBlobDecoder].getName)
     val idxTerm = ctx.addMutableState(classOf[AsOfProbeIndex].getName, "asofIndex")
     ctx.currentVars = input
     // scalar modes evaluate the single key column; tuple mode builds
@@ -342,74 +459,37 @@ case class BroadcastAsOfJoinExec(
 
   protected override def doExecute(): RDD[InternalRow] = {
     val bRows = right.executeBroadcast[Array[InternalRow]]()
-    val rOut = right.output
     val lOut = left.output
-    val rKeyIdxs = rightKeys.map(k => rOut.indexWhere(_.exprId == k.exprId))
-    val rTimeIdx = rOut.indexWhere(_.exprId == rightTime.exprId)
     val lKeyIdxs = leftKeys.map(k => lOut.indexWhere(_.exprId == k.exprId))
     val lTimeIdx = lOut.indexWhere(_.exprId == leftTime.exprId)
-    require(rKeyIdxs.forall(_ >= 0) && rTimeIdx >= 0, "right key/time not in child output")
     require(lKeyIdxs.forall(_ >= 0) && lTimeIdx >= 0, "left key/time not in child output")
-    val rGetT = asLong(rightTime.dataType)
     val lGetT = asLong(leftTime.dataType)
     val carryAttrs = carry
     val outAttrs = output
-    val rightKeyAttrs = rightKeys
     val leftKeyAttrs = leftKeys
-
-    val recipe = (2, rightKeyAttrs.map(_.exprId.id), rightTime.exprId.id,
-      carryAttrs.map(_.exprId.id), forward)
+    // the broadcast already IS the driver-built index; decode once per
+    // executor (cached), then probe with the key shape the blob was
+    // encoded with
+    val decoder = new AsOfBlobDecoder(bRows, leftKeys.size, carry.size, forward)
+    val km = keyMode
     left.execute().mapPartitions({ iter =>
-      // executor-cached like the codegen path: one build per executor
-      val index = AsOfIndexCache.getOrBuild(bRows.id, recipe, () => {
-        val rKeyProj = UnsafeProjection.create(rightKeyAttrs, rOut)
-        val carryProj = UnsafeProjection.create(carryAttrs, rOut)
-        val grouped = mutable.HashMap.empty[UnsafeRow, mutable.ArrayBuffer[(Long, UnsafeRow)]]
-        bRows.value.foreach { r =>
-          if (!rKeyIdxs.exists(r.isNullAt) && !r.isNullAt(rTimeIdx)) {
-            val k = rKeyProj(r).copy()
-            grouped.getOrElseUpdate(k, mutable.ArrayBuffer.empty) +=
-              ((rGetT(r, rTimeIdx), carryProj(r).copy()))
-          }
-        }
-        val idx = new java.util.HashMap[UnsafeRow, (Array[Long], Array[UnsafeRow])](
-          grouped.size * 2 + 1)
-        grouped.foreach { case (k, buf) =>
-          val sorted = buf.sortBy(_._1)
-          idx.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
-        }
-        idx
-      })
-      val lKeyProj = UnsafeProjection.create(leftKeyAttrs, lOut)
+      val index = decoder.build()
+      val lKeyProj =
+        if (km == 2) UnsafeProjection.create(leftKeyAttrs, lOut) else null
+      val lKeyIdx = lKeyIdxs.head
       val resultProj = UnsafeProjection.create(outAttrs, lOut ++ carryAttrs)
       val joined = new JoinedRow
       val nullCarry = new GenericInternalRow(carryAttrs.size)
-      val fwd = forward
       iter.map { lrow =>
         var hit: UnsafeRow = null
         if (!lKeyIdxs.exists(lrow.isNullAt) && !lrow.isNullAt(lTimeIdx)) {
-          val entry = index.get(lKeyProj(lrow))
-          if (entry != null) {
-            val times = entry._1
-            val t = lGetT(lrow, lTimeIdx)
-            var lo = 0
-            var hi = times.length - 1
-            var ans = -1
-            if (fwd) {
-              // least right time >= t (ceiling)
-              while (lo <= hi) {
-                val mid = (lo + hi) >>> 1
-                if (times(mid) >= t) { ans = mid; hi = mid - 1 } else lo = mid + 1
-              }
-            } else {
-              // greatest right time <= t (floor)
-              while (lo <= hi) {
-                val mid = (lo + hi) >>> 1
-                if (times(mid) <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
-              }
-            }
-            if (ans >= 0) hit = entry._2(ans)
+          // probe keys are lookup-only: no copies needed
+          val key: AnyRef = km match {
+            case 0 => java.lang.Long.valueOf(lrow.getLong(lKeyIdx))
+            case 1 => lrow.getUTF8String(lKeyIdx)
+            case _ => lKeyProj(lrow)
           }
+          hit = index.probe(key, lGetT(lrow, lTimeIdx))
         }
         resultProj(joined(lrow, if (hit == null) nullCarry else hit))
       }

@@ -195,6 +195,38 @@ class AsOfJoinNativeSpec extends SparkTestBase {
     assert(small.exceptAll(big).isEmpty && big.exceptAll(small).isEmpty)
   }
 
+  test("driver-built index: BroadcastExchange carries AsOfIndexMode, ships ONE blob row") {
+    // the index is built once inside the exchange's collect thread
+    // (like HashedRelation) — executors decode, they never group/sort
+    val native = AsOfJoin.nearestBeforeBroadcast(leftDf, rightDf, "k", "t", Seq("tag", "w"))
+    native.collect()
+    // AQE buries the exchange inside query stages — descend explicitly
+    def deep(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.exchange.BroadcastExchangeExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        deep(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => deep(s.plan)
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        e +: e.children.flatMap(deep)
+      case other => other.children.flatMap(deep)
+    }
+    val exchanges = deep(native.queryExecution.executedPlan)
+    assert(exchanges.nonEmpty, "plan must hold a BroadcastExchangeExec")
+    val mode = exchanges.head.mode
+    assert(mode.isInstanceOf[graft.plans.AsOfIndexMode], s"got mode: $mode")
+    // the broadcast value is Array(1 row × 1 binary field): the whole
+    // pre-sorted index in one blob, size-accounted by the 8GB guard
+    val value = exchanges.head.executeBroadcast[Array[org.apache.spark.sql.catalyst.InternalRow]]().value
+    assert(value.length == 1 && value(0).numFields == 1)
+    val blob = value(0).getBinary(0)
+    // layout header: int keyMode (long=0) | int nKeys (2 non-null keys)
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    assert(bb.getInt == 0 && bb.getInt == 2, "blob header: keyMode=long, nKeys=2")
+    // keys ship ONCE per key and only carry columns travel: the blob
+    // must undercut even this tiny row broadcast's serialized form
+    assert(blob.length < 400, s"blob should be compact, got ${blob.length} bytes")
+  }
+
   test("empty sides: empty right -> all null carry; empty left -> empty output") {
     val emptyR = rightDf.filter(col("k") === -1L)
     val allNull = AsOfJoin.nearestBeforeBroadcast(leftDf, emptyR, "k", "t", Seq("tag", "w"))
