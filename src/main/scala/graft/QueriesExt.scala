@@ -831,6 +831,43 @@ FROM events GROUP BY 1"""))
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1"""))
 
+  /** Runtime-filter join (the 100-TB selective-dim shape): a ~1%
+    * predicate on the dimension side should prune the FACT SCAN
+    * before the join, not after — Snowflake does this with join
+    * pruning on clustered tables; Spark's Catalyst does it with
+    * `InjectRuntimeFilter`, which plants a bloom filter built from
+    * the filtered dim keys (`bloom_filter_agg`) as a
+    * `might_contain(...)` predicate on the fact side. The query is
+    * written as the PLAIN declarative join — no hints, no manual
+    * semi-join — because the injection is the optimizer's job:
+    * locally the 10 GB application-side threshold keeps it off (the
+    * fact scan IS small), on a cluster-sized scan it fires
+    * automatically. RuntimeFilterSpec pins the mechanism with the
+    * thresholds lowered: the bloom probe must land INSIDE the fact
+    * scan's filters with the rows it passes matching the exact join,
+    * so the plan a 100-TB run gets is regression-checked here. */
+  private val runtimeFilter = Q(
+    "q_runtime_filter",
+    (s, dir) => {
+      val dim = ViewingData.table(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23" && col("p_type") === "PROMO")
+        .select(col("p_partkey"), col("p_brand"), col("p_type"))
+      ViewingData.table(s, dir, "lineitem")
+        .join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(floor(col("l_quantity")).cast("long")).as("qty_sum"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+    },
+    Some("""SELECT p_brand, p_type,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty_sum,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#23' AND p_type = 'PROMO'
+GROUP BY 1, 2"""))
+
   /** Data-quality audit (`operators.Quality`): every rule is a
     * conditional sum in ONE aggregation pass over the frame — rule
     * count never multiplies scans. */
@@ -1009,6 +1046,6 @@ GROUP BY c.cohort_week, (a.week - c.cohort_week) // 7"""))
     windowRange, windowNav, sampleStratified, dedupComponents,
     approxAggs, hllReach, bitmapReach, audienceOverlap, quantileSketch, connectBy, pagerank, islands, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
-    tryCast, skewAgg, statsAgg, skewJoin, dqAudit, dedupKeepCanonical,
+    tryCast, skewAgg, statsAgg, skewJoin, runtimeFilter, dqAudit, dedupKeepCanonical,
     stringFuncs2, bitAggs, dateFuncs2, funnel, retention)
 }
