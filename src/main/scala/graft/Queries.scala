@@ -943,5 +943,6 @@ FROM ev e ASOF LEFT JOIN r
     audienceMetrics, incrementalMerge, upsertMergeQ, affectedRebuild, watermarkQ,
     controlTableQ, panelWindowsMergeQ, scd2Weights,
     q1Agg, joinDims, joinFact, topkWindow, rollupQ, distinctQ, semiAnti,
-    pivotCase, runningWindow) ++ QueriesML.all ++ QueriesExt.all ++ QueriesLLM.all
+    pivotCase, runningWindow) ++ QueriesML.all ++ QueriesExt.all ++
+    QueriesLLM.all ++ QueriesScale.all
 }

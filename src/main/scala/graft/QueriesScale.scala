@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+import graft.sources.ViewingData
+
+/** Round-7 scale operators: the join/aggregate shapes whose naive
+  * declarative form stops working somewhere between 1 GB and 100 TB —
+  * each entry pairs the correct result (DuckDB oracle) with the plan
+  * that survives the scale-up, and a spec pins that plan.
+  */
+object QueriesScale {
+
+  /** Point-in-interval range join ([[RangeJoin.intervalJoin]]): every
+    * event landing inside a 30-minute window opened by each signup.
+    * Written with no equality conjunct, Catalyst's only options are
+    * BroadcastNestedLoopJoin or a cartesian product — |events| ×
+    * |windows| comparisons, fatal with two large sides. The operator
+    * rewrites it to a shuffle EQUI-join on time buckets (points keep
+    * one bucket, intervals explode to the buckets they overlap, the
+    * original predicate stays as a residual filter), so the plan
+    * scales like any other keyed join — AQE skew split included.
+    * RangeJoinSpec pins no-nested-loop + parity with the naive form. */
+  private val rangeJoin = Q(
+    "q_range_join",
+    (s, dir) => {
+      val ev = ViewingData.table(s, dir, "events")
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+      RangeJoin.intervalJoin(
+          ev.select("event_id", "ts", "event_type", "value"),
+          "ts", windows, "w_start", "w_end", bucketSeconds = 1800L)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_hits"),
+          round(sum(col("value")), 2).as("value_sum"))
+    },
+    Some("""SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       ROUND(SUM(e.value), 2) AS value_sum
+FROM events e JOIN (
+  SELECT ts AS w_start, ts + INTERVAL 30 MINUTE AS w_end
+  FROM events WHERE event_type = 'signup') w
+ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(rangeJoin)
+}

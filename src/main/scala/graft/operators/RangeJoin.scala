@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval (range) join as an EQUI-join on time buckets.
+  *
+  * The declarative form — `events.join(intervals, ts >= s && ts < e)`
+  * — has no equality conjunct, so Catalyst's only plans are
+  * BroadcastNestedLoopJoin (fine while the interval side broadcasts)
+  * or a cartesian product (fatal when both sides are large: at 100 TB
+  * the comparison count is |events| × |intervals|). The standard
+  * scale rewrite (DuckDB's IEJoin and Flink's interval join solve the
+  * same problem) discretizes time into fixed buckets:
+  *
+  *  - each point lands in exactly ONE bucket (`floor(t / B)`);
+  *  - each interval is exploded to every bucket it overlaps
+  *    (`len/B + 2` rows for an interval of length `len`);
+  *  - bucket equality + the original predicate as a residual filter
+  *    gives a plain shuffle equi-join: comparisons drop from
+  *    |events| × |intervals| to pairs sharing a bucket.
+  *
+  * No dedup step is needed: a point matches an interval in at most
+  * one bucket — its own — so each qualifying (event, interval) pair
+  * survives exactly once.
+  *
+  * Pick `bucketSeconds` near the TYPICAL interval length: much larger
+  * buckets recreate the cross product inside each bucket; much
+  * smaller ones multiply the interval side's explode factor. Hot
+  * buckets (a traffic spike) are ordinary equi-join skew — AQE's
+  * skew-join split or [[Skew.saltedJoin]] applies unchanged, which is
+  * exactly why the rewrite targets an equi-join rather than a custom
+  * physical operator.
+  */
+object RangeJoin {
+
+  /** Joins `points` to `intervals` where
+    * `points(pointTime) ∈ [intervals(startCol), intervals(endCol))`.
+    *
+    * Columns are named (not `Column` expressions) because the interval
+    * side is often derived from the SAME source as the point side (a
+    * self-join on event windows): distinct names + unqualified
+    * resolution sidestep Spark's self-join attribute ambiguity. The
+    * two frames must have disjoint column names; all three time
+    * columns must be castable to long epoch seconds (timestamp or
+    * numeric). Null times / null bounds match nothing, same as the
+    * declarative form. */
+  def intervalJoin(
+      points: DataFrame,
+      pointTime: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"point/interval column names must be disjoint (rename: ${overlap.mkString(", ")})")
+    val b = lit(bucketSeconds)
+    val p = points.withColumn("__gr_pbucket", floor(col(pointTime).cast("long") / b))
+    // integer-second bucketing may cover one bucket past a
+    // fractional-second end bound — a false CANDIDATE only, removed by
+    // the residual predicate below
+    val i = intervals.withColumn(
+      "__gr_ibucket",
+      explode(sequence(
+        floor(col(startCol).cast("long") / b),
+        floor(col(endCol).cast("long") / b))))
+    p.join(
+        i,
+        col("__gr_pbucket") === col("__gr_ibucket") &&
+          col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
+      .drop("__gr_pbucket", "__gr_ibucket")
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+import graft.sources.ViewingData
+
+/** Pins the two things that make [[RangeJoin.intervalJoin]] the 100-TB
+  * plan: (a) result parity with the naive non-equi join (the semantic
+  * definition), (b) the physical plan is an EQUI-join — no
+  * BroadcastNestedLoopJoin / CartesianProduct anywhere, even with
+  * broadcast disabled (the naive form's only large×large fallback).
+  */
+class RangeJoinSpec extends SparkTestBase {
+
+  private def events = ViewingData.table(spark, Sf, "events")
+
+  private def windows = events
+    .filter(col("event_type") === "signup")
+    .select(col("ts").as("w_start"),
+      (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+
+  private def points = events.select(col("event_id"), col("ts"))
+
+  test("parity with the naive non-equi join, pair-exact (no dups, no misses)") {
+    val got = RangeJoin.intervalJoin(points, "ts", windows, "w_start", "w_end", 1800L)
+      .select("event_id", "w_start")
+    val naive = points.join(
+        windows, col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("event_id", "w_start")
+    assert(got.count() > 0, "test shape must actually produce matches")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "bucketed join must return exactly the naive join's multiset of pairs")
+  }
+
+  test("bucket width independence: oversized and undersized buckets stay exact") {
+    val ref = RangeJoin.intervalJoin(points, "ts", windows, "w_start", "w_end", 1800L).count()
+    for (b <- Seq(60L, 700L, 86400L)) {
+      val n = RangeJoin.intervalJoin(points, "ts", windows, "w_start", "w_end", b).count()
+      assert(n == ref, s"bucketSeconds=$b: $n != $ref")
+    }
+  }
+
+  test("plan is an equi-join: no nested loop / cartesian even without broadcast") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = RangeJoin
+        .intervalJoin(points, "ts", windows, "w_start", "w_end", 1800L)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"range join must plan as an equi-join:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join with broadcast off:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("null times and null bounds match nothing (naive-join semantics)") {
+    import spark.implicits._
+    val p = Seq((1L, Some(100L)), (2L, None))
+      .toDF("pid", "sec").select(col("pid"), timestamp_seconds(col("sec")).as("pt"))
+    val iv = Seq((10L, Some(50L), Some(150L)), (11L, None, Some(150L)), (12L, Some(50L), None))
+      .toDF("iid", "s", "e")
+      .select(col("iid"), timestamp_seconds(col("s")).as("ws"),
+        timestamp_seconds(col("e")).as("we"))
+    val got = RangeJoin.intervalJoin(p, "pt", iv, "ws", "we", 60L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 10L)))
+  }
+
+  test("rejects overlapping column names") {
+    val e = intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(points, "ts",
+        events.select(col("ts"), col("event_id").as("x")), "ts", "x", 60L)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+}
