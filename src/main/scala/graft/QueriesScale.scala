@@ -45,5 +45,35 @@ FROM events e JOIN (
 ON e.ts >= w.w_start AND e.ts < w.w_end
 GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(rangeJoin)
+  /** Top-k per group as a MERGEABLE aggregate ([[plans.TopKByAgg]]):
+    * the scale twin of q_topk_window. The window form shuffles EVERY
+    * row to its group reducer for ranking; the k-bounded heap
+    * pre-aggregates, so the shuffle carries at most k pairs per
+    * (group, map task) — at 100 TB that is the difference between
+    * shuffling the fact table and shuffling kilobytes. Result proven
+    * identical to exact window ranking by the DuckDB oracle (the
+    * (score DESC, id ASC) tiebreak makes both sides deterministic). */
+  private val topkAgg = Q(
+    "q_topk_agg",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      ViewingData.table(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("topk_by(o_totalprice, o_orderkey, 3)").as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")))
+        .select(
+          col("o_orderpriority"),
+          (col("pos") + 1).cast("long").as("rnk"),
+          col("col.id").as("o_orderkey"),
+          round(col("col.score"), 2).as("price"))
+    },
+    Some("""SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey,
+       ROUND(o_totalprice, 2) AS price
+FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders) t
+WHERE rnk <= 3"""))
+
+  val all: Seq[Q] = Seq(rangeJoin, topkAgg)
 }

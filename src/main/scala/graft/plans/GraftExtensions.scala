@@ -81,6 +81,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[BitmapOr].getName, "bitmap_or"),
       (children: Seq[Expression]) => BitmapOr(children(0), children(1))),
     (
+      new FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKByAgg].getName, "topk_by"),
+      (children: Seq[Expression]) =>
+        TopKByAgg(children(0), children(1), children(2))),
+    (
       new FunctionIdentifier("qsketch_agg"),
       new ExpressionInfo(classOf[QSketchAgg].getName, "qsketch_agg"),
       (children: Seq[Expression]) => QSketchAgg(children(0))),
