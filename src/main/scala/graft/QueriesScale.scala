@@ -75,5 +75,31 @@ FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
       FROM orders) t
 WHERE rnk <= 3"""))
 
-  val all: Seq[Q] = Seq(rangeJoin, topkAgg)
+  /** Heavy hitters per day via Spark 4's native `approx_top_k` — the
+    * Apache DataSketches frequent-items sketch behind Snowflake's
+    * APPROX_TOP_K family. Like the HLL/GK rows in this registry, the
+    * sketch is a fixed-width mergeable summary, so each map task folds
+    * its rows locally and the shuffle carries one small buffer per
+    * (day, task) instead of the raw rows; the ACCUMULATE / COMBINE /
+    * ESTIMATE trio (persist per-day sketches, answer any later range
+    * from the sketches alone) is pinned in HeavyHittersSpec. The
+    * sketch purges nothing while tracked items stay under
+    * maxItemsTracked, so on a low-cardinality column its counts are
+    * EXACT — which is what lets a plain GROUP BY oracle hash-verify a
+    * sketch query (the approximate regime's guarantees are spec
+    * territory, same split as q_hll_reach). */
+  private val heavyHitters = Q(
+    "q_heavy_hitters",
+    (s, dir) =>
+      ViewingData.table(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("approx_top_k(event_type, 5)").as("top"))
+        .select(col("day").cast("string").as("day"), explode(col("top")))
+        .select(col("day"), col("col.item").as("event_type"),
+          col("col.count").cast("long").as("n")),
+    Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(rangeJoin, topkAgg, heavyHitters)
 }
