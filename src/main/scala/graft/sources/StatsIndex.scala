@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max stats manifest — Delta/Iceberg-style data
+  * skipping, decoupled from parquet footers.
+  *
+  * Parquet already prunes row groups whose [min,max] miss a pushed
+  * predicate, but only AFTER the scan has listed every file and opened
+  * every footer: at 100 TB that is millions of S3 GETs before the
+  * first row is skipped. Lakehouse formats fix this by keeping
+  * per-file stats in the table's transaction log so the DRIVER prunes
+  * the file list before any footer is touched; this is that manifest
+  * for the repo's plain-parquet lake layout ([[LakeWriter]]).
+  *
+  *  - [[build]]: one distributed scan groups rows by
+  *    `_metadata.file_path` and writes one manifest row per file
+  *    (`<col>__min`, `<col>__max`, typed as the column itself) under
+  *    `table/_graft_stats` — an underscore path, so ordinary readers
+  *    ignore it. Rebuild after compaction/z-order (production would
+  *    fold this into each writer commit, like Delta's add-file stats).
+  *  - [[prunedRead]]: filters the (tiny) manifest for files whose
+  *    range intersects `[lo, hi]` and scans only those. The manifest
+  *    read + file-list collect are driver control-plane on rows =
+  *    |files|, not |data|. Skipping is sound for range predicates: a
+  *    dropped file provably contains no qualifying row (all-null
+  *    files carry null stats and are dropped — a range predicate
+  *    matches no null). The caller's own filter is still applied, so
+  *    a kept file never over-returns.
+  *
+  * Effectiveness tracks layout, same as parquet stat pruning: ranges
+  * must be narrow per file (sort / [[LakeWriter.zorderBy]]) —
+  * StatsIndexSpec pins both the pruned file count on a range-laid
+  * table and result parity with the full scan.
+  */
+object StatsIndex {
+
+  private def statsDir(table: String) = s"$table/_graft_stats"
+
+  /** One manifest row per data file: file path + typed min/max per
+    * requested column. */
+  def build(spark: SparkSession, table: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "stats index needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))
+    }
+    spark.read.parquet(table)
+      .select(col("_metadata.file_path").as("file"), col("*"))
+      .groupBy("file")
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsDir(table))
+  }
+
+  /** Data files whose `[min,max]` for `c` intersects `[lo, hi]`,
+    * plus the total file count (for observability/specs). */
+  def pruneFiles(
+      spark: SparkSession, table: String, c: String,
+      lo: Any, hi: Any): (Seq[String], Int) = {
+    val stats = spark.read.parquet(statsDir(table))
+    val total = stats.count().toInt
+    val kept = stats
+      .filter(col(s"${c}__max") >= lit(lo) && col(s"${c}__min") <= lit(hi))
+      .select("file")
+      .collect().map(_.getString(0)).toSeq
+    (kept, total)
+  }
+
+  /** Scan of only the files that can hold `c ∈ [lo, hi]`, with the
+    * predicate re-applied (skipping prunes files, not rows). Returns
+    * an empty frame with the table's schema when nothing survives. */
+  def prunedRead(
+      spark: SparkSession, table: String, c: String,
+      lo: Any, hi: Any): DataFrame = {
+    val (files, _) = pruneFiles(spark, table, c, lo, hi)
+    val pred = col(c) >= lit(lo) && col(c) <= lit(hi)
+    if (files.isEmpty)
+      spark.read.parquet(table).filter(lit(false))
+    else spark.read.parquet(files: _*).filter(pred)
+  }
+}

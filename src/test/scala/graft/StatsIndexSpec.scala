@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{StatsIndex, ViewingData}
+
+/** [[sources.StatsIndex]]: driver-side file skipping must (a) actually
+  * skip files on a range-laid table, (b) never change results vs the
+  * full scan, (c) drop everything for an out-of-range predicate, and
+  * (d) degrade to correct-but-unpruned on a layout with overlapping
+  * ranges (skipping is a layout property, not a correctness one).
+  */
+class StatsIndexSpec extends SparkTestBase {
+
+  private def writeRangeLaid(): String = {
+    val dir = Files.createTempDirectory("statsidx").toString + "/events"
+    ViewingData.table(spark, Sf, "events")
+      .repartitionByRange(8, col("ts"))
+      .sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("range-laid table: narrow window prunes most files, result parity holds") {
+    val dir = writeRangeLaid()
+    StatsIndex.build(spark, dir, Seq("ts", "value"))
+    val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-12 00:00:00")
+    val (kept, total) = StatsIndex.pruneFiles(spark, dir, "ts", lo, hi)
+    assert(total == 8, s"expected 8 data files, manifest saw $total")
+    assert(kept.nonEmpty && kept.size <= total / 2,
+      s"a ~2-of-30-day window must prune >= half the range-laid files, kept ${kept.size}/$total")
+    val got = StatsIndex.prunedRead(spark, dir, "ts", lo, hi)
+      .agg(count(lit(1)), sum("event_id")).collect()(0)
+    val full = spark.read.parquet(dir)
+      .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+      .agg(count(lit(1)), sum("event_id")).collect()(0)
+    assert(got.getLong(0) > 0 && got == full)
+  }
+
+  test("out-of-range predicate: zero files scanned, empty frame with table schema") {
+    val dir = writeRangeLaid()
+    StatsIndex.build(spark, dir, Seq("ts"))
+    val lo = java.sql.Timestamp.valueOf("1990-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1990-12-31 00:00:00")
+    val (kept, _) = StatsIndex.pruneFiles(spark, dir, "ts", lo, hi)
+    assert(kept.isEmpty)
+    val df = StatsIndex.prunedRead(spark, dir, "ts", lo, hi)
+    assert(df.count() == 0)
+    assert(df.columns.toSet == spark.read.parquet(dir).columns.toSet)
+  }
+
+  test("hash-laid table (overlapping ranges): no pruning, still correct") {
+    val dir = Files.createTempDirectory("statsidx").toString + "/events"
+    ViewingData.table(spark, Sf, "events")
+      .repartition(8, col("user_id")) // every file spans ~the full ts range
+      .write.mode("overwrite").parquet(dir)
+    StatsIndex.build(spark, dir, Seq("ts"))
+    val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-12 00:00:00")
+    val (kept, total) = StatsIndex.pruneFiles(spark, dir, "ts", lo, hi)
+    assert(kept.size == total, "overlapping layouts legitimately keep every file")
+    val got = StatsIndex.prunedRead(spark, dir, "ts", lo, hi).count()
+    val full = spark.read.parquet(dir)
+      .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi)).count()
+    assert(got == full && got > 0)
+  }
+
+  test("numeric column index on the double value column") {
+    val dir = Files.createTempDirectory("statsidx").toString + "/events"
+    ViewingData.table(spark, Sf, "events")
+      .repartitionByRange(6, col("value"))
+      .write.mode("overwrite").parquet(dir)
+    StatsIndex.build(spark, dir, Seq("value"))
+    val (kept, total) = StatsIndex.pruneFiles(spark, dir, "value", 0.0, 1.0)
+    assert(kept.size < total)
+    val got = StatsIndex.prunedRead(spark, dir, "value", 0.0, 1.0).count()
+    val full = spark.read.parquet(dir)
+      .filter(col("value").between(0.0, 1.0)).count()
+    assert(got == full && got > 0)
+  }
+}
