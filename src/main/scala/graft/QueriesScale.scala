@@ -101,5 +101,74 @@ WHERE rnk <= 3"""))
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(rangeJoin, topkAgg, heavyHitters)
+  /** 7-day sliding reach from DAILY bitmap partials: the events table
+    * is scanned ONCE into per-day exact user bitmaps
+    * ([[plans.BitmapAgg]], map-side OR-merged), and every sliding
+    * window is an OR of ≤7 tiny buffers — the raw-row form re-scans
+    * (or re-shuffles) each event into all 7 windows it belongs to, 7×
+    * the bytes before any combine. Same sketch-algebra shape as
+    * q_hll_reach/q_bitmap_reach, extended to OVERLAPPING windows: the
+    * day→window explode happens on |days| rows, not |events|. Exact,
+    * so the whole thing oracle-checks against DuckDB COUNT(DISTINCT)
+    * per window. */
+  private val slidingReach = Q(
+    "q_sliding_reach",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val daily = ViewingData.table(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("bitmap_agg(user_id)").as("bm"))
+        .localCheckpoint() // tiny (one row/day); consumed twice below
+      val contrib = daily
+        .withColumn("off", explode(sequence(lit(0), lit(6))))
+        .select(date_add(col("day"), col("off")).as("win_day"), col("bm"))
+      contrib
+        .join(daily.select(col("day").as("win_day")), Seq("win_day"), "left_semi")
+        .groupBy("win_day")
+        .agg(expr("bitmap_or_count(bm)").as("reach_7d"))
+        .select(col("win_day").cast("string").as("day"), col("reach_7d"))
+    },
+    Some("""WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS reach_7d
+FROM days d JOIN events e
+  ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+GROUP BY 1"""))
+
+  /** Deterministic per-group reservoir sample — OPERATOR REUSE, not a
+    * new kernel: a uniform k-reservoir is exactly top-k by a
+    * pseudo-random priority (Efraimidis-Spirakis with equal weights),
+    * so [[plans.TopKByAgg]]'s mergeable heap IS the distributed
+    * reservoir — k rows per (group, map task) on the wire, merge keeps
+    * the k best priorities. Priority = first 13 hex digits of
+    * md5(event_id) (52 bits — exact in double), the same cross-engine
+    * derivation the sampling family (q_sample_stratified/_weighted)
+    * already pins, so exact window ranking in DuckDB verifies the
+    * draw. */
+  private val sampleReservoir = Q(
+    "q_sample_reservoir",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      ViewingData.table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr(
+          """topk_by(
+             cast(conv(substring(md5(cast(cast(event_id as string) as binary)), 1, 13), 16, 10) as double),
+             event_id, 10)""").as("res"))
+        .select(col("event_type"), posexplode(col("res")))
+        .select(
+          col("event_type"),
+          (col("pos") + 1).cast("long").as("draw_rank"),
+          col("col.id").as("event_id"))
+    },
+    Some("""SELECT event_type, CAST(rn AS BIGINT) AS draw_rank, event_id
+FROM (SELECT event_type, event_id,
+        row_number() OVER (PARTITION BY event_type
+          ORDER BY substring(md5(CAST(event_id AS VARCHAR)), 1, 13) DESC,
+                   event_id) AS rn
+      FROM events) t
+WHERE rn <= 10"""))
+
+  val all: Seq[Q] =
+    Seq(rangeJoin, topkAgg, heavyHitters, slidingReach, sampleReservoir)
 }

@@ -38,6 +38,34 @@ object StatsIndex {
 
   private def statsDir(table: String) = s"$table/_graft_stats"
 
+  /** Recursive FS listing of the table's parquet data files (pure
+    * driver metadata — no Spark job, no footer reads). Underscore /
+    * dot paths are skipped, matching Spark's own source-file filter,
+    * so the manifest never indexes itself. */
+  private def listDataFiles(spark: SparkSession, table: String): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(table)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = Set.newBuilder[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath
+      val hidden = {
+        var cur = p.getParent
+        var h = p.getName.startsWith("_") || p.getName.startsWith(".")
+        while (!h && cur != null && cur.depth() > root.depth()) {
+          h = cur.getName.startsWith("_") || cur.getName.startsWith(".")
+          cur = cur.getParent
+        }
+        h
+      }
+      if (!hidden && p.getName.endsWith(".parquet")) out += p.toUri.toString
+    }
+    out.result()
+  }
+  // NOTE: callers normalize these URIs before comparing against
+  // _metadata.file_path values (see refresh)
+
   /** One manifest row per data file: file path + typed min/max per
     * requested column. */
   def build(spark: SparkSession, table: String, cols: Seq[String]): Unit = {
@@ -51,6 +79,49 @@ object StatsIndex {
       .agg(aggs.head, aggs.tail: _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(statsDir(table))
+  }
+
+  /** Incremental manifest maintenance: stats are computed for NEW
+    * data files only (those absent from the manifest) and unioned
+    * with the existing rows — appending one partition to a 100-TB
+    * table indexes that partition's bytes, not the table's. Deleted
+    * files are dropped from the manifest (pruning must not return
+    * paths the scan would fail on). Columns must match [[build]]'s;
+    * after a rewrite-in-place job (compaction, z-order) file names
+    * change, so this degenerates to a full rebuild there — correct,
+    * just not cheaper. */
+  def refresh(spark: SparkSession, table: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "stats index needs at least one column")
+    val dir = statsDir(table)
+    // file LISTS are driver control-plane (|files| strings, not data);
+    // diffing them here — not in a join — is what keeps already-indexed
+    // files' BYTES out of the scan below
+    val known = spark.read.parquet(dir).localCheckpoint() // pre-overwrite rows
+    // normalize before diffing: _metadata.file_path says file:///x,
+    // Hadoop Path.toUri says file:/x — same file, different spelling
+    // (empty vs null URI authority survives a Path round-trip, so
+    // compare scheme/authority-free paths; one table = one filesystem)
+    def norm(s: String) =
+      org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+        new org.apache.hadoop.fs.Path(java.net.URI.create(s))).toString
+    val knownRaw = known.select("file").collect().map(_.getString(0))
+    val knownNorm = knownRaw.map(norm).toSet
+    val live = listDataFiles(spark, table) // original URIs — scan paths
+    val liveNorm = live.map(norm)
+    val newFiles = live.filter(f => !knownNorm.contains(norm(f))).toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))
+    }
+    val keepRaw = knownRaw.filter(f => liveNorm.contains(norm(f))).toSeq
+    val keep = known.filter(col("file").isin(keepRaw: _*))
+    val merged =
+      if (newFiles.isEmpty) keep
+      else keep.unionByName(
+        spark.read.parquet(newFiles: _*)
+          .select(col("_metadata.file_path").as("file"), col("*"))
+          .groupBy("file")
+          .agg(aggs.head, aggs.tail: _*))
+    merged.coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
   /** Data files whose `[min,max]` for `c` intersects `[lo, hi]`,

@@ -68,6 +68,49 @@ class StatsIndexSpec extends SparkTestBase {
     assert(got == full && got > 0)
   }
 
+  test("refresh indexes only NEW files: old files' bytes are never re-read") {
+    val dir = writeRangeLaid()
+    StatsIndex.build(spark, dir, Seq("ts"))
+    // corrupt an already-indexed data file IN PLACE: any attempt to
+    // re-scan it now throws, so a passing refresh proves old bytes
+    // stay untouched (a full build() over the same table fails)
+    val victim = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .head.toPath
+    Files.write(victim, Array.fill[Byte](64)(0x7f))
+    intercept[Exception] {
+      spark.read.parquet(dir).agg(min(col("ts"))).collect()
+    }
+    // new files arrive (a later day's append), manifest refreshes fine
+    ViewingData.table(spark, Sf, "events")
+      .limit(500).write.mode("append").parquet(dir)
+    StatsIndex.refresh(spark, dir, Seq("ts"))
+    val manifest = spark.read.parquet(s"$dir/_graft_stats")
+    val dataFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(manifest.count() == dataFiles,
+      s"manifest must cover all ${dataFiles} files after refresh")
+    assert(manifest.filter(col("ts__min").isNull).count() == 0)
+  }
+
+  test("refresh drops manifest rows for deleted files") {
+    val dir = writeRangeLaid()
+    StatsIndex.build(spark, dir, Seq("ts"))
+    val before = spark.read.parquet(s"$dir/_graft_stats").count()
+    val victim = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    assert(victim.delete())
+    StatsIndex.refresh(spark, dir, Seq("ts"))
+    val after = spark.read.parquet(s"$dir/_graft_stats")
+    assert(after.count() == before - 1)
+    // pruning never returns a path the scan would fail on
+    val lo = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val (kept, _) = StatsIndex.pruneFiles(spark, dir, "ts", lo, hi)
+    assert(!kept.exists(_.contains(victim.getName)))
+    StatsIndex.prunedRead(spark, dir, "ts", lo, hi).count() // must not throw
+  }
+
   test("numeric column index on the double value column") {
     val dir = Files.createTempDirectory("statsidx").toString + "/events"
     ViewingData.table(spark, Sf, "events")
