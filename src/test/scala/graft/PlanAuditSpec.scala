@@ -187,4 +187,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert(scan.selectedPartitions.partitionCount == 2,
       s"expected 2 selected partitions, got ${scan.selectedPartitions.partitionCount}")
   }
+
+  test("q_sliding_reach windows merge checkpointed day-bitmaps — no second events scan") {
+    val p = plan("q_sliding_reach")
+    // the events parquet is read ONCE, at the daily-bitmap
+    // materialization; the 7-window explode+merge below must consume
+    // the checkpoint, not re-scan the fact table
+    assert(!p.contains("events.parquet"),
+      s"sliding-window merge must read the checkpointed daily bitmaps:\n$p")
+    assert(p.contains("bitmap_or_count"), p)
+  }
+
+  test("q_sample_reservoir pre-aggregates the draw map-side — no window sort of all rows") {
+    val p = plan("q_sample_reservoir")
+    assert(p.contains("partial_topk_by"),
+      s"reservoir must ride partial aggregation:\n$p")
+    assert(!p.contains("Window"), s"no window operator expected:\n$p")
+  }
 }
