@@ -169,6 +169,24 @@ FROM (SELECT event_type, event_id,
       FROM events) t
 WHERE rn <= 10"""))
 
+  /** Dense global sample ids ([[operators.GlobalIndex]]): contiguous
+    * 0-based numbering in doc_id order via range-partition +
+    * per-partition offsets — `row_number()` with no PARTITION BY
+    * funnels 100 TB through one task; this form's only serial state is
+    * the |partitions|-long count array on the driver. Ids proven
+    * identical to the window form by the oracle. */
+  private val globalIndex = Q(
+    "q_global_index",
+    (s, dir) =>
+      graft.operators.GlobalIndex.assign(
+          ViewingData.table(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "global_id", partitions = 8)
+        .select("doc_id", "lang", "global_id"),
+    Some("""SELECT doc_id, lang,
+       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
+FROM documents"""))
+
   val all: Seq[Q] =
-    Seq(rangeJoin, topkAgg, heavyHitters, slidingReach, sampleReservoir)
+    Seq(rangeJoin, topkAgg, heavyHitters, slidingReach, sampleReservoir,
+      globalIndex)
 }
