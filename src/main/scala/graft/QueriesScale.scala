@@ -75,6 +75,38 @@ FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
       FROM orders) t
 WHERE rnk <= 3"""))
 
+  /** The keyed range join ([[RangeJoin.intervalJoinKeyed]]): events
+    * inside a 6-hour window opened by the SAME user's signup — the
+    * panel-window enrichment shape (each exposure joined to its own
+    * household's measurement window). The user key rides the shuffle
+    * key next to the time bucket, so the join distributes by
+    * (user, bucket) — finer than time alone — while staying an
+    * ordinary equi-join for AQE purposes. */
+  private val rangeJoinKeyed = Q(
+    "q_range_join_keyed",
+    (s, dir) => {
+      val ev = ViewingData.table(s, dir, "events")
+      val windows = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("w_user"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 6 HOURS")).as("w_end"))
+      RangeJoin.intervalJoinKeyed(
+          ev.select("event_id", "ts", "user_id", "event_type", "value"),
+          "ts", Seq("user_id"),
+          windows, "w_start", "w_end", Seq("w_user"),
+          bucketSeconds = 21600L)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_hits"),
+          round(sum(col("value")), 2).as("value_sum"))
+    },
+    Some("""SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       ROUND(SUM(e.value), 2) AS value_sum
+FROM events e JOIN (
+  SELECT user_id AS w_user, ts AS w_start, ts + INTERVAL 6 HOUR AS w_end
+  FROM events WHERE event_type = 'signup') w
+ON e.user_id = w.w_user AND e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY 1"""))
+
   /** Heavy hitters per day via Spark 4's native `approx_top_k` — the
     * Apache DataSketches frequent-items sketch behind Snowflake's
     * APPROX_TOP_K family. Like the HLL/GK rows in this registry, the
@@ -187,6 +219,6 @@ WHERE rn <= 10"""))
 FROM documents"""))
 
   val all: Seq[Q] =
-    Seq(rangeJoin, topkAgg, heavyHitters, slidingReach, sampleReservoir,
-      globalIndex)
+    Seq(rangeJoin, rangeJoinKeyed, topkAgg, heavyHitters, slidingReach,
+      sampleReservoir, globalIndex)
 }

@@ -51,8 +51,28 @@ object RangeJoin {
       intervals: DataFrame,
       startCol: String,
       endCol: String,
+      bucketSeconds: Long): DataFrame =
+    intervalJoinKeyed(points, pointTime, Seq.empty,
+      intervals, startCol, endCol, Seq.empty, bucketSeconds)
+
+  /** [[intervalJoin]] with equality keys alongside the range — "events
+    * inside windows OF THE SAME user" (the panel-window enrichment
+    * shape). The keys join the bucket in the shuffle key, so hotness
+    * concentrates only when (key, bucket) is hot — strictly finer
+    * than the keyless join's time-only distribution.
+    * `pointKeys(i)` pairs with `intervalKeys(i)`. */
+  def intervalJoinKeyed(
+      points: DataFrame,
+      pointTime: String,
+      pointKeys: Seq[String],
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      intervalKeys: Seq[String],
       bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    require(pointKeys.length == intervalKeys.length,
+      s"key lists must pair up: $pointKeys vs $intervalKeys")
     val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
     require(overlap.isEmpty,
       s"point/interval column names must be disjoint (rename: ${overlap.mkString(", ")})")
@@ -66,10 +86,11 @@ object RangeJoin {
       explode(sequence(
         floor(col(startCol).cast("long") / b),
         floor(col(endCol).cast("long") / b))))
-    p.join(
-        i,
+    val cond = pointKeys.zip(intervalKeys)
+      .map { case (pk, ik) => col(pk) === col(ik) }
+      .foldLeft(
         col("__gr_pbucket") === col("__gr_ibucket") &&
-          col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))
-      .drop("__gr_pbucket", "__gr_ibucket")
+          col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))(_ && _)
+    p.join(i, cond).drop("__gr_pbucket", "__gr_ibucket")
   }
 }

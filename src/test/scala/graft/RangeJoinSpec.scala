@@ -68,6 +68,25 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 10L)))
   }
 
+  test("keyed variant: parity with the naive key+range join, pair-exact") {
+    val kWindows = events
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("w_user"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 6 HOURS")).as("w_end"))
+    val kPoints = events.select(col("event_id"), col("user_id"), col("ts"))
+    val got = RangeJoin.intervalJoinKeyed(
+        kPoints, "ts", Seq("user_id"),
+        kWindows, "w_start", "w_end", Seq("w_user"), 21600L)
+      .select("event_id", "w_start")
+    val naive = kPoints.join(
+        kWindows,
+        col("user_id") === col("w_user") &&
+          col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("event_id", "w_start")
+    assert(got.count() > 0)
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
   test("rejects overlapping column names") {
     val e = intercept[IllegalArgumentException] {
       RangeJoin.intervalJoin(points, "ts",
