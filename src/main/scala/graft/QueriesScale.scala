@@ -218,7 +218,52 @@ WHERE rn <= 10"""))
        CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
 FROM documents"""))
 
+  /** Gap-fill + LOCF resample (Snowflake GENERATOR + LAG IGNORE NULLS;
+    * TimescaleDB time_bucket_gapfill): every (user, day) on a complete
+    * daily spine, missing days carrying the last observed value
+    * forward. Scale shape: the spine is |users| × |days| built from a
+    * broadcast one-row bounds frame (no driver action), the
+    * observation join is keyed on (user, day), and the fill is a
+    * PARTITIONED running window — per-user state, never a global
+    * sort. Leading days before a user's first observation stay null,
+    * exactly like the SQL form — the oracle pins all of it. */
+  private val gapFill = Q(
+    "q_gap_fill",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = ViewingData.table(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      val daily = ev.groupBy("user_id", "day").agg(max("value").as("v"))
+      val bounds = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val spine = ev.select("user_id").distinct()
+        .crossJoin(bounds) // one-row frame — broadcast fan-out, no shuffle
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"))).as("day"))
+      val w = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(
+          col("user_id"),
+          col("day").cast("string").as("day"),
+          round(last(col("v"), ignoreNulls = true).over(w), 2).as("value_filled"))
+    },
+    Some("""WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS v
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events),
+spine AS (
+  SELECT u.user_id, CAST(gs.day AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM bounds) gs)
+SELECT s.user_id, CAST(s.day AS VARCHAR) AS day,
+       ROUND(LAST_VALUE(d.v IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value_filled
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day"""))
+
   val all: Seq[Q] =
     Seq(rangeJoin, rangeJoinKeyed, topkAgg, heavyHitters, slidingReach,
-      sampleReservoir, globalIndex)
+      sampleReservoir, globalIndex, gapFill)
 }
