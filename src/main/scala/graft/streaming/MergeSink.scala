@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 import graft.operators.IncrementalMerge
 
@@ -212,6 +212,37 @@ object MergeSink {
     val staged = graft.sources.LakeWriter.stagingPath(bitmapPath)
     merged.write.mode(SaveMode.Overwrite).parquet(staged)
     graft.sources.LakeWriter.publish(spark, staged, bitmapPath)
+  }
+
+  /** Streaming heavy-hitter maintenance: each micro-batch folds its
+    * rows into ONE frequent-items sketch per group
+    * (`approx_top_k_accumulate` — the same DataSketches summary as
+    * q_heavy_hitters) and lands it under `batch_id=<id>/`. Frequency
+    * sketches are NOT idempotent under replay (re-adding doubles
+    * counts — unlike the bitmap sink's OR), so exactly-once comes from
+    * the LAYOUT instead: a replayed batch overwrites its own batch_id
+    * partition and every other batch's sketches are untouched.
+    * [[topKFromSketches]] answers "top k per group, all time" (or any
+    * batch range — filter batch_id) by combining sketches: per-group
+    * state is O(sketch) per batch, and no raw row is ever re-read. */
+  def sketchTopKParquet(sketchPath: String, groupCols: Seq[String],
+      itemCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    batch.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"approx_top_k_accumulate($itemCol)").as("sk"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$sketchPath/batch_id=$batchId")
+  }
+
+  /** Top-k per group from [[sketchTopKParquet]]'s sketch table. */
+  def topKFromSketches(spark: SparkSession, sketchPath: String,
+      groupCols: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    spark.read.option("basePath", sketchPath).parquet(sketchPath)
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(s"approx_top_k_estimate(approx_top_k_combine(sk), $k)").as("top"))
+      .select(groupCols.map(col) :+ explode(col("top")).as("hit"): _*)
+      .select(groupCols.map(col) :+ col("hit.item") :+ col("hit.count"): _*)
   }
 
   /** Streaming maintenance of an aggregated rollup (reference:
