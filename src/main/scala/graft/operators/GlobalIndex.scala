@@ -46,7 +46,11 @@ object GlobalIndex {
       // sample-based range boundaries from re-computation)
       .localCheckpoint()
     val counts = arranged.rdd
-      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .mapPartitionsWithIndex { case (i, it) =>
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 } // long-safe, no Int size
+        Iterator((i, n))
+      }
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
     val schema = StructType(df.schema.fields :+ StructField(idCol, LongType, nullable = false))

@@ -34,6 +34,11 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Ceiling on the explode factor of one interval — see the guard in
+    * [[intervalJoinKeyed]]. Generous: a correctly sized bucket gives
+    * 2-3 buckets per interval. */
+  val maxBucketsPerInterval = 10000L
+
   /** Joins `points` to `intervals` where
     * `points(pointTime) ∈ [intervals(startCol), intervals(endCol))`.
     *
@@ -81,11 +86,21 @@ object RangeJoin {
     // integer-second bucketing may cover one bucket past a
     // fractional-second end bound — a false CANDIDATE only, removed by
     // the residual predicate below
-    val i = intervals.withColumn(
-      "__gr_ibucket",
-      explode(sequence(
-        floor(col(startCol).cast("long") / b),
-        floor(col(endCol).cast("long") / b))))
+    // a single interval spanning vastly more buckets than intended is
+    // a misconfiguration that would silently explode the build side
+    // (a year-long interval at 60 s buckets = 525 600 rows) — fail
+    // loudly with the knob to turn instead
+    val loB = floor(col(startCol).cast("long") / b)
+    val hiB = floor(col(endCol).cast("long") / b)
+    val guarded = when(
+      hiB - loB > lit(maxBucketsPerInterval),
+      raise_error(concat(
+        lit(s"intervalJoin: an interval spans more than $maxBucketsPerInterval " +
+          s"buckets of $bucketSeconds s — raise bucketSeconds toward the " +
+          "typical interval length ("), col(startCol).cast("string"),
+        lit(" .. "), col(endCol).cast("string"), lit(")"))))
+      .otherwise(sequence(loB, hiB))
+    val i = intervals.withColumn("__gr_ibucket", explode(guarded))
     val cond = pointKeys.zip(intervalKeys)
       .map { case (pk, ik) => col(pk) === col(ik) }
       .foldLeft(

@@ -148,6 +148,9 @@ object StatsIndex {
     val pred = col(c) >= lit(lo) && col(c) <= lit(hi)
     if (files.isEmpty)
       spark.read.parquet(table).filter(lit(false))
-    else spark.read.parquet(files: _*).filter(pred)
+    // basePath keeps hive partition columns in the schema when the
+    // table is directory-partitioned (an explicit file list would
+    // otherwise drop them)
+    else spark.read.option("basePath", table).parquet(files: _*).filter(pred)
   }
 }

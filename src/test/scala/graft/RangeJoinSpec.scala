@@ -87,6 +87,22 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
   }
 
+  test("explode guard: an interval spanning > maxBucketsPerInterval buckets fails loudly") {
+    import spark.implicits._
+    val p = Seq((1L, 100L)).toDF("pid", "sec")
+      .select(col("pid"), timestamp_seconds(col("sec")).as("pt"))
+    val yearLong = Seq((10L, 0L, 365L * 86400)).toDF("iid", "s", "e")
+      .select(col("iid"), timestamp_seconds(col("s")).as("ws"),
+        timestamp_seconds(col("e")).as("we"))
+    val err = intercept[Exception] {
+      RangeJoin.intervalJoin(p, "pt", yearLong, "ws", "we", 60L).collect()
+    }
+    assert(err.getMessage.contains("buckets"), err.getMessage)
+    // the same interval with a sane bucket passes
+    val ok = RangeJoin.intervalJoin(p, "pt", yearLong, "ws", "we", 7 * 86400L)
+    assert(ok.count() == 1)
+  }
+
   test("rejects overlapping column names") {
     val e = intercept[IllegalArgumentException] {
       RangeJoin.intervalJoin(points, "ts",

@@ -111,6 +111,22 @@ class StatsIndexSpec extends SparkTestBase {
     StatsIndex.prunedRead(spark, dir, "ts", lo, hi).count() // must not throw
   }
 
+  test("hive-partitioned table: pruned read keeps the partition column") {
+    val dir = Files.createTempDirectory("statsidx").toString + "/events"
+    ViewingData.table(spark, Sf, "events")
+      .withColumn("day", dayofmonth(col("ts")))
+      .repartitionByRange(4, col("value"))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    StatsIndex.build(spark, dir, Seq("value"))
+    val df = StatsIndex.prunedRead(spark, dir, "value", 0.0, 1.0)
+    assert(df.columns.contains("day"),
+      s"partition column must survive the file-list read: ${df.columns.toSeq}")
+    val full = spark.read.parquet(dir).filter(col("value").between(0.0, 1.0))
+    assert(df.count() == full.count() && df.count() > 0)
+    assert(df.agg(sum(col("day"))).head.getLong(0) ==
+      full.agg(sum(col("day"))).head.getLong(0))
+  }
+
   test("numeric column index on the double value column") {
     val dir = Files.createTempDirectory("statsidx").toString + "/events"
     ViewingData.table(spark, Sf, "events")
