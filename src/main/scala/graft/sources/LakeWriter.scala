@@ -83,7 +83,15 @@ object LakeWriter {
     val w = out.write.partitionBy("yyyy", "mm", "dd").mode("overwrite")
     (if (format == "csv") w.option("header", "true") else w)
       .format(format).save(staged)
+    // the swap below replaces the whole directory — including any
+    // stats manifest living inside it — so capture the indexed column
+    // list now and rebuild over the new layout after publishing
+    val idxCols =
+      if (format == "parquet" && StatsIndex.exists(spark, src))
+        StatsIndex.indexedColumns(spark, src)
+      else Seq.empty
     publish(spark, staged, src)
+    if (idxCols.nonEmpty) StatsIndex.build(spark, src, idxCols)
   }
 
   /** Z-ORDER clustering (the OPTIMIZE ZORDER layout): rewrite a table
@@ -133,7 +141,13 @@ object LakeWriter {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(staged)
+    // capture before the swap wipes the old manifest; rebuild over the
+    // new layout (z-order is exactly when the index pays off)
+    val idxCols =
+      if (StatsIndex.exists(spark, path)) StatsIndex.indexedColumns(spark, path)
+      else Seq.empty
     publish(spark, staged, path)
+    if (idxCols.nonEmpty) StatsIndex.build(spark, path, idxCols)
   }
 
   /** Sibling staging location for a full-rewrite-then-swap of `target`.

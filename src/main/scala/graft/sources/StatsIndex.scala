@@ -81,6 +81,28 @@ object StatsIndex {
       .write.mode("overwrite").parquet(statsDir(table))
   }
 
+  /** True when `table` carries a stats manifest. */
+  def exists(spark: SparkSession, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(statsDir(table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The column list a manifest was built over (recovered from its
+    * `<col>__min` schema), so layout jobs can rebuild it without the
+    * caller re-stating the columns. */
+  def indexedColumns(spark: SparkSession, table: String): Seq[String] =
+    spark.read.parquet(statsDir(table)).columns.toSeq
+      .filter(_.endsWith("__min")).map(_.stripSuffix("__min"))
+
+  /** Rebuild the manifest IF one exists — the hook layout jobs
+    * (compaction, z-order: every file is renamed, so incremental
+    * refresh has nothing to salvage) call after publishing, keeping
+    * the index fresh without a separate maintenance pass. Parquet
+    * tables only: [[build]] groups on `_metadata.file_path` over a
+    * parquet scan. */
+  def rebuildIfPresent(spark: SparkSession, table: String): Unit =
+    if (exists(spark, table)) build(spark, table, indexedColumns(spark, table))
+
   /** Incremental manifest maintenance: stats are computed for NEW
     * data files only (those absent from the manifest) and unioned
     * with the existing rows — appending one partition to a 100-TB

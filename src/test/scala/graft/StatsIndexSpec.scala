@@ -127,6 +127,28 @@ class StatsIndexSpec extends SparkTestBase {
       full.agg(sum(col("day"))).head.getLong(0))
   }
 
+  test("z-order rewrite auto-rebuilds an existing manifest over the new layout") {
+    val dir = Files.createTempDirectory("statsidx").toString + "/t"
+    ViewingData.table(spark, Sf, "events")
+      .select("event_id", "user_id", "value", "ts")
+      .write.mode("overwrite").parquet(dir)
+    StatsIndex.build(spark, dir, Seq("value"))
+    graft.sources.LakeWriter.zorderBy(spark, dir, "value", "user_id", nFiles = 4)
+    assert(StatsIndex.exists(spark, dir), "manifest must survive the layout swap")
+    assert(StatsIndex.indexedColumns(spark, dir) == Seq("value"))
+    val manifest = spark.read.parquet(s"$dir/_graft_stats")
+    val liveFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(manifest.count() == liveFiles,
+      s"manifest must describe the POST-rewrite files (${manifest.count()} vs $liveFiles)")
+    // and the index actually prunes on the z-ordered layout
+    val (kept, total) = StatsIndex.pruneFiles(spark, dir, "value", 0.0, 0.5)
+    assert(kept.size < total, s"z-ordered layout must prune: $kept of $total")
+    val got = StatsIndex.prunedRead(spark, dir, "value", 0.0, 0.5).count()
+    val full = spark.read.parquet(dir).filter(col("value").between(0.0, 0.5)).count()
+    assert(got == full && got > 0)
+  }
+
   test("numeric column index on the double value column") {
     val dir = Files.createTempDirectory("statsidx").toString + "/events"
     ViewingData.table(spark, Sf, "events")
