@@ -103,6 +103,37 @@ class RangeJoinSpec extends SparkTestBase {
     assert(ok.count() == 1)
   }
 
+  test("streaming enrichment: interval join runs inside foreachBatch, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rjstream").toString + "/t"
+    // static campaign windows (the growing-table case just re-reads
+    // the windows source per batch — same composition)
+    val iv = Seq((100L, 50L, 150L), (200L, 120L, 260L))
+      .toDF("win_id", "s", "e")
+      .select(col("win_id"), timestamp_seconds(col("s")).as("ws"),
+        timestamp_seconds(col("e")).as("we"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("pid", "sec").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val pts = batch.select(col("pid"), timestamp_seconds(col("sec")).as("pt"))
+        RangeJoin.intervalJoin(pts, "pt", iv, "ws", "we", 60L)
+          .select("pid", "win_id").write.mode("append").parquet(dir)
+      }
+      .start()
+    try {
+      input.addData((1L, 60L), (2L, 10L), (3L, 130L))
+      q.processAllAvailable()
+      input.addData((4L, 250L))
+      q.processAllAvailable()
+      val got = spark.read.parquet(dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // 1 ∈ [50,150); 3 ∈ both windows; 2 in none; 4 ∈ [120,260)
+      assert(got == Set((1L, 100L), (3L, 100L), (3L, 200L), (4L, 200L)))
+    } finally q.stop()
+  }
+
   test("rejects overlapping column names") {
     val e = intercept[IllegalArgumentException] {
       RangeJoin.intervalJoin(points, "ts",
