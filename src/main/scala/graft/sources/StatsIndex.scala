@@ -146,6 +146,61 @@ object StatsIndex {
     merged.coalesce(1).write.mode("overwrite").parquet(dir)
   }
 
+  private def bloomDir(table: String, c: String) = s"$table/_graft_bloom/$c"
+
+  /** Per-file BLOOM index for point lookups — the complement of the
+    * min/max manifest. Range stats prune only when the layout clusters
+    * the column; a high-cardinality key in a hash-laid table spans
+    * every file's [min,max], yet each VALUE still lives in few files.
+    * A per-file bloom (Spark's own `bloom_filter_agg` over
+    * `xxhash64(c)` — the machinery InjectRuntimeFilter plants in
+    * joins) answers "which files might hold id = X" at the driver:
+    * false positives cost one extra file scan, never correctness.
+    * Delta's bloom-filter index is this exact trade. Rebuild after
+    * layout rewrites, like [[build]]. */
+  def buildBloom(spark: SparkSession, table: String, c: String,
+      expectedItemsPerFile: Long = 1L << 20, numBits: Long = 1L << 23): Unit = {
+    graft.plans.GraftExtensions.register(spark)
+    spark.read.parquet(table)
+      .select(col("_metadata.file_path").as("file"), col(c))
+      .groupBy("file")
+      .agg(expr(s"bloom_filter_agg(xxhash64($c), " +
+        s"${expectedItemsPerFile}L, ${numBits}L)").as("bloom"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(bloomDir(table, c))
+  }
+
+  /** Files whose bloom for `c` might contain `value` (+ total count).
+    * `value` must be the column's type — the probe hashes it exactly
+    * as [[buildBloom]] hashed the rows. */
+  def pruneFilesEq(spark: SparkSession, table: String, c: String,
+      value: Any): (Seq[String], Int) = {
+    // the probe happens on the DRIVER: might_contain() only accepts a
+    // constant bloom (it's built for runtime filters), and the
+    // manifest is |files| rows of control plane anyway — deserialize
+    // each sketch and test locally. The probe hash must be the exact
+    // xxhash64 the build aggregated, so compute it with the same
+    // expression.
+    val hash = spark.range(1).select(xxhash64(lit(value))).head.getLong(0)
+    val rows = spark.read.parquet(bloomDir(table, c)).collect()
+    val kept = rows.filter { r =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+        .mightContainLong(hash)
+    }.map(_.getString(0)).toSeq
+    (kept, rows.length)
+  }
+
+  /** Point-lookup scan over only the files that might hold
+    * `c = value`, with the predicate re-applied. */
+  def prunedReadEq(spark: SparkSession, table: String, c: String,
+      value: Any): DataFrame = {
+    val (files, _) = pruneFilesEq(spark, table, c, value)
+    if (files.isEmpty) spark.read.parquet(table).filter(lit(false))
+    else spark.read.option("basePath", table).parquet(files: _*)
+      .filter(col(c) === lit(value))
+  }
+
   /** Data files whose `[min,max]` for `c` intersects `[lo, hi]`,
     * plus the total file count (for observability/specs). */
   def pruneFiles(

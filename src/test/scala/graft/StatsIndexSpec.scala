@@ -149,6 +149,28 @@ class StatsIndexSpec extends SparkTestBase {
     assert(got == full && got > 0)
   }
 
+  test("bloom index: point lookup on a hash-laid key prunes to ~one file") {
+    val dir = Files.createTempDirectory("statsidx").toString + "/events"
+    // hash layout: every file spans the full user range (min/max
+    // stats prune NOTHING here) but each user lives in exactly one file
+    ViewingData.table(spark, Sf, "events")
+      .repartition(8, col("user_id"))
+      .write.mode("overwrite").parquet(dir)
+    StatsIndex.buildBloom(spark, dir, "user_id")
+    val probe = ViewingData.table(spark, Sf, "events")
+      .select("user_id").head.getLong(0)
+    val (kept, total) = StatsIndex.pruneFilesEq(spark, dir, "user_id", probe)
+    assert(total >= 6 && kept.nonEmpty && kept.size <= 2,
+      s"one user lives in one file (+ rare fp), kept ${kept.size}/$total")
+    val got = StatsIndex.prunedReadEq(spark, dir, "user_id", probe).count()
+    val full = spark.read.parquet(dir).filter(col("user_id") === probe).count()
+    assert(got == full && got > 0)
+    // an absent key keeps ~no files and returns an empty frame
+    val (keptAbsent, _) = StatsIndex.pruneFilesEq(spark, dir, "user_id", -12345L)
+    assert(keptAbsent.size <= 1, s"absent key kept ${keptAbsent.size} files")
+    assert(StatsIndex.prunedReadEq(spark, dir, "user_id", -12345L).count() == 0)
+  }
+
   test("numeric column index on the double value column") {
     val dir = Files.createTempDirectory("statsidx").toString + "/events"
     ViewingData.table(spark, Sf, "events")
