@@ -263,7 +263,44 @@ SELECT s.user_id, CAST(s.day AS VARCHAR) AS day,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS value_filled
 FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day"""))
 
+  /** Row-pattern matching (Snowflake MATCH_RECOGNIZE, the funnel
+    * family's general form): each user's event-type sequence — ordered
+    * by (ts, event_id), one char per event — matched against a regex
+    * (`s[cv]*p`: signup, any clicks/views, purchase, CONTIGUOUS — the
+    * adjacency no join/funnel count can express). Scale shape: ONE
+    * per-user shuffle; the packed sequence is bytes-per-event × events
+    * per user (the same per-entity bound q_funnel documents, with the
+    * same mitigation ladder), and the regex runs at scan speed on the
+    * aggregated rows. Non-overlapping greedy match counts agree
+    * between Java regex and DuckDB's RE2 for this pattern class —
+    * which the hash-matching oracle proves, per user. */
+  private val matchRecognize = Q(
+    "q_match_recognize",
+    (s, dir) =>
+      ViewingData.table(s, dir, "events")
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(
+            sort_array(collect_list(struct(
+              col("ts"), col("event_id"),
+              substring(col("event_type"), 1, 1).as("c")))),
+            x => x.getField("c")),
+          "").as("seq"))
+        .select(
+          col("user_id"),
+          regexp_count(col("seq"), lit("s[cv]*p")).cast("long").as("n_matches"),
+          (regexp_count(col("seq"), lit("s[cv]*p")) > 0).cast("long").as("matched")),
+    Some("""WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY 1)
+SELECT user_id,
+       CAST(len(regexp_extract_all(s, 's[cv]*p')) AS BIGINT) AS n_matches,
+       CAST(CASE WHEN regexp_matches(s, 's[cv]*p') THEN 1 ELSE 0 END
+            AS BIGINT) AS matched
+FROM seq"""))
+
   val all: Seq[Q] =
     Seq(rangeJoin, rangeJoinKeyed, topkAgg, heavyHitters, slidingReach,
-      sampleReservoir, globalIndex, gapFill)
+      sampleReservoir, globalIndex, gapFill, matchRecognize)
 }
