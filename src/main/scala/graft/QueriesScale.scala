@@ -233,9 +233,12 @@ FROM documents"""))
       import org.apache.spark.sql.expressions.Window
       val ev = ViewingData.table(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      // ONE events scan: users and bounds derive from the (tiny)
+      // daily aggregate, not from re-reads of the fact table
       val daily = ev.groupBy("user_id", "day").agg(max("value").as("v"))
-      val bounds = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
-      val spine = ev.select("user_id").distinct()
+        .localCheckpoint()
+      val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val spine = daily.select("user_id").distinct()
         .crossJoin(bounds) // one-row frame — broadcast fan-out, no shuffle
         .select(col("user_id"),
           explode(sequence(col("lo"), col("hi"))).as("day"))

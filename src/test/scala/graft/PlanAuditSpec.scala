@@ -198,6 +198,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("bitmap_or_count"), p)
   }
 
+  test("q_gap_fill scans events once: spine + fill consume the checkpointed daily agg") {
+    val p = plan("q_gap_fill")
+    assert(!p.contains("events.parquet"),
+      s"users/bounds/daily must all derive from ONE events read:\n$p")
+  }
+
+  test("q_match_recognize packs sequences on one per-user exchange") {
+    val p = plan("q_match_recognize")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one user exchange, got $exchanges:\n$p")
+  }
+
   test("q_sample_reservoir pre-aggregates the draw map-side — no window sort of all rows") {
     val p = plan("q_sample_reservoir")
     assert(p.contains("partial_topk_by"),
