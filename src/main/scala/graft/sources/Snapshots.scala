@@ -127,6 +127,15 @@ object Snapshots {
       .unionByName(from.exceptAll(to).withColumn("__op", lit("delete")))
   }
 
+  /** Snowflake `AT`-clause restore: re-commits `version`'s content as
+    * the NEW latest version. History stays append-only — the bad
+    * versions remain pinned and auditable (vacuum retires them later),
+    * readers mid-flight on them are untouched, and the rollback is
+    * itself a version that can be rolled back. Returns the new
+    * version number. */
+  def rollbackTo(spark: SparkSession, root: String, version: Long): Long =
+    commit(readVersion(spark, root, version), root)
+
   /** Drops versions older than the newest `keep`, never the manifest's
     * current version, plus any unreferenced crash leftovers beyond it. */
   def vacuum(spark: SparkSession, root: String, keep: Int): Seq[Long] = {

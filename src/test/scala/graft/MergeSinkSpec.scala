@@ -280,4 +280,37 @@ class MergeSinkSpec extends SparkTestBase {
       assert(after == expectedAfter, s"got $after")
     } finally q.stop()
   }
+
+  test("streamed daily bitmaps answer SLIDING reach without re-reading events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.register(spark)
+    val target = Files.createTempDirectory("bmslide").toString + "/t"
+    val input = MemoryStream[(String, Long)]
+    val q = input.toDF().toDF("day", "uid").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(MergeSink.bitmapReachParquet(target, Seq("day"), "uid") _)
+      .start()
+    try {
+      // three "days" across two micro-batches, overlapping users
+      input.addData(("d1", 1L), ("d1", 2L), ("d2", 2L), ("d2", 3L))
+      q.processAllAvailable()
+      input.addData(("d3", 3L), ("d3", 4L), ("d1", 5L))
+      q.processAllAvailable()
+      // 2-day sliding reach from the STORED bitmaps alone (the
+      // q_sliding_reach day->window explode, one bitmap_or per window)
+      val daily = spark.read.parquet(target)
+      val win = daily.select(col("day").as("win"), col("bm"))
+        .unionByName(daily
+          .withColumn("win", concat(lit("d"),
+            (substring(col("day"), 2, 1).cast("int") + 1).cast("string")))
+          .filter(col("win").isin("d2", "d3"))
+          .select(col("win"), col("bm")))
+        .groupBy("win").agg(expr("bitmap_or_count(bm)").as("reach"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // d1={1,2,5}; d2=d1∪{2,3}={1,2,3,5}; d3={2,3}∪{3,4}={2,3,4}
+      assert(win == Map("d1" -> 3L, "d2" -> 4L, "d3" -> 3L), s"got $win")
+    } finally q.stop()
+  }
 }

@@ -83,4 +83,19 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.read(spark, root).as[Long].head() == 4L)
     intercept[Exception] { Snapshots.readVersion(spark, root, 1L).collect() }
   }
+
+  test("rollbackTo restores old content as a NEW version; history stays append-only") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snaprb").toString + "/t"
+    Snapshots.commit(Seq(1L, 2L).toDF("v"), root)   // v1 good
+    Snapshots.commit(Seq(9L, 9L, 9L).toDF("v"), root) // v2 bad load
+    val restored = Snapshots.rollbackTo(spark, root, 1L)
+    assert(restored == 3L, "rollback commits forward, never rewrites history")
+    assert(Snapshots.read(spark, root).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // the bad version stays pinned and auditable
+    assert(Snapshots.readVersion(spark, root, 2L).count() == 3)
+    // the rollback is itself roll-back-able
+    assert(Snapshots.rollbackTo(spark, root, 2L) == 4L)
+    assert(Snapshots.read(spark, root).count() == 3)
+  }
 }
