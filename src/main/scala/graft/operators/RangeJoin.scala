@@ -60,6 +60,32 @@ object RangeJoin {
     intervalJoinKeyed(points, pointTime, Seq.empty,
       intervals, startCol, endCol, Seq.empty, bucketSeconds)
 
+  /** [[intervalJoin]] with the bucket width DERIVED from the data: the
+    * median interval length (one tiny aggregate over the interval
+    * side, driver control-plane scalar), rounded up to a power of two
+    * so repeated runs over drifting data reuse stable widths. Use when
+    * the caller can't know the interval profile up front; pass an
+    * explicit `bucketSeconds` when they can. */
+  def intervalJoinAuto(
+      points: DataFrame,
+      pointTime: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String): DataFrame = {
+    val med = intervals
+      .filter(col(startCol) < col(endCol))
+      .agg(percentile_approx(
+        col(endCol).cast("long") - col(startCol).cast("long"),
+        lit(0.5), lit(1000)))
+      .head()
+    val m = if (med.isNullAt(0)) 1L else math.max(1L, med.getLong(0))
+    val bucket = java.lang.Long.highestOneBit(m) match {
+      case h if h == m => m
+      case h           => h << 1 // round UP to the next power of two
+    }
+    intervalJoin(points, pointTime, intervals, startCol, endCol, bucket)
+  }
+
   /** [[intervalJoin]] with equality keys alongside the range — "events
     * inside windows OF THE SAME user" (the panel-window enrichment
     * shape). The keys join the bucket in the shuffle key, so hotness
@@ -83,6 +109,9 @@ object RangeJoin {
       s"point/interval column names must be disjoint (rename: ${overlap.mkString(", ")})")
     val b = lit(bucketSeconds)
     val p = points.withColumn("__gr_pbucket", floor(col(pointTime).cast("long") / b))
+    // s >= e matches nothing by definition — drop such intervals here
+    // instead of exploding candidates the residual filter would discard
+    val validIntervals = intervals.filter(col(startCol) < col(endCol))
     // integer-second bucketing may cover one bucket past a
     // fractional-second end bound — a false CANDIDATE only, removed by
     // the residual predicate below
@@ -100,7 +129,7 @@ object RangeJoin {
           "typical interval length ("), col(startCol).cast("string"),
         lit(" .. "), col(endCol).cast("string"), lit(")"))))
       .otherwise(sequence(loB, hiB))
-    val i = intervals.withColumn("__gr_ibucket", explode(guarded))
+    val i = validIntervals.withColumn("__gr_ibucket", explode(guarded))
     val cond = pointKeys.zip(intervalKeys)
       .map { case (pk, ik) => col(pk) === col(ik) }
       .foldLeft(

@@ -134,6 +134,25 @@ class RangeJoinSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("auto bucket: derived width matches the manual result; degenerate intervals drop") {
+    import spark.implicits._
+    val manual = RangeJoin.intervalJoin(points, "ts", windows, "w_start", "w_end", 1800L)
+      .count()
+    val auto = RangeJoin.intervalJoinAuto(points, "ts", windows, "w_start", "w_end")
+      .count()
+    assert(auto == manual && auto > 0)
+    // s >= e intervals match nothing and must not blow up the explode
+    val degenerate = Seq((1L, 100L, 100L), (2L, 200L, 50L))
+      .toDF("iid", "s", "e")
+      .select(col("iid"), timestamp_seconds(col("s")).as("ws"),
+        timestamp_seconds(col("e")).as("we"))
+    assert(RangeJoin.intervalJoin(points, "ts", degenerate, "ws", "we", 60L)
+      .count() == 0)
+    // all-degenerate intervals: auto still works (falls back to 1 s)
+    assert(RangeJoin.intervalJoinAuto(points, "ts", degenerate, "ws", "we")
+      .count() == 0)
+  }
+
   test("rejects overlapping column names") {
     val e = intercept[IllegalArgumentException] {
       RangeJoin.intervalJoin(points, "ts",
