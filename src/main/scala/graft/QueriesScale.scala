@@ -303,7 +303,78 @@ SELECT user_id,
             AS BIGINT) AS matched
 FROM seq"""))
 
+  /** TPC-H Q3-shaped selective 3-way star join: the filters are
+    * declared on each input and MUST reach the scans (pushdown), the
+    * filtered customer dim should broadcast, and the fact join keys
+    * drive the only shuffles. A multi-join left declarative so
+    * Catalyst's reorder + broadcast thresholds do their job — the
+    * plan shape every BI query at 100 TB reduces to. */
+  private val starJoin3 = Q(
+    "q_star_join3",
+    (s, dir) =>
+      ViewingData.table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .join(ViewingData.table(s, dir, "orders")
+          .filter(col("o_orderdate") < expr("TIMESTAMP'1998-01-01 00:00:00'")),
+          col("c_custkey") === col("o_custkey"))
+        .join(ViewingData.table(s, dir, "lineitem")
+          .filter(col("l_shipdate") > expr("TIMESTAMP'1996-01-01 00:00:00'")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("string").as("odate"),
+          col("o_orderpriority"))
+        // floor-per-row BEFORE the sum: the per-row product is one
+        // IEEE op (identical in both engines); the integral sum is
+        // then order-independent — no last-cent rounding flips across
+        // thousands of groups (the repo's integral-measure rule)
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("long").as("revenue")),
+    Some("""SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS odate,
+       o_orderpriority,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT))
+            AS BIGINT) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY 1, 2, 3"""))
+
+  /** TPC-H Q5-shaped 6-way join (region→nation→customer→orders→
+    * lineitem→supplier, with the supplier-nation = customer-nation
+    * local-supply condition): the enum dims chain into broadcasts,
+    * the two fact-sized tables meet on their join key once. Catalyst
+    * must compose five joins without a cartesian and keep every dim
+    * off the shuffle path — pinned in PlanAuditSpec. */
+  private val starJoin6 = Q(
+    "q_star_join6",
+    (s, dir) =>
+      ViewingData.table(s, dir, "region")
+        .join(ViewingData.table(s, dir, "nation"),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(ViewingData.table(s, dir, "customer"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(ViewingData.table(s, dir, "orders"),
+          col("o_custkey") === col("c_custkey"))
+        .join(ViewingData.table(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(ViewingData.table(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("long").as("revenue")),
+    Some("""SELECT r_name, n_name,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)) AS BIGINT))
+            AS BIGINT) AS revenue
+FROM region JOIN nation ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+GROUP BY 1, 2"""))
+
   val all: Seq[Q] =
     Seq(rangeJoin, rangeJoinKeyed, topkAgg, heavyHitters, slidingReach,
-      sampleReservoir, globalIndex, gapFill, matchRecognize)
+      sampleReservoir, globalIndex, gapFill, matchRecognize, starJoin3,
+      starJoin6)
 }

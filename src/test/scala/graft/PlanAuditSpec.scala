@@ -198,6 +198,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("bitmap_or_count"), p)
   }
 
+  test("q_star_join6 keeps all dims broadcast — no cartesian, one fact-key shuffle pair") {
+    val p = plan("q_star_join6")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"six-way star join must stay equi-join only:\n$p")
+    val bcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bcasts >= 3, s"region/nation/supplier (+customer) should broadcast, got $bcasts:\n$p")
+    // the only hash exchanges allowed are the orders↔lineitem fact
+    // keys (shuffle join at scale; at this SF they broadcast too) and
+    // the final group-by — never a dim key
+    val allowed =
+      "Exchange hashpartitioning\\((l_orderkey|o_orderkey|r_name)".r.findAllIn(p).size
+    val allExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(allExchanges == allowed,
+      s"no dim-key shuffles expected:\n$p")
+  }
+
+  test("q_star_join3 pushes all three filters into their scans") {
+    val p = plan("q_star_join3")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)") ||
+      p.contains("EqualTo(c_mktsegment,BUILDING)"), s"segment filter must reach the scan:\n$p")
+    assert(p.contains("LessThan(o_orderdate") && p.contains("GreaterThan(l_shipdate"),
+      s"date filters must reach the scans:\n$p")
+  }
+
   test("q_gap_fill scans events once: spine + fill consume the checkpointed daily agg") {
     val p = plan("q_gap_fill")
     assert(!p.contains("events.parquet"),
