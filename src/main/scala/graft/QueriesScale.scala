@@ -373,8 +373,69 @@ JOIN lineitem ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
 GROUP BY 1, 2"""))
 
+  /** Window DISTRIBUTION functions: percent_rank / cume_dist / ntile
+    * alignment across engines (deterministic under the unique
+    * (o_totalprice, o_orderkey) order). Rounds the two ratios — they
+    * are exact k/n rationals in both engines, rounding only normalizes
+    * the decimal print. */
+  private val windowDist = Q(
+    "q_window_dist",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      ViewingData.table(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0) // small deterministic slice
+        .select(
+          col("o_orderkey"),
+          col("o_orderpriority"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"))
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM orders
+WHERE o_orderkey % 100 = 0
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)"""))
+
+  /** Schema-evolution UNION (`unionByName(allowMissingColumns)` ≡
+    * DuckDB `UNION ALL BY NAME`): the v1 feed lacks columns the v2
+    * feed added — absent columns fill with NULL, names align by NAME
+    * not position. The everyday shape of reading a feed across a
+    * schema migration. */
+  private val unionEvolve = Q(
+    "q_union_evolve",
+    (s, dir) => {
+      val v1 = ViewingData.table(s, dir, "events")
+        .filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("event_type"))
+      val v2 = ViewingData.table(s, dir, "events")
+        .filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("event_type"),
+          col("value"), col("user_id"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("value")).as("n_with_value"),
+          round(sum(col("value")), 2).as("value_sum"))
+    },
+    Some("""WITH unioned AS (
+  SELECT event_id, event_type FROM events WHERE event_id % 2 = 0
+  UNION ALL BY NAME
+  SELECT event_id, event_type, value, user_id FROM events
+  WHERE event_id % 2 = 1)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(value) AS BIGINT) AS n_with_value,
+       ROUND(SUM(value), 2) AS value_sum
+FROM unioned GROUP BY 1"""))
+
   val all: Seq[Q] =
     Seq(rangeJoin, rangeJoinKeyed, topkAgg, heavyHitters, slidingReach,
       sampleReservoir, globalIndex, gapFill, matchRecognize, starJoin3,
-      starJoin6)
+      starJoin6, windowDist, unionEvolve)
 }
