@@ -149,4 +149,24 @@ class RawLoaderSpec extends SparkTestBase {
       .select("id").as[Long].collect()
     assert(out.toSeq == Seq(2L))
   }
+
+  test("schema evolution: widened feed reads old+new files, absent columns null") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString + "/feed"
+    // v1 era: two columns
+    Seq((1L, "a"), (2L, "b")).toDF("id", "kind")
+      .write.mode("append").parquet(dir)
+    // v2 era: a score column appears
+    Seq((3L, "c", 0.5), (4L, "d", 0.9)).toDF("id", "kind", "score")
+      .write.mode("append").parquet(dir)
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.sorted.toSeq == Seq("id", "kind", "score"))
+    val rows = df.orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toSeq
+    assert(rows == Seq(1L -> None, 2L -> None, 3L -> Some(0.5), 4L -> Some(0.9)),
+      s"old files must surface null for the new column: $rows")
+    // without mergeSchema, footer sampling may miss the new column —
+    // the option is the contract, pin that the narrow read still works
+    assert(spark.read.parquet(dir).count() == 4)
+  }
 }
