@@ -45,7 +45,11 @@ object GlobalIndex {
       // in both (localCheckpoint also severs the nondeterministic
       // sample-based range boundaries from re-computation)
       .localCheckpoint()
-    val counts = arranged.rdd
+    // count on the INTERNAL row iterator (queryExecution.toRdd): no
+    // Catalyst->Row deserialization just to count — the numbering pass
+    // below pays that conversion once, where it's genuinely needed to
+    // emit the widened rows through the public createDataFrame API
+    val counts = arranged.queryExecution.toRdd
       .mapPartitionsWithIndex { case (i, it) =>
         var n = 0L
         while (it.hasNext) { it.next(); n += 1 } // long-safe, no Int size

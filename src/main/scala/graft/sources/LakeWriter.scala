@@ -84,14 +84,13 @@ object LakeWriter {
     (if (format == "csv") w.option("header", "true") else w)
       .format(format).save(staged)
     // the swap below replaces the whole directory — including any
-    // stats manifest living inside it — so capture the indexed column
-    // list now and rebuild over the new layout after publishing
-    val idxCols =
-      if (format == "parquet" && StatsIndex.exists(spark, src))
-        StatsIndex.indexedColumns(spark, src)
-      else Seq.empty
+    // stats/bloom index living inside it — so capture what's indexed
+    // now and rebuild over the new layout after publishing
+    val idx =
+      if (format == "parquet") StatsIndex.captureIndexes(spark, src)
+      else StatsIndex.IndexSpec(Seq.empty, Seq.empty)
     publish(spark, staged, src)
-    if (idxCols.nonEmpty) StatsIndex.build(spark, src, idxCols)
+    if (!idx.isEmpty) StatsIndex.rebuildIndexes(spark, src, idx)
   }
 
   /** Z-ORDER clustering (the OPTIMIZE ZORDER layout): rewrite a table
@@ -141,13 +140,11 @@ object LakeWriter {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(staged)
-    // capture before the swap wipes the old manifest; rebuild over the
-    // new layout (z-order is exactly when the index pays off)
-    val idxCols =
-      if (StatsIndex.exists(spark, path)) StatsIndex.indexedColumns(spark, path)
-      else Seq.empty
+    // capture before the swap wipes the old indexes; rebuild over the
+    // new layout (z-order is exactly when they pay off)
+    val idx = StatsIndex.captureIndexes(spark, path)
     publish(spark, staged, path)
-    if (idxCols.nonEmpty) StatsIndex.build(spark, path, idxCols)
+    if (!idx.isEmpty) StatsIndex.rebuildIndexes(spark, path, idx)
   }
 
   /** Sibling staging location for a full-rewrite-then-swap of `target`.

@@ -73,12 +73,23 @@ object StatsIndex {
     val aggs = cols.flatMap { c =>
       Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))
     }
-    spark.read.parquet(table)
-      .select(col("_metadata.file_path").as("file"), col("*"))
-      .groupBy("file")
-      .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(statsDir(table))
+    writeManifest(spark,
+      spark.read.parquet(table)
+        .select(col("_metadata.file_path").as("file"), col("*"))
+        .groupBy("file")
+        .agg(aggs.head, aggs.tail: _*),
+      statsDir(table))
+  }
+
+  /** Staged-write-then-swap for every manifest flavor: a concurrent
+    * pruned read never sees a half-written (or deleted-and-not-yet-
+    * rewritten) index, and a crash mid-write keeps the previous one —
+    * the same contract [[LakeWriter.publish]] gives data directories. */
+  private def writeManifest(spark: SparkSession, df: DataFrame,
+      dir: String): Unit = {
+    val staged = LakeWriter.stagingPath(dir)
+    df.coalesce(1).write.mode("overwrite").parquet(staged)
+    LakeWriter.publish(spark, staged, dir)
   }
 
   /** True when `table` carries a stats manifest. */
@@ -94,14 +105,36 @@ object StatsIndex {
     spark.read.parquet(statsDir(table)).columns.toSeq
       .filter(_.endsWith("__min")).map(_.stripSuffix("__min"))
 
-  /** Rebuild the manifest IF one exists — the hook layout jobs
-    * (compaction, z-order: every file is renamed, so incremental
-    * refresh has nothing to salvage) call after publishing, keeping
-    * the index fresh without a separate maintenance pass. Parquet
-    * tables only: [[build]] groups on `_metadata.file_path` over a
-    * parquet scan. */
-  def rebuildIfPresent(spark: SparkSession, table: String): Unit =
-    if (exists(spark, table)) build(spark, table, indexedColumns(spark, table))
+  /** What layout jobs must capture BEFORE their directory swap (the
+    * swap deletes every index living inside the table): the min/max
+    * column list and the bloom column list. */
+  case class IndexSpec(statsCols: Seq[String], bloomCols: Seq[String]) {
+    def isEmpty: Boolean = statsCols.isEmpty && bloomCols.isEmpty
+  }
+
+  /** Pre-swap capture for [[rebuildIndexes]]. */
+  def captureIndexes(spark: SparkSession, table: String): IndexSpec =
+    IndexSpec(
+      if (exists(spark, table)) indexedColumns(spark, table) else Seq.empty,
+      bloomColumns(spark, table))
+
+  /** Post-swap rebuild of everything [[captureIndexes]] saw — every
+    * file was renamed by the rewrite, so incremental refresh has
+    * nothing to salvage and a full rebuild is the correct (and only)
+    * move. */
+  def rebuildIndexes(spark: SparkSession, table: String,
+      spec: IndexSpec): Unit = {
+    if (spec.statsCols.nonEmpty) build(spark, table, spec.statsCols)
+    spec.bloomCols.foreach(c => buildBloom(spark, table, c))
+  }
+
+  /** Columns carrying a bloom index (subdirectories of _graft_bloom). */
+  def bloomColumns(spark: SparkSession, table: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$table/_graft_bloom")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
 
   /** Incremental manifest maintenance: stats are computed for NEW
     * data files only (those absent from the manifest) and unioned
@@ -139,11 +172,13 @@ object StatsIndex {
     val merged =
       if (newFiles.isEmpty) keep
       else keep.unionByName(
-        spark.read.parquet(newFiles: _*)
+        // basePath keeps hive partition columns resolvable when the
+        // index covers one (a date-partitioned table indexing its date)
+        spark.read.option("basePath", table).parquet(newFiles: _*)
           .select(col("_metadata.file_path").as("file"), col("*"))
           .groupBy("file")
           .agg(aggs.head, aggs.tail: _*))
-    merged.coalesce(1).write.mode("overwrite").parquet(dir)
+    writeManifest(spark, merged, dir)
   }
 
   private def bloomDir(table: String, c: String) = s"$table/_graft_bloom/$c"
@@ -161,13 +196,13 @@ object StatsIndex {
   def buildBloom(spark: SparkSession, table: String, c: String,
       expectedItemsPerFile: Long = 1L << 20, numBits: Long = 1L << 23): Unit = {
     graft.plans.GraftExtensions.register(spark)
-    spark.read.parquet(table)
-      .select(col("_metadata.file_path").as("file"), col(c))
-      .groupBy("file")
-      .agg(expr(s"bloom_filter_agg(xxhash64($c), " +
-        s"${expectedItemsPerFile}L, ${numBits}L)").as("bloom"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(bloomDir(table, c))
+    writeManifest(spark,
+      spark.read.parquet(table)
+        .select(col("_metadata.file_path").as("file"), col(c))
+        .groupBy("file")
+        .agg(expr(s"bloom_filter_agg(xxhash64($c), " +
+          s"${expectedItemsPerFile}L, ${numBits}L)").as("bloom")),
+      bloomDir(table, c))
   }
 
   /** Files whose bloom for `c` might contain `value` (+ total count).

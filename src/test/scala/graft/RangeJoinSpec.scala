@@ -42,9 +42,7 @@ class RangeJoinSpec extends SparkTestBase {
   }
 
   test("plan is an equi-join: no nested loop / cartesian even without broadcast") {
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val plan = RangeJoin
         .intervalJoin(points, "ts", windows, "w_start", "w_end", 1800L)
         .queryExecution.executedPlan.toString
@@ -52,7 +50,7 @@ class RangeJoinSpec extends SparkTestBase {
         s"range join must plan as an equi-join:\n$plan")
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
         s"expected a shuffled equi-join with broadcast off:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
   }
 
   test("null times and null bounds match nothing (naive-join semantics)") {

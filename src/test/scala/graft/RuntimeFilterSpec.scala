@@ -15,16 +15,6 @@ import org.apache.spark.sql.Row
   */
 class RuntimeFilterSpec extends SparkTestBase {
 
-  private def withConfs[T](pairs: (String, String)*)(f: => T): T = {
-    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   private def keyed(rows: Array[Row]): Map[(String, String), (Long, Long, Double)] =
     rows.map(r => (r.getString(0), r.getString(1)) ->
       (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap

@@ -24,14 +24,23 @@ abstract class SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.spark
   val Sf = "/root/testdata/sf0.001"
 
+  /** Run `f` with session confs overridden, ALWAYS restored — the
+    * session is shared across every suite, so a leaked conf would
+    * silently poison later tests. */
+  def withConfs[T](pairs: (String, String)*)(f: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Run `f` with janino fallback disabled: a whole-stage-codegen
     * compile error THROWS instead of silently dropping to interpreted
     * execution (the plan string still shows the starred span on
     * fallback, so only this catches a broken doConsume). */
-  def withStrictCodegen[T](f: => T): T = {
-    val key = "spark.sql.codegen.fallback"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try f finally spark.conf.set(key, prev)
-  }
+  def withStrictCodegen[T](f: => T): T =
+    withConfs("spark.sql.codegen.fallback" -> "false")(f)
 }

@@ -171,6 +171,42 @@ class StatsIndexSpec extends SparkTestBase {
     assert(StatsIndex.prunedReadEq(spark, dir, "user_id", -12345L).count() == 0)
   }
 
+  test("refresh on a hive-partitioned table indexing its partition column") {
+    val dir = Files.createTempDirectory("statsidx").toString + "/events"
+    val ev = ViewingData.table(spark, Sf, "events")
+      .withColumn("day", dayofmonth(col("ts")))
+    ev.filter(col("day") <= 15).write.partitionBy("day").mode("overwrite").parquet(dir)
+    StatsIndex.build(spark, dir, Seq("day", "value"))
+    // a later partition arrives; refresh must resolve 'day' on the
+    // NEW-files-only read (basePath) and index just those files
+    ev.filter(col("day") > 15).write.partitionBy("day").mode("append").parquet(dir)
+    StatsIndex.refresh(spark, dir, Seq("day", "value"))
+    val manifest = spark.read.parquet(s"$dir/_graft_stats")
+    assert(manifest.filter(col("day__min").isNull).count() == 0)
+    val (kept, total) = StatsIndex.pruneFiles(spark, dir, "day", 20, 22)
+    assert(kept.nonEmpty && kept.size < total)
+    val got = StatsIndex.prunedRead(spark, dir, "day", 20, 22).count()
+    val full = spark.read.parquet(dir).filter(col("day").between(20, 22)).count()
+    assert(got == full && got > 0)
+  }
+
+  test("compaction rebuilds BOTH index flavors over the new layout") {
+    val root = Files.createTempDirectory("statsidx").toString
+    val ev = ViewingData.table(spark, Sf, "events")
+    graft.sources.LakeWriter.writeHive(ev, "ts", root, "feed")
+    val dir = s"$root/feed"
+    StatsIndex.build(spark, dir, Seq("value"))
+    StatsIndex.buildBloom(spark, dir, "user_id")
+    graft.sources.LakeWriter.compact(spark, root, "feed", "ts")
+    assert(StatsIndex.exists(spark, dir) &&
+      StatsIndex.bloomColumns(spark, dir) == Seq("user_id"),
+      "both indexes must survive OPTIMIZE")
+    val probe = ev.select("user_id").head.getLong(0)
+    val viaBloom = StatsIndex.prunedReadEq(spark, dir, "user_id", probe).count()
+    val full = spark.read.parquet(dir).filter(col("user_id") === probe).count()
+    assert(viaBloom == full && viaBloom > 0)
+  }
+
   test("numeric column index on the double value column") {
     val dir = Files.createTempDirectory("statsidx").toString + "/events"
     ViewingData.table(spark, Sf, "events")
