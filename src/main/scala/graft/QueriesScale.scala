@@ -434,8 +434,35 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(SUM(value), 2) AS value_sum
 FROM unioned GROUP BY 1"""))
 
+  /** DYNAMIC pivot (Snowflake `PIVOT ... IN (ANY)`) as the production
+    * two-phase plan: phase 1 is one tiny distinct over the pivot
+    * column (driver control-plane — the value list IS schema, it must
+    * reach the driver in any engine); phase 2 is a STATIC pivot over
+    * that list, so the main scan gets the same single-pass
+    * conditional-aggregation plan as q_pivot — no second pass over the
+    * fact table, no per-value jobs. Values are sorted for a
+    * deterministic column order; the oracle states the (data-
+    * deterministic) names explicitly. */
+  private val pivotDynamic = Q(
+    "q_pivot_dynamic",
+    (s, dir) => {
+      val ev = ViewingData.table(s, dir, "events")
+      val values = ev.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      ev.groupBy(to_date(col("ts")).cast("string").as("day"))
+        .pivot("event_type", values)
+        .agg(count(lit(1)))
+    },
+    Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY 1"""))
+
   val all: Seq[Q] =
     Seq(rangeJoin, rangeJoinKeyed, topkAgg, heavyHitters, slidingReach,
       sampleReservoir, globalIndex, gapFill, matchRecognize, starJoin3,
-      starJoin6, windowDist, unionEvolve)
+      starJoin6, windowDist, unionEvolve, pivotDynamic)
 }
