@@ -168,7 +168,11 @@ object StatsIndex {
       Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max"))
     }
     val keepRaw = knownRaw.filter(f => liveNorm.contains(norm(f))).toSeq
-    val keep = known.filter(col("file").isin(keepRaw: _*))
+    // semi-join, not isin: a million-file table would otherwise inline
+    // a million-element In() expression into the plan
+    import spark.implicits._
+    val keep = known.join(
+      spark.createDataset(keepRaw).toDF("file"), Seq("file"), "left_semi")
     val merged =
       if (newFiles.isEmpty) keep
       else keep.unionByName(
