@@ -447,8 +447,10 @@ FROM unioned GROUP BY 1"""))
     "q_pivot_dynamic",
     (s, dir) => {
       val ev = ViewingData.table(s, dir, "events")
+      // null pivot values are dropped (no engine makes a NULL column;
+      // flatMap also keeps .sorted from NPEing on a null element)
       val values = ev.select("event_type").distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
+        .collect().flatMap(r => Option(r.getString(0))).sorted.toSeq
       ev.groupBy(to_date(col("ts")).cast("string").as("day"))
         .pivot("event_type", values)
         .agg(count(lit(1)))

@@ -108,15 +108,23 @@ object StatsIndex {
   /** What layout jobs must capture BEFORE their directory swap (the
     * swap deletes every index living inside the table): the min/max
     * column list and the bloom column list. */
-  case class IndexSpec(statsCols: Seq[String], bloomCols: Seq[String]) {
-    def isEmpty: Boolean = statsCols.isEmpty && bloomCols.isEmpty
+  case class IndexSpec(statsCols: Seq[String],
+      blooms: Seq[(String, Long, Long)]) {
+    def isEmpty: Boolean = statsCols.isEmpty && blooms.isEmpty
   }
 
-  /** Pre-swap capture for [[rebuildIndexes]]. */
+  /** Pre-swap capture for [[rebuildIndexes]]: the min/max column list
+    * plus each bloom's (column, items, bits) — sizing travels with the
+    * index so a layout-job rebuild can't silently shrink a
+    * deliberately oversized filter into a saturated one. */
   def captureIndexes(spark: SparkSession, table: String): IndexSpec =
     IndexSpec(
       if (exists(spark, table)) indexedColumns(spark, table) else Seq.empty,
-      bloomColumns(spark, table))
+      bloomColumns(spark, table).map { c =>
+        val r = spark.read.parquet(bloomDir(table, c))
+          .select("items", "bits").head()
+        (c, r.getLong(0), r.getLong(1))
+      })
 
   /** Post-swap rebuild of everything [[captureIndexes]] saw — every
     * file was renamed by the rewrite, so incremental refresh has
@@ -125,15 +133,19 @@ object StatsIndex {
   def rebuildIndexes(spark: SparkSession, table: String,
       spec: IndexSpec): Unit = {
     if (spec.statsCols.nonEmpty) build(spark, table, spec.statsCols)
-    spec.bloomCols.foreach(c => buildBloom(spark, table, c))
+    spec.blooms.foreach { case (c, items, bits) =>
+      buildBloom(spark, table, c, items, bits) }
   }
 
-  /** Columns carrying a bloom index (subdirectories of _graft_bloom). */
+  /** Columns carrying a bloom index (subdirectories of _graft_bloom;
+    * `.__staging__` / `.__old__` crash leftovers of the staged write
+    * are NOT indexes and must not poison a layout-job rebuild). */
   def bloomColumns(spark: SparkSession, table: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(s"$table/_graft_bloom")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSeq
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_.contains(".__")).toSeq
   }
 
   /** Incremental manifest maintenance: stats are computed for NEW
@@ -151,7 +163,10 @@ object StatsIndex {
     // file LISTS are driver control-plane (|files| strings, not data);
     // diffing them here — not in a join — is what keeps already-indexed
     // files' BYTES out of the scan below
-    val known = spark.read.parquet(dir).localCheckpoint() // pre-overwrite rows
+    // the staged write below fully materializes the merged manifest
+    // BEFORE publish swaps the directory, so the old rows stay
+    // readable with no checkpoint
+    val known = spark.read.parquet(dir)
     // normalize before diffing: _metadata.file_path says file:///x,
     // Hadoop Path.toUri says file:/x — same file, different spelling
     // (empty vs null URI authority survives a Path round-trip, so
@@ -205,7 +220,10 @@ object StatsIndex {
         .select(col("_metadata.file_path").as("file"), col(c))
         .groupBy("file")
         .agg(expr(s"bloom_filter_agg(xxhash64($c), " +
-          s"${expectedItemsPerFile}L, ${numBits}L)").as("bloom")),
+          s"${expectedItemsPerFile}L, ${numBits}L)").as("bloom"))
+        // sizing rides in the manifest so rebuilds preserve it
+        .withColumn("items", lit(expectedItemsPerFile))
+        .withColumn("bits", lit(numBits)),
       bloomDir(table, c))
   }
 

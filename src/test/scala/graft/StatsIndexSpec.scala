@@ -197,6 +197,9 @@ class StatsIndexSpec extends SparkTestBase {
     val dir = s"$root/feed"
     StatsIndex.build(spark, dir, Seq("value"))
     StatsIndex.buildBloom(spark, dir, "user_id")
+    // a crash leftover of a previous staged write must not be treated
+    // as a bloom column by the rebuild
+    new java.io.File(s"$dir/_graft_bloom/user_id.__staging__").mkdirs()
     graft.sources.LakeWriter.compact(spark, root, "feed", "ts")
     assert(StatsIndex.exists(spark, dir) &&
       StatsIndex.bloomColumns(spark, dir) == Seq("user_id"),
@@ -205,6 +208,19 @@ class StatsIndexSpec extends SparkTestBase {
     val viaBloom = StatsIndex.prunedReadEq(spark, dir, "user_id", probe).count()
     val full = spark.read.parquet(dir).filter(col("user_id") === probe).count()
     assert(viaBloom == full && viaBloom > 0)
+  }
+
+  test("layout rebuild preserves custom bloom sizing") {
+    val dir = Files.createTempDirectory("statsidx").toString + "/t"
+    ViewingData.table(spark, Sf, "events")
+      .select("event_id", "user_id", "value", "ts")
+      .write.mode("overwrite").parquet(dir)
+    StatsIndex.buildBloom(spark, dir, "user_id",
+      expectedItemsPerFile = 1L << 22, numBits = 1L << 25)
+    graft.sources.LakeWriter.zorderBy(spark, dir, "value", "user_id", nFiles = 3)
+    val spec = StatsIndex.captureIndexes(spark, dir)
+    assert(spec.blooms == Seq(("user_id", 1L << 22, 1L << 25)),
+      s"sizing must ride through the rebuild, got ${spec.blooms}")
   }
 
   test("numeric column index on the double value column") {
