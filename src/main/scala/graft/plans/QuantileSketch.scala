@@ -126,11 +126,16 @@ case class QSketchEstimate(left: Expression, right: Expression)
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    // freshName, not a literal: two estimates in one codegen function
+    // (p50 + p95 in one projection) would redefine the local and janino
+    // would reject the WHOLE stage → silent interpreted fallback
+    val res = ctx.freshName("qest")
     nullSafeCodeGen(ctx, ev, (b, p) => s"""
-      |java.lang.Double r = graft.plans.QSketchEstimate.estimate($b, $p);
-      |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+      |java.lang.Double $res = graft.plans.QSketchEstimate.estimate($b, $p);
+      |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.doubleValue(); }
     """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QSketchEstimate =

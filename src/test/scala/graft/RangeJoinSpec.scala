@@ -151,6 +151,51 @@ class RangeJoinSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("pre-1970 timestamps: negative epoch seconds bucket consistently (parity)") {
+    import spark.implicits._
+    // negative epochs exercise floor-vs-truncate division: the rewrite
+    // is safe because the SAME monotone cast+floor is applied to points
+    // and bounds, so a point's bucket always lies inside its interval's
+    // covered range — pin that with pair-exact parity straddling 1970
+    val p = Seq(1L -> -7200L, 2L -> -3601L, 3L -> -1L, 4L -> 0L, 5L -> 3599L, 6L -> -86400L)
+      .toDF("pid", "sec").select(col("pid"), timestamp_seconds(col("sec")).as("pt"))
+    val iv = Seq((10L, -7250L, -7150L), (11L, -3650L, -3550L), (12L, -50L, 50L),
+        (13L, -90000L, -80000L), (14L, -10L, 0L))
+      .toDF("iid", "s", "e")
+      .select(col("iid"), timestamp_seconds(col("s")).as("ws"),
+        timestamp_seconds(col("e")).as("we"))
+    for (b <- Seq(1L, 60L, 3600L)) {
+      val got = RangeJoin.intervalJoin(p, "pt", iv, "ws", "we", b)
+        .select("pid", "iid")
+      val naive = p.join(iv, col("pt") >= col("ws") && col("pt") < col("we"))
+        .select("pid", "iid")
+      assert(got.count() > 0, s"b=$b: shape must match something")
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+        s"bucketSeconds=$b must be pair-exact across the 1970 boundary")
+    }
+  }
+
+  test("sub-second bounds: fractional timestamps stay exact via the residual") {
+    import spark.implicits._
+    // integer-second buckets only COARSEN candidates; the residual
+    // compares original (milli-precision) values. Points and bounds
+    // deliberately differ only below the second.
+    val p = Seq(1L -> 10500L, 2L -> 10100L, 3L -> 9900L, 4L -> 10900L, 5L -> -500L)
+      .toDF("pid", "ms").select(col("pid"), timestamp_millis(col("ms")).as("pt"))
+    val iv = Seq((10L, 10200L, 10900L),  // [10.2 s, 10.9 s): catches 10.5 only
+        (11L, 9800L, 10200L),            // spans the 9→10 bucket edge
+        (12L, -1200L, 300L))             // fractional straddling zero
+      .toDF("iid", "sms", "ems")
+      .select(col("iid"), timestamp_millis(col("sms")).as("ws"),
+        timestamp_millis(col("ems")).as("we"))
+    for (b <- Seq(1L, 7L)) {
+      val got = RangeJoin.intervalJoin(p, "pt", iv, "ws", "we", b)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 10L), (3L, 11L), (2L, 11L), (5L, 12L)),
+        s"bucketSeconds=$b: got $got")
+    }
+  }
+
   test("rejects overlapping column names") {
     val e = intercept[IllegalArgumentException] {
       RangeJoin.intervalJoin(points, "ts",

@@ -120,6 +120,26 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("two estimates in one projection survive strict codegen (freshName regression)") {
+    // q_quantile_sketch's real shape: p50 AND p95 off the same digest in
+    // ONE select. A literal local name in QSketchEstimate.doGenCode
+    // makes janino reject the whole stage (caught in a verify log as a
+    // silent interpreted fallback) — strict mode turns that into a throw.
+    graft.plans.GraftExtensions.register(spark)
+    val ev = graft.sources.ViewingData.table(spark, Sf, "events")
+      .select(col("event_type"), col("value").cast("double").as("v"))
+    withStrictCodegen {
+      val rows = ev.groupBy("event_type")
+        .agg(expr("qsketch_agg(v)").as("sk"))
+        .select(col("event_type"),
+          expr("qsketch_estimate(sk, 0.5D)").as("p50"),
+          expr("qsketch_estimate(sk, 0.95D)").as("p95"))
+        .collect()
+      assert(rows.nonEmpty && rows.forall(r => r.getDouble(1) <= r.getDouble(2)),
+        "p50 must not exceed p95")
+    }
+  }
+
   test("plan: daily sketches pre-aggregate map-side (partial HLL agg)") {
     val p = SparkEntry.queries("q_hll_reach")(spark, Sf)
       .queryExecution.executedPlan.toString
