@@ -198,6 +198,28 @@ pairs AS (
     },
     None)
 
+  /** Incremental near-dup dedup ([[graft.operators.MinhashDelta]]):
+    * the corpus (3/4 of documents) is a pre-built band index; the
+    * delta (1/4) probes it and self-joins — corpus text is never
+    * re-shingled, the index never shuffles (delta band rows
+    * broadcast). Rows-only like dedup_minhash (seeded xxhash64 isn't
+    * SQL-expressible); MinhashDeltaSpec pins exact parity with the
+    * full recompute restricted to delta-touching pairs, the persisted
+    * batch=N layout's replay idempotence, and the probe plan shape. */
+  private val dedupIncremental = Q(
+    "dedup_incremental",
+    (s, dir) => {
+      import graft.operators.MinhashDelta
+      val docs = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"))
+      val index = MinhashDelta.bandRows(
+        docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text")
+      MinhashDelta.incrementalPairs(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", index)
+    },
+    None)
+
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, dir) => {
@@ -549,6 +571,7 @@ GROUP BY 1, 2"""))
   val all: Seq[Q] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
+    dedupIncremental,
     annBruteforce, annBucketed, annIvf, annIvfPq, annKnnJoin, annQ8,
     mmBinaryMeta, mmDecode,
     streamBatchParity)

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.MinhashDelta
+import graft.sources.ViewingData
+
+/** Pins the three properties that make [[MinhashDelta]] the 100-TB
+  * dedup increment: (1) EXACTNESS — probing the index finds exactly
+  * the full recompute's pairs restricted to delta-touching ones
+  * (deterministic seeded signatures make this equality, not
+  * approximation); (2) the persisted batch=N layout is
+  * replay-idempotent (a re-landed batch overwrites itself); (3) the
+  * probe never re-reads corpus text and never shuffles the index
+  * (delta band rows broadcast). */
+class MinhashDeltaSpec extends SparkTestBase {
+
+  private def docs = ViewingData.table(spark, Sf, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private def corpus = docs.filter(col("doc_id") % 4 =!= 0)
+  private def delta = docs.filter(col("doc_id") % 4 === 0)
+
+  test("incremental == full recompute restricted to delta-touching pairs") {
+    val full = MinhashDelta.allPairs(docs, "doc_id", "text")
+    val deltaIds = delta.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val expected = full.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => deltaIds(a) || deltaIds(b) }.toSet
+    val got = MinhashDelta.incrementalPairs(delta, "doc_id", "text",
+        MinhashDelta.bandRows(corpus, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty, "the shape must actually find near-dups")
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
+  test("persisted index: batch layout round-trips; a replayed batch is a no-op") {
+    val path = java.nio.file.Files.createTempDirectory("mhidx").toString + "/idx"
+    MinhashDelta.writeBatch(corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text", path, 0L)
+    MinhashDelta.writeBatch(corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", path, 1L)
+    val viaDisk = MinhashDelta.incrementalPairs(delta, "doc_id", "text",
+        MinhashDelta.readIndex(spark, path))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaMemory = MinhashDelta.incrementalPairs(delta, "doc_id", "text",
+        MinhashDelta.bandRows(corpus, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaDisk == viaMemory, "disk index must probe identically")
+    // replay batch 1 (at-least-once delivery): same rows, not doubled
+    val before = MinhashDelta.readIndex(spark, path).count()
+    MinhashDelta.writeBatch(corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", path, 1L)
+    assert(MinhashDelta.readIndex(spark, path).count() == before,
+      "a replayed batch must overwrite its own partition, not append")
+  }
+
+  test("probe plan: corpus text never re-read, index never shuffled") {
+    val path = java.nio.file.Files.createTempDirectory("mhidx2").toString + "/idx"
+    MinhashDelta.writeBatch(corpus, "doc_id", "text", path, 0L)
+    val probe = MinhashDelta.incrementalPairs(delta, "doc_id", "text",
+      MinhashDelta.readIndex(spark, path))
+    // sparkPlan, not executedPlan: AQE wraps the tree and hides leaves
+    val plan = probe.queryExecution.sparkPlan
+    val scans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.mkString(",")
+    }
+    // the only documents.parquet scan is the delta's own band build
+    // (inside the localCheckpoint, so absent from THIS plan); the
+    // probe itself reads the index parquet alone
+    assert(scans.nonEmpty && scans.forall(_.contains("idx")),
+      s"probe must scan only the index: $scans")
+    val p = plan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"delta band rows must broadcast so the index streams:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the index side must never shuffle:\n$p")
+  }
+}

@@ -240,4 +240,22 @@ class PlanAuditSpec extends SparkTestBase {
       s"reservoir must ride partial aggregation:\n$p")
     assert(!p.contains("Window"), s"no window operator expected:\n$p")
   }
+
+  test("q_change_events rides ONE user exchange: lag + both counters + rollup") {
+    val p = plan("q_change_events")
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected ONE user_id shuffle, got $exchanges:\n$p")
+    // one sort feeds every window pass and the final aggregate
+    assert("\\bSort \\[".r.findAllIn(p).size == 1, s"expected one sort:\n$p")
+  }
+
+  test("q_ratio_report's window runs over the reduced daily frame, not events") {
+    val p = plan("q_ratio_report")
+    // aggregate first (partial+final pair), THEN the share window — the
+    // window's exchange carries |type × day| rows, not |events|
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx,
+      s"window must sit ABOVE the aggregate in the tree:\n$p")
+  }
 }
