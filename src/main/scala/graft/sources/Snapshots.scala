@@ -76,6 +76,13 @@ object Snapshots {
     df.write.mode("overwrite").parquet(staged)
     LakeWriter.publish(spark, staged, target)
     val f = fs(spark, root)
+    // durable commit timestamp (epoch millis) for the AT(TIMESTAMP =>)
+    // read path — written before the manifest flip, so any version the
+    // manifest can reference has a record; a crash-orphaned record is
+    // overwritten when the slot is reused (create overwrite=true)
+    val rec = f.create(new Path(root, s"_commits/$next"), true)
+    try rec.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally rec.close()
     val tmp = new Path(root, s"_latest.tmp.$next")
     val out = f.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
@@ -127,6 +134,46 @@ object Snapshots {
       .unionByName(from.exceptAll(to).withColumn("__op", lit("delete")))
   }
 
+  /** Commit wall-clock of a version (epoch millis). Versions committed
+    * before timestamp records existed fall back to the version dir's
+    * modification time — best effort, same caveat as Snowflake's own
+    * retention-period edge. */
+  def commitTimeMillis(spark: SparkSession, root: String, version: Long): Option[Long] = {
+    val f = fs(spark, root)
+    val rec = new Path(root, s"_commits/$version")
+    if (f.exists(rec)) {
+      val in = f.open(rec)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    } else {
+      val dir = new Path(root, s"v=$version")
+      if (f.exists(dir)) Some(f.getFileStatus(dir).getModificationTime) else None
+    }
+  }
+
+  /** Snowflake `AT (TIMESTAMP => t)` resolution: the version that was
+    * latest at `atMillis` — the newest COMMITTED version whose commit
+    * time is <= the asked instant. None if the table didn't exist yet.
+    * Only manifest-reachable versions participate: a crash-orphaned
+    * complete-but-unreferenced slot was never readable and must not
+    * become readable retroactively. */
+  def versionAt(spark: SparkSession, root: String, atMillis: Long): Option[Long] = {
+    val latest = latestVersion(spark, root).getOrElse(return None)
+    versionsOn(spark, root)
+      .filter(_ <= latest)
+      .filter(v => commitTimeMillis(spark, root, v).exists(_ <= atMillis))
+      .lastOption
+  }
+
+  /** The table as it stood at `atMillis` — `SELECT … AT(TIMESTAMP =>)`.
+    * Re-running a months-old job with its original as-of instant reads
+    * the exact bytes it saw, regardless of how many commits landed
+    * since. */
+  def readAt(spark: SparkSession, root: String, atMillis: Long): DataFrame =
+    readVersion(spark, root, versionAt(spark, root, atMillis).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"no snapshot at $root existed at t=$atMillis")))
+
   /** Snowflake `AT`-clause restore: re-commits `version`'s content as
     * the NEW latest version. History stays append-only — the bad
     * versions remain pinned and auditable (vacuum retires them later),
@@ -145,7 +192,10 @@ object Snapshots {
     val keepSet = (all.takeRight(keep) ++ current).toSet
     val drop = all.filterNot(keepSet.contains)
     val f = fs(spark, root)
-    drop.foreach(v => f.delete(new Path(root, s"v=$v"), true))
+    drop.foreach { v =>
+      f.delete(new Path(root, s"v=$v"), true)
+      f.delete(new Path(root, s"_commits/$v"), false)
+    }
     drop
   }
 }

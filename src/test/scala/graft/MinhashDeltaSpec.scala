@@ -53,6 +53,53 @@ class MinhashDeltaSpec extends SparkTestBase {
       "a replayed batch must overwrite its own partition, not append")
   }
 
+  test("streaming increment: probe-then-append in foreachBatch, replay converges") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("mhstream").toString
+    val idxPath = s"$base/idx"
+    val pairsPath = s"$base/pairs"
+    // corpus index exists before the stream starts
+    MinhashDelta.writeBatch(corpus, "doc_id", "text", idxPath, -1L)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val deltaIds = delta.collect().map(_.getLong(0)).sorted
+    val (half1, half2) = deltaIds.splitAt(deltaIds.length / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = input.toDF().toDF("doc_id").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val withText = batch.as[Long].collect().toSeq
+          .map(i => (i, texts(i))).toDF("doc_id", "text")
+        // probe against everything indexed SO FAR, then append this
+        // batch — each near-dup pair is found exactly once, when its
+        // later member arrives
+        MinhashDelta.incrementalPairs(withText, "doc_id", "text",
+            MinhashDelta.readIndex(spark, idxPath))
+          .write.mode("append").parquet(s"$pairsPath/batch=$id")
+        MinhashDelta.writeBatch(withText, "doc_id", "text", idxPath, id)
+      }
+      .start()
+    try {
+      input.addData(half1: _*); q.processAllAvailable()
+      input.addData(half2: _*); q.processAllAvailable()
+      val streamed = spark.read.parquet(pairsPath)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val oneShot = MinhashDelta.incrementalPairs(delta, "doc_id", "text",
+          MinhashDelta.bandRows(corpus, "doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == oneShot,
+        s"two micro-batches must find the one-shot delta's pairs: " +
+          s"missing=${(oneShot -- streamed).take(5)} extra=${(streamed -- oneShot).take(5)}")
+      // replayed index append (at-least-once): the index is unchanged,
+      // so a re-probe of half2 returns the same pairs it already found
+      val before = MinhashDelta.readIndex(spark, idxPath).count()
+      MinhashDelta.writeBatch(half2.toSeq.map(i => (i, texts(i))).toDF("doc_id", "text"),
+        "doc_id", "text", idxPath, 1L)
+      assert(MinhashDelta.readIndex(spark, idxPath).count() == before)
+    } finally q.stop()
+  }
+
   test("probe plan: corpus text never re-read, index never shuffled") {
     val path = java.nio.file.Files.createTempDirectory("mhidx2").toString + "/idx"
     MinhashDelta.writeBatch(corpus, "doc_id", "text", path, 0L)

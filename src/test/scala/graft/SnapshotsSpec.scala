@@ -74,6 +74,30 @@ class SnapshotsSpec extends SparkTestBase {
     assert(applied.exceptAll(v2).isEmpty && v2.exceptAll(applied).isEmpty)
   }
 
+  test("AT(TIMESTAMP =>): readAt resolves the version that was latest at the instant") {
+    val root = Files.createTempDirectory("snapAt").toString + "/t"
+    val before = System.currentTimeMillis() - 1
+    val v1 = Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), root)
+    Thread.sleep(5) // distinct commit instants at millis granularity
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    val v2 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    // an instant between the commits reads v1's bytes, regardless of v2
+    assert(Snapshots.versionAt(spark, root, t1) == Some(v1))
+    assert(Snapshots.readAt(spark, root, t1).count() == 1)
+    // "now" reads the latest
+    assert(Snapshots.versionAt(spark, root, System.currentTimeMillis()) == Some(v2))
+    assert(Snapshots.readAt(spark, root, System.currentTimeMillis()).count() == 2)
+    // before the table existed: no snapshot, loud failure
+    assert(Snapshots.versionAt(spark, root, before).isEmpty)
+    intercept[java.util.NoSuchElementException] {
+      Snapshots.readAt(spark, root, before)
+    }
+    // a crash-orphaned unreferenced slot never becomes readable
+    Seq(99L).toDF("id").write.parquet(s"$root/v=3")
+    assert(Snapshots.versionAt(spark, root, System.currentTimeMillis()) == Some(v2))
+  }
+
   test("vacuum keeps the newest K and the current version") {
     val root = Files.createTempDirectory("snap3").toString + "/t"
     (1 to 4).foreach(i => Snapshots.commit(Seq(i.toLong).toDF("id"), root))
