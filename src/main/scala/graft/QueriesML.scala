@@ -189,10 +189,8 @@ pairs AS (
         .localCheckpoint()
       HashFunctions.bucketedPairs(docs, "doc_id", "bands", payload = Seq("sig"))
         .select(col("id_a"), col("id_b"),
-          round(
-            size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-              when(x === y, lit(1)).otherwise(lit(0))), v => v === 1)).cast("double") / 32.0,
-            6).as("jaccard_est"))
+          HashFunctions.signatureEstimate(col("sig_a"), col("sig_b"), 32)
+            .as("jaccard_est"))
         .filter(col("jaccard_est") >= 0.4)
         .distinct()
     },

@@ -103,6 +103,25 @@ object Sweep {
     math.min(once, once)
   }
 
+  /** Build-once/probe-many measurement: `build` runs untimed, once per
+    * cached work dir — completion is recorded by a marker file NEXT TO
+    * the index, so a run killed mid-build leaves no marker and the
+    * next run rebuilds instead of silently probing a partial index —
+    * then `probe` is timed min-of-two. */
+  private def probeCase(spark: SparkSession, name: String, factor: Int,
+      indexPath: String)(build: => Unit)(probe: => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(indexPath + "._READY")
+    if (!fs.exists(marker)) {
+      fs.delete(p, true) // partial leftovers from a crashed build
+      build
+      fs.create(marker, true).close()
+    }
+    val sec = minOfTwo(probe)
+    println(f"SWEEP $name%-28s x$factor%-3d $sec%8.3f s")
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val work = args(1)
@@ -130,18 +149,15 @@ object Sweep {
               graft.functions.VectorFunctions.toDouble(col("embedding"))).as("e"))
           .localCheckpoint()
         val path = s"$work/ivfpq_index"
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+        val q = v.filter(col("vec_id") === 0).select("e").as[Seq[Double]].head()
+        probeCase(spark, "ann_ivfpq_probe", factor, path) {
           operators.IvfPq.writeIndex(v, "vec_id", "e", "label", path,
             m = 16, k = 16, ivfRounds = 1, pqRounds = 2)
-        val q = v.filter(col("vec_id") === 0).select("e").as[Seq[Double]].head()
-        val sec = minOfTwo {
+        } {
           operators.IvfPq.probe(spark, path, v.filter(col("vec_id") =!= 0), q,
             "vec_id", "e", "label", nprobe = 8, k = 10)
             .write.format("noop").mode("overwrite").save()
         }
-        println(f"SWEEP ${"ann_ivfpq_probe"}%-28s x$factor%-3d $sec%8.3f s")
       case "dedup_incremental_probe" =>
         // production shape: the corpus index EXISTS (built once,
         // untimed, persisted); only the delta's band build + the
@@ -151,18 +167,15 @@ object Sweep {
           .repartition(spark.sparkContext.defaultParallelism)
           .select(col("doc_id"), col("text"))
         val path = s"$work/mh_index"
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+        probeCase(spark, "dedup_incremental_probe", factor, path) {
           operators.MinhashDelta.writeBatch(
             docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", path, 0L)
-        val idx = operators.MinhashDelta.readIndex(spark, path)
-        val sec = minOfTwo {
+        } {
           operators.MinhashDelta.incrementalPairs(
-              docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", idx)
+              docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+              operators.MinhashDelta.readIndex(spark, path))
             .write.format("noop").mode("overwrite").save()
         }
-        println(f"SWEEP ${"dedup_incremental_probe"}%-28s x$factor%-3d $sec%8.3f s")
       case name =>
         val sec = minOfTwo {
           SparkEntry.queries(name)(spark, work)

@@ -61,6 +61,17 @@ object HashFunctions {
       .select(col(idCol), array((0 until k).map(s => col(s"h$s")): _*).as("sig"))
   }
 
+  /** Signature-estimate Jaccard: matching components / k, rounded to
+    * 6 dp — the one verification expression shared by dedup_minhash
+    * and the incremental MinhashDelta probe (a drift here would
+    * desynchronize their thresholds silently). */
+  def signatureEstimate(a: Column, b: Column, k: Int): Column =
+    round(
+      size(filter(zip_with(a, b, (x, y) =>
+        when(x === y, lit(1)).otherwise(lit(0))), v => v === 1)).cast("double") /
+        k.toDouble,
+      6)
+
   /** Explode a signature into (band_id, band_hash) LSH keys;
     * `bands × rowsPerBand` must equal the signature length. */
   def lshBands(sigCol: Column, bands: Int, rowsPerBand: Int): Column =

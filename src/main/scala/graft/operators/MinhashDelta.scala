@@ -57,15 +57,19 @@ object MinhashDelta {
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("batch")
 
-  /** Signature-estimate Jaccard — the SAME expression dedup_minhash
-    * filters on (matching components / k, 6 dp). Symmetric, so
+  /** Signature-estimate Jaccard — [[HashFunctions.signatureEstimate]],
+    * the SAME expression dedup_minhash filters on. Symmetric, so
     * old-new pairs need no signature swap. */
   private def estimate(a: Column, b: Column): Column =
-    round(
-      size(filter(zip_with(a, b, (x, y) =>
-        when(x === y, lit(1)).otherwise(lit(0))), v => v === 1)).cast("double") /
-        K.toDouble,
-      6)
+    HashFunctions.signatureEstimate(a, b, K)
+
+  /** Bucket-local self-join of one band-row frame → scored (a<b)
+    * pairs: the within-delta and batch-mode kernel. */
+  private def selfPairs(d: DataFrame): DataFrame =
+    d.as("a")
+      .join(d.as("b"), expr("a.lsh_key = b.lsh_key AND a.doc_id < b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        estimate(col("a.sig"), col("b.sig")).as("jaccard_est"))
 
   /** Near-dup pairs involving the delta: delta×corpus (via the index)
     * plus delta×delta. The corpus index is STREAMED — the delta's band
@@ -89,24 +93,15 @@ object MinhashDelta {
         least(col("i.doc_id"), col("d.doc_id")).as("id_a"),
         greatest(col("i.doc_id"), col("d.doc_id")).as("id_b"),
         estimate(col("i.sig"), col("d.sig")).as("jaccard_est"))
-    val newNew = d.as("a")
-      .join(d.as("b"), expr("a.lsh_key = b.lsh_key AND a.doc_id < b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        estimate(col("a.sig"), col("b.sig")).as("jaccard_est"))
-    oldNew.unionAll(newNew)
+    oldNew.unionAll(selfPairs(d))
       .filter(col("jaccard_est") >= Threshold)
       .distinct()
   }
 
   /** Full self-join recompute over one frame — the parity yardstick
     * (and the batch-mode path when there IS no index yet). */
-  def allPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val d = bandRows(docs, idCol, textCol).localCheckpoint()
-    d.as("a")
-      .join(d.as("b"), expr("a.lsh_key = b.lsh_key AND a.doc_id < b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        estimate(col("a.sig"), col("b.sig")).as("jaccard_est"))
+  def allPairs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    selfPairs(bandRows(docs, idCol, textCol).localCheckpoint())
       .filter(col("jaccard_est") >= Threshold)
       .distinct()
-  }
 }

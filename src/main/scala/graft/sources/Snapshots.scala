@@ -159,10 +159,10 @@ object Snapshots {
     * become readable retroactively. */
   def versionAt(spark: SparkSession, root: String, atMillis: Long): Option[Long] = {
     val latest = latestVersion(spark, root).getOrElse(return None)
-    versionsOn(spark, root)
-      .filter(_ <= latest)
-      .filter(v => commitTimeMillis(spark, root, v).exists(_ <= atMillis))
-      .lastOption
+    // newest-first: the common case (a recent instant) reads ONE
+    // commit record, not one per retained version
+    versionsOn(spark, root).filter(_ <= latest).reverse
+      .find(v => commitTimeMillis(spark, root, v).exists(_ <= atMillis))
   }
 
   /** The table as it stood at `atMillis` — `SELECT … AT(TIMESTAMP =>)`.

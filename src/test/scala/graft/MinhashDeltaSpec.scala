@@ -73,9 +73,12 @@ class MinhashDeltaSpec extends SparkTestBase {
         // probe against everything indexed SO FAR, then append this
         // batch — each near-dup pair is found exactly once, when its
         // later member arrives
+        // overwrite-by-batch-dir, same as the index side: a replayed
+        // foreachBatch overwrites its own pairs partition instead of
+        // appending a second copy
         MinhashDelta.incrementalPairs(withText, "doc_id", "text",
             MinhashDelta.readIndex(spark, idxPath))
-          .write.mode("append").parquet(s"$pairsPath/batch=$id")
+          .write.mode("overwrite").parquet(s"$pairsPath/batch=$id")
         MinhashDelta.writeBatch(withText, "doc_id", "text", idxPath, id)
       }
       .start()
