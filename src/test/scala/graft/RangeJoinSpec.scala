@@ -196,6 +196,40 @@ class RangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("hot bucket: AQE's skew split handles it as ordinary equi-join skew") {
+    // the operator's scale story delegates hot buckets (a traffic
+    // spike) to AQE — pin that the bucketed join IS the shape AQE can
+    // split: a 600k-point bucket against lowered skew thresholds gets
+    // SortMergeJoin(skew=true) in the final adaptive plan, with the
+    // result unchanged
+    import spark.implicits._
+    withConfs(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB") {
+      val pts = (1 to 600000).map(i => (i.toLong, 1000L + (i % 30))) ++
+        (1 to 100).map(i => (700000L + i, 100000L + i * 3600L))
+      val p = pts.toDF("pid", "sec")
+        .select(col("pid"), timestamp_seconds(col("sec")).as("pt"))
+      val iv = ((1 to 200).map(i => (i.toLong, 995L, 1010L)) ++
+        (1 to 50).map(i => (1000L + i, 100000L + i * 3600L - 10, 100000L + i * 3600L + 10)))
+        .toDF("iid", "s", "e")
+        .select(col("iid"), timestamp_seconds(col("s")).as("ws"),
+          timestamp_seconds(col("e")).as("we"))
+      val j = RangeJoin.intervalJoin(p, "pt", iv, "ws", "we", 60L)
+      val qe = j.queryExecution
+      val n = qe.toRdd.count()
+      // correctness under the split: points 1000..1009 × 200 hot
+      // intervals [995, 1010) + the 50 sparse self-matches
+      val expected = p.join(iv,
+        col("pt") >= col("ws") && col("pt") < col("we")).count()
+      assert(n == expected, s"skew split must not change the result: $n vs $expected")
+      assert(qe.executedPlan.toString.contains("SortMergeJoin(skew=true)"),
+        s"expected AQE to mark the hot bucket skew=true:\n${qe.executedPlan}")
+    }
+  }
+
   test("rejects overlapping column names") {
     val e = intercept[IllegalArgumentException] {
       RangeJoin.intervalJoin(points, "ts",
