@@ -82,12 +82,18 @@ object MinhashDelta {
     * belongs in the index via its batch overwrite, not the delta). */
   def incrementalPairs(
       delta: DataFrame, idCol: String, textCol: String,
-      index: DataFrame): DataFrame = {
+      index: DataFrame, broadcastDelta: Boolean = true): DataFrame = {
     // build the delta's band rows ONCE (the self-join below would
     // otherwise instantiate the k-min aggregation per side)
     val d = bandRows(delta, idCol, textCol).localCheckpoint()
+    // daily-increment contract: delta ≪ corpus, so broadcast it and
+    // stream the index. A BULK backfill (delta too big to broadcast)
+    // passes broadcastDelta=false and the probe becomes an ordinary
+    // shuffled equi-join on lsh_key — the same micro-batch/bulk split
+    // as IncrementalMerge's upsert (B7b)
+    val probeSide = if (broadcastDelta) broadcast(d) else d
     val oldNew = index.as("i")
-      .join(broadcast(d).as("d"),
+      .join(probeSide.as("d"),
         expr("i.lsh_key = d.lsh_key AND i.doc_id <> d.doc_id"))
       .select(
         least(col("i.doc_id"), col("d.doc_id")).as("id_a"),

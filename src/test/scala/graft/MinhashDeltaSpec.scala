@@ -33,6 +33,11 @@ class MinhashDeltaSpec extends SparkTestBase {
     assert(got.nonEmpty, "the shape must actually find near-dups")
     assert(got == expected,
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // the bulk-backfill path (no broadcast hint) is pair-identical
+    val bulk = MinhashDelta.incrementalPairs(delta, "doc_id", "text",
+        MinhashDelta.bandRows(corpus, "doc_id", "text"), broadcastDelta = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bulk == expected, "hint-free bulk path must match")
   }
 
   test("persisted index: batch layout round-trips; a replayed batch is a no-op") {
