@@ -82,10 +82,16 @@ object MinhashDelta {
     * belongs in the index via its batch overwrite, not the delta). */
   def incrementalPairs(
       delta: DataFrame, idCol: String, textCol: String,
-      index: DataFrame, broadcastDelta: Boolean = true): DataFrame = {
-    // build the delta's band rows ONCE (the self-join below would
-    // otherwise instantiate the k-min aggregation per side)
-    val d = bandRows(delta, idCol, textCol).localCheckpoint()
+      index: DataFrame, broadcastDelta: Boolean = true): DataFrame =
+    pairsFromBands(
+      bandRows(delta, idCol, textCol).localCheckpoint(),
+      index, broadcastDelta)
+
+  /** The probe kernel over PREBUILT delta band rows — shared by the
+    * in-memory, full-index, and file-pruned paths so their semantics
+    * cannot drift. */
+  private def pairsFromBands(
+      d: DataFrame, index: DataFrame, broadcastDelta: Boolean): DataFrame = {
     // daily-increment contract: delta ≪ corpus, so broadcast it and
     // stream the index. A BULK backfill (delta too big to broadcast)
     // passes broadcastDelta=false and the probe becomes an ordinary
@@ -110,4 +116,84 @@ object MinhashDelta {
     selfPairs(bandRows(docs, idCol, textCol).localCheckpoint())
       .filter(col("jaccard_est") >= Threshold)
       .distinct()
+
+  // ---------------------------------------------------------------------
+  // Index maintenance: compaction + probe-time file skipping
+  // ---------------------------------------------------------------------
+
+  private def statsPath(path: String) = s"$path/_mh_stats"
+
+  /** Compacts every `batch=N` dir into ONE range-laid batch sorted by
+    * the band hash, and writes a per-file `[hash_min, hash_max]`
+    * manifest (`_mh_stats`, underscore path — invisible to normal
+    * readers) so [[incrementalPairsPruned]] can drop index files
+    * BEFORE any footer opens. The swap is staged + published
+    * ([[graft.sources.LakeWriter.publish]]): readers never see a torn
+    * index, a crash rolls back. A pre-compaction batch REPLAYED after
+    * the swap recreates its `batch=N` dir next to the compacted
+    * `batch=0` — duplicate index rows, which cost probe work but not
+    * correctness (the pair `distinct` collapses duplicate candidates);
+    * the next compaction absorbs them. */
+  def compactIndex(spark: SparkSession, path: String,
+      numFiles: Int = 32): Unit = {
+    val flat = readIndex(spark, path)
+    val staged = graft.sources.LakeWriter.stagingPath(path)
+    flat.repartitionByRange(numFiles, col("lsh_key.band_hash"))
+      .sortWithinPartitions(col("lsh_key.band_hash"))
+      .write.mode("overwrite").parquet(s"$staged/batch=0")
+    // per-file range stats, grouped by _metadata.file_path — the same
+    // one-scan build as sources.StatsIndex (which can't index a struct
+    // field by name, hence the local manifest)
+    spark.read.parquet(s"$staged/batch=0")
+      // ROOT-RELATIVE file paths: the manifest is written in the
+      // staging dir, so an absolute path would die at publish
+      .groupBy(substring_index(col("_metadata.file_path"),
+        ".__staging__/", -1).as("file"))
+      .agg(min(col("lsh_key.band_hash")).as("hash_min"),
+        max(col("lsh_key.band_hash")).as("hash_max"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$staged/_mh_stats")
+    graft.sources.LakeWriter.publish(spark, staged, path)
+  }
+
+  /** Index files that can share a band hash with `hashes` (sorted
+    * search per file range) and the total file count. Driver-side
+    * control plane: |files| manifest rows vs |delta|·Bands hashes.
+    * Pruning on the hash alone is a SUPERSET of the (band_id, hash)
+    * join key — sound. */
+  def pruneIndexFiles(spark: SparkSession, path: String,
+      hashes: Array[Long]): (Seq[String], Int) = {
+    val stats = spark.read.parquet(statsPath(path))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def anyIn(mn: Long, mx: Long): Boolean = {
+      var i = java.util.Arrays.binarySearch(hashes, mn)
+      if (i < 0) i = -i - 1 // first hash >= mn
+      i < hashes.length && hashes(i) <= mx
+    }
+    (stats.collect { case (f, mn, mx) if anyIn(mn, mx) => s"$path/$f" }.toSeq,
+      stats.length)
+  }
+
+  /** [[incrementalPairs]] against a COMPACTED index, reading only the
+    * files whose band-hash range intersects the delta's hashes. Falls
+    * back to the full index when no manifest exists (un-compacted).
+    * At 100 TB this is the difference between streaming the whole
+    * index through the probe join and streaming the handful of files
+    * a daily delta can actually collide with. */
+  def incrementalPairsPruned(spark: SparkSession, path: String,
+      delta: DataFrame, idCol: String, textCol: String,
+      broadcastDelta: Boolean = true): DataFrame = {
+    val d = bandRows(delta, idCol, textCol).localCheckpoint()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(statsPath(path))))
+      return pairsFromBands(d, readIndex(spark, path), broadcastDelta)
+    val hashes = d.select(col("lsh_key.band_hash")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val (files, _) = pruneIndexFiles(spark, path, hashes)
+    val index =
+      if (files.isEmpty) readIndex(spark, path).filter(lit(false))
+      else spark.read.option("basePath", path).parquet(files: _*).drop("batch")
+    pairsFromBands(d, index, broadcastDelta)
+  }
 }

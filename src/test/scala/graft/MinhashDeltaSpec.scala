@@ -108,6 +108,50 @@ class MinhashDeltaSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("compaction: one range-laid batch, probe parity, file skipping, replay-safe") {
+    val path = java.nio.file.Files.createTempDirectory("mhcompact").toString + "/idx"
+    val half1 = corpus.filter(col("doc_id") % 2 === 1)
+    val half2 = corpus.filter(col("doc_id") % 2 === 0)
+    MinhashDelta.writeBatch(half1, "doc_id", "text", path, 0L)
+    MinhashDelta.writeBatch(half2, "doc_id", "text", path, 1L)
+    val before = MinhashDelta.incrementalPairs(delta, "doc_id", "text",
+        MinhashDelta.readIndex(spark, path))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    MinhashDelta.compactIndex(spark, path, numFiles = 8)
+    // one batch dir, same rows
+    val dirs = new java.io.File(path).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+    assert(dirs.toSeq == Seq("batch=0"), dirs.toSeq.toString)
+    // full probe parity after the swap
+    val after = MinhashDelta.incrementalPairs(delta, "doc_id", "text",
+        MinhashDelta.readIndex(spark, path))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before, "compaction must not change probe results")
+    // pruned probe: same pairs, fewer files touched for a tiny delta
+    val tiny = delta.limit(3).localCheckpoint()
+    val hashes = MinhashDelta.bandRows(tiny, "doc_id", "text")
+      .select(col("lsh_key.band_hash")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val (kept, total) = MinhashDelta.pruneIndexFiles(spark, path, hashes)
+    assert(total >= 8 && kept.size < total,
+      s"a 3-doc delta must skip SOME of the $total range-laid files (kept ${kept.size})")
+    val prunedPairs = MinhashDelta.incrementalPairsPruned(
+        spark, path, tiny, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullPairs = MinhashDelta.incrementalPairs(tiny, "doc_id", "text",
+        MinhashDelta.readIndex(spark, path))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prunedPairs == fullPairs, "file skipping must be invisible to results")
+    // a pre-compaction batch replayed AFTER the swap: duplicate index
+    // rows appear (batch=1 beside the compacted batch=0) but the pair
+    // set is unchanged — distinct collapses duplicate candidates
+    MinhashDelta.writeBatch(half2, "doc_id", "text", path, 1L)
+    val replayed = MinhashDelta.incrementalPairs(delta, "doc_id", "text",
+        MinhashDelta.readIndex(spark, path))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replayed == before, "replay after compaction must not change pairs")
+  }
+
   test("probe plan: corpus text never re-read, index never shuffled") {
     val path = java.nio.file.Files.createTempDirectory("mhidx2").toString + "/idx"
     MinhashDelta.writeBatch(corpus, "doc_id", "text", path, 0L)
