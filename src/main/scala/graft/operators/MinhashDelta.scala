@@ -177,23 +177,44 @@ object MinhashDelta {
   /** [[incrementalPairs]] against a COMPACTED index, reading only the
     * files whose band-hash range intersects the delta's hashes. Falls
     * back to the full index when no manifest exists (un-compacted).
-    * At 100 TB this is the difference between streaming the whole
-    * index through the probe join and streaming the handful of files
-    * a daily delta can actually collide with. */
+    * Batches APPENDED after the compaction aren't in the manifest yet
+    * — they are read in full alongside the pruned files, so pruning is
+    * always a pure optimization, never a correctness knob (re-compact
+    * to fold them in). At 100 TB this is the difference between
+    * streaming the whole index through the probe join and streaming
+    * the handful of files a daily delta can actually collide with. */
   def incrementalPairsPruned(spark: SparkSession, path: String,
       delta: DataFrame, idCol: String, textCol: String,
       broadcastDelta: Boolean = true): DataFrame = {
     val d = bandRows(delta, idCol, textCol).localCheckpoint()
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(statsPath(path))))
       return pairsFromBands(d, readIndex(spark, path), broadcastDelta)
     val hashes = d.select(col("lsh_key.band_hash")).distinct()
       .collect().map(_.getLong(0)).sorted
     val (files, _) = pruneIndexFiles(spark, path, hashes)
+    // the manifest covers exactly the batch dirs it has rows under
+    // (the compacted one); any other batch=* dir landed after the
+    // compaction and must be read whole
+    val covered = coveredBatchesFromManifest(spark, path)
+    val appended = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.toString)
+      .filterNot(p => covered.contains(p.split("/").last))
+    val paths = files ++ appended
     val index =
-      if (files.isEmpty) readIndex(spark, path).filter(lit(false))
-      else spark.read.option("basePath", path).parquet(files: _*).drop("batch")
+      if (paths.isEmpty) readIndex(spark, path).filter(lit(false))
+      else spark.read.option("basePath", path).parquet(paths: _*).drop("batch")
     pairsFromBands(d, index, broadcastDelta)
   }
+
+  /** Batch dirs the manifest indexes — needed when pruning kept ZERO
+    * manifest files (otherwise the compacted batch would look
+    * "appended" and be read whole, defeating the prune). */
+  private def coveredBatchesFromManifest(
+      spark: SparkSession, path: String): Set[String] =
+    spark.read.parquet(statsPath(path))
+      .select(substring_index(col("file"), "/", 1))
+      .distinct().collect().map(_.getString(0)).toSet
 }

@@ -150,6 +150,24 @@ class MinhashDeltaSpec extends SparkTestBase {
         MinhashDelta.readIndex(spark, path))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(replayed == before, "replay after compaction must not change pairs")
+    // a batch APPENDED after compaction is outside the manifest — the
+    // pruned probe must still see it (read whole beside pruned files):
+    // land NEW docs whose text copies the delta's (identical
+    // signatures → guaranteed matches), then probe the delta. If the
+    // appended batch were invisible to the pruned path these exact-dup
+    // pairs would vanish.
+    val appended = delta.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    MinhashDelta.writeBatch(appended, "doc_id", "text", path, 2L)
+    val prunedAfterAppend = MinhashDelta.incrementalPairsPruned(
+        spark, path, delta, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullAfterAppend = MinhashDelta.incrementalPairs(delta, "doc_id", "text",
+        MinhashDelta.readIndex(spark, path))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prunedAfterAppend.exists(_._2 >= 1000000L),
+      "the appended twins must appear in the pruned probe's pairs")
+    assert(prunedAfterAppend == fullAfterAppend,
+      "pruned probe must read post-compaction batches in full")
   }
 
   test("probe plan: corpus text never re-read, index never shuffled") {
