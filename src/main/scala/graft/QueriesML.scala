@@ -218,6 +218,95 @@ pairs AS (
     },
     None)
 
+  /** The md5-string minhash CTE chain shared by the two oracle-flavor
+    * dedup queries: 5-gram shingles → k=16 md5 min-hashes (seed
+    * appended textually) → 2 bands × 8 rows (same J^8 per-band
+    * collision prob as production's 4×8 over k=32) → band-collision
+    * candidates → signature-estimate threshold. Every step is the
+    * SAME arithmetic in DuckDB, so unlike dedup_minhash (seeded
+    * xxhash64, rows-only) these hash-match a full oracle. */
+  private val md5PairsCte = """WITH g AS (
+  SELECT doc_id, list_transform(generate_series(1, greatest(1, length(text)-4)),
+                                i -> substring(text, i, 5)) AS grams
+  FROM documents),
+sig AS (
+  SELECT doc_id, s AS seed,
+         list_min(list_transform(grams, g2 -> md5(g2 || ':' || s))) AS h
+  FROM g, generate_series(0, 15) t(s)),
+band AS (
+  SELECT doc_id, seed // 8 AS band_id, md5(string_agg(h, '|' ORDER BY seed)) AS bh
+  FROM sig GROUP BY doc_id, seed // 8),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band a JOIN band b ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.id_a, c.id_b,
+         round(CAST(sum(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) AS DOUBLE) / 16, 6) AS jaccard_est
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.id_a
+  JOIN sig y ON y.doc_id = c.id_b AND y.seed = x.seed
+  GROUP BY 1, 2)"""
+
+  /** md5-signature band rows with sig payload, checkpointed once —
+    * the shared build for both oracle-flavor queries. */
+  private def md5SigDocs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    HashFunctions.md5MinhashSignaturesText(
+        ViewingData.table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", 5, 16)
+      .withColumn("bands", HashFunctions.md5Bands(col("sig"), 2, 8))
+      .localCheckpoint()
+
+  private val dedupMinhashOracle = Q(
+    "dedup_minhash_oracle",
+    (s, dir) => {
+      val docs = md5SigDocs(s, dir)
+      HashFunctions.bucketedPairs(docs, "doc_id", "bands", payload = Seq("sig"))
+        .select(col("id_a"), col("id_b"),
+          HashFunctions.signatureEstimate(col("sig_a"), col("sig_b"), 16)
+            .as("jaccard_est"))
+        .filter(col("jaccard_est") >= 0.4)
+        .distinct()
+    },
+    Some(s"$md5PairsCte\nSELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= 0.4"))
+
+  /** dedup_incremental's EXACT shape — streamed index × broadcast
+    * delta probe plus delta self-join — under the md5 signature, so
+    * the incremental split's arithmetic is DuckDB-checked: the oracle
+    * is the FULL pipeline's pairs restricted to delta-touching ones,
+    * which is precisely what the incremental path must produce
+    * (MinhashDeltaSpec pins the same property for the xxhash64
+    * production flavor, engine-side only). */
+  private val dedupIncrementalOracle = Q(
+    "dedup_incremental_oracle",
+    (s, dir) => {
+      val docs = md5SigDocs(s, dir)
+      def bandRows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), explode(col("bands")).as("lsh_key"), col("sig"))
+      val index = bandRows(docs.filter(col("doc_id") % 4 =!= 0))
+      val delta = bandRows(docs.filter(col("doc_id") % 4 === 0))
+      val est = HashFunctions.signatureEstimate(col("i.sig"), col("d.sig"), 16)
+      val oldNew = index.as("i")
+        .join(broadcast(delta).as("d"),
+          expr("i.lsh_key = d.lsh_key AND i.doc_id <> d.doc_id"))
+        .select(
+          least(col("i.doc_id"), col("d.doc_id")).as("id_a"),
+          greatest(col("i.doc_id"), col("d.doc_id")).as("id_b"),
+          est.as("jaccard_est"))
+      val self = delta.as("a")
+        .join(delta.as("b"), expr("a.lsh_key = b.lsh_key AND a.doc_id < b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          HashFunctions.signatureEstimate(col("a.sig"), col("b.sig"), 16)
+            .as("jaccard_est"))
+      oldNew.unionAll(self)
+        .filter(col("jaccard_est") >= 0.4)
+        .distinct()
+    },
+    Some(s"""$md5PairsCte
+SELECT id_a, id_b, jaccard_est FROM est
+WHERE jaccard_est >= 0.4 AND (id_a % 4 = 0 OR id_b % 4 = 0)"""))
+
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, dir) => {
@@ -569,7 +658,7 @@ GROUP BY 1, 2"""))
   val all: Seq[Q] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
-    dedupIncremental,
+    dedupIncremental, dedupMinhashOracle, dedupIncrementalOracle,
     annBruteforce, annBucketed, annIvf, annIvfPq, annKnnJoin, annQ8,
     mmBinaryMeta, mmDecode,
     streamBatchParity)

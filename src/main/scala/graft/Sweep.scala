@@ -176,6 +176,51 @@ object Sweep {
               operators.MinhashDelta.readIndex(spark, path))
             .write.format("noop").mode("overwrite").save()
         }
+      case "dedup_incremental_pruned" =>
+        // the COMPACTED index: same probe as dedup_incremental_probe
+        // but against a range-laid, manifest-indexed layout — measures
+        // what driver-side file skipping buys a daily delta at scale
+        // (compare the two SWEEP rows at the same factor)
+        val docs = graft.sources.ViewingData.table(spark, work, "documents")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("text"))
+        val path = s"$work/mh_index_compact"
+        probeCase(spark, "dedup_incremental_pruned", factor, path) {
+          operators.MinhashDelta.writeBatch(
+            docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", path, 0L)
+          operators.MinhashDelta.compactIndex(spark, path)
+        } {
+          operators.MinhashDelta.incrementalPairsPruned(spark, path,
+              docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+            .write.format("noop").mode("overwrite").save()
+        }
+      case "dedup_point_probe" =>
+        // ONLINE shape: one freshly-landed document asks "am I a
+        // near-dup of anything in the corpus?". Band hashes are
+        // uniform, so a BULK delta's hashes blanket every file range
+        // and pruning is moot (see dedup_incremental_pruned); a point
+        // probe carries 4 hashes and the manifest keeps the read to
+        // ≤4 of the compacted files. Both rows probe the SAME
+        // compacted index — the delta is the only difference.
+        val docs = graft.sources.ViewingData.table(spark, work, "documents")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("text"))
+        val path = s"$work/mh_index_point"
+        val one = docs.orderBy("doc_id").limit(1).localCheckpoint()
+        probeCase(spark, "dedup_point_full", factor, path) {
+          operators.MinhashDelta.writeBatch(
+            docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", path, 0L)
+          operators.MinhashDelta.compactIndex(spark, path)
+        } {
+          operators.MinhashDelta.incrementalPairs(one, "doc_id", "text",
+              operators.MinhashDelta.readIndex(spark, path))
+            .write.format("noop").mode("overwrite").save()
+        }
+        probeCase(spark, "dedup_point_pruned", factor, path) { () } {
+          operators.MinhashDelta.incrementalPairsPruned(spark, path,
+              one, "doc_id", "text")
+            .write.format("noop").mode("overwrite").save()
+        }
       case name =>
         val sec = minOfTwo {
           SparkEntry.queries(name)(spark, work)

@@ -72,6 +72,44 @@ object HashFunctions {
         k.toDouble,
       6)
 
+  /** MinHash over md5 HEX STRINGS instead of seeded xxhash64 — the
+    * oracle flavor. md5 is the one hash Spark and DuckDB compute
+    * identically (lowercase hex, same bytes), and lexicographic min
+    * over fixed-width lowercase hex is the same total order in both
+    * engines, so a signature built this way is reproducible in ANSI
+    * SQL and the WHOLE LSH pipeline (shingle → min-hash → band →
+    * candidate join → estimate threshold) gets a full DuckDB oracle.
+    * Production dedup stays on [[minhashSignaturesText]]: a codegen'd
+    * long min beats 32-char string mins at 100 TB — this flavor exists
+    * to prove the pipeline's arithmetic, not to run the corpus.
+    * Seeds are appended textually (`gram || ':' || seed`), matching
+    * the oracle's `g || ':' || s`. Same explode-positions shape as
+    * [[minhashSignaturesText]]; output: (idCol, sig array<string>). */
+  def md5MinhashSignaturesText(
+      df: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame = {
+    val mins = (0 until k).map(s =>
+      min(md5(concat(col("gram"), lit(":" + s)))).as(s"h$s"))
+    df.select(col(idCol),
+        explode(sequence(lit(1), greatest(lit(1), length(col(textCol)) - (n - 1)))).as("pos"),
+        col(textCol))
+      .select(col(idCol),
+        call_function("substring", col(textCol), col("pos"), lit(n)).as("gram"))
+      .groupBy(idCol)
+      .agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until k).map(s => col(s"h$s")): _*).as("sig"))
+  }
+
+  /** [[lshBands]] for md5-string signatures: band hash = md5 of the
+    * '|'-joined band slice — `md5(string_agg(h,'|' ORDER BY seed))`
+    * per `seed // rowsPerBand` group in the oracle. */
+  def md5Bands(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => struct(
+        b.as("band_id"),
+        md5(concat_ws("|", slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand))))
+          .as("band_hash")))
+
   /** Explode a signature into (band_id, band_hash) LSH keys;
     * `bands × rowsPerBand` must equal the signature length. */
   def lshBands(sigCol: Column, bands: Int, rowsPerBand: Int): Column =
