@@ -198,4 +198,30 @@ object Snapshots {
     }
     drop
   }
+
+  /** Snowflake `DATA_RETENTION_TIME` semantics: retire versions no
+    * time-travel query inside the retention window can still reach.
+    * `readAt(t)` for any t >= cutoff must keep resolving, and the
+    * version in effect AT the cutoff instant is the newest one
+    * committed BEFORE it — so that boundary version survives along
+    * with everything committed since. (Dropping every version older
+    * than the cutoff — the obvious reading — silently breaks
+    * `readAt(cutoff)` itself.) The manifest's current version is
+    * always kept, whatever its age. Returns the dropped versions. */
+  def vacuumOlderThan(spark: SparkSession, root: String,
+      cutoffMillis: Long): Seq[Long] = {
+    val current = latestVersion(spark, root)
+    val all = versionsOn(spark, root)
+    val times = all.map(v => v -> commitTimeMillis(spark, root, v)).toMap
+    val boundary = all.reverse.find(times(_).exists(_ <= cutoffMillis))
+    val keepSet = (all.filter(times(_).forall(_ > cutoffMillis)) ++
+      boundary ++ current).toSet
+    val drop = all.filterNot(keepSet.contains)
+    val f = fs(spark, root)
+    drop.foreach { v =>
+      f.delete(new Path(root, s"v=$v"), true)
+      f.delete(new Path(root, s"_commits/$v"), false)
+    }
+    drop
+  }
 }

@@ -108,6 +108,33 @@ class SnapshotsSpec extends SparkTestBase {
     intercept[Exception] { Snapshots.readVersion(spark, root, 1L).collect() }
   }
 
+  test("vacuumOlderThan keeps the boundary version readAt(cutoff) resolves to") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapret").toString + "/t"
+    (1 to 4).foreach(i => Snapshots.commit(Seq(i.toLong).toDF("id"), root))
+    // synthetic commit times: v1@1000, v2@2000, v3@3000, v4@4000
+    (1 to 4).foreach { v =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/_commits/$v"),
+        (v * 1000L).toString.getBytes("UTF-8"))
+      // the nio write bypasses Hadoop's ChecksumFileSystem — drop the
+      // now-stale .crc sidecar or the next read throws ChecksumException
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$root/_commits/.$v.crc"))
+    }
+    // retention cutoff 2500: v3/v4 are inside the window, and v2 is
+    // the version in effect AT 2500 — only v1 is unreachable
+    val dropped = Snapshots.vacuumOlderThan(spark, root, cutoffMillis = 2500L)
+    assert(dropped == Seq(1L), s"dropped $dropped")
+    assert(Snapshots.versionAt(spark, root, 2500L) == Some(2L))
+    assert(Snapshots.readAt(spark, root, 2500L).as[Long].head() == 2L,
+      "time travel to the cutoff instant must survive the vacuum")
+    // cutoff far in the future: everything but the current goes
+    val dropped2 = Snapshots.vacuumOlderThan(spark, root, cutoffMillis = 9000L)
+    assert(dropped2 == Seq(2L, 3L), s"dropped2 $dropped2")
+    assert(Snapshots.read(spark, root).as[Long].head() == 4L)
+  }
+
   test("rollbackTo restores old content as a NEW version; history stays append-only") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snaprb").toString + "/t"

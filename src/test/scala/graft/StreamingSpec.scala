@@ -231,4 +231,58 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.contains(("2024-01-01 11:00:00", 1L, 1L)), s"got $rows")
     } finally q.stop()
   }
+
+  test("streaming change-event counters match the batch window form across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamChangeEvents
+    import graft.streaming.StreamChangeEvents.{ChangeCounts, ChangeEvent}
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // real events, including a null-type first row per the LAG
+      // NULL-safe-DISTINCT edge (user 1's first event type is null)
+      val events = Seq(
+        ChangeEvent(1L, 10L, 1L, null, 60.0),
+        ChangeEvent(1L, 20L, 2L, "view", 10.0),
+        ChangeEvent(1L, 30L, 3L, "view", 99.0),
+        ChangeEvent(1L, 40L, 4L, "click", 51.0),
+        ChangeEvent(2L, 10L, 5L, "view", 49.0),
+        ChangeEvent(2L, 15L, 6L, null, 80.0),
+        ChangeEvent(2L, 25L, 7L, null, 10.0),
+        ChangeEvent(3L, 5L, 8L, "buy", 50.0)) // 50.0 is NOT > 50
+      // split mid-history: state must carry counters across batches
+      val (b1, b2) = events.partition(_.tsSec <= 20L)
+      val input = MemoryStream[ChangeEvent]
+      val q = StreamChangeEvents.counts(input.toDS()).writeStream
+        .format("memory").queryName("chg_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(b1: _*); q.processAllAvailable()
+        input.addData(b2: _*); q.processAllAvailable()
+        // Update mode emits per touched key per batch — the final
+        // counters are the max-n_events row (counters are monotone)
+        val streamed = spark.table("chg_out").as[ChangeCounts].collect()
+          .groupBy(_.user_id).map(_._2.maxBy(_.n_events))
+          .map(c => (c.user_id, c.n_switches, c.n_high_value, c.n_events)).toSet
+        // the SAME window computation q_change_events runs (C65,
+        // oracle-checked): LAG IS DISTINCT FROM + running sums
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("userId").orderBy("tsSec", "eventId")
+        val batch = events.toDF()
+          .withColumn("chg",
+            when(not(col("eventType") <=> lag("eventType", 1).over(w)), 1L)
+              .otherwise(0L))
+          .groupBy(col("userId"))
+          .agg(sum("chg").as("n_switches"),
+            sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("n_high_value"),
+            count(lit(1)).as("n_events"))
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(streamed == batch, s"streamed $streamed vs batch $batch")
+        assert(streamed.exists { case (u, sw, _, _) => u == 2L && sw == 2L },
+          "view->null->null must count exactly one switch at the null boundary")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
