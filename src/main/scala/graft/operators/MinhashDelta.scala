@@ -162,7 +162,17 @@ object MinhashDelta {
     * Pruning on the hash alone is a SUPERSET of the (band_id, hash)
     * join key — sound. */
   def pruneIndexFiles(spark: SparkSession, path: String,
-      hashes: Array[Long]): (Seq[String], Int) = {
+      hashes: Array[Long]): (Seq[String], Int) =
+    pruneWithCovered(spark, path, hashes) match {
+      case (files, total, _) => (files, total)
+    }
+
+  /** One manifest read serving both prune decisions: the kept file
+    * list AND the batch dirs the manifest covers (the probe needs the
+    * latter to spot post-compaction appends — a second parquet read
+    * for it would double the probe's fixed driver cost). */
+  private def pruneWithCovered(spark: SparkSession, path: String,
+      hashes: Array[Long]): (Seq[String], Int, Set[String]) = {
     val stats = spark.read.parquet(statsPath(path))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     def anyIn(mn: Long, mx: Long): Boolean = {
@@ -171,7 +181,8 @@ object MinhashDelta {
       i < hashes.length && hashes(i) <= mx
     }
     (stats.collect { case (f, mn, mx) if anyIn(mn, mx) => s"$path/$f" }.toSeq,
-      stats.length)
+      stats.length,
+      stats.map(_._1.split("/").head).toSet)
   }
 
   /** [[incrementalPairs]] against a COMPACTED index, reading only the
@@ -193,11 +204,10 @@ object MinhashDelta {
       return pairsFromBands(d, readIndex(spark, path), broadcastDelta)
     val hashes = d.select(col("lsh_key.band_hash")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val (files, _) = pruneIndexFiles(spark, path, hashes)
+    val (files, _, covered) = pruneWithCovered(spark, path, hashes)
     // the manifest covers exactly the batch dirs it has rows under
     // (the compacted one); any other batch=* dir landed after the
     // compaction and must be read whole
-    val covered = coveredBatchesFromManifest(spark, path)
     val appended = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .map(_.getPath.toString)
@@ -208,13 +218,4 @@ object MinhashDelta {
       else spark.read.option("basePath", path).parquet(paths: _*).drop("batch")
     pairsFromBands(d, index, broadcastDelta)
   }
-
-  /** Batch dirs the manifest indexes — needed when pruning kept ZERO
-    * manifest files (otherwise the compacted batch would look
-    * "appended" and be read whole, defeating the prune). */
-  private def coveredBatchesFromManifest(
-      spark: SparkSession, path: String): Set[String] =
-    spark.read.parquet(statsPath(path))
-      .select(substring_index(col("file"), "/", 1))
-      .distinct().collect().map(_.getString(0)).toSet
 }
