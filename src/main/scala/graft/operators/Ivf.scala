@@ -93,11 +93,62 @@ object Ivf {
       path: String): Unit = {
     // repartition by cell so writer tasks line up with cell
     // directories — few large files per cell instead of tasks×cells
-    // small ones (the small-files problem at index-build scale)
-    index.repartition(col(cellCol))
-      .write.partitionBy(cellCol).mode("overwrite").parquet(s"$path/cells")
+    // small ones (the small-files problem at index-build scale).
+    // batch=0 is the trained base; [[appendToIndex]] lands deltas as
+    // batch=N siblings — a uniform two-level layout, because parquet
+    // partition discovery rejects mixed directory depths
+    index.withColumn("batch", lit(0L)).repartition(col(cellCol))
+      .write.partitionBy("batch", cellCol).mode("overwrite")
+      .parquet(s"$path/cells")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
+
+  /** Appends a delta of vectors to a persisted index WITHOUT
+    * re-training: assignment runs against the STORED centroids
+    * (broadcast — the delta never shuffles), and the rows land under
+    * `batch=<batchId>/<cell>=…` next to the trained base. This is the
+    * between-rebuilds discipline every production ANN system runs —
+    * re-clustering the corpus per delta is a full-corpus k-means at
+    * 100 TB, while append-assign touches delta-sized data only.
+    *
+    * Replay-idempotent by layout, like [[MinhashDelta.writeBatch]]:
+    * assignment against fixed centroids is deterministic, so a
+    * replayed batch produces the same (batch, cell) partitions and
+    * dynamic partition overwrite replaces exactly them — the trained
+    * base and other batches are never touched.
+    *
+    * Probes need no changes: cell pruning applies across batch dirs
+    * (the partition filter is on the cell column), so a probe reads
+    * nprobe cells of base + every appended batch.
+    *
+    * The caveat that makes [[refine]]+[[writeIndex]] the periodic
+    * companion: centroids drift as the distribution shifts — appended
+    * vectors may sit farther from their (stale) centroid, degrading
+    * recall at fixed nprobe. Monitor with [[cellFill]]; re-train and
+    * rewrite when appended mass dominates. */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      delta: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      batchId: Long): Unit = {
+    require(batchId > 0L, s"batch 0 is the trained base, got $batchId")
+    val cents = spark.read.parquet(s"$path/centroids")
+    assign(delta, cents, idCol, vecCol, cellCol)
+      .withColumn("batch", lit(batchId))
+      .repartition(col(cellCol))
+      .write.partitionBy("batch", cellCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** Rows per (batch, cell) — the staleness signal for
+    * [[appendToIndex]]: when appended batches carry a large share of
+    * a cell's rows, the fixed centroids no longer describe the data
+    * and a [[refine]]+[[writeIndex]] re-train is due. Driver-sized
+    * output (batches × cells), computed from partition metadata and
+    * parquet counts only. */
+  def cellFill(spark: org.apache.spark.sql.SparkSession, path: String,
+      cellCol: String): DataFrame =
+    spark.read.parquet(s"$path/cells")
+      .groupBy(col("batch"), col(cellCol)).count()
 
   /** Probe a [[writeIndex]]-persisted index. Centroid ranking runs on
     * the (tiny) centroid table and the winning `nprobe` cell ids are

@@ -158,6 +158,57 @@ class IvfSpec extends SparkTestBase {
     assert(cells(1L) != cells(4L), s"clusters merged: $cells")
   }
 
+  test("appendToIndex: fixed-centroid delta lands batch=N; replay idempotent; base untouched") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    graft.plans.GraftExtensions.register(spark)
+    val dir = "/root/testdata/sf0.01"
+    val path = java.nio.file.Files.createTempDirectory("ivfapp").toString + "/idx"
+    val v = graft.sources.ViewingData.table(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"),
+        normalize(toDouble(col("embedding"))).as("e"))
+      .localCheckpoint()
+    val base = v.filter(col("vec_id") % 4 =!= 0)
+    val delta = v.filter(col("vec_id") % 4 === 0 && col("vec_id") =!= 0)
+    val cents = graft.operators.Ivf.centroids(base, "label", "e").localCheckpoint()
+    val baseIdx = graft.operators.Ivf.assign(base, cents, "vec_id", "e", "label")
+      .localCheckpoint()
+    graft.operators.Ivf.writeIndex(baseIdx, cents, "label", path)
+
+    graft.operators.Ivf.appendToIndex(spark, path, delta, "vec_id", "e", "label", 1L)
+    // parity: the on-disk probe over base+delta == the in-memory probe
+    // over base ∪ assign(delta, SAME centroids)
+    val query = v.filter(col("vec_id") === 0).select(col("e").as("q"))
+    val memIdx = baseIdx.unionByName(
+      graft.operators.Ivf.assign(delta, cents, "vec_id", "e", "label"))
+    val mem = graft.operators.Ivf.probe(memIdx, cents, query,
+      "vec_id", "e", "label", nprobe = 3, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val persisted = graft.operators.Ivf.probeIndexed(spark, path, query,
+      "vec_id", "e", "label", nprobe = 3, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(persisted == mem, s"persisted $persisted vs mem $mem")
+    assert(persisted.exists(id => id % 4 == 0),
+      "appended vectors must be probe-visible (delta contains near dups of the query)")
+
+    // replay: deterministic assignment → same (batch, cell) partitions
+    // → dynamic overwrite replaces exactly itself
+    val before = spark.read.parquet(s"$path/cells")
+      .groupBy("batch").count().as[(Long, Long)].collect().toMap
+    graft.operators.Ivf.appendToIndex(spark, path, delta, "vec_id", "e", "label", 1L)
+    val after = spark.read.parquet(s"$path/cells")
+      .groupBy("batch").count().as[(Long, Long)].collect().toMap
+    assert(after == before, s"replay changed the index: $before -> $after")
+    assert(after.keySet == Set(0L, 1L), s"expected base+one batch, got $after")
+
+    // staleness signal: every (batch, cell) accounted for
+    val fill = graft.operators.Ivf.cellFill(spark, path, "label")
+      .as[(Long, Int, Long)].collect()
+    assert(fill.map(_._3).sum == before.values.sum)
+    assert(fill.exists(_._1 == 1L), "appended batch must show in cellFill")
+  }
+
   test("centroids are unit vectors and assignment covers every row") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions._
