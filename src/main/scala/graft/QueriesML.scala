@@ -362,6 +362,54 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i])), 6) >= 0.3"""))
 
+  /** dedup_embedding under D8's incremental split: the corpus (3/4)
+    * is the standing side, the delta (1/4) broadcasts into a
+    * same-cell probe plus its own self-join — the online "does this
+    * new embedding near-dup anything?" shape, with the full pipeline
+    * restricted-to-delta oracle (cosine is plain arithmetic, so
+    * unlike D8 the incremental EMBEDDING dedup is hash-checked).
+    * At scale the standing side is the persisted Ivf index
+    * ([[graft.operators.Ivf.appendToIndex]] lands the delta after
+    * the probe); cells here are the coarse label partition, the same
+    * candidate restriction dedup_embedding uses. */
+  private val dedupEmbeddingIncremental = Q(
+    "dedup_embedding_incremental",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      // normalize ONCE; corpus and delta both derive from the
+      // checkpoint so the broadcast side is not recomputed per branch
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("label"),
+          normalize(toDouble(col("embedding"))).as("e"))
+        .localCheckpoint()
+      val corpus = v.filter(col("vec_id") % 4 =!= 0)
+      val delta = v.filter(col("vec_id") % 4 === 0)
+      val oldNew = corpus.as("i")
+        .join(broadcast(delta).as("d"), expr("i.label = d.label"))
+        .select(
+          least(col("i.vec_id"), col("d.vec_id")).as("id_a"),
+          greatest(col("i.vec_id"), col("d.vec_id")).as("id_b"),
+          round(dotNative(col("i.e"), col("d.e")), 6).as("cos_sim"))
+      val self = delta.as("a")
+        .join(delta.as("b"), expr("a.label = b.label AND a.vec_id < b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(dotNative(col("a.e"), col("b.e")), 6).as("cos_sim"))
+      oldNew.unionAll(self).filter(col("cos_sim") >= 0.3)
+    },
+    Some("""WITH v0 AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v AS (
+  SELECT vec_id, label,
+         list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i])), 6) AS cos_sim
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i])), 6) >= 0.3
+  AND (a.vec_id % 4 = 0 OR b.vec_id % 4 = 0)"""))
+
   // ---------------------------------------------------------------------
   // E. Similarity search
   // ---------------------------------------------------------------------
@@ -659,6 +707,7 @@ GROUP BY 1, 2"""))
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
     dedupIncremental, dedupMinhashOracle, dedupIncrementalOracle,
+    dedupEmbeddingIncremental,
     annBruteforce, annBucketed, annIvf, annIvfPq, annKnnJoin, annQ8,
     mmBinaryMeta, mmDecode,
     streamBatchParity)
