@@ -245,6 +245,40 @@ object MergeSink {
       .select(groupCols.map(col) :+ col("hit.item") :+ col("hit.count"): _*)
   }
 
+  /** Streaming QUANTILE maintenance — the third sketch sink, same
+    * per-batch layout discipline as [[sketchTopKParquet]]: each
+    * micro-batch folds to ONE GK/t-digest summary per group
+    * (`qsketch_agg`, the same mergeable digest as q_quantile_sketch)
+    * under `batch_id=<id>/`. Quantile digests are not replay-
+    * idempotent (re-adding skews mass), so exactly-once again comes
+    * from the layout — a replayed batch overwrites its own partition.
+    * [[quantilesFromSketches]] answers "p50/p95/p99 per group, all
+    * time or any batch range" by combining digests; raw values are
+    * never re-read and per-group state is O(digest) per batch. */
+  def sketchQuantileParquet(sketchPath: String, groupCols: Seq[String],
+      valueCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.plans.GraftExtensions.register(batch.sparkSession)
+    batch.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"qsketch_agg($valueCol)").as("qsk"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$sketchPath/batch_id=$batchId")
+  }
+
+  /** Percentiles per group from [[sketchQuantileParquet]]'s digest
+    * table; `percentiles` are fractions in (0, 1]. */
+  def quantilesFromSketches(spark: SparkSession, sketchPath: String,
+      groupCols: Seq[String], percentiles: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.plans.GraftExtensions.register(spark)
+    spark.read.option("basePath", sketchPath).parquet(sketchPath)
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr("qsketch_combine(qsk)").as("qsk"))
+      .select(groupCols.map(col) ++ percentiles.map(p =>
+        expr(s"qsketch_estimate(qsk, ${p}D)")
+          .as(s"p${(p * 100).round}")): _*)
+  }
+
   /** Streaming maintenance of an aggregated rollup (reference:
     * v_audience_metrics, etl-ddl-backfill.sql:188-218 — a VIEW there;
     * at scale you materialize it and maintain it incrementally): each

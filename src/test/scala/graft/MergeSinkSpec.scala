@@ -281,6 +281,43 @@ class MergeSinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("quantile sketch sink: replay overwrites its batch; combined digests match one-shot") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.register(spark)
+    val target = Files.createTempDirectory("skq").toString + "/t"
+    val input = MemoryStream[(String, Double)]
+    val q = input.toDF().toDF("day", "v").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(MergeSink.sketchQuantileParquet(target, Seq("day"), "v") _)
+      .start()
+    try {
+      val b1 = Seq(("d1", 1.0), ("d1", 2.0), ("d1", 3.0), ("d2", 10.0))
+      val b2 = Seq(("d1", 4.0), ("d2", 20.0), ("d2", 30.0))
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      def est() = MergeSink.quantilesFromSketches(
+          spark, target, Seq("day"), Seq(0.5, 0.95))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+      // small-n regime: the digest holds every point, so combined
+      // estimates equal a one-shot approx_percentile over all rows
+      val oneShot = (b1 ++ b2).toDF("day", "v")
+        .groupBy("day")
+        .agg(expr("approx_percentile(v, 0.5)").as("p50"),
+          expr("approx_percentile(v, 0.95)").as("p95"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(est() == oneShot, s"streamed ${est()} vs one-shot $oneShot")
+      // the replay contract: rewriting a committed batch id with its
+      // exact payload must leave every estimate unchanged (a digest
+      // APPEND would skew p50 toward the replayed mass)
+      val before = est()
+      MergeSink.sketchQuantileParquet(target, Seq("day"), "v")(
+        b1.toDF("day", "v"), 0L)
+      assert(est() == before, "replayed batch must overwrite, not accumulate")
+    } finally q.stop()
+  }
+
   test("streamed daily bitmaps answer SLIDING reach without re-reading events") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

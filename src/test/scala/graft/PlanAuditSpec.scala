@@ -258,4 +258,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx,
       s"window must sit ABOVE the aggregate in the tree:\n$p")
   }
+
+  test("dedup_embedding_incremental: delta broadcasts, corpus never shuffles") {
+    val p = plan("dedup_embedding_incremental")
+    // the old×new probe is a broadcast hash join (delta side); the
+    // corpus side must not be exchanged on label for it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must stream through a broadcast probe, not sort-merge:\n$p")
+  }
+
+  test("dedup_incremental_oracle: index streams through a broadcast band probe") {
+    val p = plan("dedup_incremental_oracle")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the band index must stream through a broadcast probe:\n$p")
+  }
 }
