@@ -103,6 +103,27 @@ object Sweep {
     math.min(once, once)
   }
 
+  /** The one documents projection every MinhashDelta sweep case
+    * probes — a single definition so the cases can't drift apart. */
+  private def sweepDocs(spark: SparkSession, work: String) =
+    graft.sources.ViewingData.table(spark, work, "documents")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"))
+
+  private def compactIndexPath(work: String) = s"$work/mh_index_compact"
+
+  /** The shared compacted-index build (3/4 corpus, one batch,
+    * compacted): bulk-pruned and point-probe cases probe the SAME
+    * index, so requesting both pays one build — probeCase's marker
+    * makes the second call a no-op. */
+  private def buildCompactIndex(spark: SparkSession, work: String,
+      docs: org.apache.spark.sql.DataFrame): Unit = {
+    val path = compactIndexPath(work)
+    operators.MinhashDelta.writeBatch(
+      docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", path, 0L)
+    operators.MinhashDelta.compactIndex(spark, path)
+  }
+
   /** Build-once/probe-many measurement: `build` runs untimed, once per
     * cached work dir — completion is recorded by a marker file NEXT TO
     * the index, so a run killed mid-build leaves no marker and the
@@ -163,9 +184,7 @@ object Sweep {
         // untimed, persisted); only the delta's band build + the
         // index probe are measured — the registry query times the
         // corpus banding too, which a real increment never pays
-        val docs = graft.sources.ViewingData.table(spark, work, "documents")
-          .repartition(spark.sparkContext.defaultParallelism)
-          .select(col("doc_id"), col("text"))
+        val docs = sweepDocs(spark, work)
         val path = s"$work/mh_index"
         probeCase(spark, "dedup_incremental_probe", factor, path) {
           operators.MinhashDelta.writeBatch(
@@ -181,16 +200,13 @@ object Sweep {
         // but against a range-laid, manifest-indexed layout — measures
         // what driver-side file skipping buys a daily delta at scale
         // (compare the two SWEEP rows at the same factor)
-        val docs = graft.sources.ViewingData.table(spark, work, "documents")
-          .repartition(spark.sparkContext.defaultParallelism)
-          .select(col("doc_id"), col("text"))
-        val path = s"$work/mh_index_compact"
-        probeCase(spark, "dedup_incremental_pruned", factor, path) {
-          operators.MinhashDelta.writeBatch(
-            docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", path, 0L)
-          operators.MinhashDelta.compactIndex(spark, path)
+        val docs = sweepDocs(spark, work)
+        probeCase(spark, "dedup_incremental_pruned", factor,
+            compactIndexPath(work)) {
+          buildCompactIndex(spark, work, docs)
         } {
-          operators.MinhashDelta.incrementalPairsPruned(spark, path,
+          operators.MinhashDelta.incrementalPairsPruned(spark,
+              compactIndexPath(work),
               docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
             .write.format("noop").mode("overwrite").save()
         }
@@ -201,22 +217,21 @@ object Sweep {
         // and pruning is moot (see dedup_incremental_pruned); a point
         // probe carries 4 hashes and the manifest keeps the read to
         // ≤4 of the compacted files. Both rows probe the SAME
-        // compacted index — the delta is the only difference.
-        val docs = graft.sources.ViewingData.table(spark, work, "documents")
-          .repartition(spark.sparkContext.defaultParallelism)
-          .select(col("doc_id"), col("text"))
-        val path = s"$work/mh_index_point"
+        // compacted index (shared with dedup_incremental_pruned's
+        // cached build) — the delta is the only difference.
+        val docs = sweepDocs(spark, work)
+        val path = compactIndexPath(work)
         val one = docs.orderBy("doc_id").limit(1).localCheckpoint()
         probeCase(spark, "dedup_point_full", factor, path) {
-          operators.MinhashDelta.writeBatch(
-            docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", path, 0L)
-          operators.MinhashDelta.compactIndex(spark, path)
+          buildCompactIndex(spark, work, docs)
         } {
           operators.MinhashDelta.incrementalPairs(one, "doc_id", "text",
               operators.MinhashDelta.readIndex(spark, path))
             .write.format("noop").mode("overwrite").save()
         }
-        probeCase(spark, "dedup_point_pruned", factor, path) { () } {
+        probeCase(spark, "dedup_point_pruned", factor, path) {
+          buildCompactIndex(spark, work, docs)
+        } {
           operators.MinhashDelta.incrementalPairsPruned(spark, path,
               one, "doc_id", "text")
             .write.format("noop").mode("overwrite").save()

@@ -130,6 +130,19 @@ object Ivf {
       delta: DataFrame, idCol: String, vecCol: String, cellCol: String,
       batchId: Long): Unit = {
     require(batchId > 0L, s"batch 0 is the trained base, got $batchId")
+    // fail fast on an index persisted by the pre-batch single-level
+    // layout (cells/<cell>=… with no batch dirs): appending batch=N
+    // next to bare cell dirs creates mixed partition depths, which
+    // parquet partition discovery rejects — the append would succeed
+    // and every subsequent read of the index would throw
+    val cellsRoot = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val fs = cellsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacy = fs.listStatus(cellsRoot)
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.startsWith("batch="))
+    require(legacy.isEmpty,
+      s"index at $path uses the single-level layout (${legacy.take(3).mkString(", ")}…); " +
+        "rewrite it with writeIndex before appending")
     val cents = spark.read.parquet(s"$path/centroids")
     assign(delta, cents, idCol, vecCol, cellCol)
       .withColumn("batch", lit(batchId))

@@ -45,12 +45,18 @@ object MinhashDelta {
         col("sig"))
 
   /** Lands one ingestion batch in the index. Same batch id → same
-    * directory → overwrite: replay-idempotent by layout. */
+    * directory → overwrite: replay-idempotent by layout. Negative ids
+    * are reserved ([[compactIndex]]'s folded slot is `batch=-1`) —
+    * a user batch there would make its own replay destroy the
+    * compacted index. */
   def writeBatch(
       docs: DataFrame, idCol: String, textCol: String,
-      path: String, batchId: Long): Unit =
+      path: String, batchId: Long): Unit = {
+    require(batchId >= 0L,
+      s"negative batch ids are reserved for compaction, got $batchId")
     bandRows(docs, idCol, textCol)
       .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+  }
 
   /** The full index (all batches). `batch` is a partition column —
     * dropped, probes are batch-agnostic. */
@@ -129,22 +135,28 @@ object MinhashDelta {
     * readers) so [[incrementalPairsPruned]] can drop index files
     * BEFORE any footer opens. The swap is staged + published
     * ([[graft.sources.LakeWriter.publish]]): readers never see a torn
-    * index, a crash rolls back. A pre-compaction batch REPLAYED after
-    * the swap recreates its `batch=N` dir next to the compacted
-    * `batch=0` — duplicate index rows, which cost probe work but not
-    * correctness (the pair `distinct` collapses duplicate candidates);
-    * the next compaction absorbs them. */
+    * index, a crash rolls back.
+    *
+    * The compacted layout lands under `batch=-1` — a RESERVED id
+    * [[writeBatch]] rejects — so NO pre-compaction batch replayed
+    * after the swap can ever overwrite it: the replay recreates its
+    * `batch=N` dir next to the compacted slot (duplicate index rows,
+    * which cost probe work but not correctness — the pair `distinct`
+    * collapses duplicate candidates; the next compaction absorbs
+    * them). A compacted slot named after a USER batch id would
+    * instead be silently REPLACED by that batch's replay, losing
+    * every other folded batch and orphaning the manifest. */
   def compactIndex(spark: SparkSession, path: String,
       numFiles: Int = 32): Unit = {
     val flat = readIndex(spark, path)
     val staged = graft.sources.LakeWriter.stagingPath(path)
     flat.repartitionByRange(numFiles, col("lsh_key.band_hash"))
       .sortWithinPartitions(col("lsh_key.band_hash"))
-      .write.mode("overwrite").parquet(s"$staged/batch=0")
+      .write.mode("overwrite").parquet(s"$staged/batch=-1")
     // per-file range stats, grouped by _metadata.file_path — the same
     // one-scan build as sources.StatsIndex (which can't index a struct
     // field by name, hence the local manifest)
-    spark.read.parquet(s"$staged/batch=0")
+    spark.read.parquet(s"$staged/batch=-1")
       // ROOT-RELATIVE file paths: the manifest is written in the
       // staging dir, so an absolute path would die at publish
       .groupBy(substring_index(col("_metadata.file_path"),

@@ -274,9 +274,16 @@ object MergeSink {
     spark.read.option("basePath", sketchPath).parquet(sketchPath)
       .groupBy(groupCols.map(col): _*)
       .agg(expr("qsketch_combine(qsk)").as("qsk"))
-      .select(groupCols.map(col) ++ percentiles.map(p =>
-        expr(s"qsketch_estimate(qsk, ${p}D)")
-          .as(s"p${(p * 100).round}")): _*)
+      .select(groupCols.map(col) ++ percentiles.map { p =>
+        // exact, collision-free labels: p50, p99_9, p0_1 — rounding
+        // p*100 would alias 0.995/0.999 into one (wrong) p100 column
+        // BigDecimal over the SHORTEST decimal repr (p.toString), not
+        // the raw double: BigDecimal(0.999*100) would carry binary
+        // noise into the label ("p99_90000000000001")
+        val label = "p" + (BigDecimal(p.toString) * 100).underlying
+          .stripTrailingZeros.toPlainString.replace(".", "_")
+        expr(s"qsketch_estimate(qsk, ${p}D)").as(label)
+      }: _*)
   }
 
   /** Streaming maintenance of an aggregated rollup (reference:

@@ -37,11 +37,12 @@ object StreamChangeEvents {
   case class ChangeCounts(
       user_id: Long, n_switches: Long, n_high_value: Long, n_events: Long)
 
-  /** lastType is nullable; `hasLast=false` only before any event —
-    * kept so a stored NULL type is distinguishable from "state just
-    * created" in debugging, though both compare the same way. */
+  /** lastType is nullable — "no previous event" and "previous type
+    * was NULL" intentionally share the null encoding, because LAG's
+    * first-row NULL makes them indistinguishable to the batch form's
+    * IS DISTINCT FROM too. */
   case class CounterState(
-      lastType: String, hasLast: Boolean,
+      lastType: String,
       nSwitches: Long, nHighValue: Long, nEvents: Long)
 
   class ChangeProcessor(highValue: Double)
@@ -62,11 +63,10 @@ object StreamChangeEvents {
         key: Long,
         rows: Iterator[ChangeEvent],
         timerValues: TimerValues): Iterator[ChangeCounts] = {
-      var s = if (st.exists) st.get
-        else CounterState(null, hasLast = false, 0L, 0L, 0L)
+      var s = if (st.exists) st.get else CounterState(null, 0L, 0L, 0L)
       rows.toSeq.sortBy(e => (e.tsSec, e.eventId)).foreach { e =>
         s = CounterState(
-          e.eventType, hasLast = true,
+          e.eventType,
           s.nSwitches + (if (distinct(s.lastType, e.eventType)) 1L else 0L),
           s.nHighValue + (if (e.value > highValue) 1L else 0L),
           s.nEvents + 1L)

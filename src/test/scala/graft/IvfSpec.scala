@@ -207,6 +207,19 @@ class IvfSpec extends SparkTestBase {
       .as[(Long, Int, Long)].collect()
     assert(fill.map(_._3).sum == before.values.sum)
     assert(fill.exists(_._1 == 1L), "appended batch must show in cellFill")
+
+    // a legacy single-level index (bare cell dirs) must be REJECTED:
+    // appending batch=N beside them would mix partition depths and
+    // break every subsequent read of the index
+    val legacy = java.nio.file.Files.createTempDirectory("ivflegacy").toString + "/idx"
+    baseIdx.repartition(col("label"))
+      .write.partitionBy("label").parquet(s"$legacy/cells")
+    cents.coalesce(1).write.parquet(s"$legacy/centroids")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Ivf.appendToIndex(spark, legacy, delta,
+        "vec_id", "e", "label", 1L)
+    }
+    assert(e.getMessage.contains("single-level layout"), e.getMessage)
   }
 
   test("centroids are unit vectors and assignment covers every row") {

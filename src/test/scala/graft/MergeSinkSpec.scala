@@ -315,6 +315,11 @@ class MergeSinkSpec extends SparkTestBase {
       MergeSink.sketchQuantileParquet(target, Seq("day"), "v")(
         b1.toDF("day", "v"), 0L)
       assert(est() == before, "replayed batch must overwrite, not accumulate")
+      // labels are exact and collision-free: 0.995/0.999 must NOT both
+      // round into one (wrong) p100 column
+      val cols = MergeSink.quantilesFromSketches(
+        spark, target, Seq("day"), Seq(0.995, 0.999)).columns.toSeq
+      assert(cols == Seq("day", "p99_5", "p99_9"), cols.toString)
     } finally q.stop()
   }
 

@@ -64,8 +64,10 @@ class MinhashDeltaSpec extends SparkTestBase {
     val base = java.nio.file.Files.createTempDirectory("mhstream").toString
     val idxPath = s"$base/idx"
     val pairsPath = s"$base/pairs"
-    // corpus index exists before the stream starts
-    MinhashDelta.writeBatch(corpus, "doc_id", "text", idxPath, -1L)
+    // corpus index exists before the stream starts (a high user-space
+    // batch id, clear of the stream's 0..N and of the reserved
+    // negative compaction slot)
+    MinhashDelta.writeBatch(corpus, "doc_id", "text", idxPath, 1000000L)
     val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val deltaIds = delta.collect().map(_.getLong(0)).sorted
     val (half1, half2) = deltaIds.splitAt(deltaIds.length / 2)
@@ -121,7 +123,8 @@ class MinhashDeltaSpec extends SparkTestBase {
     // one batch dir, same rows
     val dirs = new java.io.File(path).listFiles
       .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
-    assert(dirs.toSeq == Seq("batch=0"), dirs.toSeq.toString)
+    assert(dirs.toSeq == Seq("batch=-1"),
+      s"compaction must land in the RESERVED slot: ${dirs.toSeq}")
     // full probe parity after the swap
     val after = MinhashDelta.incrementalPairs(delta, "doc_id", "text",
         MinhashDelta.readIndex(spark, path))
@@ -142,14 +145,26 @@ class MinhashDeltaSpec extends SparkTestBase {
         MinhashDelta.readIndex(spark, path))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(prunedPairs == fullPairs, "file skipping must be invisible to results")
-    // a pre-compaction batch replayed AFTER the swap: duplicate index
-    // rows appear (batch=1 beside the compacted batch=0) but the pair
-    // set is unchanged — distinct collapses duplicate candidates
+    // a pre-compaction batch replayed AFTER the swap — INCLUDING batch
+    // 0, the id that would overwrite a compacted slot named batch=0
+    // and destroy every other folded batch. The reserved batch=-1
+    // slot makes both replays land beside the compacted data:
+    // duplicate index rows, unchanged pair set (distinct collapses
+    // duplicate candidates), pruned probe still served by the manifest
     MinhashDelta.writeBatch(half2, "doc_id", "text", path, 1L)
+    MinhashDelta.writeBatch(half1, "doc_id", "text", path, 0L)
     val replayed = MinhashDelta.incrementalPairs(delta, "doc_id", "text",
         MinhashDelta.readIndex(spark, path))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(replayed == before, "replay after compaction must not change pairs")
+    val prunedReplayed = MinhashDelta.incrementalPairsPruned(
+        spark, path, delta, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prunedReplayed == before,
+      "pruned probe must survive a batch-0 replay of the compacted index")
+    intercept[IllegalArgumentException] {
+      MinhashDelta.writeBatch(half1, "doc_id", "text", path, -1L)
+    }
     // a batch APPENDED after compaction is outside the manifest — the
     // pruned probe must still see it (read whole beside pruned files):
     // land NEW docs whose text copies the delta's (identical
