@@ -130,11 +130,63 @@ object Ivf {
       delta: DataFrame, idCol: String, vecCol: String, cellCol: String,
       batchId: Long): Unit = {
     require(batchId > 0L, s"batch 0 is the trained base, got $batchId")
-    // fail fast on an index persisted by the pre-batch single-level
-    // layout (cells/<cell>=… with no batch dirs): appending batch=N
-    // next to bare cell dirs creates mixed partition depths, which
-    // parquet partition discovery rejects — the append would succeed
-    // and every subsequent read of the index would throw
+    requireBatchLayout(spark, path)
+    val cents = spark.read.parquet(s"$path/centroids")
+    assign(delta, cents, idCol, vecCol, cellCol)
+      .withColumn("batch", lit(batchId))
+      .repartition(col(cellCol))
+      .write.partitionBy("batch", cellCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** Near-dup pairs of a delta against a persisted index — the
+    * embedding side of [[MinhashDelta.incrementalPairs]], served by
+    * the index instead of a corpus rescan: the delta is assigned to
+    * the STORED centroids (broadcast), the cells scan carries a
+    * literal partition filter over the delta's cells (file listing
+    * prunes everything else), and the delta broadcasts into the
+    * per-cell cosine join — the index never shuffles. Contract: delta
+    * ids are disjoint from indexed ids; `distinct` absorbs duplicate
+    * index rows from replayed appends. Pairs are (id_a < id_b,
+    * cos_sim >= threshold). Streaming: foreachBatch { nearDupProbe →
+    * land pairs under batch=N → [[appendToIndex]] } — each pair found
+    * exactly once, when its later member arrives. */
+  def nearDupProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      delta: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      threshold: Double): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val d = assign(delta, cents, idCol, vecCol, cellCol).localCheckpoint()
+    val cells = d.select(col(cellCol)).distinct().collect().map(_.get(0))
+    val oldNew = spark.read.parquet(s"$path/cells").as("i")
+      .filter(col(cellCol).isin(cells.toIndexedSeq: _*))
+      .join(broadcast(d).as("d"),
+        expr(s"i.$cellCol = d.$cellCol AND i.$idCol <> d.$idCol"))
+      .select(
+        least(col(s"i.$idCol"), col(s"d.$idCol")).as("id_a"),
+        greatest(col(s"i.$idCol"), col(s"d.$idCol")).as("id_b"),
+        round(dotNative(col(s"i.$vecCol"), col(s"d.$vecCol")), 6).as("cos_sim"))
+    // within-delta pairs: both members arrive in the SAME batch, so
+    // neither is indexed yet when the probe runs — the self-join is
+    // what makes "each pair found exactly once" hold across any
+    // batch split (the MinhashDelta.pairsFromBands structure)
+    val self = d.as("a")
+      .join(d.as("b"), expr(s"a.$cellCol = b.$cellCol AND a.$idCol < b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(dotNative(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cos_sim"))
+    oldNew.unionAll(self)
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+  }
+
+  /** Fail fast on an index persisted by the pre-batch single-level
+    * layout (cells/<cell>=… with no batch dirs): appending batch=N
+    * next to bare cell dirs creates mixed partition depths, which
+    * parquet partition discovery rejects — the append would succeed
+    * and every subsequent read of the index would throw. Shared by
+    * [[appendToIndex]] and [[IvfPq.appendToIndex]]. */
+  private[operators] def requireBatchLayout(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val cellsRoot = new org.apache.hadoop.fs.Path(s"$path/cells")
     val fs = cellsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val legacy = fs.listStatus(cellsRoot)
@@ -143,13 +195,6 @@ object Ivf {
     require(legacy.isEmpty,
       s"index at $path uses the single-level layout (${legacy.take(3).mkString(", ")}…); " +
         "rewrite it with writeIndex before appending")
-    val cents = spark.read.parquet(s"$path/centroids")
-    assign(delta, cents, idCol, vecCol, cellCol)
-      .withColumn("batch", lit(batchId))
-      .repartition(col(cellCol))
-      .write.partitionBy("batch", cellCol)
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$path/cells")
   }
 
   /** Rows per (batch, cell) — the staleness signal for

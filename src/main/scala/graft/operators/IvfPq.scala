@@ -56,11 +56,47 @@ object IvfPq {
     // join needed to re-attach it before the partitioned write; the
     // repartition lines writer tasks up with cell directories so each
     // cell lands as few large files, not tasks×cells small ones
+    // batch=0 is the trained base; [[appendToIndex]] lands deltas as
+    // batch=N siblings (uniform two-level layout — partition
+    // discovery rejects mixed depths, same contract as Ivf)
     Pq.encode(resid, books, idCol, "resid", m, carry = Seq(cellCol))
+      .withColumn("batch", lit(0L))
       .repartition(col(cellCol))
-      .write.partitionBy(cellCol).mode("overwrite").parquet(s"$path/cells")
+      .write.partitionBy("batch", cellCol).mode("overwrite")
+      .parquet(s"$path/cells")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     books.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Grows a persisted IVF-PQ index WITHOUT re-training either
+    * quantizer: the delta is assigned to the STORED coarse centroids,
+    * its residuals are encoded with the STORED codebooks, and the
+    * codes land under `batch=<batchId>/<cell>=…` next to the trained
+    * base — [[Ivf.appendToIndex]]'s discipline applied to both
+    * quantization levels (FAISS's `add` vs `train` split: adding
+    * vectors never retrains). Deterministic assign+encode plus
+    * dynamic partition overwrite → a replayed batch replaces exactly
+    * itself. Probes are unchanged: [[adcShortlist]]'s cell filter
+    * prunes across batch dirs, and the LUT/centroid terms come from
+    * the same stored tables the append encoded against. Centroid and
+    * codebook drift accumulate between re-trains — [[Ivf.cellFill]]
+    * over `path` is the re-train signal here too. */
+  def appendToIndex(spark: SparkSession, path: String, delta: DataFrame,
+      idCol: String, vecCol: String, cellCol: String,
+      batchId: Long): Unit = {
+    require(batchId > 0L, s"batch 0 is the trained base, got $batchId")
+    Ivf.requireBatchLayout(spark, path)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val books = spark.read.parquet(s"$path/codebooks")
+    val m = books.agg(max(col("seg"))).head().getInt(0) + 1
+    val assigned = Ivf.assign(delta, cents, idCol, vecCol, cellCol)
+    val resid = residuals(assigned, cents, idCol, vecCol, cellCol)
+    Pq.encode(resid, books, idCol, "resid", m, carry = Seq(cellCol))
+      .withColumn("batch", lit(batchId))
+      .repartition(col(cellCol))
+      .write.partitionBy("batch", cellCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/cells")
   }
 
   /** ADC shortlist from a persisted index for a single query vector

@@ -168,6 +168,27 @@ object MinhashDelta {
     graft.sources.LakeWriter.publish(spark, staged, path)
   }
 
+  /** Compacts when the accumulated batch count crosses `maxBatches` —
+    * the streaming loop's maintenance hook (call after each
+    * [[writeBatch]]): keeps the probe's batch union bounded the same
+    * way [[graft.sources.LakeWriter.compact]] bounds small files.
+    * The compacted `batch=-1` slot does not count toward the
+    * threshold (it IS the compaction product). Returns whether a
+    * compaction ran. */
+  def compactIfNeeded(spark: SparkSession, path: String,
+      maxBatches: Int = 16, numFiles: Int = 32): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    val batches = fs.listStatus(root).count(s => s.isDirectory && {
+      val n = s.getPath.getName
+      n.startsWith("batch=") && n != "batch=-1"
+    })
+    val due = batches > maxBatches
+    if (due) compactIndex(spark, path, numFiles)
+    due
+  }
+
   /** Index files that can share a band hash with `hashes` (sorted
     * search per file range) and the total file count. Driver-side
     * control plane: |files| manifest rows vs |delta|·Bands hashes.

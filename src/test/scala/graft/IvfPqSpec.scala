@@ -59,4 +59,53 @@ class IvfPqSpec extends SparkTestBase {
     assert(recall >= 0.9, s"IVF-PQ rerank recall@10: $recall " +
       s"(exact=$exact got=$got)")
   }
+
+  test("appendToIndex: stored-quantizer encode parity; replay idempotent") {
+    graft.plans.GraftExtensions.register(spark)
+    val dir = "/root/testdata/sf0.01"
+    val path = Files.createTempDirectory("ivfpqapp").toString
+    val v = graft.sources.ViewingData.table(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"),
+        normalize(toDouble(col("embedding"))).as("e"))
+      .localCheckpoint()
+    val base = v.filter(col("vec_id") % 4 =!= 0)
+    val delta = v.filter(col("vec_id") % 4 === 0)
+    IvfPq.writeIndex(base, "vec_id", "e", "label", path, m = 16, k = 16)
+    IvfPq.appendToIndex(spark, path, delta, "vec_id", "e", "label", 1L)
+
+    // parity: the appended codes equal a re-encode of the delta under
+    // the STORED centroids + codebooks (no retraining happened)
+    val cents = spark.read.parquet(s"$path/centroids")
+    val books = spark.read.parquet(s"$path/codebooks")
+    val assigned = graft.operators.Ivf.assign(delta, cents, "vec_id", "e", "label")
+    val resid = assigned.join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"),
+        zip_with(col("e"), col("centroid"), (a, b) => a - b).as("resid"))
+    val expected = graft.operators.Pq.encode(
+        resid, books, "vec_id", "resid", 16, carry = Seq("label"))
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    val got = spark.read.parquet(s"$path/cells")
+      .filter(col("batch") === 1L)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(got == expected, "appended codes must be the stored-codebook encoding")
+
+    // appended vectors are probe-visible: querying with a delta vector
+    // must surface its own id through the ADC shortlist + rerank
+    val qid = delta.select(min(col("vec_id"))).as[Long].head()
+    val q = v.filter(col("vec_id") === qid).select("e").as[Seq[Double]].head()
+    val top = IvfPq.probe(spark, path, v, q, "vec_id", "e", "label",
+        nprobe = 8, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top.contains(qid), s"self-query must rank itself: $top")
+
+    // replay: same batch id, same payload → identical per-batch counts
+    val before = spark.read.parquet(s"$path/cells")
+      .groupBy("batch").count().as[(Long, Long)].collect().toMap
+    IvfPq.appendToIndex(spark, path, delta, "vec_id", "e", "label", 1L)
+    val after = spark.read.parquet(s"$path/cells")
+      .groupBy("batch").count().as[(Long, Long)].collect().toMap
+    assert(after == before, s"replay changed the index: $before -> $after")
+    assert(after.keySet == Set(0L, 1L))
+  }
 }

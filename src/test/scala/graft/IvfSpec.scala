@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
 class IvfSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -220,6 +222,71 @@ class IvfSpec extends SparkTestBase {
         "vec_id", "e", "label", 1L)
     }
     assert(e.getMessage.contains("single-level layout"), e.getMessage)
+  }
+
+  test("streaming embedding dedup: probe-then-append converges to the one-shot pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    graft.plans.GraftExtensions.register(spark)
+    val dir = "/root/testdata/sf0.01"
+    val root = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val path = s"$root/idx"
+    val pairsPath = s"$root/pairs"
+    val v = graft.sources.ViewingData.table(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"),
+        normalize(toDouble(col("embedding"))).as("e"))
+      .localCheckpoint()
+    val base = v.filter(col("vec_id") % 4 =!= 0)
+    val cents = graft.operators.Ivf.centroids(base, "label", "e").localCheckpoint()
+    graft.operators.Ivf.writeIndex(
+      graft.operators.Ivf.assign(base, cents, "vec_id", "e", "label"),
+      cents, "label", path)
+    // the delta arrives as a stream of vec ids, two micro-batches
+    val vecOf = v.filter(col("vec_id") % 4 === 0)
+      .select("vec_id", "label", "e").as[(Long, Int, Seq[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    val deltaIds = vecOf.keys.toSeq.sorted
+    val (half1, half2) = deltaIds.splitAt(deltaIds.length / 2)
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("vec_id").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val withVec = batch.as[Long].collect().toSeq.map(vecOf)
+          .toDF("vec_id", "label", "e")
+        // probe against everything indexed SO FAR (idempotent pairs
+        // landing: a replayed foreachBatch overwrites its own dir),
+        // then join the index — the D11 scaladoc loop, executable
+        graft.operators.Ivf.nearDupProbe(spark, path, withVec,
+            "vec_id", "e", "label", 0.3)
+          .write.mode("overwrite").parquet(s"$pairsPath/batch=$id")
+        graft.operators.Ivf.appendToIndex(spark, path, withVec,
+          "vec_id", "e", "label", id + 1)
+      }
+      .start()
+    try {
+      input.addData(half1: _*); q.processAllAvailable()
+      input.addData(half2: _*); q.processAllAvailable()
+      val streamed = spark.read.parquet(pairsPath)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // one-shot expected: same-cell pairs under the STORED centroids
+      // across base ∪ delta, restricted to delta-touching
+      val allAssigned = graft.operators.Ivf.assign(
+        v, cents, "vec_id", "e", "label").localCheckpoint()
+      val expected = allAssigned.as("a")
+        .join(allAssigned.as("b"),
+          expr("a.label = b.label AND a.vec_id < b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(dotNative(col("a.e"), col("b.e")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
+        .filter(col("id_a") % 4 === 0 || col("id_b") % 4 === 0)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == expected,
+        s"missing=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
+    } finally q.stop()
   }
 
   test("centroids are unit vectors and assignment covers every row") {

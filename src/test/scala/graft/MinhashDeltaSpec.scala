@@ -185,6 +185,24 @@ class MinhashDeltaSpec extends SparkTestBase {
       "pruned probe must read post-compaction batches in full")
   }
 
+  test("compactIfNeeded: fires past the batch threshold, idle below it") {
+    val path = java.nio.file.Files.createTempDirectory("mhauto").toString + "/idx"
+    val half = corpus.filter(col("doc_id") % 2 === 1)
+    (0 to 2).foreach(i =>
+      MinhashDelta.writeBatch(half, "doc_id", "text", path, i.toLong))
+    assert(!MinhashDelta.compactIfNeeded(spark, path, maxBatches = 3),
+      "3 batches is within a threshold of 3")
+    MinhashDelta.writeBatch(half, "doc_id", "text", path, 3L)
+    assert(MinhashDelta.compactIfNeeded(spark, path, maxBatches = 3),
+      "4 batches must trigger")
+    val dirs = new java.io.File(path).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName)
+    assert(dirs.toSeq == Seq("batch=-1"), dirs.toSeq.toString)
+    // the compacted slot does not re-trigger
+    assert(!MinhashDelta.compactIfNeeded(spark, path, maxBatches = 0),
+      "the batch=-1 product must not count toward the threshold")
+  }
+
   test("probe plan: corpus text never re-read, index never shuffled") {
     val path = java.nio.file.Files.createTempDirectory("mhidx2").toString + "/idx"
     MinhashDelta.writeBatch(corpus, "doc_id", "text", path, 0L)
