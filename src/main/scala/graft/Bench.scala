@@ -123,9 +123,10 @@ object Bench {
     val succeeded = results.filter(_._2.isDefined)
     val minPasses = if (succeeded.isEmpty) 0 else succeeded.map(_._3).min
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$minPasses,"n_queries":${results.size},"calib_sec":[$calibBefore,$calibAfter]}""")
-    BenchHistory.append(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench/history.jsonl"),
-      BenchHistory.line(sfDir, calibBefore, calibAfter, total, results))
+    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench/history.jsonl")
+    BenchHistory.append(histPath,
+      BenchHistory.line(sfDir, calibBefore, calibAfter, total, results,
+        BenchHistory.prevEntry(histPath, sfDir)))
     spark.stop()
   }
 }
@@ -140,21 +141,67 @@ object Bench {
   * until a full manual re-run). */
 object BenchHistory {
   /** Render one run as a single JSON line. Key order is stable
-    * (sorted query names) so consecutive runs diff cleanly. */
+    * (sorted query names) so consecutive runs diff cleanly.
+    *
+    * When `prev` (the last same-SF entry, from [[prevEntry]]) is
+    * given, each query additionally records `vs_prev` — the ratio of
+    * CALIB-NORMALIZED times, (sec/calib_mean) / (prev_sec/prev_calib)
+    * — and the top level records `calib_vs_prev`. Reading rule: a
+    * run whose `calib_vs_prev` is far from 1 ran on a drifted VM and
+    * its raw seconds are noise; a query whose `vs_prev` is far from 1
+    * while `calib_vs_prev` stayed near 1 is a real plan change. This
+    * is exactly the analysis the round-6 driver bench needed (total
+    * +145% on calib +300% — noise, but only provable by hand). */
   def line(
       sfDir: String,
       calibBefore: Double,
       calibAfter: Double,
       total: Double,
-      results: Seq[(String, Option[Double], Int)]): String = {
+      results: Seq[(String, Option[Double], Int)],
+      prev: Option[(Double, Map[String, Double])] = None): String = {
     val ts = java.time.Instant.now().toString
     val calibMean = (calibBefore + calibAfter) / 2.0
     val qs = results.sortBy(_._1).map { case (n, sec, passes) =>
       val s = sec.map(v => f"$v%.4f").getOrElse("null")
-      s""""$n":{"sec":$s,"passes":$passes}"""
+      val vs = for {
+        (pCalib, pSecs) <- prev
+        cur <- sec
+        p <- pSecs.get(n)
+        if p > 0 && pCalib > 0 && calibMean > 0
+      } yield f""","vs_prev":${(cur / calibMean) / (p / pCalib)}%.3f"""
+      s""""$n":{"sec":$s,"passes":$passes${vs.getOrElse("")}}"""
     }.mkString(",")
-    f"""{"ts":"$ts","git":"${gitHead()}","sf":"$sfDir","calib_sec":[$calibBefore%.4f,$calibAfter%.4f],"calib_mean":$calibMean%.4f,"total_sec":$total%.4f,"n_queries":${results.size},"queries":{$qs}}"""
+    val calibVs = prev.collect { case (pCalib, _) if pCalib > 0 =>
+      f""","calib_vs_prev":${calibMean / pCalib}%.3f""" }.getOrElse("")
+    f"""{"ts":"$ts","git":"${gitHead()}","sf":"$sfDir","calib_sec":[$calibBefore%.4f,$calibAfter%.4f],"calib_mean":$calibMean%.4f$calibVs,"total_sec":$total%.4f,"n_queries":${results.size},"queries":{$qs}}"""
   }
+
+  private val CalibMeanRe = """"calib_mean":([0-9.eE+-]+)""".r
+  private val QuerySecRe = """"([A-Za-z0-9_]+)":\{"sec":([0-9.eE+-]+)""".r
+
+  /** The last history entry for the SAME sf dir — (calib_mean,
+    * query→sec). Parsed with regexes over the format [[line]] itself
+    * emits (no JSON lib on the unmanaged classpath); a hand-edited or
+    * foreign line that doesn't match simply yields None/empty, never
+    * a throw — history is telemetry, not a dependency. */
+  def prevEntry(path: String, sfDir: String): Option[(Double, Map[String, Double])] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val needle = s""""sf":"$sfDir""""
+        val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+        val last = try src.getLines().filter(_.contains(needle)).foldLeft(
+          Option.empty[String])((_, l) => Some(l)) finally src.close()
+        last.flatMap { l =>
+          CalibMeanRe.findFirstMatchIn(l).map { m =>
+            val qs = QuerySecRe.findAllMatchIn(l)
+              .map(q => q.group(1) -> q.group(2).toDouble).toMap
+            (m.group(1).toDouble, qs)
+          }
+        }
+      }
+    } catch { case _: Exception => None }
 
   /** Append (create parents on first run). Best-effort by design: a
     * read-only checkout must not fail the bench — stdout is still the

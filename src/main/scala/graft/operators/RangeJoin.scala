@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
 
 /** Point-in-interval (range) join as an EQUI-join on time buckets.
   *
@@ -39,6 +40,25 @@ object RangeJoin {
     * 2-3 buckets per interval. */
   val maxBucketsPerInterval = 10000L
 
+  /** Epoch seconds for a time column of any accepted type. Spark won't
+    * cast TIMESTAMP_NTZ to a number (the wall-clock has no instant
+    * without a zone) — this operator pins the interpretation the rest
+    * of the engine uses: NTZ wall-clock IS UTC. Rejecting anything
+    * non-time-like here turns the former three-frames-away Catalyst
+    * cast error into a named contract failure at the operator door. */
+  private def epochSec(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case TimestampType    => col(c).cast("long")
+      case TimestampNTZType =>
+        convert_timezone(lit("UTC"), current_timezone(), col(c))
+          .cast(TimestampType).cast("long")
+      case DateType         => col(c).cast(TimestampType).cast("long")
+      case _: NumericType   => col(c).cast("long")
+      case other            => throw new IllegalArgumentException(
+        s"RangeJoin: time column `$c` must be a timestamp, timestamp_ntz, " +
+          s"date or numeric (epoch seconds); got ${other.simpleString}")
+    }
+
   /** Joins `points` to `intervals` where
     * `points(pointTime) ∈ [intervals(startCol), intervals(endCol))`.
     *
@@ -75,7 +95,7 @@ object RangeJoin {
     val med = intervals
       .filter(col(startCol) < col(endCol))
       .agg(percentile_approx(
-        col(endCol).cast("long") - col(startCol).cast("long"),
+        epochSec(intervals, endCol) - epochSec(intervals, startCol),
         lit(0.5), lit(1000)))
       .head()
     val m = if (med.isNullAt(0)) 1L else math.max(1L, med.getLong(0))
@@ -108,7 +128,7 @@ object RangeJoin {
     require(overlap.isEmpty,
       s"point/interval column names must be disjoint (rename: ${overlap.mkString(", ")})")
     val b = lit(bucketSeconds)
-    val p = points.withColumn("__gr_pbucket", floor(col(pointTime).cast("long") / b))
+    val p = points.withColumn("__gr_pbucket", floor(epochSec(points, pointTime) / b))
     // s >= e matches nothing by definition — drop such intervals here
     // instead of exploding candidates the residual filter would discard
     val validIntervals = intervals.filter(col(startCol) < col(endCol))
@@ -119,8 +139,8 @@ object RangeJoin {
     // a misconfiguration that would silently explode the build side
     // (a year-long interval at 60 s buckets = 525 600 rows) — fail
     // loudly with the knob to turn instead
-    val loB = floor(col(startCol).cast("long") / b)
-    val hiB = floor(col(endCol).cast("long") / b)
+    val loB = floor(epochSec(intervals, startCol) / b)
+    val hiB = floor(epochSec(intervals, endCol) / b)
     val guarded = when(
       hiB - loB > lit(maxBucketsPerInterval),
       raise_error(concat(

@@ -20,18 +20,38 @@ import org.apache.spark.sql.functions._
   */
 object ViewingData {
 
-  /** Loads one synthetic table. The events feed stores `ts` as parquet
-    * TIMESTAMP(NANOS), which vanilla Spark rejects
-    * (PARQUET_TYPE_ILLEGAL) — read nanos as long and rebuild a
-    * microsecond timestamp. Set at read time so it also holds in the
-    * driver's own session when it calls SparkEntry.entry. */
+  /** Loads one synthetic table, normalizing the event-time column to
+    * ONE type — `ts: TimestampType` (an instant; wall-clock in this
+    * data is UTC) — no matter how the driver's generator chose to
+    * encode it in parquet. Observed encodings across regenerations:
+    *
+    *  - TIMESTAMP(NANOS): vanilla Spark rejects it
+    *    (PARQUET_TYPE_ILLEGAL) — read nanos as long
+    *    (`nanosAsLong`, set here so it also holds in the driver's own
+    *    session) and rebuild a microsecond timestamp;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 reads
+    *    TIMESTAMP_NTZ — shift the wall-clock into an instant AS UTC
+    *    (`convert_timezone` into the session zone, then cast), which
+    *    is session-timezone-independent and matches how DuckDB's
+    *    naive reading of the same file compares under `epoch_us`.
+    *
+    * Downstream operators (range-join bucketing, session_window,
+    * unix_micros) all assume a zoned TimestampType; SourceContractSpec
+    * pins this post-load schema so the next generator drift fails in
+    * one named place instead of three queries deep. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (df.columns.contains("ts") &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (!df.columns.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          convert_timezone(lit("UTC"), current_timezone(), col("ts"))
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Epoch seconds (UTC, floor) — the reference keeps exposure timestamps

@@ -37,6 +37,42 @@ class BenchHistorySpec extends SparkTestBase {
     BenchHistory.append("/proc/graft-definitely-not-writable/x.jsonl", "{}")
   }
 
+  test("vs_prev: calib-normalized per-query ratio against the prior entry") {
+    // prev ran on a fast VM (calib 0.5); this run's VM is 2x slower
+    // (calib 1.0). q_a's raw sec doubled with the VM -> vs_prev = 1.0
+    // (pure noise); q_b's raw sec quadrupled -> vs_prev = 2.0 (real).
+    val prev = Some((0.5, Map("q_a" -> 0.5, "q_b" -> 1.0)))
+    val cur = Seq(
+      ("q_a", Some(1.0), 2),
+      ("q_b", Some(4.0), 2),
+      ("q_new", Some(0.1), 2), // not in prev -> no vs_prev
+      ("q_fail", None, 2))     // failed -> no vs_prev
+    val line = BenchHistory.line("/root/testdata/sf0.1", 1.0, 1.0, 5.1, cur, prev)
+    assert(line.contains(""""q_a":{"sec":1.0000,"passes":2,"vs_prev":1.000}"""), line)
+    assert(line.contains(""""q_b":{"sec":4.0000,"passes":2,"vs_prev":2.000}"""), line)
+    assert(line.contains(""""q_new":{"sec":0.1000,"passes":2}"""), line)
+    assert(line.contains(""""q_fail":{"sec":null,"passes":2}"""), line)
+    assert(line.contains(""""calib_vs_prev":2.000"""),
+      "the run must self-identify as 2x-slower-VM: " + line)
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+  }
+
+  test("prevEntry: round-trips a line written by BenchHistory.line itself") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-hist")
+    val p = dir.resolve("history.jsonl").toString
+    BenchHistory.append(p, BenchHistory.line("/sf/other", 0.1, 0.1, 9.0,
+      Seq(("q_a", Some(9.0), 2))))               // different sf: must be skipped
+    BenchHistory.append(p, BenchHistory.line("/sf/x", 0.4, 0.6, 1.73,
+      Seq(("q_a", Some(0.5), 2), ("q_fail", None, 1))))
+    BenchHistory.append(p, BenchHistory.line("/sf/x", 0.2, 0.2, 1.0,
+      Seq(("q_a", Some(0.25), 2))))              // LAST same-sf entry wins
+    val Some((calib, qs)) = BenchHistory.prevEntry(p, "/sf/x")
+    assert(calib == 0.2, s"calib_mean of the LAST /sf/x line, got $calib")
+    assert(qs == Map("q_a" -> 0.25), s"failed queries excluded, got $qs")
+    assert(BenchHistory.prevEntry(p, "/sf/absent").isEmpty)
+    assert(BenchHistory.prevEntry("/nonexistent/h.jsonl", "/sf/x").isEmpty)
+  }
+
   test("gitHead resolves this repo's HEAD to a 12-char sha") {
     val sha = BenchHistory.gitHead("/root/repo")
     assert(sha.length == 12 && sha.forall(c => c.isDigit || ('a' to 'f').contains(c)),

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+import graft.sources.ViewingData
+
+/** The post-load SOURCE CONTRACT: every synthetic table, at every
+  * scale factor present, loads through [[ViewingData.table]] into one
+  * pinned shape. The driver regenerates `/root/testdata` between (and
+  * sometimes mid-) rounds and has already shipped the same column
+  * under three parquet encodings — TIMESTAMP(NANOS), then
+  * TIMESTAMP(MICROS, isAdjustedToUTC=false) — so this spec exists to
+  * turn the NEXT encoding drift into one named failure here, instead
+  * of analysis-time cast errors three frames deep in whichever
+  * operators happen to consume the drifted column.
+  *
+  * Hard contract: `events.ts` is a zoned TimestampType after load, no
+  * matter the file encoding (that is the type the range-join
+  * bucketing, session_window and unix_micros consumers assume).
+  * Date-like dimension columns are allowed any date/timestamp flavor
+  * because every consumer goes through `to_date`/`unix_timestamp`,
+  * which accept all of them.
+  */
+class SourceContractSpec extends SparkTestBase {
+
+  private val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1")
+    .map(sf => s"/root/testdata/$sf")
+    .filter(d => new java.io.File(d).isDirectory)
+
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  private def dateLike(t: DataType): Boolean = t match {
+    case DateType | TimestampType | TimestampNTZType => true
+    case _                                           => false
+  }
+
+  test("testdata has at least one scale factor on disk") {
+    assert(sfDirs.nonEmpty, "no /root/testdata/sf* directories found")
+  }
+
+  test("every table loads at every SF with its contract columns") {
+    val required: Map[String, Seq[String]] = Map(
+      "region"     -> Seq("r_regionkey", "r_name"),
+      "nation"     -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "customer"   -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+      "supplier"   -> Seq("s_suppkey", "s_name", "s_nationkey"),
+      "part"       -> Seq("p_partkey", "p_name"),
+      "orders"     -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"),
+      "lineitem"   -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus", "l_shipdate"),
+      "events"     -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+      "documents"  -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id", "embedding", "label"))
+    for (dir <- sfDirs; t <- tables) {
+      val df = ViewingData.table(spark, dir, t)
+      val missing = required(t).filterNot(df.columns.contains)
+      assert(missing.isEmpty, s"$dir/$t missing columns: ${missing.mkString(", ")}")
+      assert(df.limit(1).count() == 1, s"$dir/$t is empty")
+    }
+  }
+
+  test("events.ts post-load is a zoned TimestampType at every SF") {
+    for (dir <- sfDirs) {
+      val t = ViewingData.table(spark, dir, "events").schema("ts").dataType
+      assert(t == TimestampType,
+        s"$dir/events.ts loaded as ${t.simpleString}; ViewingData.table must " +
+          "normalize every parquet encoding of ts to TimestampType")
+    }
+  }
+
+  test("the ts repair is ACTIVE: the raw parquet needs normalization") {
+    // If this starts failing with ts already TimestampType in the raw
+    // file, the generator began writing isAdjustedToUTC=true micros —
+    // the repair becomes a no-op and this assertion should be relaxed.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"${sfDirs.head}/events.parquet").schema("ts").dataType
+    assert(raw == LongType || raw == TimestampNTZType,
+      s"raw events.ts is ${raw.simpleString} — generator changed encoding again; " +
+        "re-check ViewingData.table covers it and update this spec")
+  }
+
+  test("ts values are interpreted wall-clock-as-UTC (oracle parity anchor)") {
+    // DuckDB reads the same file as a naive timestamp and compares via
+    // epoch_us; our load must place the instant so unix_micros agrees.
+    // Cross-check against the raw NTZ/long value on one row.
+    import org.apache.spark.sql.functions._
+    val dir = sfDirs.head
+    val loaded = ViewingData.table(spark, dir, "events")
+      .orderBy("event_id").select(unix_micros(col("ts"))).head().getLong(0)
+    val rawDf = spark.read.parquet(s"$dir/events.parquet")
+    val raw = rawDf.schema("ts").dataType match {
+      case LongType => // nanos as long
+        rawDf.orderBy("event_id").select(expr("ts div 1000")).head().getLong(0)
+      case TimestampNTZType =>
+        // test session tz is UTC, so a plain NTZ->timestamp cast IS the
+        // wall-clock-as-UTC interpretation
+        rawDf.orderBy("event_id")
+          .select(expr("unix_micros(cast(ts as timestamp))"))
+          .head().getLong(0)
+      case other => fail(s"unexpected raw ts type ${other.simpleString}")
+    }
+    assert(loaded == raw, s"loaded instant $loaded != raw wall-clock-as-UTC $raw")
+  }
+}
