@@ -478,6 +478,56 @@ WHERE rk <= 10"""))
     },
     None)
 
+  private val annBucketedOracle = Q(
+    "ann_bucketed_oracle",
+    (s, dir) => {
+      // ann_bucketed's hash-checkable twin (the D9/D10 pattern): the
+      // hyperplane signs come from md5 — reproducible verbatim in
+      // DuckDB — so the ENTIRE probe (bucketing, pruning, cosine
+      // top-10) is pinned by the oracle, not just row counts. Same
+      // plan shape as ann_bucketed: build-once index, one-bucket
+      // probe, distributed top-k.
+      graft.plans.GraftExtensions.register(s)
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), normalize(toDouble(col("embedding"))).as("e"))
+        .withColumn("bucket", hyperplaneBucketMd5(col("e"), 4))
+        .localCheckpoint()
+      val q = v.filter(col("vec_id") === 0)
+        .select(col("e").as("qe"), col("bucket").as("qbucket"))
+      v.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0 && col("bucket") === col("qbucket"))
+        .select(col("vec_id"), col("bucket"),
+          round(dotNative(col("e"), col("qe")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+    },
+    Some("""WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v1 AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0),
+v AS (
+  SELECT vec_id, e,
+         CAST(list_sum(list_transform(generate_series(0, 3), j ->
+           CASE WHEN list_sum(list_transform(generate_series(1, len(e)), i ->
+             CASE WHEN substring(md5(CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)
+                  IN ('0','2','4','6','8','a','c','e')
+             THEN e[i] ELSE -e[i] END)) > 0
+           THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+  FROM v1),
+q AS (SELECT e AS qe, bucket AS qbucket FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT v.vec_id, v.bucket,
+         round(list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * q.qe[i])), 6) AS cos_sim
+  FROM v, q WHERE v.vec_id <> 0 AND v.bucket = q.qbucket)
+SELECT vec_id, bucket, cos_sim, CAST(rk AS INTEGER) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rk FROM scored)
+WHERE rk <= 10"""))
+
   private val annQ8 = Q(
     "ann_q8",
     (s, dir) => {
@@ -712,7 +762,8 @@ GROUP BY 1, 2"""))
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
     dedupIncremental, dedupMinhashOracle, dedupIncrementalOracle,
     dedupEmbeddingIncremental,
-    annBruteforce, annBucketed, annIvf, annIvfPq, annKnnJoin, annQ8,
+    annBruteforce, annBucketed, annBucketedOracle, annIvf, annIvfPq,
+    annKnnJoin, annQ8,
     mmBinaryMeta, mmDecode,
     streamBatchParity)
 }

@@ -89,4 +89,34 @@ object VectorFunctions {
       lit(0L),
       (acc, x) => acc + x)
   }
+
+  /** [[hyperplaneBucket]] with the ±1 signs derived from md5 instead
+    * of xxhash64: sign(plane j, dim i) = +1 iff the first hex char of
+    * md5("j:i") is even. Statistically the same hyperplanes, but md5
+    * exists verbatim in DuckDB, so a bucket (and therefore the whole
+    * LSH probe) is reproducible by a plain SQL oracle — the D9/D10
+    * pattern that upgraded the minhash rows from rows-only to
+    * hash-checked. Prefer [[hyperplaneBucket]] in production (xxhash64
+    * is one codegen'd call; md5-per-dim costs a digest per element);
+    * this twin exists to pin the probe's arithmetic. */
+  def hyperplaneBucketMd5(v: Column, planes: Int): Column = {
+    val evens = Seq("0", "2", "4", "6", "8", "a", "c", "e")
+    val bits = transform(sequence(lit(0), lit(planes - 1)), j => {
+      val proj = aggregate(
+        zip_with(
+          v,
+          sequence(lit(0), size(v) - 1),
+          (x, i) => when(
+            substring(md5(concat(j.cast("string"), lit(":"), i.cast("string"))
+              .cast("binary")), 1, 1).isin(evens: _*), x).otherwise(-x)),
+        lit(0.0),
+        (acc, x) => acc + x)
+      when(proj > 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(planes - 1)), (b, j) =>
+        b * pow(lit(2.0), j.cast("double")).cast("long")),
+      lit(0L),
+      (acc, x) => acc + x)
+  }
 }

@@ -146,6 +146,91 @@ object IvfPq {
       .orderBy(col("adc_score").desc, col(idCol)).limit(shortlist)
   }
 
+  /** Near-dup pairs of a delta against a persisted IVF-PQ index — the
+    * composed-index counterpart of [[Ivf.nearDupProbe]], closing the
+    * streaming loop for the quantized store: foreachBatch {
+    * nearDupProbe → land pairs under batch=N → [[appendToIndex]] }.
+    *
+    * The index holds CODES, not vectors, so the probe is two-stage:
+    *
+    *  1. CANDIDATES from the codes alone: the delta is assigned to
+    *     the stored centroids (broadcast), the cells scan carries a
+    *     literal partition filter over the delta's cells, and each
+    *     code row is scored against each same-cell delta vector via
+    *     its RECONSTRUCTION x̂ = centroid(cell) + Σ_s codebook[s][code_s]
+    *     — codebooks are control-plane literals, so reconstruction is
+    *     a per-row projection and the index never shuffles. Rows with
+    *     approx cosine ≥ threshold − candidateMargin survive.
+    *  2. EXACT re-rank: candidate indexed ids fetch their true
+    *     vectors from `vectors` (the id → vecCol source the codes
+    *     were built from) via a broadcast join — bounded by the
+    *     candidate count, never a corpus scan — and pairs keep
+    *     exact cos ≥ threshold.
+    *
+    * Within-delta pairs (both members in the same batch, neither
+    * indexed yet) come from an exact self-join, as in
+    * [[Ivf.nearDupProbe]]. `candidateMargin` absorbs PQ
+    * reconstruction error — |q·x − q·x̂| ≤ ‖x − x̂‖, so pairs are
+    * GUARANTEED complete only when the margin dominates the corpus's
+    * max reconstruction error (sampleable at build time from the
+    * codes). On a clustered corpus (PQ's use case) that error is
+    * small and the default margin prunes hard; the synthetic test
+    * embeddings are near-random and close to incompressible
+    * (measured ‖x − x̂‖ avg 0.68 / max 0.83 at m=16, k=16), so
+    * IvfPqSpec drives the streamed loop at margin 0.9 — candidate
+    * generation degrades to the cell-local join and the IVF cell
+    * pruning is what remains, the right floor for that data.
+    * Contract: delta ids are disjoint from indexed ids; `distinct`
+    * absorbs replayed appends. Pairs are (id_a < id_b,
+    * cos_sim ≥ threshold). */
+  def nearDupProbe(spark: SparkSession, path: String, vectors: DataFrame,
+      delta: DataFrame, idCol: String, vecCol: String, cellCol: String,
+      threshold: Double, candidateMargin: Double = 0.15): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val books = spark.read.parquet(s"$path/codebooks").collect()
+      .map { r => (r.getAs[Int]("seg"), r.getAs[Int]("code"),
+        r.getSeq[Double](r.fieldIndex("centroid"))) }
+    val m = books.map(_._1).max + 1
+    val d = Ivf.assign(delta, cents, idCol, vecCol, cellCol).localCheckpoint()
+    val cells = d.select(col(cellCol)).distinct().collect().map(_.get(0))
+    // x̂ segment lookup: per segment, a literal array<array<double>>
+    // indexed by the stored code id (dense, train's contract)
+    val segLits = (0 until m).map { s =>
+      typedlit(books.filter(_._1 == s).sortBy(_._2).map(_._3).toSeq)
+    }
+    val residHat = concat((0 until m).map(s =>
+      element_at(segLits(s), col("codes")(s) + 1)): _*)
+    val approx = spark.read.parquet(s"$path/cells").as("i")
+      .filter(col(cellCol).isin(cells.toIndexedSeq: _*))
+      .join(broadcast(d).as("d"),
+        expr(s"i.$cellCol = d.$cellCol AND i.$idCol <> d.$idCol"))
+      .join(broadcast(cents.withColumnRenamed(cellCol, "__c")),
+        col(s"i.$cellCol") === col("__c"))
+      .select(col(s"i.$idCol").as("__iid"), col(s"d.$idCol").as("__did"),
+        col(s"d.$vecCol").as("__dvec"),
+        dotNative(col(s"d.$vecCol"),
+          zip_with(col("centroid"), residHat, (a, b) => a + b)).as("__adc"))
+      .filter(col("__adc") >= threshold - candidateMargin)
+    // exact re-rank: the candidate set (bounded by the probe, tiny
+    // next to the corpus) broadcasts INTO the vector-source scan —
+    // the big side streams through a broadcast hash join, reading
+    // true vectors only where the join hits
+    val oldNew = vectors
+      .select(col(idCol).as("__iid2"), col(vecCol).as("__ivec"))
+      .join(broadcast(approx), col("__iid2") === col("__iid"))
+      .select(
+        least(col("__iid"), col("__did")).as("id_a"),
+        greatest(col("__iid"), col("__did")).as("id_b"),
+        round(dotNative(col("__ivec"), col("__dvec")), 6).as("cos_sim"))
+    val self = d.as("a")
+      .join(d.as("b"), expr(s"a.$cellCol = b.$cellCol AND a.$idCol < b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(dotNative(col(s"a.$vecCol"), col(s"b.$vecCol")), 6).as("cos_sim"))
+    oldNew.unionAll(self)
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+  }
+
   /** Full serving path: ADC shortlist (codes-only, pruned read) →
     * exact cosine re-rank against `corpus` (idCol, vecCol with
     * unit-normalized vectors — read only for the shortlist ids via a

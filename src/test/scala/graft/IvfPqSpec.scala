@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -107,5 +108,92 @@ class IvfPqSpec extends SparkTestBase {
       .groupBy("batch").count().as[(Long, Long)].collect().toMap
     assert(after == before, s"replay changed the index: $before -> $after")
     assert(after.keySet == Set(0L, 1L))
+  }
+
+  test("streaming increment: nearDupProbe-then-append converges to one-shot pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    graft.plans.GraftExtensions.register(spark)
+    val dir = "/root/testdata/sf0.01"
+    val root = Files.createTempDirectory("ivfpqstream").toString
+    val path = s"$root/idx"
+    val pairsPath = s"$root/pairs"
+    val v = graft.sources.ViewingData.table(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"),
+        normalize(toDouble(col("embedding"))).as("e"))
+      .localCheckpoint()
+    val base = v.filter(col("vec_id") % 4 =!= 0)
+    val delta = v.filter(col("vec_id") % 4 === 0)
+    IvfPq.writeIndex(base, "vec_id", "e", "label", path, m = 16, k = 16)
+
+    // margin 0.9 > the measured max reconstruction error (0.83) of
+    // these near-incompressible synthetic embeddings — the
+    // completeness condition in nearDupProbe's contract; real
+    // clustered corpora get away with the sharp default
+    val margin = 0.9
+
+    // one-shot reference FIRST (the index is still pure base): the
+    // whole delta probed in a single call
+    val oneShot = IvfPq.nearDupProbe(spark, path, v, delta,
+        "vec_id", "e", "label", 0.3, margin)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // the same delta as a stream of vec ids, two micro-batches —
+    // the D11 loop on the QUANTIZED store: probe, land pairs, append
+    val vecOf = delta.select("vec_id", "label", "e")
+      .as[(Long, Int, Seq[Double])].collect().map(t => t._1 -> t).toMap
+    val deltaIds = vecOf.keys.toSeq.sorted
+    val (half1, half2) = deltaIds.splitAt(deltaIds.length / 2)
+    val input = MemoryStream[Long]
+    val q = input.toDF().toDF("vec_id").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val withVec = batch.as[Long].collect().toSeq.map(vecOf)
+          .toDF("vec_id", "label", "e")
+        IvfPq.nearDupProbe(spark, path, v, withVec,
+            "vec_id", "e", "label", 0.3, margin)
+          .write.mode("overwrite").parquet(s"$pairsPath/batch=$id")
+        IvfPq.appendToIndex(spark, path, withVec,
+          "vec_id", "e", "label", id + 1)
+      }
+      .start()
+    try {
+      input.addData(half1: _*); q.processAllAvailable()
+      input.addData(half2: _*); q.processAllAvailable()
+      val streamed = spark.read.parquet(pairsPath)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == oneShot,
+        s"streamed loop must converge to the one-shot pairs: " +
+          s"missing=${(oneShot -- streamed).take(5)} extra=${(streamed -- oneShot).take(5)}")
+
+      // and BOTH equal the exact recompute: same-cell pairs across
+      // base ∪ delta, delta-touching, exact cosine. Cell truth per
+      // the operator's contract: base rows sit where the INDEX put
+      // them (refine assigns under the penultimate centroids, then
+      // refines once more — stored cells ≠ re-assignment for
+      // boundary rows), delta rows assign under the stored
+      // centroids, as every probe and append does.
+      val cents = spark.read.parquet(s"$path/centroids")
+      val baseAt = spark.read.parquet(s"$path/cells")
+        .filter(col("batch") === 0L).select("vec_id", "label")
+        .join(v.select("vec_id", "e"), "vec_id")
+        .select("vec_id", "e", "label")
+      val deltaAt = graft.operators.Ivf.assign(
+        delta, cents, "vec_id", "e", "label").select("vec_id", "e", "label")
+      val allAssigned = baseAt.unionByName(deltaAt).localCheckpoint()
+      val exact = allAssigned.as("a")
+        .join(allAssigned.as("b"),
+          expr("a.label = b.label AND a.vec_id < b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          round(dotNative(col("a.e"), col("b.e")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.3)
+        .filter(col("id_a") % 4 === 0 || col("id_b") % 4 === 0)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == exact,
+        s"missing=${(exact -- streamed).take(5)} extra=${(streamed -- exact).take(5)}")
+    } finally q.stop()
   }
 }
