@@ -348,6 +348,53 @@ SELECT doc_id,
 FROM t JOIN f USING (tok) CROSS JOIN n
 GROUP BY doc_id"""))
 
+  /** Model-based quality scoring as SCAN-SPEED inference: a linear
+    * classifier over feature-hashed bag-of-words (the fastText /
+    * CCNet quality-gate shape — hashing trick per Weinberger et al.,
+    * so the model is a fixed-width weight table, no vocabulary join)
+    * evaluated entirely in codegen'd expressions: tokenize → hash
+    * each token → weight lookup → mean → threshold. No UDF, no
+    * shuffle, no state — the score is a projection, so gating 100 TB
+    * costs exactly the scan. In production the weights are a trained
+    * model shipped as a broadcast literal array; here they are
+    * md5-DERIVED pseudo-weights (w(tok) = byte(md5("graft-qm:"+tok))
+    * scaled to [-1, 1]), which keeps every arithmetic step
+    * reproducible by the DuckDB oracle — the D9 discipline applied
+    * to model inference. Weights are INTEGER (a byte per token, as a
+    * quantized linear model would ship) and the keep/drop margin is
+    * exact integer arithmetic — 2·Σw − 255·n > 0 is "mean weight
+    * above midpoint" with no division, no floats, no rounding, so
+    * the oracle comparison has no ulp boundary to straddle. */
+  private val qualityModel = Q(
+    "text_quality_model",
+    (s, dir) => {
+      val w = "(instr('0123456789abcdef', substring(md5(cast(concat('graft-qm:', t) as binary)), 1, 1)) - 1) * 16L " +
+        "+ (instr('0123456789abcdef', substring(md5(cast(concat('graft-qm:', t) as binary)), 2, 1)) - 1)"
+      ViewingData.table(s, dir, "documents")
+        .withColumn("toks", TextFunctions.tokens(col("text")))
+        .withColumn("mq_raw", expr(s"aggregate(toks, 0L, (acc, t) -> acc + ($w))"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          col("mq_raw"),
+          (col("mq_raw") * 2 - size(col("toks")) * 255L).as("mq_margin"),
+          when(col("mq_raw") * 2 - size(col("toks")) * 255L > 0, lit("keep"))
+            .otherwise(lit("drop")).as("verdict"))
+    },
+    Some("""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(toks, t ->
+             (strpos('0123456789abcdef', substring(md5('graft-qm:' || t), 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substring(md5('graft-qm:' || t), 2, 1)) - 1))), 0)
+           AS BIGINT) AS mq_raw
+  FROM t)
+SELECT doc_id, n_tokens, mq_raw,
+       CAST(mq_raw * 2 - n_tokens * 255 AS BIGINT) AS mq_margin,
+       CASE WHEN mq_raw * 2 - n_tokens * 255 > 0 THEN 'keep' ELSE 'drop' END AS verdict
+FROM s"""))
+
   /** REAL container-header decode, oracle-checked by construction:
     * build a bit-valid PNG signature + IHDR and a JPEG (APP0 + SOF0)
     * with doc-derived dimensions, then recover them — PNG via
@@ -521,5 +568,6 @@ WINDOW w AS (PARTITION BY shard ORDER BY doc_id
 
   val all: Seq[Q] =
     Seq(textRepetition, textDecontaminate, textDecontaminateBloom, piiScrubQ, corpusShuffle,
-      corpusMix, sampleWeighted, textUnigramLogprob, mmHeaderParse, qualityGate, corpusPrep)
+      corpusMix, sampleWeighted, textUnigramLogprob, qualityModel, mmHeaderParse,
+      qualityGate, corpusPrep)
 }

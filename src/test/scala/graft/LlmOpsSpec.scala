@@ -97,4 +97,25 @@ class LlmOpsSpec extends SparkTestBase {
     // 256 possible shards; no shard should swallow the corpus
     assert(byShard.values.max < a.length / 4)
   }
+
+  test("text_quality_model: exact-integer margin, deterministic, both verdicts") {
+    val out = SparkEntry.queries("text_quality_model")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // margin is the exact integer identity, verdict is its sign
+    out.foreach { case (id, n, raw, margin, verdict) =>
+      assert(margin == 2 * raw - 255 * n, s"doc $id margin identity")
+      assert(raw >= 0 && raw <= 255 * n, s"doc $id raw out of weight range")
+      assert(verdict == (if (margin > 0) "keep" else "drop"), s"doc $id verdict")
+    }
+    // per-byte pseudo-weights split a real corpus both ways
+    assert(out.exists(_._5 == "keep") && out.exists(_._5 == "drop"))
+    // inference is a pure projection: deterministic across runs
+    val again = SparkEntry.queries("text_quality_model")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    out.foreach { case (id, _, raw, _, _) => assert(again(id) == raw) }
+    // and shuffle-free: no exchange anywhere in the plan
+    val plan = SparkEntry.queries("text_quality_model")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scan-speed inference must not shuffle:\n$plan")
+  }
 }
