@@ -36,6 +36,48 @@ object IvfPq {
       .select(col(idCol), col(cellCol),
         zip_with(col(vecCol), col("centroid"), (a, b) => a - b).as("resid"))
 
+  /** Reconstructed residual r̂ for a `codes` column, from collected
+    * codebooks as nested literals — a per-row projection (the decode
+    * half of ADC). Shared by the probe's candidate scoring and the
+    * build's error-stats pass. */
+  private def residHatLit(books: Array[(Int, Int, Seq[Double])], m: Int) = {
+    val segLits = (0 until m).map { s =>
+      typedlit(books.filter(_._1 == s).sortBy(_._2).map(_._3).toSeq)
+    }
+    concat((0 until m).map(s =>
+      element_at(segLits(s), col("codes")(s) + 1)): _*)
+  }
+
+  private def collectBooks(books: DataFrame): Array[(Int, Int, Seq[Double])] =
+    books.collect().map { r => (r.getAs[Int]("seg"), r.getAs[Int]("code"),
+      r.getSeq[Double](r.fieldIndex("centroid"))) }
+
+  /** Per-(batch, cell) reconstruction-error stats from an encoded
+    * frame that carries BOTH the residual and its codes: n, mean, p99
+    * and max of ‖resid − r̂‖. Stored beside the index (`errstats/`) so
+    * probes can derive completeness margins from the INDEX — the
+    * bound |q·x − q·x̂| ≤ ‖x − x̂‖ makes max_err a sufficient margin
+    * for guaranteed-complete candidate generation. Driver-sized
+    * output (batches × cells). */
+  private def errStats(encoded: DataFrame, cellCol: String,
+      books: Array[(Int, Int, Seq[Double])], m: Int): DataFrame = {
+    val err = sqrt(aggregate(
+      zip_with(col("resid"), residHatLit(books, m), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x))
+    encoded.select(col(cellCol), err.as("err"))
+      .groupBy(col(cellCol))
+      .agg(count(lit(1)).as("n"), avg(col("err")).as("mean_err"),
+        percentile_approx(col("err"), lit(0.99), lit(1000)).as("p99_err"),
+        max(col("err")).as("max_err"))
+  }
+
+  /** The index's stored completeness margin: max ‖x − x̂‖ over every
+    * batch's error stats, padded for fp slack. Control-plane read of
+    * the tiny errstats table. */
+  def storedMaxErr(spark: SparkSession, path: String): Double =
+    spark.read.parquet(s"$path/errstats")
+      .agg(max(col("max_err"))).head().getDouble(0)
+
   /** Builds and persists the full index at `path`:
     *   - `cells/<cellCol>=…/`  PQ code rows (idCol, codes) per IVF cell
     *   - `centroids/`          refined coarse centroids (cellCol, centroid)
@@ -59,13 +101,22 @@ object IvfPq {
     // batch=0 is the trained base; [[appendToIndex]] lands deltas as
     // batch=N siblings (uniform two-level layout — partition
     // discovery rejects mixed depths, same contract as Ivf)
-    Pq.encode(resid, books, idCol, "resid", m, carry = Seq(cellCol))
+    // carry the residual through the encode projection so the error
+    // stats need no corpus-wide re-join; the stored cells keep only
+    // (id, codes) — the narrow layout is the point of PQ
+    val encoded = Pq.encode(resid, books, idCol, "resid", m,
+      carry = Seq(cellCol, "resid")).localCheckpoint()
+    encoded.drop("resid")
       .withColumn("batch", lit(0L))
       .repartition(col(cellCol))
       .write.partitionBy("batch", cellCol).mode("overwrite")
       .parquet(s"$path/cells")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     books.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    errStats(encoded, cellCol, collectBooks(books), m)
+      .withColumn("batch", lit(0L))
+      .coalesce(1).write.partitionBy("batch").mode("overwrite")
+      .parquet(s"$path/errstats")
   }
 
   /** Grows a persisted IVF-PQ index WITHOUT re-training either
@@ -91,12 +142,22 @@ object IvfPq {
     val m = books.agg(max(col("seg"))).head().getInt(0) + 1
     val assigned = Ivf.assign(delta, cents, idCol, vecCol, cellCol)
     val resid = residuals(assigned, cents, idCol, vecCol, cellCol)
-    Pq.encode(resid, books, idCol, "resid", m, carry = Seq(cellCol))
+    val encoded = Pq.encode(resid, books, idCol, "resid", m,
+      carry = Seq(cellCol, "resid")).localCheckpoint()
+    encoded.drop("resid")
       .withColumn("batch", lit(batchId))
       .repartition(col(cellCol))
       .write.partitionBy("batch", cellCol)
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(s"$path/cells")
+    // the batch's own error stats ride along (same replay contract:
+    // dynamic overwrite replaces exactly this batch's row group), so
+    // storedMaxErr stays an upper bound as the index grows
+    errStats(encoded, cellCol, collectBooks(books), m)
+      .withColumn("batch", lit(batchId))
+      .coalesce(1).write.partitionBy("batch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(s"$path/errstats")
   }
 
   /** ADC shortlist from a persisted index for a single query vector
@@ -119,12 +180,7 @@ object IvfPq {
     val cellDot = element_at(
       map(probed.flatMap { case (cell, d) => Seq(lit(cell), lit(d)) }: _*),
       col(cellCol))
-    val books = spark.read.parquet(s"$path/codebooks").collect()
-      .map { r =>
-        val s = r.getAs[Int]("seg"); val c = r.getAs[Int]("code")
-        val cent = r.getSeq[Double](r.fieldIndex("centroid"))
-        (s, c, cent)
-      }
+    val books = collectBooks(spark.read.parquet(s"$path/codebooks"))
     val m = books.map(_._1).max + 1
     val segLen = q.length / m
     // lut[s][code] = q_s · residual-codebook centroid — shared across
@@ -171,35 +227,36 @@ object IvfPq {
     * indexed yet) come from an exact self-join, as in
     * [[Ivf.nearDupProbe]]. `candidateMargin` absorbs PQ
     * reconstruction error — |q·x − q·x̂| ≤ ‖x − x̂‖, so pairs are
-    * GUARANTEED complete only when the margin dominates the corpus's
-    * max reconstruction error (sampleable at build time from the
-    * codes). On a clustered corpus (PQ's use case) that error is
-    * small and the default margin prunes hard; the synthetic test
-    * embeddings are near-random and close to incompressible
-    * (measured ‖x − x̂‖ avg 0.68 / max 0.83 at m=16, k=16), so
-    * IvfPqSpec drives the streamed loop at margin 0.9 — candidate
-    * generation degrades to the cell-local join and the IVF cell
-    * pruning is what remains, the right floor for that data.
+    * GUARANTEED complete exactly when the margin dominates the
+    * corpus's max reconstruction error. The index KNOWS that number:
+    * [[writeIndex]]/[[appendToIndex]] store per-(batch, cell) error
+    * stats, and the default (NaN) margin derives from
+    * [[storedMaxErr]] — completeness by construction, with the
+    * pruning sharpness the data actually admits. On a clustered
+    * corpus (PQ's use case) the stored max is small and candidates
+    * prune hard; the synthetic test embeddings are near-random and
+    * close to incompressible (stored max ‖x − x̂‖ ≈ 0.83 at m=16,
+    * k=16), so there the derived margin degrades candidate
+    * generation to the cell-local join and the IVF cell pruning is
+    * what remains — the right floor for that data. Pass an explicit
+    * margin to trade recall for speed below the guarantee.
     * Contract: delta ids are disjoint from indexed ids; `distinct`
     * absorbs replayed appends. Pairs are (id_a < id_b,
     * cos_sim ≥ threshold). */
   def nearDupProbe(spark: SparkSession, path: String, vectors: DataFrame,
       delta: DataFrame, idCol: String, vecCol: String, cellCol: String,
-      threshold: Double, candidateMargin: Double = 0.15): DataFrame = {
+      threshold: Double, candidateMargin: Double = Double.NaN): DataFrame = {
+    val margin =
+      if (candidateMargin.isNaN) storedMaxErr(spark, path) * (1 + 1e-9) + 1e-12
+      else candidateMargin
     val cents = spark.read.parquet(s"$path/centroids")
-    val books = spark.read.parquet(s"$path/codebooks").collect()
-      .map { r => (r.getAs[Int]("seg"), r.getAs[Int]("code"),
-        r.getSeq[Double](r.fieldIndex("centroid"))) }
+    val books = collectBooks(spark.read.parquet(s"$path/codebooks"))
     val m = books.map(_._1).max + 1
     val d = Ivf.assign(delta, cents, idCol, vecCol, cellCol).localCheckpoint()
     val cells = d.select(col(cellCol)).distinct().collect().map(_.get(0))
     // x̂ segment lookup: per segment, a literal array<array<double>>
     // indexed by the stored code id (dense, train's contract)
-    val segLits = (0 until m).map { s =>
-      typedlit(books.filter(_._1 == s).sortBy(_._2).map(_._3).toSeq)
-    }
-    val residHat = concat((0 until m).map(s =>
-      element_at(segLits(s), col("codes")(s) + 1)): _*)
+    val residHat = residHatLit(books, m)
     val approx = spark.read.parquet(s"$path/cells").as("i")
       .filter(col(cellCol).isin(cells.toIndexedSeq: _*))
       .join(broadcast(d).as("d"),
@@ -210,7 +267,7 @@ object IvfPq {
         col(s"d.$vecCol").as("__dvec"),
         dotNative(col(s"d.$vecCol"),
           zip_with(col("centroid"), residHat, (a, b) => a + b)).as("__adc"))
-      .filter(col("__adc") >= threshold - candidateMargin)
+      .filter(col("__adc") >= threshold - margin)
     // exact re-rank: the candidate set (bounded by the probe, tiny
     // next to the corpus) broadcasts INTO the vector-source scan —
     // the big side streams through a broadcast hash join, reading
@@ -229,6 +286,61 @@ object IvfPq {
     oldNew.unionAll(self)
       .filter(col("cos_sim") >= threshold)
       .distinct()
+  }
+
+  /** Batch serving for the quantized index: top-k for a whole query
+    * SET in one pass — [[Ivf.probeIndexedBatch]]'s shape on PQ codes
+    * (the offline retrieval-indexing case where per-query
+    * [[probe]] round-trips would dominate).
+    *
+    * Per-query cell ranking is a broadcast of the tiny centroid
+    * table + one WindowGroupLimit top-nprobe; the codes scan runs
+    * ONCE, partition-filtered to the union of every query's probed
+    * cells (driver-collected cell ids — control-plane, bounded by
+    * |cells|); ADC scoring uses the algebraic identity
+    * q·x̂ = q·(c + r̂) — the literal m×k LUT of the single-query path
+    * would need one literal per query, so the batch form trades it
+    * for ONE broadcast join against the (query, cell, centroid)
+    * pairs and a zip_with dot, still a single pass over the pruned
+    * codes with no shuffle of the index; per-query ADC shortlist and
+    * the exact re-rank (true vectors only for shortlisted ids,
+    * shortlist broadcasts INTO the corpus scan) are again
+    * WindowGroupLimit prunes. Returns (qIdCol, idCol, cos_sim,
+    * rank ≤ k). */
+  def probeIndexedBatch(spark: SparkSession, path: String,
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, nprobe: Int, k: Int, qIdCol: String = "query_id",
+      qCol: String = "q", shortlistFactor: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = spark.read.parquet(s"$path/centroids")
+    val books = collectBooks(spark.read.parquet(s"$path/codebooks"))
+    val m = books.map(_._1).max + 1
+    val qCells = queries.crossJoin(broadcast(cents))
+      .withColumn("__sim", dotNative(col(qCol), col("centroid")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(qIdCol).orderBy(col("__sim").desc, col(cellCol))))
+      .filter(col("__r") <= nprobe)
+      .select(col(qIdCol), col(qCol), col(cellCol), col("centroid"))
+      .localCheckpoint() // consumed twice: cell-id union + ADC join
+    val probedCells = qCells.select(cellCol).distinct().collect().map(_.get(0))
+    val short = spark.read.parquet(s"$path/cells")
+      .filter(col(cellCol).isin(probedCells.toIndexedSeq: _*))
+      .join(broadcast(qCells), cellCol)
+      .select(col(qIdCol), col(idCol), col(qCol),
+        round(dotNative(col(qCol),
+          zip_with(col("centroid"), residHatLit(books, m), (a, b) => a + b)),
+          6).as("adc_score"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(qIdCol).orderBy(col("adc_score").desc, col(idCol))))
+      .filter(col("__r") <= k.toLong * shortlistFactor)
+      .select(col(qIdCol), col(idCol), col(qCol))
+    corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(short), idCol)
+      .select(col(qIdCol), col(idCol),
+        round(dotNative(col(vecCol), col(qCol)), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(qIdCol).orderBy(col("cos_sim").desc, col(idCol))))
+      .filter(col("rank") <= k)
   }
 
   /** Full serving path: ADC shortlist (codes-only, pruned read) →

@@ -108,6 +108,49 @@ class IvfPqSpec extends SparkTestBase {
       .groupBy("batch").count().as[(Long, Long)].collect().toMap
     assert(after == before, s"replay changed the index: $before -> $after")
     assert(after.keySet == Set(0L, 1L))
+
+    // error stats follow the same layout: one stats row group per
+    // batch, replay-stable, and the global max is the completeness
+    // margin nearDupProbe derives
+    val stats = spark.read.parquet(s"$path/errstats")
+    assert(stats.select("batch").distinct().as[Long].collect().toSet == Set(0L, 1L))
+    assert(IvfPq.storedMaxErr(spark, path) ==
+      stats.agg(max(col("max_err"))).as[Double].head())
+  }
+
+  test("probeIndexedBatch: per-query parity with the single-query probe, one pruned scan") {
+    graft.plans.GraftExtensions.register(spark)
+    val dir = "/root/testdata/sf0.01"
+    val path = Files.createTempDirectory("ivfpqbatch").toString
+    val v = graft.sources.ViewingData.table(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"),
+        normalize(toDouble(col("embedding"))).as("e"))
+      .localCheckpoint()
+    IvfPq.writeIndex(v, "vec_id", "e", "label", path, m = 16, k = 16)
+    val qIds = Seq(0L, 7L, 123L)
+    val queries = v.filter(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id").as("query_id"), col("e").as("q"))
+      .localCheckpoint()
+    val batch = IvfPq.probeIndexedBatch(spark, path, v, queries,
+      "vec_id", "e", "label", nprobe = 8, k = 10)
+    val got = batch.select("query_id", "vec_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    qIds.foreach { qid =>
+      val q = v.filter(col("vec_id") === qid).select("e").as[Seq[Double]].head()
+      val single = IvfPq.probe(spark, path, v, q,
+          "vec_id", "e", "label", nprobe = 8, k = 10)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got(qid) == single, s"query $qid: batch=${got(qid)} single=$single")
+    }
+    // one pruned scan of the codes table serves the whole batch
+    val scans = batch.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata("Location").contains("cells") => s
+    }
+    assert(scans.size == 1, s"expected exactly one cells scan, got ${scans.size}")
+    assert(scans.head.metadata("PartitionFilters").contains("label"),
+      scans.head.metadata("PartitionFilters"))
   }
 
   test("streaming increment: nearDupProbe-then-append converges to one-shot pairs") {
@@ -126,16 +169,17 @@ class IvfPqSpec extends SparkTestBase {
     val delta = v.filter(col("vec_id") % 4 === 0)
     IvfPq.writeIndex(base, "vec_id", "e", "label", path, m = 16, k = 16)
 
-    // margin 0.9 > the measured max reconstruction error (0.83) of
-    // these near-incompressible synthetic embeddings — the
-    // completeness condition in nearDupProbe's contract; real
-    // clustered corpora get away with the sharp default
-    val margin = 0.9
+    // the margin derives from the index's stored error stats
+    // (storedMaxErr): completeness by construction. These synthetic
+    // embeddings are near-incompressible, so the stored max is large
+    // (~0.83) — the derived margin is honest about that.
+    val maxErr = IvfPq.storedMaxErr(spark, path)
+    assert(maxErr > 0 && maxErr < 2.0, s"stored max_err sane: $maxErr")
 
     // one-shot reference FIRST (the index is still pure base): the
     // whole delta probed in a single call
     val oneShot = IvfPq.nearDupProbe(spark, path, v, delta,
-        "vec_id", "e", "label", 0.3, margin)
+        "vec_id", "e", "label", 0.3)
       .select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
@@ -152,7 +196,7 @@ class IvfPqSpec extends SparkTestBase {
         val withVec = batch.as[Long].collect().toSeq.map(vecOf)
           .toDF("vec_id", "label", "e")
         IvfPq.nearDupProbe(spark, path, v, withVec,
-            "vec_id", "e", "label", 0.3, margin)
+            "vec_id", "e", "label", 0.3)
           .write.mode("overwrite").parquet(s"$pairsPath/batch=$id")
         IvfPq.appendToIndex(spark, path, withVec,
           "vec_id", "e", "label", id + 1)
