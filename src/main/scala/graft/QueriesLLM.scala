@@ -395,6 +395,34 @@ SELECT doc_id, n_tokens, mq_raw,
        CASE WHEN mq_raw * 2 - n_tokens * 255 > 0 THEN 'keep' ELSE 'drop' END AS verdict
 FROM s"""))
 
+  /** F20's TRAINED counterpart — the full production loop: label a
+    * corpus slice (here with F20's deterministic gate, standing in
+    * for human/LLM labels), fit a logistic model over hashed
+    * bag-of-words on the driver from a distributed feature sample
+    * ([[operators.HashedLinearModel]]), then serve the fitted
+    * weights as broadcast literals at scan speed. The target IS a
+    * linear function of token counts, so the trained model must
+    * recover it — HashedLinearModelSpec pins ≥0.9 held-out accuracy,
+    * bit-reproducible retraining, and the shuffle-free inference
+    * plan. Training isn't SQL-expressible → rows-only row. */
+  private val qualityModelTrained = Q(
+    "text_quality_model_trained",
+    (s, dir) => {
+      val labeled = qualityModel.run(s, dir)
+        .select(col("doc_id").as("l_id"), (col("verdict") === "keep").as("label"))
+      val docs = ViewingData.table(s, dir, "documents")
+      val model = operators.HashedLinearModel.train(
+        docs.join(labeled, col("doc_id") === col("l_id"))
+          .filter(col("doc_id") % 4 =!= 0),
+        "doc_id", "text", "label")
+      docs.select(col("doc_id"),
+          round(operators.HashedLinearModel.scoreCol(col("text"), model), 4)
+            .as("mq_prob"))
+        .withColumn("verdict",
+          when(col("mq_prob") > 0.5, lit("keep")).otherwise(lit("drop")))
+    },
+    None)
+
   /** REAL container-header decode, oracle-checked by construction:
     * build a bit-valid PNG signature + IHDR and a JPEG (APP0 + SOF0)
     * with doc-derived dimensions, then recover them — PNG via
@@ -568,6 +596,6 @@ WINDOW w AS (PARTITION BY shard ORDER BY doc_id
 
   val all: Seq[Q] =
     Seq(textRepetition, textDecontaminate, textDecontaminateBloom, piiScrubQ, corpusShuffle,
-      corpusMix, sampleWeighted, textUnigramLogprob, qualityModel, mmHeaderParse,
-      qualityGate, corpusPrep)
+      corpusMix, sampleWeighted, textUnigramLogprob, qualityModel,
+      qualityModelTrained, mmHeaderParse, qualityGate, corpusPrep)
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Train-then-serve for a text quality model, the way a production
+  * corpus filter actually runs (the fastText / CCNet loop): hashed
+  * bag-of-words features (hashing trick — fixed width, no vocabulary,
+  * collisions are the accepted noise), a logistic model fit on a
+  * LABELED SAMPLE, and inference shipped back to the cluster as a
+  * broadcast LITERAL weight table evaluated at scan speed.
+  *
+  * Division of labor at 100 TB:
+  *  - featurization of the training sample is distributed (one
+  *    explode + one (doc, bucket) count aggregate over a capped,
+  *    deterministically-hash-sampled subset);
+  *  - the FIT is driver-side full-batch gradient descent on the
+  *    collected sparse features — the sample is control-plane-sized
+  *    by construction (trainCap docs × ≤dims buckets), and a linear
+  *    model on a bounded sample is a scalar loop, not a cluster job
+  *    (MLlib would distribute the same gradient; unnecessary below
+  *    millions of examples);
+  *  - INFERENCE never sees the model as data: weights become a
+  *    literal array in the plan, scoring is
+  *    σ(bias + Σ_tok w[bucket(tok)] / n) — one expression, zero
+  *    shuffle, zero join, embarrassingly parallel over any corpus.
+  *
+  * Everything is deterministic: the sample is an md5-threshold cut,
+  * the collected features are sorted before the fit, and GD runs a
+  * fixed iteration count — retraining on the same data reproduces
+  * the same weights bit-for-bit (spec-pinned).
+  */
+object HashedLinearModel {
+
+  /** Fitted model: `weights(b)` is the coefficient of hashed bucket
+    * b; score input is L1-normalized token counts. */
+  final case class Model(weights: Array[Double], bias: Double, dims: Int)
+
+  /** Feature bucket of one token — xxhash64 mod dims, the same
+    * hashing-trick bucket everywhere (train and serve must agree). */
+  def bucket(tok: Column, dims: Int): Column =
+    pmod(xxhash64(tok), lit(dims)).cast("int")
+
+  /** Fits a binary logistic model on `docs(labelCol)` ∈ {0, 1} (cast
+    * from boolean upstream). Featurization is distributed; the fit
+    * collects at most ~`trainCap` docs' sparse features
+    * (deterministic md5-threshold sample, the [[Pq.train]] shape). */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dims: Int = 512, iters: Int = 4000,
+      lr: Double = 10.0, trainCap: Long = 1L << 16): Model = {
+    val base = docs.select(col(idCol).cast("long").as("__id"),
+      col(labelCol).cast("double").as("__y"),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val n = base.count()
+    val sampled = if (n <= trainCap) base else {
+      val den = 1000000L
+      base.filter(pmod(xxhash64(col("__id")), lit(den)) <
+        lit(trainCap * den / n))
+    }
+    // one (doc, bucket) count aggregate; per-doc token totals ride
+    // along via a window-free second aggregate on the driver
+    val rows = sampled
+      .select(col("__id"), col("__y"), explode(col("__toks")).as("__t"))
+      .groupBy(col("__id"), col("__y"), bucket(col("__t"), dims).as("__b"))
+      .count()
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)) // collect order is nondeterministic; the fit must not be
+    val byDoc = rows.groupBy(_._1).toArray.sortBy(_._1).map { case (_, rs) =>
+      val tot = rs.map(_._4).sum.toDouble
+      (rs.head._2, rs.map(t => (t._3, t._4 / tot))) // (y, sparse L1-normalized x)
+    }
+    val w = new Array[Double](dims)
+    var b = 0.0
+    val m = byDoc.length.toDouble
+    for (_ <- 0 until iters) {
+      var gb = 0.0
+      val gw = new Array[Double](dims)
+      byDoc.foreach { case (y, xs) =>
+        var z = b
+        xs.foreach { case (j, x) => z += w(j) * x }
+        val err = y - 1.0 / (1.0 + math.exp(-z))
+        gb += err
+        xs.foreach { case (j, x) => gw(j) += err * x }
+      }
+      b += lr * gb / m
+      var j = 0
+      while (j < dims) { w(j) += lr * gw(j) / m; j += 1 }
+    }
+    Model(w, b, dims)
+  }
+
+  /** σ(bias + Σ w[bucket(tok)] / n) over `textCol` — the weights are
+    * LITERALS in the plan (control-plane metadata, like a partition
+    * predicate), so this column is a pure scan-speed projection. */
+  def scoreCol(textCol: Column, model: Model): Column = {
+    val toks = TextFunctions.tokens(textCol)
+    val wLit = typedlit(model.weights.toSeq)
+    val z = lit(model.bias) +
+      aggregate(toks, lit(0.0), (acc, t) =>
+        acc + element_at(wLit, bucket(t, model.dims) + 1)) /
+        greatest(size(toks), lit(1))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+}
