@@ -334,6 +334,71 @@ WHERE jaccard_est >= 0.4 AND (id_a % 4 = 0 OR id_b % 4 = 0)"""))
     },
     None)
 
+  /** D4's hash-checkable twin (the D9/E2b discipline): SimHash bits
+    * from md5 ([[HashFunctions.simhashChunksMd5]]) instead of
+    * xxhash64, so the whole pipeline — per-bit votes, sign pack,
+    * 16-bit chunk LSH keys, chunk-collision candidates, hamming
+    * verify — is reproduced by the DuckDB oracle arithmetic-for-
+    * arithmetic. Same plan shape as D4: one checkpointed hash index,
+    * bucket-local candidate join, hamming ≤ 3 (complete by the
+    * 4-chunk pigeonhole). With this row every dedup family member
+    * (exact, n-gram, minhash, simhash, embedding) has a fully
+    * hash-checked flavor. */
+  private val dedupSimhashOracle = Q(
+    "dedup_simhash_oracle",
+    (s, dir) => {
+      val docs = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"),
+          HashFunctions.simhashChunksMd5(
+            TextFunctions.tokens(col("text"))).as("mchunks"))
+        .localCheckpoint()
+      HashFunctions.bucketedPairs(docs, "doc_id", "mchunks", payload = Seq("mchunks"))
+        .select(col("id_a"), col("id_b"),
+          HashFunctions.chunkHamming(col("mchunks_a"), col("mchunks_b")).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
+    },
+    Some("""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+         list_transform(toks, tk -> md5('graft-sh:' || tk)) AS hs
+  FROM t),
+bits AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(0, 63), i ->
+           CAST(list_sum(list_transform(hs, hh ->
+             (strpos('0123456789abcdef',
+                substring(hh, CAST(i // 4 AS INT) + 1, 1)) - 1)
+               >> CAST(i % 4 AS INT) & 1)) AS BIGINT)) AS ones
+  FROM h),
+ch AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 3), g ->
+           CAST(list_sum(list_transform(generate_series(0, 15), j ->
+             CASE WHEN 2 * ones[CAST(g * 16 + j + 1 AS INT)] > n
+               THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END))
+             AS BIGINT)) AS chunks
+  FROM bits),
+e AS (
+  SELECT doc_id, gs.g AS chunk_id, chunks[CAST(gs.g + 1 AS INT)] AS chunk
+  FROM ch, generate_series(0, 3) gs(g)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM e a JOIN e b
+    ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM (
+  SELECT p.id_a, p.id_b,
+         CAST(list_sum(list_transform(generate_series(1, 4), i ->
+           bit_count(xor(ca.chunks[CAST(i AS INT)], cb.chunks[CAST(i AS INT)]))))
+           AS BIGINT) AS hamming
+  FROM pairs p
+  JOIN ch ca ON ca.doc_id = p.id_a
+  JOIN ch cb ON cb.doc_id = p.id_b)
+WHERE hamming <= 3"""))
+
   private val dedupEmbedding = Q(
     "dedup_embedding",
     (s, dir) => {
@@ -759,7 +824,8 @@ GROUP BY 1, 2"""))
 
   val all: Seq[Q] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
-    dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
+    dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash,
+    dedupSimhashOracle, dedupEmbedding,
     dedupIncremental, dedupMinhashOracle, dedupIncrementalOracle,
     dedupEmbeddingIncremental,
     annBruteforce, annBucketed, annBucketedOracle, annIvf, annIvfPq,

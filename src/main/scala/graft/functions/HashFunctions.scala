@@ -223,6 +223,59 @@ object HashFunctions {
         pmod(shiftright_dyn(simCol, c * width), lit(1L << width)).as("chunk")))
   }
 
+  /** [[simhashChunks]] with the underlying bit source swapped from
+    * xxhash64 to md5 — the D9/E2b oracle discipline applied to
+    * SimHash: bit i of a token's vote vector is nibble-bit (i mod 4)
+    * of hex char (i div 4) of md5("graft-sh:" + token), which DuckDB
+    * extracts with the same strpos/shift arithmetic, so the ENTIRE
+    * pipeline (per-bit votes → sign threshold → 16-bit chunk keys →
+    * chunk-collision candidates → hamming) is reproducible by a SQL
+    * oracle. Computes votes as 2·ones − n per bit (ties clear, same
+    * rule as [[simhashes]]); each token's md5 hex is computed ONCE and
+    * the 64 bit-extractions are string/arithmetic ops. Returns the
+    * same array<struct(chunk_id, chunk)> shape as [[simhashChunks]]
+    * so [[bucketedPairs]] consumes it unchanged. Production keeps the
+    * xxhash64 form (one hash call vs a digest per token); this twin
+    * exists to pin the arithmetic. */
+  def simhashChunksMd5(tokensCol: Column): Column = {
+    val hexAlphabet = "0123456789abcdef"
+    val hs = transform(tokensCol, t =>
+      md5(concat(lit("graft-sh:"), t).cast("binary")))
+    // ones(i) = # tokens whose md5-bit i is set, i ∈ 0..63
+    val ones = aggregate(
+      hs,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(
+        acc,
+        sequence(lit(0), lit(63)),
+        (a, i) => a + call_function("shiftright",
+          call_function("instr", lit(hexAlphabet),
+            call_function("substring", h,
+              floor(i / lit(4)).cast("int") + lit(1), lit(1))) - 1,
+          pmod(i, lit(4)).cast("int")).bitwiseAND(1L)))
+    val n = size(tokensCol)
+    transform(
+      sequence(lit(0), lit(3)),
+      g => struct(
+        g.cast("int").as("chunk_id"),
+        aggregate(
+          sequence(lit(0), lit(15)),
+          lit(0L),
+          (acc, j) => acc + when(
+            element_at(ones, (g * 16 + j + 1).cast("int")) * 2 > n,
+            call_function("shiftleft", lit(1L), j.cast("int")))
+            .otherwise(lit(0L))).as("chunk")))
+  }
+
+  /** Hamming distance summed over paired chunk arrays (the chunks
+    * partition the 64 bits, so this equals the packed-long hamming). */
+  def chunkHamming(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        bit_count(x.getField("chunk").bitwiseXOR(y.getField("chunk")))),
+      lit(0L),
+      (acc, x) => acc + x.cast("long"))
+
   /** Candidate pairs sharing an LSH key. `payload` columns ride along
     * through the explode and surface as `<c>_a` / `<c>_b`, so the
     * verification score is computed INSIDE the bucket join — joining
