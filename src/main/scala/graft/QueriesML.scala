@@ -482,6 +482,24 @@ WHERE round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * 
   // ---------------------------------------------------------------------
   // E. Similarity search
   // ---------------------------------------------------------------------
+  /** BPE merge induction ([[operators.BpeTrain]]) — the tokenizer-
+    * training half of the F-suite's token counting: the corpus folds
+    * to a (word, count) vocabulary in ONE shuffle, then each of the
+    * 20 merge rounds is a narrow pair-count aggregate over the vocab
+    * plus a driver argmax (control plane), with deterministic
+    * lexicographic tie-breaks. Iterative argmax isn't SQL → rows-only;
+    * BpeTrainSpec proves the merge sequence identical to an
+    * independent single-machine reference implementation. */
+  private val bpeTrain = Q(
+    "bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      operators.BpeTrain.train(ViewingData.table(s, dir, "documents"), "text", 20)
+        .map(m => (m.rank, m.left, m.right, m.pairCount))
+        .toDF("rank", "left", "right", "pair_count")
+    },
+    None)
+
   private val annBruteforce = Q(
     "ann_bruteforce",
     (s, dir) => {
@@ -824,6 +842,7 @@ GROUP BY 1, 2"""))
 
   val all: Seq[Q] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
+    bpeTrain,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash,
     dedupSimhashOracle, dedupEmbedding,
     dedupIncremental, dedupMinhashOracle, dedupIncrementalOracle,

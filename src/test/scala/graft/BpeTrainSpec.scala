@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.BpeTrain
+
+/** [[operators.BpeTrain]] against an independent in-test reference:
+  * the naive single-machine BPE (Sennrich et al.'s pseudocode,
+  * implemented directly on a Map) must produce the identical merge
+  * sequence — a check strictly stronger than a row-count, playing
+  * the role the DuckDB oracle plays for SQL-expressible rows (the
+  * iterative argmax isn't SQL). */
+class BpeTrainSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference BPE: same tie rule (count desc, then lexicographic). */
+  private def naive(words: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+    def applyMerge(syms: Vector[String], a: String, b: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == a && s == b) acc.init :+ (a + b)
+        else acc :+ s
+      }
+    var vocab: Map[Vector[String], Long] =
+      words.groupMapReduce { case (w, _) => w.map(_.toString).toVector }(_._2)(_ + _)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var continue = true
+    while (out.length < n && continue) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      if (counts.isEmpty) continue = false
+      else {
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((l, r, c))
+        vocab = vocab.toSeq.map { case (syms, cnt) => (applyMerge(syms, l, r), cnt) }
+          .groupMapReduce(_._1)(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  private def wordsOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+
+  test("classic example: learned merges equal the reference sequence") {
+    val docs = Seq.fill(5)("low").++(Seq.fill(2)("lower"))
+      .++(Seq.fill(6)("newest")).++(Seq.fill(3)("widest"))
+      .map(w => Tuple1(w)).toDF("text")
+    val got = BpeTrain.train(docs, "text", 8).map(m => (m.left, m.right, m.pairCount))
+    val want = naive(Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 8)
+    assert(got == want, s"got=$got want=$want")
+    // sanity anchors from the paper's walk-through shape: first merge
+    // is the most frequent adjacent pair across newest+widest
+    assert(got.head._3 == 9L, s"first merge weight: ${got.head}")
+  }
+
+  test("real corpus: distributed training equals the reference, deterministically") {
+    val docs = graft.sources.ViewingData.table(spark, Sf, "documents")
+      .limit(200).localCheckpoint()
+    val a = BpeTrain.train(docs, "text", 12)
+    val want = naive(wordsOf(docs), 12)
+    assert(a.map(m => (m.left, m.right, m.pairCount)) == want,
+      s"got=${a.map(m => (m.left, m.right, m.pairCount))} want=$want")
+    val b = BpeTrain.train(docs, "text", 12)
+    assert(a == b, "training must be deterministic across runs")
+  }
+
+  test("segmentVocabulary: segments concatenate back to the word, merges applied") {
+    val docs = graft.sources.ViewingData.table(spark, Sf, "documents")
+      .limit(200).localCheckpoint()
+    val merges = BpeTrain.train(docs, "text", 12)
+    val seg = BpeTrain.segmentVocabulary(docs, "text", merges)
+      .as[(String, Seq[String])].collect()
+    assert(seg.nonEmpty)
+    seg.foreach { case (w, parts) =>
+      assert(parts.mkString == w, s"$w segmented to $parts")
+    }
+    // at least one real merge happened: some word has fewer segments
+    // than characters
+    assert(seg.exists { case (w, parts) => parts.length < w.length })
+  }
+
+  test("bpe_train registry row: ranked merges, corpus-scale shape") {
+    val out = SparkEntry.queries("bpe_train")(spark, Sf)
+    val rows = out.as[(Int, String, String, Long)].collect()
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == rows.indices.toSeq,
+      "ranks are dense from 0")
+    assert(rows.map(_._4).toSeq.sorted.reverse.head == rows.head._4 ||
+      rows.nonEmpty) // counts recorded; monotonicity NOT required (BPE counts can rise)
+  }
+}
