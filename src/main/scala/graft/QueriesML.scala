@@ -334,28 +334,29 @@ WHERE jaccard_est >= 0.4 AND (id_a % 4 = 0 OR id_b % 4 = 0)"""))
     },
     None)
 
-  /** D4's hash-checkable twin (the D9/E2b discipline): SimHash bits
-    * from md5 ([[HashFunctions.simhashChunksMd5]]) instead of
-    * xxhash64, so the whole pipeline — per-bit votes, sign pack,
-    * 16-bit chunk LSH keys, chunk-collision candidates, hamming
-    * verify — is reproduced by the DuckDB oracle arithmetic-for-
-    * arithmetic. Same plan shape as D4: one checkpointed hash index,
-    * bucket-local candidate join, hamming ≤ 3 (complete by the
-    * 4-chunk pigeonhole). With this row every dedup family member
-    * (exact, n-gram, minhash, simhash, embedding) has a fully
-    * hash-checked flavor. */
+  /** D4's hash-checkable twin (the D9/E2b discipline): SimHash vote
+    * bits from md5 ([[HashFunctions.simhashesMd5]] — the first 16 hex
+    * chars of each token's digest parsed as a 64-bit value) instead
+    * of xxhash64, with the SAME lane-packed bulk aggregation, sign
+    * rule, chunk LSH keys ([[HashFunctions.simhashChunks]]),
+    * chunk-collision candidates and hamming verify as production D4 —
+    * and the DuckDB oracle reproduces every stage with hex-nibble
+    * arithmetic (bit i = nibble-bit i%4 of hex char 16 − i/4). With
+    * this row every dedup family member (exact, n-gram, minhash,
+    * simhash, embedding) has a fully hash-checked flavor. */
   private val dedupSimhashOracle = Q(
     "dedup_simhash_oracle",
     (s, dir) => {
-      val docs = ViewingData.table(s, dir, "documents")
+      val base = ViewingData.table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          HashFunctions.simhashChunksMd5(
-            TextFunctions.tokens(col("text"))).as("mchunks"))
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      val docs = HashFunctions.simhashesMd5(base, "doc_id", "toks")
+        .withColumn("chunks", HashFunctions.simhashChunks(col("simhash")))
         .localCheckpoint()
-      HashFunctions.bucketedPairs(docs, "doc_id", "mchunks", payload = Seq("mchunks"))
+      HashFunctions.bucketedPairs(docs, "doc_id", "chunks", payload = Seq("simhash"))
         .select(col("id_a"), col("id_b"),
-          HashFunctions.chunkHamming(col("mchunks_a"), col("mchunks_b")).as("hamming"))
+          HashFunctions.hammingDistance(col("simhash_a"), col("simhash_b"))
+            .cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
         .distinct()
     },
@@ -371,7 +372,7 @@ bits AS (
          list_transform(generate_series(0, 63), i ->
            CAST(list_sum(list_transform(hs, hh ->
              (strpos('0123456789abcdef',
-                substring(hh, CAST(i // 4 AS INT) + 1, 1)) - 1)
+                substring(hh, CAST(16 - i // 4 AS INT), 1)) - 1)
                >> CAST(i % 4 AS INT) & 1)) AS BIGINT)) AS ones
   FROM h),
 ch AS (

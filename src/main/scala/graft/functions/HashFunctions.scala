@@ -145,7 +145,14 @@ object HashFunctions {
     * prove both forms truncate identically without building 65k-token
     * rows. */
   private[graft] def simhashesCapped(
-      df: DataFrame, idCol: String, tokensCol: String, cap: Int): DataFrame = {
+      df: DataFrame, idCol: String, tokensCol: String, cap: Int): DataFrame =
+    simhashesWith(df, idCol, tokensCol, cap, t => xxhash64(t))
+
+  /** The lane-packed bulk aggregation with a pluggable 64-bit token
+    * hash — one body serves the production xxhash64 form and the
+    * md5-derived oracle twin ([[simhashesMd5]]). */
+  private def simhashesWith(df: DataFrame, idCol: String, tokensCol: String,
+      cap: Int, tokenHash: Column => Column): DataFrame = {
     val packs = (0 until 16).map { g =>
       val lanes = (0 until 4).map { l =>
         call_function("shiftleft",
@@ -160,11 +167,33 @@ object HashFunctions {
       when(ones * 2 > col("n"), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
     df.select(col(idCol), explode(slice(col(tokensCol), 1, cap)).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("th"))
+      .select(col(idCol), tokenHash(col("tok")).as("th"))
       .groupBy(idCol)
       .agg(packs.head, packs.tail :+ count(lit(1)).as("n"): _*)
       .select(col(idCol), packed.as("simhash"))
   }
+
+  /** 64-bit token hash from md5: the first 16 hex chars parsed
+    * big-endian (two conv calls — bit i of the result is nibble-bit
+    * (i mod 4) of hex char (16 − i div 4), the arithmetic a SQL
+    * oracle reproduces with strpos/shifts). Salted so it is
+    * independent of every other md5 use in the registry. */
+  private[graft] def md5Hash64(t: Column): Column = {
+    val h = md5(concat(lit("graft-sh:"), t).cast("binary"))
+    val hi = conv(substring(h, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(h, 9, 8), 16, 10).cast("long")
+    call_function("shiftleft", hi, lit(32)).bitwiseOR(lo)
+  }
+
+  /** [[simhashes]] with the bit source swapped from xxhash64 to md5
+    * (the D9/E2b oracle discipline applied to SimHash): same lane-
+    * packed aggregation, same sign rule, same [[simhashChunks]] /
+    * [[hammingDistance]] downstream — but every bit is reproducible
+    * by DuckDB hex arithmetic, so the whole pipeline hash-matches a
+    * SQL oracle. Production keeps xxhash64 (one hash call, no digest
+    * or string ops); this twin pins the arithmetic. */
+  def simhashesMd5(df: DataFrame, idCol: String, tokensCol: String): DataFrame =
+    simhashesWith(df, idCol, tokensCol, SimhashTokenCap, md5Hash64)
 
   /** 64-bit SimHash over a token array: per-bit ±1 votes weighted by
     * token occurrences, sign-thresholded, packed to a long.
@@ -222,59 +251,6 @@ object HashFunctions {
         c.as("chunk_id"),
         pmod(shiftright_dyn(simCol, c * width), lit(1L << width)).as("chunk")))
   }
-
-  /** [[simhashChunks]] with the underlying bit source swapped from
-    * xxhash64 to md5 — the D9/E2b oracle discipline applied to
-    * SimHash: bit i of a token's vote vector is nibble-bit (i mod 4)
-    * of hex char (i div 4) of md5("graft-sh:" + token), which DuckDB
-    * extracts with the same strpos/shift arithmetic, so the ENTIRE
-    * pipeline (per-bit votes → sign threshold → 16-bit chunk keys →
-    * chunk-collision candidates → hamming) is reproducible by a SQL
-    * oracle. Computes votes as 2·ones − n per bit (ties clear, same
-    * rule as [[simhashes]]); each token's md5 hex is computed ONCE and
-    * the 64 bit-extractions are string/arithmetic ops. Returns the
-    * same array<struct(chunk_id, chunk)> shape as [[simhashChunks]]
-    * so [[bucketedPairs]] consumes it unchanged. Production keeps the
-    * xxhash64 form (one hash call vs a digest per token); this twin
-    * exists to pin the arithmetic. */
-  def simhashChunksMd5(tokensCol: Column): Column = {
-    val hexAlphabet = "0123456789abcdef"
-    val hs = transform(tokensCol, t =>
-      md5(concat(lit("graft-sh:"), t).cast("binary")))
-    // ones(i) = # tokens whose md5-bit i is set, i ∈ 0..63
-    val ones = aggregate(
-      hs,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(
-        acc,
-        sequence(lit(0), lit(63)),
-        (a, i) => a + call_function("shiftright",
-          call_function("instr", lit(hexAlphabet),
-            call_function("substring", h,
-              floor(i / lit(4)).cast("int") + lit(1), lit(1))) - 1,
-          pmod(i, lit(4)).cast("int")).bitwiseAND(1L)))
-    val n = size(tokensCol)
-    transform(
-      sequence(lit(0), lit(3)),
-      g => struct(
-        g.cast("int").as("chunk_id"),
-        aggregate(
-          sequence(lit(0), lit(15)),
-          lit(0L),
-          (acc, j) => acc + when(
-            element_at(ones, (g * 16 + j + 1).cast("int")) * 2 > n,
-            call_function("shiftleft", lit(1L), j.cast("int")))
-            .otherwise(lit(0L))).as("chunk")))
-  }
-
-  /** Hamming distance summed over paired chunk arrays (the chunks
-    * partition the 64 bits, so this equals the packed-long hamming). */
-  def chunkHamming(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        bit_count(x.getField("chunk").bitwiseXOR(y.getField("chunk")))),
-      lit(0L),
-      (acc, x) => acc + x.cast("long"))
 
   /** Candidate pairs sharing an LSH key. `payload` columns ride along
     * through the explode and surface as `<c>_a` / `<c>_b`, so the

@@ -48,8 +48,8 @@ object HashedLinearModel {
     * collects at most ~`trainCap` docs' sparse features
     * (deterministic md5-threshold sample, the [[Pq.train]] shape). */
   def train(docs: DataFrame, idCol: String, textCol: String,
-      labelCol: String, dims: Int = 512, iters: Int = 4000,
-      lr: Double = 10.0, trainCap: Long = 1L << 16): Model = {
+      labelCol: String, dims: Int = 512, iters: Int = 1500,
+      lr: Double = 30.0, trainCap: Long = 1L << 16): Model = {
     val base = docs.select(col(idCol).cast("long").as("__id"),
       col(labelCol).cast("double").as("__y"),
       TextFunctions.tokens(col(textCol)).as("__toks"))
