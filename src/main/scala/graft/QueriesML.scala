@@ -501,6 +501,29 @@ WHERE round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * 
     },
     None)
 
+  /** F22's serving half as a registry row: the learned merges applied
+    * CORPUS-WIDE — segmentation runs only over the distinct-word
+    * vocabulary ([[operators.BpeTrain.segmentVocabulary]]) and the
+    * corpus joins words to finished segment arrays (broadcast: the
+    * vocab is control-plane-sized), so the scan never evaluates the
+    * merge fold. Output is the per-doc subword economics a tokenizer
+    * team reads: learned-subword count vs whitespace-word count.
+    * Training isn't SQL → rows-only; BpeTrainSpec pins the merge
+    * sequence and the segment round-trip. */
+  private val bpeSegment = Q(
+    "bpe_segment",
+    (s, dir) => {
+      val docs = ViewingData.table(s, dir, "documents")
+      val merges = operators.BpeTrain.train(docs, "text", 20)
+      val segs = operators.BpeTrain.segmentVocabulary(docs, "text", merges)
+      docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+        .join(broadcast(segs), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(col("segments"))).cast("long").as("n_subwords"))
+    },
+    None)
+
   private val annBruteforce = Q(
     "ann_bruteforce",
     (s, dir) => {
@@ -843,7 +866,7 @@ GROUP BY 1, 2"""))
 
   val all: Seq[Q] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
-    bpeTrain,
+    bpeTrain, bpeSegment,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash,
     dedupSimhashOracle, dedupEmbedding,
     dedupIncremental, dedupMinhashOracle, dedupIncrementalOracle,

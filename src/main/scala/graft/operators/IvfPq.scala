@@ -78,6 +78,44 @@ object IvfPq {
     spark.read.parquet(s"$path/errstats")
       .agg(max(col("max_err"))).head().getDouble(0)
 
+  /** QUANTIZER-staleness signal — [[Ivf.cellFill]]'s analogue for the
+    * codebooks: row-weighted mean p99 reconstruction error of the
+    * APPENDED batches over the trained base's. Appends encode against
+    * frozen centroids + codebooks, so a drifting corpus shows up
+    * exactly here: deltas that no longer resemble the training data
+    * reconstruct worse, ADC scores blur, and recall at fixed nprobe
+    * decays silently. Read from the errstats table alone —
+    * control-plane, no codes touched. Ratio ≈ 1 → distribution still
+    * matches the trained quantizers; `needsRetrain` thresholds it for
+    * the maintenance loop (re-run [[writeIndex]] when true, the
+    * FAISS re-train discipline). Returns NaN when nothing is appended
+    * or the base error is zero (nothing to compare). */
+  def quantizerDrift(spark: SparkSession, path: String): Double = {
+    // `batch` is a partition column — discovery infers INT from the
+    // directory names, so cast before the typed collect
+    val rows = spark.read.parquet(s"$path/errstats")
+      .select(col("batch").cast("long"), col("n").cast("long"),
+        col("p99_err").cast("double")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def weightedP99(rs: Array[(Long, Long, Double)]): Double = {
+      val n = rs.map(_._2).sum
+      if (n == 0L) 0.0 else rs.map(t => t._2 * t._3).sum / n
+    }
+    val base = weightedP99(rows.filter(_._1 == 0L))
+    val appended = rows.filter(_._1 != 0L)
+    if (appended.isEmpty || base <= 0.0) Double.NaN
+    else weightedP99(appended) / base
+  }
+
+  /** True when appended mass reconstructs `threshold`× worse than the
+    * trained base — the re-train trigger. False while nothing is
+    * appended (nothing can have drifted). */
+  def needsRetrain(spark: SparkSession, path: String,
+      threshold: Double = 1.25): Boolean = {
+    val d = quantizerDrift(spark, path)
+    !d.isNaN && d >= threshold
+  }
+
   /** Builds and persists the full index at `path`:
     *   - `cells/<cellCol>=…/`  PQ code rows (idCol, codes) per IVF cell
     *   - `centroids/`          refined coarse centroids (cellCol, centroid)

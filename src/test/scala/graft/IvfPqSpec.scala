@@ -116,6 +116,50 @@ class IvfPqSpec extends SparkTestBase {
     assert(stats.select("batch").distinct().as[Long].collect().toSet == Set(0L, 1L))
     assert(IvfPq.storedMaxErr(spark, path) ==
       stats.agg(max(col("max_err"))).as[Double].head())
+
+    // quantizer-staleness on this corpus: the in-distribution append
+    // reconstructs like the base (ratio ~1, no re-train). The firing
+    // side needs a base with sharp quantizers — see the dedicated
+    // clustered-corpus test below.
+    val inDist = IvfPq.quantizerDrift(spark, path)
+    assert(inDist > 0.8 && inDist < 1.25, s"in-distribution drift: $inDist")
+    assert(!IvfPq.needsRetrain(spark, path))
+  }
+
+  test("quantizerDrift: clustered corpus — flat for in-distribution, fires on drift") {
+    graft.plans.GraftExtensions.register(spark)
+    val path = Files.createTempDirectory("ivfpqdrift").toString + "/idx"
+    // 8 tight clusters around one-hot centers e_0..e_7 (deterministic
+    // small noise) — the distribution PQ is actually good at; the
+    // trained codebooks reconstruct it sharply
+    def clustered(ids: Range): org.apache.spark.sql.DataFrame =
+      ids.map { i =>
+        val c = i % 8
+        val raw = Seq.tabulate(64) { d =>
+          val noise = (((i + d * 13) % 11) - 5) / 5.0 * 0.15
+          (if (d == c) 1.0 else 0.0) + noise
+        }
+        val norm = math.sqrt(raw.map(x => x * x).sum)
+        (i.toLong, c, raw.map(_ / norm))
+      }.toDF("vec_id", "label", "e")
+    IvfPq.writeIndex(clustered(0 until 400), "vec_id", "e", "label",
+      path, m = 16, k = 16)
+    assert(IvfPq.quantizerDrift(spark, path).isNaN, "no appends -> NaN")
+    assert(!IvfPq.needsRetrain(spark, path))
+    // in-distribution delta: same generator, fresh ids
+    IvfPq.appendToIndex(spark, path,
+      clustered(1000 until 1200), "vec_id", "e", "label", 1L)
+    val inDist = IvfPq.quantizerDrift(spark, path)
+    assert(inDist > 0.5 && inDist < 1.25, s"in-distribution drift: $inDist")
+    assert(!IvfPq.needsRetrain(spark, path))
+    // drifted delta: spikes on dims the training never populated
+    val spikes = Seq.tabulate(400) { i =>
+      (200000L + i, Seq.tabulate(64)(d => if (d == 32 + i % 32) 1.0 else 0.0))
+    }.toDF("vec_id", "e")
+    IvfPq.appendToIndex(spark, path, spikes, "vec_id", "e", "label", 2L)
+    val drifted = IvfPq.quantizerDrift(spark, path)
+    assert(drifted >= 1.25, s"drifted appends must raise weighted p99: $drifted")
+    assert(IvfPq.needsRetrain(spark, path))
   }
 
   test("probeIndexedBatch: per-query parity with the single-query probe, one pruned scan") {
