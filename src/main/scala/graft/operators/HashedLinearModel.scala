@@ -46,10 +46,15 @@ object HashedLinearModel {
   /** Fits a binary logistic model on `docs(labelCol)` ∈ {0, 1} (cast
     * from boolean upstream). Featurization is distributed; the fit
     * collects at most ~`trainCap` docs' sparse features
-    * (deterministic md5-threshold sample, the [[Pq.train]] shape). */
+    * (deterministic hash-threshold sample, the [[Pq.train]] shape).
+    * The cap is what makes the train cost CONSTANT in corpus size —
+    * a linear model saturates far below 8k examples for 512 hashed
+    * dims (the ×10 sweep showed the uncapped fit growing linearly
+    * with the corpus for zero accuracy gain); raise it only with
+    * dims. */
   def train(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String, dims: Int = 512, iters: Int = 1500,
-      lr: Double = 30.0, trainCap: Long = 1L << 16): Model = {
+      lr: Double = 30.0, trainCap: Long = 8192L): Model = {
     val base = docs.select(col(idCol).cast("long").as("__id"),
       col(labelCol).cast("double").as("__y"),
       TextFunctions.tokens(col(textCol)).as("__toks"))
