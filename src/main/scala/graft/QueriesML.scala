@@ -364,8 +364,8 @@ WHERE jaccard_est >= 0.4 AND (id_a % 4 = 0 OR id_b % 4 = 0)"""))
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
   FROM documents),
 h AS (
-  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
-         list_transform(toks, tk -> md5('graft-sh:' || tk)) AS hs
+  SELECT doc_id, CAST(least(len(toks), 65535) AS BIGINT) AS n,
+         list_transform(toks[1:65535], tk -> md5('graft-sh:' || tk)) AS hs
   FROM t),
 bits AS (
   SELECT doc_id, n,
@@ -514,8 +514,9 @@ WHERE round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * 
     "bpe_segment",
     (s, dir) => {
       val docs = ViewingData.table(s, dir, "documents")
-      val merges = operators.BpeTrain.train(docs, "text", 20)
-      val segs = operators.BpeTrain.segmentVocabulary(docs, "text", merges)
+      // one corpus scan + one merge fold: the final training vocab IS
+      // the segmentation (segmentVocabulary would replay both)
+      val (_, segs) = operators.BpeTrain.trainAndSegment(docs, "text", 20)
       docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
         .join(broadcast(segs), "w")
         .groupBy("doc_id")

@@ -50,7 +50,11 @@ object BpeTrain {
         .otherwise(concat(acc, array(s))))
 
   private def chars(w: Column): Column =
-    transform(sequence(lit(1), length(w)), i => substring_dyn(w, i))
+    // sequence(1, 0) yields [1, 0] (descending step default), so an
+    // empty word must short-circuit to an empty symbol array instead
+    // of two phantom "" symbols that could learn a bogus ("","") merge
+    when(length(w) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(w)), i => substring_dyn(w, i)))
 
   private def substring_dyn(w: Column, i: Column): Column =
     call_function("substring", w, i, lit(1))
@@ -66,7 +70,18 @@ object BpeTrain {
 
   /** Learns up to `nMerges` merges. Stops early when no adjacent
     * pair remains (fully merged vocabulary). */
-  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] =
+    trainAndSegment(docs, textCol, nMerges)._1
+
+  /** [[train]] that ALSO returns the final vocabulary's segmentation
+    * (word, segments) — after the last merge round the working vocab
+    * holds exactly each word's segmented form, so callers that want
+    * both (the train-then-apply registry shape) pay ONE corpus scan
+    * and one merge fold instead of re-deriving the vocabulary and
+    * replaying every merge through [[segmentVocabulary]] (which
+    * remains the tool for applying SAVED merges to a NEW corpus). */
+  def trainAndSegment(docs: DataFrame, textCol: String,
+      nMerges: Int): (Seq[Merge], DataFrame) = {
     var vocab = vocabulary(docs, textCol)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
@@ -74,8 +89,10 @@ object BpeTrain {
     while (round < nMerges && !done) {
       val top = vocab
         .select(col("cnt"), explode(zip_with(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          // greatest(..., 0): empty symbol arrays (empty-string words)
+          // have no adjacent pairs; a raw size-1 would be -1
+          slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
+          slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
           (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("c"))
@@ -94,7 +111,7 @@ object BpeTrain {
         round += 1
       }
     }
-    merges.toSeq
+    (merges.toSeq, vocab.select(col("w"), col("syms").as("segments")))
   }
 
   /** Segmentation of `textCol`'s words under learned merges, as a

@@ -131,6 +131,12 @@ object IvfPq {
     val (index, cents) = Ivf.refine(v, idCol, vecCol, cellCol, ivfRounds)
     val resid = residuals(index, cents, idCol, vecCol, cellCol)
       .localCheckpoint()
+    try writeFrom(resid, cents, idCol, cellCol, path, m, k, pqRounds)
+    finally resid.unpersist(blocking = false)
+  }
+
+  private def writeFrom(resid: DataFrame, cents: DataFrame, idCol: String,
+      cellCol: String, path: String, m: Int, k: Int, pqRounds: Int): Unit = {
     val books = Pq.train(resid, idCol, "resid", m, k, pqRounds)
     // encode is a pure projection, so the cell id rides along — no
     // join needed to re-attach it before the partitioned write; the
@@ -144,17 +150,23 @@ object IvfPq {
     // (id, codes) — the narrow layout is the point of PQ
     val encoded = Pq.encode(resid, books, idCol, "resid", m,
       carry = Seq(cellCol, "resid")).localCheckpoint()
-    encoded.drop("resid")
-      .withColumn("batch", lit(0L))
-      .repartition(col(cellCol))
-      .write.partitionBy("batch", cellCol).mode("overwrite")
-      .parquet(s"$path/cells")
-    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    books.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    errStats(encoded, cellCol, collectBooks(books), m)
-      .withColumn("batch", lit(0L))
-      .coalesce(1).write.partitionBy("batch").mode("overwrite")
-      .parquet(s"$path/errstats")
+    try {
+      encoded.drop("resid")
+        .withColumn("batch", lit(0L))
+        .repartition(col(cellCol))
+        .write.partitionBy("batch", cellCol).mode("overwrite")
+        .parquet(s"$path/cells")
+      cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      books.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      errStats(encoded, cellCol, collectBooks(books), m)
+        .withColumn("batch", lit(0L))
+        .coalesce(1).write.partitionBy("batch").mode("overwrite")
+        .parquet(s"$path/errstats")
+    } finally
+      // the checkpoint carries full residual vectors (corpus-sized);
+      // a repeated build or a streaming append loop must not pile
+      // those blocks up in executor storage for the session's life
+      encoded.unpersist(blocking = false)
   }
 
   /** Grows a persisted IVF-PQ index WITHOUT re-training either
@@ -182,20 +194,25 @@ object IvfPq {
     val resid = residuals(assigned, cents, idCol, vecCol, cellCol)
     val encoded = Pq.encode(resid, books, idCol, "resid", m,
       carry = Seq(cellCol, "resid")).localCheckpoint()
-    encoded.drop("resid")
-      .withColumn("batch", lit(batchId))
-      .repartition(col(cellCol))
-      .write.partitionBy("batch", cellCol)
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$path/cells")
-    // the batch's own error stats ride along (same replay contract:
-    // dynamic overwrite replaces exactly this batch's row group), so
-    // storedMaxErr stays an upper bound as the index grows
-    errStats(encoded, cellCol, collectBooks(books), m)
-      .withColumn("batch", lit(batchId))
-      .coalesce(1).write.partitionBy("batch")
-      .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(s"$path/errstats")
+    try {
+      encoded.drop("resid")
+        .withColumn("batch", lit(batchId))
+        .repartition(col(cellCol))
+        .write.partitionBy("batch", cellCol)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$path/cells")
+      // the batch's own error stats ride along (same replay contract:
+      // dynamic overwrite replaces exactly this batch's row group), so
+      // storedMaxErr stays an upper bound as the index grows
+      errStats(encoded, cellCol, collectBooks(books), m)
+        .withColumn("batch", lit(batchId))
+        .coalesce(1).write.partitionBy("batch")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$path/errstats")
+    } finally
+      // per-batch checkpoints in a foreachBatch loop must not
+      // accumulate in executor storage
+      encoded.unpersist(blocking = false)
   }
 
   /** ADC shortlist from a persisted index for a single query vector

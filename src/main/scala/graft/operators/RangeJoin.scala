@@ -40,24 +40,30 @@ object RangeJoin {
     * 2-3 buckets per interval. */
   val maxBucketsPerInterval = 10000L
 
-  /** Epoch seconds for a time column of any accepted type. Spark won't
-    * cast TIMESTAMP_NTZ to a number (the wall-clock has no instant
-    * without a zone) — this operator pins the interpretation the rest
-    * of the engine uses: NTZ wall-clock IS UTC. Rejecting anything
-    * non-time-like here turns the former three-frames-away Catalyst
-    * cast error into a named contract failure at the operator door. */
-  private def epochSec(df: DataFrame, c: String): Column =
+  /** The time column normalized to ONE zoned TimestampType under one
+    * interpretation — NTZ wall-clock IS UTC (session-independent,
+    * DST-safe via [[graft.functions.TimeFunctions]]), dates are UTC
+    * midnight, numerics are epoch seconds (fractions preserved).
+    * BOTH the bucket keys and the residual predicate read this
+    * normalized column: deriving buckets one way and comparing raw
+    * columns the other silently drops matches the moment the two
+    * sides carry different time types. Rejecting anything
+    * non-time-like turns the former three-frames-away Catalyst cast
+    * error into a named contract failure at the operator door. */
+  private def timeNorm(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
-      case TimestampType    => col(c).cast("long")
-      case TimestampNTZType =>
-        convert_timezone(lit("UTC"), current_timezone(), col(c))
-          .cast(TimestampType).cast("long")
-      case DateType         => col(c).cast(TimestampType).cast("long")
-      case _: NumericType   => col(c).cast("long")
+      case TimestampType    => col(c)
+      case TimestampNTZType => graft.functions.TimeFunctions.ntzWallClockAsUtc(col(c))
+      case DateType         => graft.functions.TimeFunctions.dateAsUtcMidnight(col(c))
+      case _: NumericType   => timestamp_seconds(col(c))
       case other            => throw new IllegalArgumentException(
         s"RangeJoin: time column `$c` must be a timestamp, timestamp_ntz, " +
           s"date or numeric (epoch seconds); got ${other.simpleString}")
     }
+
+  /** Epoch seconds of the normalized time — the bucket key. */
+  private def epochSec(df: DataFrame, c: String): Column =
+    timeNorm(df, c).cast("long")
 
   /** Joins `points` to `intervals` where
     * `points(pointTime) ∈ [intervals(startCol), intervals(endCol))`.
@@ -131,7 +137,8 @@ object RangeJoin {
     val p = points.withColumn("__gr_pbucket", floor(epochSec(points, pointTime) / b))
     // s >= e matches nothing by definition — drop such intervals here
     // instead of exploding candidates the residual filter would discard
-    val validIntervals = intervals.filter(col(startCol) < col(endCol))
+    val validIntervals = intervals.filter(
+      timeNorm(intervals, startCol) < timeNorm(intervals, endCol))
     // integer-second bucketing may cover one bucket past a
     // fractional-second end bound — a false CANDIDATE only, removed by
     // the residual predicate below
@@ -150,11 +157,17 @@ object RangeJoin {
         lit(" .. "), col(endCol).cast("string"), lit(")"))))
       .otherwise(sequence(loB, hiB))
     val i = validIntervals.withColumn("__gr_ibucket", explode(guarded))
+    // residual predicate on the SAME normalized columns the buckets
+    // came from — one interpretation end to end, even when the two
+    // sides carry different time types
+    val pt = timeNorm(points, pointTime)
+    val lo = timeNorm(intervals, startCol)
+    val hi = timeNorm(intervals, endCol)
     val cond = pointKeys.zip(intervalKeys)
       .map { case (pk, ik) => col(pk) === col(ik) }
       .foldLeft(
         col("__gr_pbucket") === col("__gr_ibucket") &&
-          col(pointTime) >= col(startCol) && col(pointTime) < col(endCol))(_ && _)
+          pt >= lo && pt < hi)(_ && _)
     p.join(i, cond).drop("__gr_pbucket", "__gr_ibucket")
   }
 }

@@ -47,9 +47,11 @@ object ViewingData {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
+        // field-wise rebuild with an explicit UTC zone — a
+        // convert-into-session-zone round-trip would mis-shift rows
+        // whose local wall clock falls in a DST overlap
         df.withColumn("ts",
-          convert_timezone(lit("UTC"), current_timezone(), col("ts"))
-            .cast(org.apache.spark.sql.types.TimestampType))
+          graft.functions.TimeFunctions.ntzWallClockAsUtc(col("ts")))
       case _ => df
     }
   }

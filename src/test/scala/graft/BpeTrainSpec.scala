@@ -27,7 +27,8 @@ class BpeTrainSpec extends SparkTestBase {
     while (out.length < n && continue) {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
       vocab.foreach { case (syms, c) =>
-        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+        if (syms.length >= 2)
+          syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
       }
       if (counts.isEmpty) continue = false
       else {
@@ -65,6 +66,20 @@ class BpeTrainSpec extends SparkTestBase {
       s"got=${a.map(m => (m.left, m.right, m.pairCount))} want=$want")
     val b = BpeTrain.train(docs, "text", 12)
     assert(a == b, "training must be deterministic across runs")
+  }
+
+  test("empty and whitespace-only docs: no phantom symbols, reference parity") {
+    // tokens('') = [''] — the empty word must contribute NO adjacent
+    // pairs (chars('') is an empty array, not two phantom '' symbols
+    // from sequence(1,0)'s descending default)
+    val docs = (Seq.fill(20)("") ++ Seq.fill(3)("   ") ++
+      Seq.fill(5)("low") ++ Seq.fill(6)("newest"))
+      .map(Tuple1(_)).toDF("text")
+    val got = BpeTrain.train(docs, "text", 5).map(m => (m.left, m.right, m.pairCount))
+    assert(!got.exists(m => m._1.isEmpty || m._2.isEmpty),
+      s"no merge may involve the empty symbol: $got")
+    val want = naive(Map("" -> 23L, "low" -> 5L, "newest" -> 6L), 5)
+    assert(got == want, s"got=$got want=$want")
   }
 
   test("segmentVocabulary: segments concatenate back to the word, merges applied") {

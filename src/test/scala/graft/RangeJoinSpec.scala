@@ -101,6 +101,48 @@ class RangeJoinSpec extends SparkTestBase {
     assert(ok.count() == 1)
   }
 
+  test("mixed time types: NTZ intervals against zoned points, non-UTC session tz") {
+    import spark.implicits._
+    // buckets and residual must share ONE interpretation (NTZ wall
+    // clock IS UTC) — deriving buckets as-UTC while the residual
+    // coerces NTZ through the session zone would silently drop every
+    // match whose session-zone offset exceeds the bucket width
+    withConfs("spark.sql.session.timeZone" -> "Asia/Tokyo") {
+      val p = Seq((1L, 1762072260L), (2L, 1762075900L), (3L, 1762079500L))
+        .toDF("pid", "sec")
+        .select(col("pid"), timestamp_seconds(col("sec")).as("pt"))
+      // [08:31, 09:31) and [09:31, 10:31) UTC wall clock as NTZ
+      val iv = Seq((10L, "2025-11-02 08:31:00", "2025-11-02 09:31:00"),
+          (11L, "2025-11-02 09:31:00", "2025-11-02 10:31:00"))
+        .toDF("iid", "s", "e")
+        .select(col("iid"), to_timestamp_ntz(col("s")).as("ws"),
+          to_timestamp_ntz(col("e")).as("we"))
+      val got = RangeJoin.intervalJoin(p, "pt", iv, "ws", "we", 600L)
+        .select("pid", "iid").as[(Long, Long)].collect().toSet
+      // 1762072260 = 08:31:00Z -> window 10; 1762075900 = 09:31:40Z
+      // -> window 11; 1762079500 = 10:31:40Z -> no window
+      assert(got == Set((1L, 10L), (2L, 11L)), s"got $got")
+    }
+  }
+
+  test("date intervals: UTC-midnight interpretation, session-tz-independent") {
+    import spark.implicits._
+    val p = Seq((1L, 86400L + 3600L), (2L, 3 * 86400L))
+      .toDF("pid", "sec")
+      .select(col("pid"), timestamp_seconds(col("sec")).as("pt"))
+    val iv = Seq((10L, "1970-01-02", "1970-01-03"))
+      .toDF("iid", "s", "e")
+      .select(col("iid"), col("s").cast("date").as("ws"),
+        col("e").cast("date").as("we"))
+    for (tz <- Seq("UTC", "Asia/Tokyo")) {
+      withConfs("spark.sql.session.timeZone" -> tz) {
+        val got = RangeJoin.intervalJoin(p, "pt", iv, "ws", "we", 3600L)
+          .select("pid", "iid").as[(Long, Long)].collect().toSet
+        assert(got == Set((1L, 10L)), s"tz=$tz: $got")
+      }
+    }
+  }
+
   test("streaming enrichment: interval join runs inside foreachBatch, batch parity") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -81,6 +81,27 @@ class SourceContractSpec extends SparkTestBase {
         "re-check ViewingData.table covers it and update this spec")
   }
 
+  test("NTZ interpretation is session-tz-independent, incl. the DST overlap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 2025-11-02 09:30 UTC wall clock = 01:30 in America/Los_Angeles,
+    // which occurs TWICE on fall-back day — a local-zone round-trip
+    // must guess and shifts half the overlap by an hour; the
+    // field-wise UTC rebuild must not
+    val wall = Seq("2025-11-02 08:30:00", "2025-11-02 09:30:00",
+      "2025-07-01 12:00:00.123456")
+    val expected = Seq(1762072200000000L, 1762075800000000L, 1751371200123456L)
+    for (tz <- Seq("UTC", "America/Los_Angeles", "Asia/Tokyo")) {
+      withConfs("spark.sql.session.timeZone" -> tz) {
+        val got = wall.toDF("s")
+          .select(unix_micros(graft.functions.TimeFunctions.ntzWallClockAsUtc(
+            to_timestamp_ntz(col("s")))))
+          .as[Long].collect().toSeq
+        assert(got == expected, s"tz=$tz: $got != $expected")
+      }
+    }
+  }
+
   test("ts values are interpreted wall-clock-as-UTC (oracle parity anchor)") {
     // DuckDB reads the same file as a naive timestamp and compares via
     // epoch_us; our load must place the instant so unix_micros agrees.
