@@ -423,6 +423,41 @@ FROM s"""))
     },
     None)
 
+  /** The model-vs-heuristic agreement matrix a filter team reads
+    * before swapping a trained gate in: the model trains on the F13
+    * COMPOSITE gate's keep label (the real heuristic, not F20's
+    * linear stand-in) and the held-out quarter is broken down per
+    * drop-reason — which reasons the hashed-BOW model can mimic
+    * (length, quality correlate with token content) and which it
+    * structurally cannot (language: this corpus shares one
+    * vocabulary across langs). Honest reporting over forced
+    * accuracy: the output IS the disagreement. Training isn't SQL →
+    * rows-only; HashedLinearModelSpec pins the matrix invariants. */
+  private val qualityModelEval = Q(
+    "text_quality_model_eval",
+    (s, dir) => {
+      val gate = qualityGate.run(s, dir)
+        .select(col("doc_id").as("g_id"), col("keep"), col("drop_reasons"))
+      val docs = ViewingData.table(s, dir, "documents")
+      val labeled = docs.join(gate, col("doc_id") === col("g_id"))
+        .select("doc_id", "text", "keep", "drop_reasons")
+      val model = operators.HashedLinearModel.train(
+        labeled.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", "keep")
+      labeled.filter(col("doc_id") % 4 === 0)
+        .withColumn("pred_keep",
+          operators.HashedLinearModel.scoreCol(col("text"), model) > 0.5)
+        .select(col("pred_keep"),
+          explode(when(col("keep"), array(lit("gate_keep")))
+            .otherwise(split(col("drop_reasons"), ","))).as("reason"))
+        .groupBy("reason")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("pred_keep"), 1L).otherwise(0L)).as("model_keep"),
+          round(avg(when(col("pred_keep") === (col("reason") === "gate_keep"),
+            1.0).otherwise(0.0)), 4).as("agree_rate"))
+    },
+    None)
+
   /** REAL container-header decode, oracle-checked by construction:
     * build a bit-valid PNG signature + IHDR and a JPEG (APP0 + SOF0)
     * with doc-derived dimensions, then recover them — PNG via
@@ -597,5 +632,5 @@ WINDOW w AS (PARTITION BY shard ORDER BY doc_id
   val all: Seq[Q] =
     Seq(textRepetition, textDecontaminate, textDecontaminateBloom, piiScrubQ, corpusShuffle,
       corpusMix, sampleWeighted, textUnigramLogprob, qualityModel,
-      qualityModelTrained, mmHeaderParse, qualityGate, corpusPrep)
+      qualityModelTrained, qualityModelEval, mmHeaderParse, qualityGate, corpusPrep)
 }

@@ -97,6 +97,17 @@ class BpeTrainSpec extends SparkTestBase {
     assert(seg.exists { case (w, parts) => parts.length < w.length })
   }
 
+  test("bpe_segment: vocabulary side broadcasts, corpus never sort-merge-joins") {
+    val out = SparkEntry.queries("bpe_segment")(spark, Sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"word->segments must join via broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus side must not shuffle for the vocab join:\n$plan")
+    val rows = out.as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.forall { case (_, w, s) => s >= 0 && w > 0 })
+  }
+
   test("bpe_train registry row: ranked merges, corpus-scale shape") {
     val out = SparkEntry.queries("bpe_train")(spark, Sf)
     val rows = out.as[(Int, String, String, Long)].collect()

@@ -44,6 +44,22 @@ class HashedLinearModelSpec extends SparkTestBase {
       "deterministic sample + sorted features + fixed GD must reproduce the fit")
   }
 
+  test("eval matrix: per-reason rows, counts consistent, agreement well-formed") {
+    val rows = SparkEntry.queries("text_quality_model_eval")(spark, Sf)
+      .as[(String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val reasons = rows.map(_._1).toSet
+    assert(reasons.contains("gate_keep"), s"got $reasons")
+    rows.foreach { case (reason, n, keep, agree) =>
+      assert(n > 0 && keep >= 0 && keep <= n, s"$reason counts")
+      assert(agree >= 0.0 && agree <= 1.0, s"$reason agree_rate $agree")
+      // agreement definition: for gate_keep rows it's the model-keep
+      // rate; for drop reasons it's the model-drop rate
+      val expect = if (reason == "gate_keep") keep.toDouble / n else (n - keep).toDouble / n
+      assert(math.abs(agree - expect) < 1e-3, s"$reason: $agree vs $expect")
+    }
+  }
+
   test("inference is a shuffle-free projection; registry row emits both verdicts") {
     val out = SparkEntry.queries("text_quality_model_trained")(spark, Sf)
     val plan = out.queryExecution.executedPlan.toString
