@@ -18,15 +18,21 @@ import org.apache.spark.sql.functions._
 object TimeFunctions {
 
   /** The instant whose UTC wall clock equals the TIMESTAMP_NTZ value
-    * `c` — micros precision preserved. Field extractions on NTZ are
-    * wall-clock-pure; the explicit 'UTC' argument keeps the rebuild
-    * out of the session zone entirely. */
+    * `c` — micros precision preserved. Pure epoch ARITHMETIC over
+    * wall-clock-pure field extractions (date days + time-of-day
+    * micros, `date_part('SECOND')` carries the fraction as an exact
+    * decimal): no formatter, no per-row calendar rebuild, no zone
+    * lookup — this runs on every scan of the event feed, so it must
+    * cost like arithmetic, not like `date_format` (a first cut
+    * through make_timestamp + date_format showed up as a 1.5-2×
+    * regression across every events-reading query in the bench). */
   def ntzWallClockAsUtc(c: Column): Column =
-    call_function("make_timestamp",
-      year(c), month(c), dayofmonth(c), hour(c), minute(c),
-      second(c) + date_format(c, "SSSSSS").cast("decimal(16,6)") /
-        lit(1000000),
-      lit("UTC"))
+    timestamp_micros(
+      unix_date(c.cast("date")).cast("long") * lit(86400000000L) +
+        hour(c).cast("long") * lit(3600000000L) +
+        minute(c).cast("long") * lit(60000000L) +
+        (call_function("date_part", lit("SECOND"), c) *
+          lit(1000000)).cast("long"))
 
   /** The instant at UTC midnight of DATE `c` — dates are zone-less,
     * so "the date's epoch second" must not depend on where the
