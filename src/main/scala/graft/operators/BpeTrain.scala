@@ -114,6 +114,27 @@ object BpeTrain {
     (merges.toSeq, vocab.select(col("w"), col("syms").as("segments")))
   }
 
+  /** Persists learned merges as a tiny rank-ordered parquet table —
+    * the tokenizer ARTIFACT: train once, segment everywhere. The
+    * merge list is control-plane-sized (its row count is the merge
+    * budget), so save/load are driver-side concerns; ORDER is the
+    * semantics, hence the explicit rank column and the sorted read. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    merges.map(m => (m.rank, m.left, m.right, m.pairCount))
+      .toDF("rank", "left", "right", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Loads a [[saveMerges]] artifact, rank order restored. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Merge] =
+    spark.read.parquet(path)
+      .select("rank", "left", "right", "pair_count").collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toSeq
+
   /** Segmentation of `textCol`'s words under learned merges, as a
     * per-word broadcast join: the merge fold runs over the DISTINCT
     * words only; the corpus scan joins words to finished segment

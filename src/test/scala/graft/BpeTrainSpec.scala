@@ -97,6 +97,27 @@ class BpeTrainSpec extends SparkTestBase {
     assert(seg.exists { case (w, parts) => parts.length < w.length })
   }
 
+  test("saved merges: round-trip, and a NEW corpus slice segments identically") {
+    import org.apache.spark.sql.functions.col
+    val all = graft.sources.ViewingData.table(spark, Sf, "documents")
+    val trainDocs = all.filter(col("doc_id") < 200).localCheckpoint()
+    val serveDocs = all.filter(col("doc_id") >= 200).localCheckpoint()
+    val merges = BpeTrain.train(trainDocs, "text", 12)
+    val path = java.nio.file.Files.createTempDirectory("bpe").toString + "/merges"
+    BpeTrain.saveMerges(spark, merges, path)
+    assert(BpeTrain.loadMerges(spark, path) == merges,
+      "rank-ordered round-trip must reproduce the merge list exactly")
+    // the tokenize-once/segment-everywhere split: documents the
+    // trainer never saw segment under the STORED artifact exactly as
+    // under the in-memory merges
+    def segMap(ms: Seq[BpeTrain.Merge]) =
+      BpeTrain.segmentVocabulary(serveDocs, "text", ms)
+        .as[(String, Seq[String])].collect().toMap
+    val fromDisk = segMap(BpeTrain.loadMerges(spark, path))
+    assert(fromDisk == segMap(merges))
+    assert(fromDisk.nonEmpty && fromDisk.forall { case (w, p) => p.mkString == w })
+  }
+
   test("bpe_segment: vocabulary side broadcasts, corpus never sort-merge-joins") {
     val out = SparkEntry.queries("bpe_segment")(spark, Sf)
     val plan = out.queryExecution.executedPlan.toString

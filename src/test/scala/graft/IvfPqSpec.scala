@@ -160,6 +160,25 @@ class IvfPqSpec extends SparkTestBase {
     val drifted = IvfPq.quantizerDrift(spark, path)
     assert(drifted >= 1.25, s"drifted appends must raise weighted p99: $drifted")
     assert(IvfPq.needsRetrain(spark, path))
+
+    // the maintenance loop CLOSES: re-train on the full corpus
+    // (base ∪ both appends) in place — writeIndex's overwrite drops
+    // the old batch dirs — the trigger resets, and a probe for the
+    // once-drifted data now finds it
+    val full = clustered(0 until 400)
+      .unionByName(clustered(1000 until 1200))
+      .unionByName(spikes.withColumn("label",
+        (col("vec_id") % 8).cast("int")).select("vec_id", "label", "e"))
+      .localCheckpoint()
+    IvfPq.writeIndex(full, "vec_id", "e", "label", path, m = 16, k = 16)
+    assert(IvfPq.quantizerDrift(spark, path).isNaN, "fresh base, no appends")
+    assert(!IvfPq.needsRetrain(spark, path))
+    val q = Seq.tabulate(64)(d => if (d == 32) 1.0 else 0.0)
+    val top = IvfPq.probe(spark, path, full, q, "vec_id", "e", "label",
+        nprobe = 4, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert(top.exists(_ >= 200000L),
+      s"retrained index must serve the once-drifted region: $top")
   }
 
   test("probeIndexedBatch: per-query parity with the single-query probe, one pruned scan") {
