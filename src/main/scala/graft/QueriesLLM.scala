@@ -423,6 +423,67 @@ FROM s"""))
     },
     None)
 
+  /** Bigram-LM quality scoring with stupid backoff (Brants et al.
+    * 2007) — F16's unigram signal upgraded to the transition level:
+    * S(w|prev) = count(prev w)/count(prev) when the bigram was seen,
+    * else 0.4 · count(w)/N. Two count aggregates (bigram one |V²|-
+    * bounded shuffle, unigram one |V|), then per-doc mean log score
+    * over transitions. Both count joins stay hint-free: at this SF
+    * AQE broadcasts them, at 100-TB vocabulary it shuffles — F16's
+    * documented posture. Transitions come from the token ARRAY
+    * (zip_with of adjacent slices), so no window sort per doc. */
+  private val textBigramLogprob = Q(
+    "text_bigram_logprob",
+    (s, dir) => {
+      val toks = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      val pairs = toks
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+          slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+          (a, b) => struct(a.as("prev"), b.as("cur")))).as("p"))
+        .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+        .localCheckpoint() // consumed by counts AND scoring
+      val uni = toks.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).cast("double").as("uc"))
+        .localCheckpoint()
+      val total = uni.agg(sum("uc").as("n"))
+      val bi = pairs.groupBy("prev", "cur").agg(count(lit(1)).cast("double").as("bc"))
+      pairs
+        .join(bi, Seq("prev", "cur"), "left")
+        .join(uni.select(col("tok").as("prev"), col("uc").as("pc")), Seq("prev"), "left")
+        .join(uni.select(col("tok").as("cur"), col("uc").as("cc")), Seq("cur"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          when(col("bc").isNotNull, col("bc") / col("pc"))
+            .otherwise(lit(0.4) * col("cc") / col("n")).as("s"))
+        .groupBy("doc_id")
+        .agg(round(avg(log(col("s"))), 6).as("logprob_bi"),
+          count(lit(1)).cast("long").as("n_transitions"))
+    },
+    Some("""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+pairs AS (
+  SELECT doc_id, toks[CAST(i AS INT)] AS prev, toks[CAST(i + 1 AS INT)] AS cur
+  FROM t, unnest(generate_series(1, len(toks) - 1)) u(i)),
+uni AS (
+  SELECT tok, CAST(COUNT(*) AS DOUBLE) AS uc
+  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+total AS (SELECT SUM(uc) AS n FROM uni),
+bi AS (SELECT prev, cur, CAST(COUNT(*) AS DOUBLE) AS bc FROM pairs GROUP BY prev, cur)
+SELECT p.doc_id,
+       round(avg(ln(CASE WHEN bi.bc IS NOT NULL THEN bi.bc / up.uc
+                         ELSE 0.4 * uc2.uc / total.n END)), 6) AS logprob_bi,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM pairs p
+LEFT JOIN bi ON bi.prev = p.prev AND bi.cur = p.cur
+LEFT JOIN uni up ON up.tok = p.prev
+LEFT JOIN uni uc2 ON uc2.tok = p.cur
+CROSS JOIN total
+GROUP BY p.doc_id"""))
+
   /** The model-vs-heuristic agreement matrix a filter team reads
     * before swapping a trained gate in: the model trains on the F13
     * COMPOSITE gate's keep label (the real heuristic, not F20's
@@ -631,6 +692,6 @@ WINDOW w AS (PARTITION BY shard ORDER BY doc_id
 
   val all: Seq[Q] =
     Seq(textRepetition, textDecontaminate, textDecontaminateBloom, piiScrubQ, corpusShuffle,
-      corpusMix, sampleWeighted, textUnigramLogprob, qualityModel,
+      corpusMix, sampleWeighted, textUnigramLogprob, textBigramLogprob, qualityModel,
       qualityModelTrained, qualityModelEval, mmHeaderParse, qualityGate, corpusPrep)
 }
