@@ -190,6 +190,240 @@ FROM part"""))
        CAST(MAX(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo') AS VARCHAR) AS last_tokyo
 FROM events GROUP BY 1"""))
 
+  /** REGR_* linear-regression aggregates (Snowflake / SQL-standard
+    * REGR family): slope, intercept, r², pair count and the two means
+    * of value-on-hour-of-day per event type. All are one-pass
+    * mergeable moment aggregates (sums of x, y, x², xy) — partial
+    * aggregation map-side, one value per group per task on the wire;
+    * nothing here widens with data volume. Spark and DuckDB reduce
+    * the same moments in different orders, so double outputs are
+    * rounded at 4 dp like q_stats_agg; Spark's NaN for degenerate
+    * groups normalizes to SQL-standard NULL. */
+  private val regression = Q(
+    "q_regression",
+    (s, dir) => {
+      def nn(c: org.apache.spark.sql.Column) =
+        when(isnan(c), lit(null)).otherwise(c)
+      val x = hour(col("ts")).cast("double")
+      val y = col("value")
+      ViewingData.table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          regr_count(y, x).cast("long").as("n_pairs"),
+          nn(round(regr_slope(y, x), 4)).as("slope"),
+          nn(round(regr_intercept(y, x), 4)).as("icept"),
+          nn(round(regr_r2(y, x), 4)).as("r2"),
+          round(regr_avgx(y, x), 4).as("mean_x"),
+          round(regr_avgy(y, x), 4).as("mean_y"))
+    },
+    Some("""SELECT event_type,
+       CAST(regr_count(value, CAST(hour(ts) AS DOUBLE)) AS BIGINT) AS n_pairs,
+       round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 4) AS slope,
+       round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 4) AS icept,
+       round(regr_r2(value, CAST(hour(ts) AS DOUBLE)), 4) AS r2,
+       round(regr_avgx(value, CAST(hour(ts) AS DOUBLE)), 4) AS mean_x,
+       round(regr_avgy(value, CAST(hour(ts) AS DOUBLE)), 4) AS mean_y
+FROM events GROUP BY 1"""))
+
+  /** Exponentially-weighted moving average per user — the time-series
+    * smoothing signal EMA(α) approximated over a bounded 10-row
+    * trailing window (the exact recursive form is inherently serial;
+    * truncating at 10 lags bounds the per-row state and keeps the
+    * whole computation ONE keyed window — the weight of the dropped
+    * tail is 0.7¹⁰ ≈ 2.8%). collect_list over the frame + a
+    * higher-order weighted fold: no UDF, one user_id exchange, and
+    * the frame is 10 doubles per row regardless of history length.
+    * The closed-form geometric denominator (1-d^m)/(1-d) avoids a
+    * second fold. */
+  /** Normalized exponential-decay weighted mean of a collected window
+    * `xs` (oldest first), decay `d` per lag — shared by q_ewma and
+    * FnsSpec's hand-computed fixpoints. */
+  private[graft] def ewmaOf(xs: org.apache.spark.sql.Column, d: Double)
+      : org.apache.spark.sql.Column = {
+    val m = size(xs)
+    val num = aggregate(
+      zip_with(xs, sequence(lit(1), m),
+        (x, i) => x * pow(lit(d), (m - i).cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val den = (lit(1.0) - pow(lit(d), m.cast("double"))) / lit(1.0 - d)
+    num / den
+  }
+
+  private val ewma = Q(
+    "q_ewma",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-9, 0)
+      ViewingData.table(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          collect_list(col("value")).over(w).as("xs"))
+        .select(col("event_id"), col("user_id"),
+          round(ewmaOf(col("xs"), 0.7), 6).as("ewma"))
+    },
+    Some("""WITH w AS (
+  SELECT event_id, user_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS xs
+  FROM events)
+SELECT event_id, user_id,
+       round(list_sum(list_transform(range(1, len(xs)+1),
+               i -> xs[i] * pow(0.7, len(xs)-i)))
+             / ((1 - pow(0.7, len(xs))) / 0.3), 6) AS ewma
+FROM w"""))
+
+  /** Deterministic MODE: most frequent value bucket per group. Spark's
+    * own `mode()` breaks frequency ties arbitrarily, which can never
+    * hash-match an oracle — this form states the tie order explicitly
+    * (highest count, then SMALLEST bucket) via max_by over a
+    * (count, -bucket) struct, so both engines agree bit-for-bit. Two
+    * narrowing aggregations: |groups×buckets| then |groups| — both
+    * map-side combined. */
+  /** Deterministic mode over a pre-bucketed frame (grp, bucket):
+    * highest count wins, ties resolve to the SMALLEST bucket — shared
+    * by q_mode and FnsSpec's crafted tie cases. */
+  private[graft] def deterministicMode(df: org.apache.spark.sql.DataFrame,
+      grp: String, bucket: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(col(grp), col(bucket))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(grp)
+      .agg(
+        max_by(col(bucket), struct(col("c"), (-col(bucket)).as("nb")))
+          .as("mode_bucket"),
+        max(col("c")).as("mode_count"),
+        count(lit(1)).as("n_buckets"))
+
+  private val modeAgg = Q(
+    "q_mode",
+    (s, dir) =>
+      deterministicMode(
+        ViewingData.table(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") / 10).cast("long").as("bucket")),
+        "event_type", "bucket"),
+    Some("""WITH b AS (
+  SELECT event_type, CAST(floor(value/10) AS BIGINT) AS bucket, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+              ORDER BY c DESC, bucket ASC) AS rn
+  FROM b)
+SELECT event_type,
+       CAST(MAX(CASE WHEN rn = 1 THEN bucket END) AS BIGINT) AS mode_bucket,
+       CAST(MAX(c) AS BIGINT) AS mode_count,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM r GROUP BY 1"""))
+
+  /** One-pass column profiling (the SUMMARIZE / data-catalog stats
+    * surface): per column — row count, null count, exact distinct
+    * count, min/max — emitted in long form, ONE scan of the table.
+    * The multi-distinct plan is Spark's Expand (×4 rows through one
+    * aggregate), which is the exact-count trade; a 100-TB profile
+    * swaps countDistinct for approx_count_distinct and the plan
+    * collapses back to plain partial aggregation. Numerics report
+    * typed min/max (min_num/max_num), strings and dates report
+    * canonical strings — no double-to-string formatting crosses the
+    * engine boundary. */
+  private val profile = Q(
+    "q_profile",
+    (s, dir) => {
+      val o = ViewingData.table(s, dir, "orders")
+      def nulls(c: String) =
+        sum(when(col(c).isNull, 1L).otherwise(0L))
+      val agg = o.agg(
+        count(lit(1)).as("n"),
+        nulls("o_orderstatus").as("st_nulls"),
+        countDistinct(col("o_orderstatus")).as("st_nd"),
+        min(col("o_orderstatus")).as("st_min"),
+        max(col("o_orderstatus")).as("st_max"),
+        nulls("o_custkey").as("ck_nulls"),
+        countDistinct(col("o_custkey")).as("ck_nd"),
+        min(col("o_custkey")).as("ck_min"),
+        max(col("o_custkey")).as("ck_max"),
+        nulls("o_totalprice").as("tp_nulls"),
+        countDistinct(col("o_totalprice")).as("tp_nd"),
+        round(min(col("o_totalprice")), 4).as("tp_min"),
+        round(max(col("o_totalprice")), 4).as("tp_max"),
+        nulls("o_orderdate").as("od_nulls"),
+        countDistinct(col("o_orderdate")).as("od_nd"),
+        min(col("o_orderdate")).as("od_min"),
+        max(col("o_orderdate")).as("od_max"))
+      def row(name: String, nulls: org.apache.spark.sql.Column,
+              nd: org.apache.spark.sql.Column,
+              minN: org.apache.spark.sql.Column, maxN: org.apache.spark.sql.Column,
+              minS: org.apache.spark.sql.Column, maxS: org.apache.spark.sql.Column) =
+        struct(lit(name).as("col_name"), col("n").as("n_rows"),
+          nulls.as("n_nulls"), nd.as("n_distinct"),
+          minN.cast("double").as("min_num"), maxN.cast("double").as("max_num"),
+          minS.cast("string").as("min_s"), maxS.cast("string").as("max_s"))
+      val nul = lit(null)
+      agg.select(explode(array(
+        row("o_orderstatus", col("st_nulls"), col("st_nd"),
+          nul, nul, col("st_min"), col("st_max")),
+        row("o_custkey", col("ck_nulls"), col("ck_nd"),
+          col("ck_min"), col("ck_max"), nul, nul),
+        row("o_totalprice", col("tp_nulls"), col("tp_nd"),
+          col("tp_min"), col("tp_max"), nul, nul),
+        row("o_orderdate", col("od_nulls"), col("od_nd"),
+          nul, nul, col("od_min"), col("od_max")))).as("p"))
+        .select("p.*")
+    },
+    Some("""SELECT 'o_orderstatus' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+       MIN(o_orderstatus) AS min_s, MAX(o_orderstatus) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+       NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+       round(MIN(o_totalprice), 4), round(MAX(o_totalprice), 4),
+       NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+FROM orders"""))
+
+  /** Snowflake LATERAL FLATTEN over a VARIANT array, with index: parse
+    * the normalized ACR genres JSON (`'["g1","g2"]'`) and explode to
+    * one row per element carrying its 0-based position —
+    * `posexplode_outer(from_json(...))`, the engine's generic
+    * array-VARIANT flatten (OUTER keeps rows whose array is empty or
+    * unparseable, exactly FLATTEN(.., OUTER => TRUE); the empty edge
+    * is pinned in FnsSpec since every ACR row here has two genres).
+    * Scan-speed row generation — no shuffle, output rows ∝ array
+    * cardinality. */
+  private val flattenArr = Q(
+    "q_flatten",
+    (s, dir) =>
+      ViewingData.acr(s, dir)
+        .select(col("event_id"),
+          posexplode_outer(from_json(col("genres"),
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType))))
+        .withColumnRenamed("col", "genre"),
+    Some("""WITH g AS (
+  SELECT event_id,
+         ['g' || CAST(event_id % 3 AS VARCHAR),
+          'g' || CAST(user_id % 4 AS VARCHAR)] AS arr
+  FROM events WHERE event_type IN ('view','click','purchase'))
+SELECT event_id,
+       CAST(generate_subscripts(arr, 1) - 1 AS INTEGER) AS pos,
+       unnest(arr) AS genre
+FROM g"""))
+
   val all: Seq[Q] =
-    Seq(minmaxBy, condAggs, changeEvents, ratioReport, likeAny, timezone)
+    Seq(minmaxBy, condAggs, changeEvents, ratioReport, likeAny, timezone,
+      regression, ewma, modeAgg, profile, flattenArr)
 }

@@ -690,8 +690,173 @@ FROM sized
 WINDOW w AS (PARTITION BY shard ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
 
+  /** Context-window CHUNKING with overlap (the RAG / embedding-prep
+    * shape: every doc split into 64-token windows advancing by 48, so
+    * consecutive chunks share 16 tokens of context). One tokenize +
+    * one explode over the start offsets — scan-speed, zero shuffle,
+    * output rows ∝ corpus tokens / stride. A trailing window that
+    * would be entirely contained in its predecessor (start ≥ 0 and
+    * n ≤ start + overlap) is suppressed — it would carry no new
+    * tokens; chunk_idx = start/stride stays stable under that filter
+    * so chunk ids are reproducible across runs and engines. */
+  /** Overlapping token-window chunking over (doc_id, text) — shared
+    * by doc_chunk and RagOpsSpec's coverage-property cases. A window
+    * whose start > 0 and whose tokens all lie within its predecessor
+    * (n ≤ start + overlap) is suppressed as redundant. */
+  private[graft] def chunkDocs(df: org.apache.spark.sql.DataFrame,
+      window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    val ov = window - stride
+    df.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(stride))).as("start"))
+      .filter(col("start") === 0 || size(col("toks")) > col("start") + ov)
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(window)))
+          .as("chunk_text"),
+        least(size(col("toks")) - col("start"), lit(window)).cast("long")
+          .as("n_chunk_tokens"))
+  }
+
+  private val docChunk = Q(
+    "doc_chunk",
+    (s, dir) => chunkDocs(
+      graft.Par.widen(
+        ViewingData.table(s, dir, "documents").select("doc_id", "text")),
+      window = 64, stride = 48),
+    Some("""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks)-1, 0) + 1, 48)) AS start
+  FROM t)
+SELECT doc_id, CAST(start / 48 AS INTEGER) AS chunk_idx,
+       array_to_string(toks[start+1 : start+64], ' ') AS chunk_text,
+       CAST(least(len(toks) - start, 64) AS BIGINT) AS n_chunk_tokens
+FROM s WHERE start = 0 OR len(toks) > start + 16"""))
+
+  /** TF-IDF top-terms per document (the retrieval / keyword-signal
+    * upgrade of F5's raw term frequency): smooth idf
+    * ln((N+1)/(df+1)) + 1. Scale shape: tf aggregates on
+    * (doc, term) — ONE corpus-token shuffle, map-side combined — and
+    * df derives from tf (count of docs per term over the already
+    * aggregated frame), never a second corpus scan; the tf⋈df join is
+    * hint-free so AQE broadcasts the |vocab| side while it fits
+    * (F16's documented posture); the per-doc top-5 rides a doc_id
+    * window that WindowGroupLimit prunes below the exchange. Rank
+    * ties break on term ASC so the oracle can exist. */
+  /** TF-IDF top-k terms per doc over (doc_id, text) — shared by
+    * text_tfidf and RagOpsSpec's crafted rare-vs-common ordering. */
+  private[graft] def tfidfTopK(docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // reused by df AND the join — one tf build
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n)) // one-row bounds frame
+      .withColumn("score",
+        col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1))
+          + 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("score"), col("rk"))
+  }
+
+  private val textTfidf = Q(
+    "text_tfidf",
+    (s, dir) => tfidfTopK(
+      ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select("doc_id", "text"),
+      k = 5),
+    Some("""WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * (ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) + 1) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term ASC) AS rk
+  FROM scored)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(score, 6) AS score, CAST(rk AS INTEGER) AS rk
+FROM rk WHERE rk <= 5"""))
+
+  /** Weighted k-sample WITHOUT replacement per group (Efraimidis &
+    * Spirakis 2006): each doc draws key = -ln(u)/w from a
+    * deterministic md5 uniform, and the k SMALLEST keys per source
+    * are exactly a w-weighted reservoir — the weighted generalization
+    * of C26b's uniform reservoir, served by the same mergeable
+    * `topk_by` heap (score = -key), so each map task ships ≤k rows
+    * per group and no window sort touches the corpus. u is the first
+    * 6 md5 hex digits (+1, /16^6+1 keeps it in (0,1]) — both engines
+    * derive the identical double, so DuckDB's exact window ranking
+    * verifies the draw end to end. */
+  /** Efraimidis–Spirakis weighted k-reservoir over (grp, id, w) via
+    * the mergeable topk_by heap; key = -ln(u)/w with u derived from
+    * md5(seedTag:id). Shared by q_sample_weighted_k and RagOpsSpec. */
+  private[graft] def weightedSampleK(df: org.apache.spark.sql.DataFrame,
+      grp: String, id: String, w: String, k: Int, seedTag: String)
+      : org.apache.spark.sql.DataFrame = {
+    val key = expr(
+      s"""-ln((cast(conv(substring(md5(cast(concat('$seedTag:',
+             cast($id as string)) as binary)), 1, 6), 16, 10) as double) + 1)
+           / 16777217.0)
+         / greatest(cast($w as double), 1.0)""")
+    df.select(col(grp), col(id), key.as("key"))
+      .groupBy(grp)
+      .agg(expr(s"topk_by(-key, $id, $k)").as("res"))
+      .select(col(grp), posexplode(col("res")))
+      .select(col(grp),
+        (col("pos") + 1).cast("long").as("draw_rank"),
+        col("col.id").as(id),
+        round(-col("col.score"), 9).as("priority"))
+  }
+
+  private val sampleWeightedK = Q(
+    "q_sample_weighted_k",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      weightedSampleK(ViewingData.table(s, dir, "documents"),
+        "source", "doc_id", "n_chars", k = 3, seedTag = "graft-wrs-11")
+    },
+    Some("""WITH keyed AS (
+  SELECT source, doc_id,
+         -ln(((
+            (strpos('0123456789abcdef', substring(md5('graft-wrs-11:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576 +
+            (strpos('0123456789abcdef', substring(md5('graft-wrs-11:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 65536 +
+            (strpos('0123456789abcdef', substring(md5('graft-wrs-11:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 4096 +
+            (strpos('0123456789abcdef', substring(md5('graft-wrs-11:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 256 +
+            (strpos('0123456789abcdef', substring(md5('graft-wrs-11:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16 +
+            (strpos('0123456789abcdef', substring(md5('graft-wrs-11:' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1)
+           + 1) / 16777217.0))
+         / greatest(CAST(n_chars AS DOUBLE), 1.0) AS skey
+  FROM documents),
+r AS (
+  SELECT source, doc_id, skey,
+         row_number() OVER (PARTITION BY source
+           ORDER BY skey ASC, doc_id ASC) AS rn
+  FROM keyed)
+SELECT source, CAST(rn AS BIGINT) AS draw_rank, doc_id,
+       round(skey, 9) AS priority
+FROM r WHERE rn <= 3"""))
+
   val all: Seq[Q] =
     Seq(textRepetition, textDecontaminate, textDecontaminateBloom, piiScrubQ, corpusShuffle,
       corpusMix, sampleWeighted, textUnigramLogprob, textBigramLogprob, qualityModel,
-      qualityModelTrained, qualityModelEval, mmHeaderParse, qualityGate, corpusPrep)
+      qualityModelTrained, qualityModelEval, mmHeaderParse, qualityGate, corpusPrep,
+      docChunk, textTfidf, sampleWeightedK)
 }

@@ -43,4 +43,56 @@ class FnsSpec extends SparkTestBase {
     assert(r.getLong(1) == 20L, "tied max resolves to the larger key")
     assert(r.getLong(2) == 5L, "tied min resolves to the smaller key")
   }
+
+  test("FLATTEN outer: empty, null, and malformed arrays keep their parent row") {
+    // q_flatten's ACR genres always hold two elements — the OUTER
+    // semantics (FLATTEN(.., OUTER => TRUE)) are pinned here instead.
+    val df = Seq(
+      (1L, """["a","b"]"""),
+      (2L, "[]"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "not json")
+    ).toDF("event_id", "genres")
+    val out = df.select(col("event_id"),
+        posexplode_outer(from_json(col("genres"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType))))
+      .withColumnRenamed("col", "genre")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2))))
+      .sortBy(r => (r._1, r._2.getOrElse(-1)))
+    assert(out.toSeq == Seq(
+      (1L, Some(0), Some("a")), (1L, Some(1), Some("b")),
+      (2L, None, None),   // empty array: parent survives with null pos
+      (3L, None, None),   // null input
+      (4L, None, None)),  // unparseable → from_json null → outer row
+      s"got ${out.toSeq}")
+  }
+
+  test("ewma: hand-computed fixpoints (single row, two rows, constant series)") {
+    def ew(xs: Seq[Double]): Double =
+      Seq(xs).toDF("xs").select(QueriesFns.ewmaOf(col("xs"), 0.7).as("e"))
+        .head().getDouble(0)
+    assert(math.abs(ew(Seq(5.0)) - 5.0) < 1e-12, "m=1: ewma is the value itself")
+    // two rows: (0.7*x1 + x2) / 1.7
+    assert(math.abs(ew(Seq(10.0, 20.0)) - (0.7 * 10 + 20) / 1.7) < 1e-12)
+    // constant series of any length: ewma equals the constant
+    assert(math.abs(ew(Seq.fill(10)(3.25)) - 3.25) < 1e-12)
+    // weights favor the most recent: ewma of [0,...,0,1] > mean
+    val n = 10
+    assert(ew(Seq.fill(n - 1)(0.0) :+ 1.0) > 1.0 / n)
+  }
+
+  test("deterministic mode: frequency ties resolve to the smallest bucket") {
+    val df = Seq(
+      ("g", 7L), ("g", 7L), ("g", 2L), ("g", 2L), ("g", 9L), // tie 7 vs 2
+      ("h", 1L)                                               // singleton group
+    ).toDF("grp", "bucket")
+    val got = QueriesFns.deterministicMode(df, "grp", "bucket")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(("g", 2L, 2L, 3L), ("h", 1L, 1L, 1L)),
+      s"tie must pick bucket 2 over 7; got ${got.toSeq}")
+  }
 }
