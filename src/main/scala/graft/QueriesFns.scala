@@ -423,7 +423,47 @@ SELECT event_id,
        unnest(arr) AS genre
 FROM g"""))
 
+  /** Time-WEIGHTED average per (user, day) — the TWAP/telemetry shape
+    * where each observation holds until the next one, so its weight is
+    * the seconds until the successor (the day's last observation
+    * carries no weight; a single-observation day has no weighted span
+    * and reports NULL, matching SQL aggregate semantics on both
+    * engines). One keyed window (LEAD on the same (user, day)
+    * exchange the final groupBy reuses) — plain arithmetic after the
+    * shuffle, no state beyond the 1-row lookahead. */
+  private val twap = Q(
+    "q_twap",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      ViewingData.table(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("ts"), col("event_id"), col("value"))
+        .withColumn("dt",
+          (unix_timestamp(lead(col("ts"), 1).over(w)) -
+            unix_timestamp(col("ts"))).cast("long"))
+        .groupBy("user_id", "day")
+        .agg(
+          round(sum(col("value") * col("dt")) / sum(col("dt")).cast("double"), 6)
+            .as("twap"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("day").cast("string").as("day"),
+          col("twap"), col("n_events"))
+    },
+    Some("""WITH o AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value FROM events),
+d AS (
+  SELECT user_id, day, value,
+         CAST(floor(epoch(lead(ts, 1) OVER (PARTITION BY user_id, day
+                ORDER BY ts, event_id))) AS BIGINT)
+           - CAST(floor(epoch(ts)) AS BIGINT) AS dt
+  FROM o)
+SELECT user_id, CAST(day AS VARCHAR) AS day,
+       round(SUM(value * dt) / CAST(SUM(dt) AS DOUBLE), 6) AS twap,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM d GROUP BY 1, 2"""))
+
   val all: Seq[Q] =
     Seq(minmaxBy, condAggs, changeEvents, ratioReport, likeAny, timezone,
-      regression, ewma, modeAgg, profile, flattenArr)
+      regression, ewma, modeAgg, profile, flattenArr, twap)
 }

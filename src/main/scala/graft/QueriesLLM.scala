@@ -826,6 +826,64 @@ FROM rk WHERE rk <= 5"""))
         round(-col("col.score"), 9).as("priority"))
   }
 
+  /** Deterministic hash-derived unit embedding of a text column —
+    * dim components from md5(text:i) scaled to [-1, 1), L2-normalized.
+    * This is the honest EMBED STUB of the RAG path (a real embedder is
+    * a model server / mapInPandas; no model runs in this container):
+    * the plumbing it pins is real — pure codegen-able expressions, a
+    * dense array<double> column at scan speed, deterministic across
+    * retries/engines so the whole chunk→embed stage is hash-checkable
+    * end to end, and the output feeds [[operators.Ivf]] unchanged
+    * (RagPipelineSpec drives chunk→embed→index→probe). */
+  private[graft] def hashEmbed(c: org.apache.spark.sql.Column, dim: Int)
+      : org.apache.spark.sql.Column = {
+    val raw = transform(sequence(lit(0), lit(dim - 1)),
+      i => conv(substring(md5(concat(c, lit(":"), i.cast("string"))
+          .cast("binary")), 1, 6), 16, 10)
+        .cast("double") / lit(16777216.0) * 2 - 1)
+    val norm = sqrt(aggregate(transform(raw, x => x * x),
+      lit(0.0), (a, b) => a + b))
+    transform(raw, x => x / norm)
+  }
+
+  /** DuckDB integer value of the first 6 hex chars of expression `e`. */
+  private def hex6Sql(e: String): String =
+    (1 to 6).map(i =>
+      s"(strpos('0123456789abcdef', substring($e, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+      .mkString("(", " + ", ")")
+
+  private val chunkEmbed = Q(
+    "q_chunk_embed",
+    (s, dir) => chunkDocs(
+        graft.Par.widen(
+          ViewingData.table(s, dir, "documents").select("doc_id", "text")),
+        window = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_idx"),
+        transform(hashEmbed(col("chunk_text"), 8), x => round(x, 6))
+          .as("embedding")),
+    Some(s"""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks)-1, 0) + 1, 48)) AS start
+  FROM t),
+c AS (
+  SELECT doc_id, CAST(start / 48 AS INTEGER) AS chunk_idx,
+         array_to_string(toks[start+1 : start+64], ' ') AS chunk_text
+  FROM s WHERE start = 0 OR len(toks) > start + 16),
+r AS (
+  SELECT doc_id, chunk_idx,
+         list_transform(range(0, 8), i ->
+           ${hex6Sql("md5(chunk_text || ':' || CAST(i AS VARCHAR))")}
+             / 16777216.0 * 2 - 1) AS raw
+  FROM c)
+SELECT doc_id, chunk_idx,
+       list_transform(raw, x ->
+         round(x / sqrt(list_sum(list_transform(raw, y -> y*y))), 6))
+         AS embedding
+FROM r"""))
+
   private val sampleWeightedK = Q(
     "q_sample_weighted_k",
     (s, dir) => {
@@ -858,5 +916,5 @@ FROM r WHERE rn <= 3"""))
     Seq(textRepetition, textDecontaminate, textDecontaminateBloom, piiScrubQ, corpusShuffle,
       corpusMix, sampleWeighted, textUnigramLogprob, textBigramLogprob, qualityModel,
       qualityModelTrained, qualityModelEval, mmHeaderParse, qualityGate, corpusPrep,
-      docChunk, textTfidf, sampleWeightedK)
+      docChunk, textTfidf, sampleWeightedK, chunkEmbed)
 }
