@@ -432,6 +432,38 @@ FROM per_island GROUP BY user_id"""))
     },
     None)
 
+  /** HLL SET ALGEBRA: pairwise audience-overlap ESTIMATES from the
+    * same persistable sketches q_hll_reach builds — est(A∩B) by
+    * inclusion-exclusion (est A + est B − est A∪B, the union being a
+    * lossless register merge). This is C47's q_audience_overlap when
+    * the id domain outgrows bitmaps: one events scan folds each
+    * segment to a 2-4 KB sketch, every pair intersection is then
+    * sketch-local arithmetic on a |segments|² broadcast cross of
+    * one-row frames — the fact table is never re-touched. The trade
+    * (why C47 stays the exact path while bitmaps fit): differencing
+    * estimates compounds error, so small intersections of large sets
+    * drown in noise — SketchSpec pins the error against exact on the
+    * heavily-overlapping segments here and documents the bound's
+    * |A∩B|-relative blowup. Sketches aren't cross-engine → rows+spec. */
+  private val hllOverlap = Q(
+    "q_hll_overlap",
+    (s, dir) => {
+      val sk = ViewingData.table(s, dir, "events")
+        .groupBy("event_type")
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      val a = sk.select(col("event_type").as("seg_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("event_type").as("seg_b"), col("sk").as("sk_b"))
+      a.crossJoin(broadcast(b)).filter(col("seg_a") < col("seg_b"))
+        .select(col("seg_a"), col("seg_b"),
+          round(hll_sketch_estimate(col("sk_a"))).cast("long").as("est_a"),
+          round(hll_sketch_estimate(col("sk_b"))).cast("long").as("est_b"),
+          round(hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
+            .cast("long").as("est_union"))
+        .withColumn("est_intersect",
+          col("est_a") + col("est_b") - col("est_union"))
+    },
+    None)
+
   /** q_hll_reach's EXACT sibling: distinct counting as a custom
     * bitmap TypedImperativeAggregate (plans.BitmapDistinct). Same
     * partial-aggregate property — each map partition folds ids into a
@@ -1044,7 +1076,7 @@ GROUP BY c.cohort_week, (a.week - c.cohort_week) // 7"""))
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
-    approxAggs, hllReach, bitmapReach, audienceOverlap, quantileSketch, connectBy, pagerank, islands, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
+    approxAggs, hllReach, hllOverlap, bitmapReach, audienceOverlap, quantileSketch, connectBy, pagerank, islands, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
     tryCast, skewAgg, statsAgg, skewJoin, runtimeFilter, dqAudit, dedupKeepCanonical,
     stringFuncs2, bitAggs, dateFuncs2, funnel, retention)

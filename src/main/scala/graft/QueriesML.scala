@@ -865,13 +865,54 @@ WHERE rk <= 5"""))
 FROM events
 GROUP BY 1, 2"""))
 
+  /** Entity resolution by blocked fuzzy match — the dedup family's
+    * EDIT-DISTANCE member (D2 is set-similarity, D3/D4 are hashed
+    * sketches; this is the "same entity, typo'd name" shape). The
+    * scalable design is DISTINCT-FIRST: collapse rows to entities
+    * before any pairing (|entities| ≪ |rows| — here 10⁴ parts fold to
+    * ~10² names; at 100 TB the same fold is what makes pairing
+    * possible at all), then pair only within a blocking key
+    * (2-char prefix), the LSH-style recall/cost knob — candidate
+    * generation is bucket-local, never all-pairs. levenshtein ≤ 2 on
+    * the survivors; both engines implement the identical standard
+    * edit distance (parity already pinned by q_string_funcs2);
+    * threshold 3 matches the corpus vocabulary (closest distinct names
+    * sit at distance 3, e.g. "hot ring"/"hot rod"). */
+  private val dedupFuzzyNames = Q(
+    "dedup_fuzzy_names",
+    (s, dir) => {
+      val names = ViewingData.table(s, dir, "part")
+        .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+        .withColumn("blk", substring(col("p_name"), 1, 2))
+      val a = names.select(col("blk"), col("p_name").as("name_a"),
+        col("n_parts").as("n_parts_a"))
+      val b = names.select(col("blk"), col("p_name").as("name_b"),
+        col("n_parts").as("n_parts_b"))
+      a.join(b, "blk")
+        .filter(col("name_a") < col("name_b") &&
+          levenshtein(col("name_a"), col("name_b")) <= 3)
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+          col("n_parts_a"), col("n_parts_b"))
+    },
+    Some("""WITH names AS (
+  SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         substring(p_name, 1, 2) AS blk
+  FROM part GROUP BY 1)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+FROM names a JOIN names b
+  ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3"""))
+
   val all: Seq[Q] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
     bpeTrain, bpeSegment,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash,
     dedupSimhashOracle, dedupEmbedding,
     dedupIncremental, dedupMinhashOracle, dedupIncrementalOracle,
-    dedupEmbeddingIncremental,
+    dedupEmbeddingIncremental, dedupFuzzyNames,
     annBruteforce, annBucketed, annBucketedOracle, annIvf, annIvfPq,
     annKnnJoin, annQ8,
     mmBinaryMeta, mmDecode,

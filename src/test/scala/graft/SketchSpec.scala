@@ -140,6 +140,44 @@ class SketchSpec extends SparkTestBase {
     }
   }
 
+  test("hll set algebra: inclusion-exclusion intersection tracks exact on partial overlaps") {
+    import spark.implicits._
+    // crafted segments with REAL partial overlap (the sf corpus's users
+    // all touch every event type, so q_hll_overlap's own rows are
+    // degenerate full intersections): |A|=4000, |B|=4000, |A∩B|=2000.
+    val rows = ((1 to 4000).map(i => ("a", i.toLong)) ++
+      (2001 to 6000).map(i => ("b", i.toLong))).toDF("seg", "id")
+    val sk = rows.groupBy("seg").agg(hll_sketch_agg(col("id"), lit(14)).as("sk"))
+    val a = sk.filter(col("seg") === "a").select(col("sk").as("sk_a"))
+    val b = sk.filter(col("seg") === "b").select(col("sk").as("sk_b"))
+    val r = a.crossJoin(b).select(
+        hll_sketch_estimate(col("sk_a")).as("ea"),
+        hll_sketch_estimate(col("sk_b")).as("eb"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("eu"))
+      .withColumn("ei", col("ea") + col("eb") - col("eu"))
+      .head()
+    // hll_sketch_estimate yields LONG (already-rounded cardinalities)
+    val (ea, eb, eu, ei) = (r.getLong(0).toDouble, r.getLong(1).toDouble,
+      r.getLong(2).toDouble, r.getLong(3).toDouble)
+    // each base estimate within the sketch's ~1% band at lgK=14
+    assert(math.abs(ea - 4000) / 4000.0 < 0.05, s"est A = $ea")
+    assert(math.abs(eb - 4000) / 4000.0 < 0.05, s"est B = $eb")
+    assert(math.abs(eu - 6000) / 6000.0 < 0.05, s"est U = $eu")
+    // the differenced intersection compounds those errors — the bound
+    // is relative to the UNION size, not the intersection: |err| ≤
+    // ~3 sketch errors of the larger sets. Pin that, not a fantasy
+    // tight bound.
+    assert(math.abs(ei - 2000) < 0.15 * 6000, s"est intersect = $ei")
+    // and on the sf data the full-overlap segments must estimate as such
+    val hll = SparkEntry.queries("q_hll_overlap")(spark, Sf).collect()
+    assert(hll.nonEmpty)
+    hll.foreach { row =>
+      val (sa, sb, su, si) = (row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+      assert(si <= math.min(sa, sb) + 0.05 * su,
+        s"intersection estimate wildly exceeds min side: $row")
+    }
+  }
+
   test("plan: daily sketches pre-aggregate map-side (partial HLL agg)") {
     val p = SparkEntry.queries("q_hll_reach")(spark, Sf)
       .queryExecution.executedPlan.toString
