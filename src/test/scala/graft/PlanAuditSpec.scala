@@ -274,4 +274,42 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"),
       s"the band index must stream through a broadcast probe:\n$p")
   }
+
+  test("q_ewma and q_twap ride ONE user-keyed exchange each (window + agg co-partitioned)") {
+    val pe = plan("q_ewma")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(pe).size == 1,
+      s"ewma must shuffle once on user_id:\n$pe")
+    // twap: window keys (user_id, day) and the groupBy reuse one exchange
+    val pt = plan("q_twap")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(pt).size == 1,
+      s"twap must shuffle once on (user_id, day):\n$pt")
+  }
+
+  test("text_tfidf prunes per-doc top-k map-side (WindowGroupLimit); chunk+embed stay shuffle-free") {
+    assert(plan("text_tfidf").contains("WindowGroupLimit"), plan("text_tfidf"))
+    // chunk→embed never shuffles on a KEY; the only exchange allowed is
+    // Par.widen's local round-robin fan-out (identity at scale)
+    val pc = plan("q_chunk_embed")
+    assert(!pc.contains("Exchange hashpartitioning") &&
+      !pc.contains("Exchange rangepartitioning"),
+      s"chunk→embed is a scan-speed projection:\n$pc")
+  }
+
+  test("q_profile is ONE table pass: a single scan feeds the multi-distinct expand") {
+    val df = SparkEntry.queries("q_profile")(spark, Sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"profile must scan orders once, got ${scans.size}")
+    assert(df.queryExecution.sparkPlan.toString.contains("Expand"),
+      "exact multi-distinct goes through Expand by design (swap to approx at 100 TB)")
+  }
+
+  test("dedup_fuzzy_names pairs only within blocks after the distinct-first fold") {
+    val p = plan("dedup_fuzzy_names")
+    // the entity fold aggregates BEFORE any join, and the pair join is
+    // an equi-join on the block key (never a cartesian/NL over rows)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy pairing must be block-bucketed:\n$p")
+  }
 }

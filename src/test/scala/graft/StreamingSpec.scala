@@ -285,4 +285,51 @@ class StreamingSpec extends SparkTestBase {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("StreamEwma: recursive smoothing across micro-batches equals the serial fold") {
+    import graft.streaming.StreamEwma
+    import graft.streaming.StreamEwma.{Obs, Smoothed}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val alpha = 0.3
+      val events = Seq(
+        Obs(1L, 10L, 1L, 10.0), Obs(1L, 20L, 2L, 20.0),
+        Obs(1L, 30L, 3L, 0.0), Obs(1L, 40L, 4L, 40.0),
+        Obs(2L, 10L, 5L, 100.0), Obs(2L, 50L, 6L, 0.0),
+        Obs(3L, 5L, 7L, 7.5))
+      // split mid-history: the recursion must carry across the boundary
+      val (b1, b2) = events.partition(_.tsSec <= 20L)
+      val input = MemoryStream[Obs]
+      val q = StreamEwma.smooth(input.toDS(), alpha).writeStream
+        .format("memory").queryName("ewma_out")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(b1: _*); q.processAllAvailable()
+        input.addData(b2: _*); q.processAllAvailable()
+        val streamed = spark.table("ewma_out").as[Smoothed].collect()
+          .map(s => (s.user_id, s.event_id) -> s.ewma).toMap
+        // serial reference: the exact recursion per user in event order
+        val want = events.groupBy(_.userId).flatMap { case (u, es) =>
+          var e = Double.NaN
+          es.sortBy(o => (o.tsSec, o.eventId)).map { o =>
+            e = if (e.isNaN) o.value else alpha * o.value + (1 - alpha) * e
+            (u, o.eventId) -> e
+          }
+        }
+        assert(streamed.keySet == want.keySet, s"$streamed vs $want")
+        want.foreach { case (k, v) =>
+          assert(math.abs(streamed(k) - v) < 1e-12, s"$k: ${streamed(k)} vs $v")
+        }
+        // the recursion really crossed the batch boundary: user 1's
+        // third value depends on both first-batch observations
+        val third = streamed((1L, 3L))
+        val expectThird = alpha * 0.0 + (1 - alpha) * (alpha * 20.0 + (1 - alpha) * 10.0)
+        assert(math.abs(third - expectThird) < 1e-12)
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
