@@ -463,7 +463,80 @@ SELECT user_id, CAST(day AS VARCHAR) AS day,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM d GROUP BY 1, 2"""))
 
+  /** Last-touch ATTRIBUTION within a 7-day lookback — the marketing
+    * analytics shape: each purchase credits the user's latest click
+    * on or before it, unless that click is older than the window
+    * (then the purchase is "direct", NULL credit). OPERATOR REUSE:
+    * the credit lookup IS `operators.AsOfJoin.nearestBefore` (one
+    * union+window shuffle, no range self-join); the lookback cap is a
+    * post-hoc filter because the as-of's latest-before is by
+    * definition the only candidate inside any trailing window. Right
+    * side pre-aggregated unique per (user, ts) so the winner is
+    * defined, same discipline as C18. */
+  private val attribution = Q(
+    "q_attribution",
+    (s, dir) => {
+      val ev = ViewingData.table(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("t"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+          col("event_id"))
+        .groupBy("user_id", "t").agg(max("event_id").as("click_id"))
+        .withColumn("c_ts", col("t"))
+      val window = 604800L // 7 days
+      operators.AsOfJoin
+        .nearestBefore(p, c, "user_id", "t", Seq("click_id", "c_ts"))
+        .withColumn("age", col("t") - col("c_ts"))
+        .select(col("event_id"), col("user_id"),
+          when(col("c_ts").isNotNull && col("age") <= window,
+            col("click_id")).as("attributed_click"),
+          when(col("c_ts").isNotNull && col("age") <= window,
+            col("age")).as("age_s"))
+    },
+    Some("""WITH p AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS pts
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS cts,
+         CAST(MAX(event_id) AS BIGINT) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+SELECT p.event_id, p.user_id,
+       CASE WHEN c.cts IS NOT NULL AND p.pts - c.cts <= 604800
+            THEN c.click_id END AS attributed_click,
+       CASE WHEN c.cts IS NOT NULL AND p.pts - c.cts <= 604800
+            THEN p.pts - c.cts END AS age_s
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.pts >= c.cts"""))
+
+  /** Equi-DEPTH histogram (C15 is equi-width): quartile buckets by
+    * ntile over a unique order, per-bucket count and value bounds —
+    * the optimizer-statistics / data-profiling companion of C72. One
+    * keyed window exchange + the same-keyed rollup. */
+  private val histogramEqd = Q(
+    "q_histogram_eqd",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      ViewingData.table(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("q", ntile(4).over(w))
+        .groupBy("event_type", "q")
+        .agg(count(lit(1)).as("n"),
+          round(min("value"), 6).as("lo"),
+          round(max("value"), 6).as("hi"))
+    },
+    Some("""WITH t AS (
+  SELECT event_type, value,
+         ntile(4) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS q
+  FROM events)
+SELECT event_type, CAST(q AS INTEGER) AS q, CAST(COUNT(*) AS BIGINT) AS n,
+       round(MIN(value), 6) AS lo, round(MAX(value), 6) AS hi
+FROM t GROUP BY 1, 2"""))
+
   val all: Seq[Q] =
     Seq(minmaxBy, condAggs, changeEvents, ratioReport, likeAny, timezone,
-      regression, ewma, modeAgg, profile, flattenArr, twap)
+      regression, ewma, modeAgg, profile, flattenArr, twap,
+      attribution, histogramEqd)
 }

@@ -70,4 +70,47 @@ class RagPipelineSpec extends SparkTestBase {
       s"appended chunk not retrievable: $hit2")
     assert(math.abs(hit2.getDouble(2) - 1.0) < 1e-6)
   }
+
+  test("always-on RAG ingestion: foreachBatch chunk→embed→append keeps the index serving") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    graft.plans.GraftExtensions.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("rag-stream").toString
+    val docs = ViewingData.table(spark, Sf, "documents").select("doc_id", "text")
+    val chunks = embedChunks(docs).localCheckpoint()
+    val seeded = chunks.withColumn("cell",
+      pmod(xxhash64(col("chunk_id")), lit(8)).cast("int"))
+    val (index, cents) =
+      graft.operators.Ivf.refine(seeded, "chunk_id", "e", "cell", rounds = 2)
+    graft.operators.Ivf.writeIndex(index, cents, "cell", path)
+
+    // the document FEED is the stream; each micro-batch runs the whole
+    // ingestion stage — chunk, embed, append against STORED centroids
+    // (replay-idempotent by the batch=N dynamic-overwrite layout)
+    val newDocs = Seq(
+      (910001L, (1 to 70).map(i => s"auk$i colony census").mkString(" ")),
+      (910002L, (1 to 70).map(i => s"quasar$i lensing survey").mkString(" ")))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        graft.operators.Ivf.appendToIndex(
+          spark, path, embedChunks(batch), "chunk_id", "e", "cell", id + 1)
+      }
+      .start()
+    try {
+      input.addData(newDocs(0)); q.processAllAvailable()
+      input.addData(newDocs(1)); q.processAllAvailable()
+    } finally q.stop()
+    // chunks from BOTH micro-batches are immediately retrievable
+    newDocs.foreach { case (did, text) =>
+      val want = embedChunks(Seq((did, text)).toDF("doc_id", "text"))
+        .orderBy("chunk_id").head()
+      val probe = Seq(want.getSeq[Double](2)).toDF("q")
+      val hit = graft.operators.Ivf.probeIndexed(
+        spark, path, probe, "chunk_id", "e", "cell", nprobe = 2, k = 1).head()
+      assert(hit.getLong(0) == want.getLong(0), s"doc $did: $hit")
+      assert(math.abs(hit.getDouble(2) - 1.0) < 1e-6)
+    }
+  }
 }
