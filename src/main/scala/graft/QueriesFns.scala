@@ -535,8 +535,66 @@ SELECT event_type, CAST(q AS INTEGER) AS q, CAST(COUNT(*) AS BIGINT) AS n,
        round(MIN(value), 6) AS lo, round(MAX(value), 6) AS hi
 FROM t GROUP BY 1, 2"""))
 
+  /** Exact DISCRETE percentiles (PERCENTILE_DISC; C10 is the
+    * interpolated CONT form): the value at position ceil(p·n) of the
+    * group's sorted multiset — always an actual data value. Engines
+    * disagree on the boundary rank convention (floor vs ceil vs
+    * nearest), so BOTH sides state the identical window formulation
+    * instead of trusting a built-in: one keyed window exchange, the
+    * rollup reuses it. */
+  private val percentileDisc = Q(
+    "q_percentile_disc",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      val wn = Window.partitionBy("event_type")
+      ViewingData.table(s, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy("event_type")
+        .agg(
+          round(min(when(col("rn") === ceil(col("n") * 0.5), col("value"))), 6)
+            .as("p50_disc"),
+          round(min(when(col("rn") === ceil(col("n") * 0.9), col("value"))), 6)
+            .as("p90_disc"),
+          count(lit(1)).as("n"))
+    },
+    Some("""WITH t AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events)
+SELECT event_type,
+       round(MIN(CASE WHEN rn = ceil(n * 0.5) THEN value END), 6) AS p50_disc,
+       round(MIN(CASE WHEN rn = ceil(n * 0.9) THEN value END), 6) AS p90_disc,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY 1"""))
+
+  /** Per-group z-score standardization — the feature-prep projection
+    * (ML pipelines standardize before distance/gradient work): window
+    * mean/stddev_samp on one keyed exchange, then scan-speed
+    * arithmetic; degenerate single-row groups yield NULL exactly as
+    * SQL stddev does. */
+  private val standardize = Q(
+    "q_standardize",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type")
+      ViewingData.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("z",
+          round((col("value") - avg("value").over(w)) /
+            stddev_samp(col("value")).over(w), 4))
+        .select("event_id", "event_type", "z")
+    },
+    Some("""SELECT event_id, event_type,
+       round((value - AVG(value) OVER w) / stddev_samp(value) OVER w, 4) AS z
+FROM events
+WINDOW w AS (PARTITION BY event_type)"""))
+
   val all: Seq[Q] =
     Seq(minmaxBy, condAggs, changeEvents, ratioReport, likeAny, timezone,
       regression, ewma, modeAgg, profile, flattenArr, twap,
-      attribution, histogramEqd)
+      attribution, histogramEqd, percentileDisc, standardize)
 }
