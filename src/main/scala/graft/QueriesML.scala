@@ -888,11 +888,14 @@ GROUP BY 1, 2"""))
         col("n_parts").as("n_parts_a"))
       val b = names.select(col("blk"), col("p_name").as("name_b"),
         col("n_parts").as("n_parts_b"))
+      // BOUNDED levenshtein (Spark 3.5+ threshold arg): the banded
+      // O(k·n) early-exit form — at blocking-bucket scale the full
+      // O(n²) DP per pair is the cost center; -1 encodes "exceeds k"
+      val d = levenshtein(col("name_a"), col("name_b"), 3)
       a.join(b, "blk")
-        .filter(col("name_a") < col("name_b") &&
-          levenshtein(col("name_a"), col("name_b")) <= 3)
+        .filter(col("name_a") < col("name_b") && d =!= -1)
         .select(col("name_a"), col("name_b"),
-          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+          d.cast("long").as("dist"),
           col("n_parts_a"), col("n_parts_b"))
     },
     Some("""WITH names AS (

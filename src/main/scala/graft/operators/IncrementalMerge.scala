@@ -44,12 +44,18 @@ object IncrementalMerge {
     * (include a unique id) or the surviving duplicate is
     * nondeterministic. */
   def upsert(target: DataFrame, batch: DataFrame, keys: Seq[String],
-      versionCols: Seq[String], broadcastKeys: Boolean = true): DataFrame = {
+      versionCols: Seq[String], broadcastKeys: Boolean = true,
+      evolveSchema: Boolean = false): DataFrame = {
     val latest = latestPerKey(batch, keys, versionCols)
     val keySet = latest.select(keys.map(col): _*).distinct()
     val keep = target.join(
       if (broadcastKeys) broadcast(keySet) else keySet, keys, "left_anti")
-    keep.unionByName(latest)
+    // evolveSchema = the MERGE side of C61's schema-evolution UNION:
+    // a batch carrying NEW columns widens the result (pre-evolution
+    // rows read NULL), a batch missing retired columns keeps them
+    // (its rows read NULL). OPT-IN — the strict default makes a
+    // typo'd column a loud analysis error, not a silent new column.
+    keep.unionByName(latest, allowMissingColumns = evolveSchema)
   }
 
   /** CDC apply — the full Snowflake MERGE including `WHEN MATCHED …

@@ -55,8 +55,15 @@ object MergeSink {
     * SCALE NOTE: the full-target rewrite is O(|target|) per batch —
     * fine for compact dimension tables, unusable for a deep fact
     * table on a minutes cadence. Use [[upsertPartitionedParquet]]
-    * there: it rewrites only the partitions a batch touches. */
-  def upsertParquet(targetPath: String, keys: Seq[String], versionCols: Seq[String])(
+    * there: it rewrites only the partitions a batch touches.
+    *
+    * `evolveSchema = true` opts into MERGE-side schema evolution
+    * (Delta's mergeSchema): a batch with NEW columns widens the
+    * target (pre-evolution rows read NULL), a batch missing retired
+    * columns keeps them. Strict by default so a typo'd producer
+    * column fails loudly instead of minting a table column. */
+  def upsertParquet(targetPath: String, keys: Seq[String], versionCols: Seq[String],
+      evolveSchema: Boolean = false)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val path = new org.apache.hadoop.fs.Path(targetPath)
@@ -66,7 +73,8 @@ object MergeSink {
         .write.mode(SaveMode.Append).parquet(targetPath)
     } else {
       val target = spark.read.parquet(targetPath)
-      val merged = IncrementalMerge.upsert(target, batch, keys, versionCols)
+      val merged = IncrementalMerge.upsert(target, batch, keys, versionCols,
+        evolveSchema = evolveSchema)
       val staged = graft.sources.LakeWriter.stagingPath(targetPath)
       merged.write.mode(SaveMode.Overwrite).parquet(staged)
       graft.sources.LakeWriter.publish(spark, staged, targetPath)

@@ -91,6 +91,37 @@ class MergeSinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("upsert schema evolution: new columns widen, retired columns survive; strict mode still fails loudly") {
+    import spark.implicits._
+    val target = Files.createTempDirectory("upsertevo").toString + "/t"
+    // v1 era: (k, v, ver)
+    Seq((1L, "a", 10L), (2L, "b", 11L)).toDF("k", "v", "ver")
+      .write.parquet(target)
+    // v2 era batch ADDS `score` and restates key 2
+    val b2 = Seq((2L, "b2", 20L, 0.7), (3L, "c", 21L, 0.9))
+      .toDF("k", "v", "ver", "score")
+    // strict default: the widened batch must FAIL, not mint a column
+    intercept[org.apache.spark.sql.AnalysisException] {
+      MergeSink.upsertParquet(target, Seq("k"), Seq("ver"))(b2, 1L)
+    }
+    MergeSink.upsertParquet(target, Seq("k"), Seq("ver"), evolveSchema = true)(b2, 1L)
+    val evolved = spark.read.parquet(target)
+      .select("k", "v", "ver", "score").as[(Long, String, Long, Option[Double])]
+      .collect().sortBy(_._1)
+    assert(evolved.toSeq == Seq(
+      (1L, "a", 10L, None),          // pre-evolution row reads NULL
+      (2L, "b2", 20L, Some(0.7)),
+      (3L, "c", 21L, Some(0.9))), s"got ${evolved.toSeq}")
+    // v3 era batch RETIRES `score` (producer rolled back): column stays,
+    // its rows read NULL — no data loss either direction
+    val b3 = Seq((4L, "d", 30L)).toDF("k", "v", "ver")
+    MergeSink.upsertParquet(target, Seq("k"), Seq("ver"), evolveSchema = true)(b3, 2L)
+    val kept = spark.read.parquet(target)
+      .select("k", "score").as[(Long, Option[Double])].collect().toMap
+    assert(kept(2L).contains(0.7) && kept(4L).isEmpty,
+      s"retired column must survive with NULL for new rows: $kept")
+  }
+
   test("partitioned upsert: untouched partition files stay byte-identical") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
