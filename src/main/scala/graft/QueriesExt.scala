@@ -460,7 +460,9 @@ FROM per_island GROUP BY user_id"""))
           round(hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))))
             .cast("long").as("est_union"))
         .withColumn("est_intersect",
-          col("est_a") + col("est_b") - col("est_union"))
+          // sketch error can push inclusion-exclusion below zero on
+          // near-disjoint segments — clamp: cardinalities aren't negative
+          greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
     },
     None)
 

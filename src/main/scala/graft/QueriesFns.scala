@@ -444,7 +444,11 @@ FROM g"""))
             unix_timestamp(col("ts"))).cast("long"))
         .groupBy("user_id", "day")
         .agg(
-          round(sum(col("value") * col("dt")) / sum(col("dt")).cast("double"), 6)
+          // zero-span days (all events in one second → Σdt = 0) are as
+          // weightless as single-event days: NULL, never 0/0 = NaN
+          when(coalesce(sum(col("dt")), lit(0L)) === 0, lit(null))
+            .otherwise(round(
+              sum(col("value") * col("dt")) / sum(col("dt")).cast("double"), 6))
             .as("twap"),
           count(lit(1)).as("n_events"))
         .select(col("user_id"), col("day").cast("string").as("day"),
@@ -459,7 +463,8 @@ d AS (
            - CAST(floor(epoch(ts)) AS BIGINT) AS dt
   FROM o)
 SELECT user_id, CAST(day AS VARCHAR) AS day,
-       round(SUM(value * dt) / CAST(SUM(dt) AS DOUBLE), 6) AS twap,
+       CASE WHEN coalesce(SUM(dt), 0) = 0 THEN NULL
+            ELSE round(SUM(value * dt) / CAST(SUM(dt) AS DOUBLE), 6) END AS twap,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM d GROUP BY 1, 2"""))
 
@@ -575,21 +580,26 @@ FROM t GROUP BY 1"""))
   /** Per-group z-score standardization — the feature-prep projection
     * (ML pipelines standardize before distance/gradient work): window
     * mean/stddev_samp on one keyed exchange, then scan-speed
-    * arithmetic; degenerate single-row groups yield NULL exactly as
-    * SQL stddev does. */
+    * arithmetic. Degenerate groups yield NULL — single-row groups
+    * (stddev NULL) AND constant groups (stddev 0, where the naive
+    * division is 0/0 = NaN) — stated explicitly on both engines. */
   private val standardize = Q(
     "q_standardize",
     (s, dir) => {
       val w = Window.partitionBy("event_type")
+      val sd = stddev_samp(col("value")).over(w)
       ViewingData.table(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"))
         .withColumn("z",
-          round((col("value") - avg("value").over(w)) /
-            stddev_samp(col("value")).over(w), 4))
+          when(sd.isNull || sd === 0.0, lit(null)).otherwise(
+            round((col("value") - avg("value").over(w)) / sd, 4)))
         .select("event_id", "event_type", "z")
     },
     Some("""SELECT event_id, event_type,
-       round((value - AVG(value) OVER w) / stddev_samp(value) OVER w, 4) AS z
+       CASE WHEN stddev_samp(value) OVER w IS NULL
+              OR stddev_samp(value) OVER w = 0 THEN NULL
+            ELSE round((value - AVG(value) OVER w)
+                       / (stddev_samp(value) OVER w), 4) END AS z
 FROM events
 WINDOW w AS (PARTITION BY event_type)"""))
 

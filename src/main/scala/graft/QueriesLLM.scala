@@ -807,7 +807,12 @@ FROM rk WHERE rk <= 5"""))
     * verifies the draw end to end. */
   /** Efraimidis–Spirakis weighted k-reservoir over (grp, id, w) via
     * the mergeable topk_by heap; key = -ln(u)/w with u derived from
-    * md5(seedTag:id). Shared by q_sample_weighted_k and RagOpsSpec. */
+    * md5(seedTag:id). Weights must be POSITIVE and are honored at any
+    * scale — fractional probability weights included; the 1e-9 floor
+    * only guards zero/negative garbage from dividing by zero (a
+    * review caught the first cut flooring at 1.0, which silently
+    * uniformized sub-1 weights). Shared by q_sample_weighted_k and
+    * RagOpsSpec. */
   private[graft] def weightedSampleK(df: org.apache.spark.sql.DataFrame,
       grp: String, id: String, w: String, k: Int, seedTag: String)
       : org.apache.spark.sql.DataFrame = {
@@ -815,7 +820,7 @@ FROM rk WHERE rk <= 5"""))
       s"""-ln((cast(conv(substring(md5(cast(concat('$seedTag:',
              cast($id as string)) as binary)), 1, 6), 16, 10) as double) + 1)
            / 16777217.0)
-         / greatest(cast($w as double), 1.0)""")
+         / greatest(cast($w as double), 1e-9)""")
     df.select(col(grp), col(id), key.as("key"))
       .groupBy(grp)
       .agg(expr(s"topk_by(-key, $id, $k)").as("res"))
@@ -891,17 +896,11 @@ FROM r"""))
       weightedSampleK(ViewingData.table(s, dir, "documents"),
         "source", "doc_id", "n_chars", k = 3, seedTag = "graft-wrs-11")
     },
-    Some("""WITH keyed AS (
+    Some(s"""WITH keyed AS (
   SELECT source, doc_id,
-         -ln(((
-            (strpos('0123456789abcdef', substring(md5('graft-wrs-11:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 1048576 +
-            (strpos('0123456789abcdef', substring(md5('graft-wrs-11:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 65536 +
-            (strpos('0123456789abcdef', substring(md5('graft-wrs-11:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 4096 +
-            (strpos('0123456789abcdef', substring(md5('graft-wrs-11:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 256 +
-            (strpos('0123456789abcdef', substring(md5('graft-wrs-11:' || CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 16 +
-            (strpos('0123456789abcdef', substring(md5('graft-wrs-11:' || CAST(doc_id AS VARCHAR)), 6, 1)) - 1)
-           + 1) / 16777217.0))
-         / greatest(CAST(n_chars AS DOUBLE), 1.0) AS skey
+         -ln((${hex6Sql("md5('graft-wrs-11:' || CAST(doc_id AS VARCHAR))")}
+           + 1) / 16777217.0)
+         / greatest(CAST(n_chars AS DOUBLE), 1e-9) AS skey
   FROM documents),
 r AS (
   SELECT source, doc_id, skey,

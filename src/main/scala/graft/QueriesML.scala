@@ -873,8 +873,10 @@ GROUP BY 1, 2"""))
     * ~10² names; at 100 TB the same fold is what makes pairing
     * possible at all), then pair only within a blocking key
     * (2-char prefix), the LSH-style recall/cost knob — candidate
-    * generation is bucket-local, never all-pairs. levenshtein ≤ 2 on
-    * the survivors; both engines implement the identical standard
+    * generation is bucket-local, never all-pairs. BOUNDED
+    * levenshtein ≤ 3 on the survivors (Spark's threshold form runs a
+    * banded O(k·n) early-exit DP — the per-pair cost term at
+    * fuzzy-join scale); both engines implement the identical standard
     * edit distance (parity already pinned by q_string_funcs2);
     * threshold 3 matches the corpus vocabulary (closest distinct names
     * sit at distance 3, e.g. "hot ring"/"hot rod"). */

@@ -117,4 +117,31 @@ class RagOpsSpec extends SparkTestBase {
         s"group $g drew no heavy-weight id — weighting is broken")
     }
   }
+
+  test("weighted k-sample honors FRACTIONAL weights (no silent floor to uniform)") {
+    graft.plans.GraftExtensions.register(spark)
+    // 100 light ids at w=0.01, 10 heavy at w=0.9 — a 0.01-vs-0.9 split
+    // a floor-at-1.0 clamp would erase entirely (the first cut did)
+    val rows = (1 to 110).map(i =>
+      ("g", i.toLong, if (i <= 10) 0.9 else 0.01))
+    val df = rows.toDF("grp", "id", "w")
+    val got = QueriesLLM.weightedSampleK(df, "grp", "id", "w", k = 6, "rag-frac-1")
+      .collect().map(r => (r.getLong(2))).toSet
+    // parity with the window twin under the SAME fractional weights
+    val key = expr(
+      """-ln((cast(conv(substring(md5(cast(concat('rag-frac-1:',
+             cast(id as string)) as binary)), 1, 6), 16, 10) as double) + 1)
+           / 16777217.0)
+         / greatest(cast(w as double), 1e-9)""")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("key").asc, col("id").asc)
+    val want = df.select(col("grp"), col("id"), key.as("key"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 6)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == want, s"$got vs $want")
+    // with a 90x weight ratio the heavy tenth must dominate the draw;
+    // E[heavy in top-6] ≈ 5.2 — under uniformization it would be ~0.5
+    val nHeavy = got.count(_ <= 10L)
+    assert(nHeavy >= 3, s"fractional weights collapsed toward uniform: $got")
+  }
 }
