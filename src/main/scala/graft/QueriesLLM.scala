@@ -840,12 +840,20 @@ FROM rk WHERE rk <= 5"""))
     * retries/engines so the whole chunk→embed stage is hash-checkable
     * end to end, and the output feeds [[operators.Ivf]] unchanged
     * (RagPipelineSpec drives chunk→embed→index→probe). */
-  private[graft] def hashEmbed(c: org.apache.spark.sql.Column, dim: Int)
-      : org.apache.spark.sql.Column = {
-    val raw = transform(sequence(lit(0), lit(dim - 1)),
+  /** The pre-normalization component array of [[hashEmbed]] — split
+    * out so consumers that need FP-order-exact cosine arithmetic
+    * (q_hybrid_search's oracle) can divide by norms at the dot, not
+    * per component. */
+  private[graft] def hashEmbedRaw(c: org.apache.spark.sql.Column, dim: Int)
+      : org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(dim - 1)),
       i => conv(substring(md5(concat(c, lit(":"), i.cast("string"))
           .cast("binary")), 1, 6), 16, 10)
         .cast("double") / lit(16777216.0) * 2 - 1)
+
+  private[graft] def hashEmbed(c: org.apache.spark.sql.Column, dim: Int)
+      : org.apache.spark.sql.Column = {
+    val raw = hashEmbedRaw(c, dim)
     val norm = sqrt(aggregate(transform(raw, x => x * x),
       lit(0.0), (a, b) => a + b))
     transform(raw, x => x / norm)
@@ -911,9 +919,172 @@ SELECT source, CAST(rn AS BIGINT) AS draw_rank, doc_id,
        round(skey, 9) AS priority
 FROM r WHERE rn <= 3"""))
 
+  // ---------------------------------------------------------------------
+  // Retrieval serving: BM25 lexical scoring + hybrid RRF fusion
+  // ---------------------------------------------------------------------
+
+  /** Okapi BM25 (k1=1.2, b=0.75, Robertson idf) of every doc against
+    * a fixed term set — the LEXICAL half of hybrid retrieval. Scale
+    * shape: the corpus tokenizes ONCE (checkpoint feeds tf and dl);
+    * the query-term filter lands BEFORE the tf aggregate so the
+    * shuffle carries only matching (doc, term) rows — |terms|-bounded,
+    * not corpus-bounded; df and the (avgdl, N) stats frame are
+    * broadcast one-row/|terms| frames. Constants are written as the
+    * SAME literals on both engines (2.2, 0.25, 0.75 — never 1.2+1,
+    * whose rounding differs from the literal 2.2). */
+  private[graft] def bm25(docs: org.apache.spark.sql.DataFrame,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
+      .groupBy("doc_id").agg(sum("contrib").as("score"))
+  }
+
+  /** DuckDB twin of [[bm25]] as a CTE chain ending in `bm(doc_id,
+    * score)` — generated from the same term list so the two can't
+    * drift. */
+  private def bm25Cte(terms: Seq[String]): String = s"""tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents),
+dlen AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS BIGINT) AS dl
+  FROM documents),
+stats AS (SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS BIGINT) AS n FROM dlen),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok WHERE term IN ${inList(terms)} GROUP BY 1, 2),
+dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+bm AS (
+  SELECT tf.doc_id,
+         SUM(ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+             ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))) AS score
+  FROM tf JOIN dfx USING (term) JOIN dlen ON tf.doc_id = dlen.doc_id
+  CROSS JOIN stats
+  GROUP BY 1)"""
+
+  private val QueryTerms = Seq("table", "stream", "merge")
+  private val QueryText = QueryTerms.mkString(" ")
+
+  private val textBm25 = Q(
+    "text_bm25",
+    (s, dir) => {
+      val scored = bm25(
+        ViewingData.table(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select("doc_id", "text"),
+        QueryTerms)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id").asc)
+      // top-20 over a pre-aggregated |docs|-sized frame: the single-
+      // partition window is fine HERE because its input is the tiny
+      // scored frame, not the corpus (TakeOrderedAndProject shape)
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 20)
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+    },
+    Some(s"""WITH ${bm25Cte(QueryTerms)},
+r AS (SELECT doc_id, score,
+        row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM bm)
+SELECT doc_id, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 20"""))
+
+  /** HYBRID retrieval — the serving shape of a RAG stack: lexical
+    * BM25 top-20 and dense cosine top-20 (query + docs embedded by
+    * the same deterministic hash embedder, so the WHOLE chain is
+    * oracle-checkable) fused by reciprocal-rank fusion
+    * Σ 1/(60 + rank). Cosine divides by both norms AT the dot
+    * (hashEmbedRaw) so both engines run the identical FP sequence.
+    * The fused frame is two 20-row lists — everything after the two
+    * top-k selections is control-plane-sized. */
+  private val hybridSearch = Q(
+    "q_hybrid_search",
+    (s, dir) => {
+      val docs = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select("doc_id", "text")
+      val wLex = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id").asc)
+      val lex = bm25(docs, QueryTerms)
+        .withColumn("lex_rank", row_number().over(wLex))
+        .filter(col("lex_rank") <= 20).select("doc_id", "lex_rank")
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (p, q) => p + q)
+      def ss(a: org.apache.spark.sql.Column) =
+        aggregate(transform(a, x => x * x), lit(0.0), (p, q) => p + q)
+      val qv = hashEmbedRaw(lit(QueryText), 8)
+      val wDen = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos").desc, col("doc_id").asc)
+      val dense = docs
+        .select(col("doc_id"), hashEmbedRaw(col("text"), 8).as("d"))
+        .select(col("doc_id"),
+          (dot(col("d"), qv) / (sqrt(ss(col("d"))) * sqrt(ss(qv)))).as("cos"))
+        .withColumn("dense_rank", row_number().over(wDen))
+        .filter(col("dense_rank") <= 20).select("doc_id", "dense_rank")
+      val wRrf = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)))
+        .withColumn("rank", row_number().over(wRrf))
+        .filter(col("rank") <= 10)
+        .select(col("doc_id"),
+          col("lex_rank").cast("long").as("lex_rank"),
+          col("dense_rank").cast("long").as("dense_rank"),
+          round(col("rrf"), 6).as("rrf"),
+          col("rank").cast("long").as("rank"))
+    },
+    Some(s"""WITH ${bm25Cte(QueryTerms)},
+lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+         FROM bm QUALIFY lex_rank <= 20),
+emb AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), i ->
+           ${hex6Sql("md5(text || ':' || CAST(i AS VARCHAR))")}
+             / 16777216.0 * 2 - 1) AS d
+  FROM documents),
+qv AS (
+  SELECT list_transform(range(0, 8), i ->
+           ${hex6Sql(s"md5('$QueryText' || ':' || CAST(i AS VARCHAR))")}
+             / 16777216.0 * 2 - 1) AS q),
+cosd AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(1, 9), j -> d[j] * q[j]))
+           / (sqrt(list_sum(list_transform(range(1, 9), j -> d[j] * d[j])))
+              * sqrt(list_sum(list_transform(range(1, 9), j -> q[j] * q[j]))))
+           AS cos
+  FROM emb CROSS JOIN qv),
+denr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS dense_rank
+         FROM cosd QUALIFY dense_rank <= 20),
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         CAST(l.lex_rank AS BIGINT) AS lex_rank,
+         CAST(d.dense_rank AS BIGINT) AS dense_rank,
+         coalesce(1.0 / (60 + l.lex_rank), 0.0)
+           + coalesce(1.0 / (60 + d.dense_rank), 0.0) AS rrf
+  FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id)
+SELECT doc_id, lex_rank, dense_rank, round(rrf, 6) AS rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
+FROM fused QUALIFY rank <= 10"""))
+
   val all: Seq[Q] =
     Seq(textRepetition, textDecontaminate, textDecontaminateBloom, piiScrubQ, corpusShuffle,
       corpusMix, sampleWeighted, textUnigramLogprob, textBigramLogprob, qualityModel,
       qualityModelTrained, qualityModelEval, mmHeaderParse, qualityGate, corpusPrep,
-      docChunk, textTfidf, sampleWeightedK, chunkEmbed)
+      docChunk, textTfidf, sampleWeightedK, chunkEmbed, textBm25, hybridSearch)
 }

@@ -144,4 +144,20 @@ class RagOpsSpec extends SparkTestBase {
     val nHeavy = got.count(_ <= 10L)
     assert(nHeavy >= 3, s"fractional weights collapsed toward uniform: $got")
   }
+
+  test("bm25: higher tf wins at equal length; shorter doc wins at equal tf; idf favors rarer term") {
+    val filler = (1 to 20).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"table table table $filler"),          // tf=3, len 23
+      (2L, s"table $filler"),                      // tf=1, len 21
+      (3L, s"table $filler $filler"),              // tf=1, len 41 (longer)
+      (4L, s"rare $filler")                        // rare term, tf=1
+    ).toDF("doc_id", "text")
+    val s1 = QueriesLLM.bm25(docs, Seq("table", "rare"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(s1(1L) > s1(2L), s"tf must raise the score: $s1")
+    assert(s1(2L) > s1(3L), s"length normalization must penalize padding: $s1")
+    // df(rare)=1 < df(table)=3 ⇒ rare's single hit outscores table's
+    assert(s1(4L) > s1(2L), s"idf must favor the rarer term: $s1")
+  }
 }
