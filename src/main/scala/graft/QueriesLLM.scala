@@ -987,12 +987,14 @@ bm AS (
           .repartition(s.sparkContext.defaultParallelism)
           .select("doc_id", "text"),
         QueryTerms)
+      // distributed top-k (TakeOrderedAndProject — map-side partial
+      // top-20, no single-partition window over the scored frame,
+      // which at 100 TB is |docs matching any term|, not control
+      // plane); the rank column derives on the 20 survivors
+      val top = scored.orderBy(col("score").desc, col("doc_id").asc).limit(20)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("score").desc, col("doc_id").asc)
-      // top-20 over a pre-aggregated |docs|-sized frame: the single-
-      // partition window is fine HERE because its input is the tiny
-      // scored frame, not the corpus (TakeOrderedAndProject shape)
-      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= 20)
+      top.withColumn("rank", row_number().over(w))
         .select(col("doc_id"), round(col("score"), 6).as("score"),
           col("rank").cast("long").as("rank"))
     },
@@ -1017,11 +1019,15 @@ FROM r WHERE rank <= 20"""))
       val docs = ViewingData.table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select("doc_id", "text")
+      // both top-20 selections are distributed TakeOrderedAndProject;
+      // ranks derive on the 20 survivors (single-partition over 20
+      // rows IS control plane)
       val wLex = org.apache.spark.sql.expressions.Window
         .orderBy(col("score").desc, col("doc_id").asc)
       val lex = bm25(docs, QueryTerms)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(20)
         .withColumn("lex_rank", row_number().over(wLex))
-        .filter(col("lex_rank") <= 20).select("doc_id", "lex_rank")
+        .select("doc_id", "lex_rank")
       def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
         aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (p, q) => p + q)
       def ss(a: org.apache.spark.sql.Column) =
@@ -1033,8 +1039,9 @@ FROM r WHERE rank <= 20"""))
         .select(col("doc_id"), hashEmbedRaw(col("text"), 8).as("d"))
         .select(col("doc_id"),
           (dot(col("d"), qv) / (sqrt(ss(col("d"))) * sqrt(ss(qv)))).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
         .withColumn("dense_rank", row_number().over(wDen))
-        .filter(col("dense_rank") <= 20).select("doc_id", "dense_rank")
+        .select("doc_id", "dense_rank")
       val wRrf = org.apache.spark.sql.expressions.Window
         .orderBy(col("rrf").desc, col("doc_id").asc)
       lex.join(dense, Seq("doc_id"), "full_outer")

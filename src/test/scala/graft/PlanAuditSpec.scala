@@ -275,6 +275,11 @@ class PlanAuditSpec extends SparkTestBase {
       s"the band index must stream through a broadcast probe:\n$p")
   }
 
+  test("text_bm25 selects its top-k distributed (TakeOrderedAndProject, no corpus-wide window sort)") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_ewma and q_twap ride ONE user-keyed exchange each (window + agg co-partitioned)") {
     val pe = plan("q_ewma")
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(pe).size == 1,
