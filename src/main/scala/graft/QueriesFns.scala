@@ -603,8 +603,60 @@ FROM t GROUP BY 1"""))
 FROM events
 WINDOW w AS (PARTITION BY event_type)"""))
 
+  /** OBJECT_CONSTRUCT → VARIANT round trip (the build side of C19's
+    * `$1:field` extraction): per-row JSON objects from typed columns,
+    * then a path re-extraction proving the encoding. `ignoreNullFields
+    * = false` keeps SQL-standard `"k":null` members — Spark's default
+    * silently drops them, which no SQL engine does. Scan-speed
+    * projection. */
+  private val jsonBuild = Q(
+    "q_json_build",
+    (s, dir) =>
+      ViewingData.table(s, dir, "events")
+        .select(col("event_id"),
+          to_json(
+            struct(col("event_type").as("t"), col("user_id").as("u"),
+              nullif(col("event_type"), lit("error")).as("maybe")),
+            java.util.Collections.singletonMap("ignoreNullFields", "false"))
+            .as("obj"))
+        .withColumn("t_back", get_json_object(col("obj"), "$.t")),
+    Some("""SELECT event_id,
+       CAST(to_json(struct_pack(t := event_type, u := user_id,
+                                maybe := nullif(event_type, 'error'))) AS VARCHAR) AS obj,
+       json_extract_string(
+         CAST(to_json(struct_pack(t := event_type, u := user_id,
+                                  maybe := nullif(event_type, 'error'))) AS VARCHAR),
+         '$.t') AS t_back
+FROM events"""))
+
+  /** Dynamic data MASKING (Snowflake MASKING POLICY — the
+    * expression-level governance the engine CAN enforce; GRANT is
+    * A10's non-goal): customer names partially masked and balances
+    * nulled unless the session role is privileged. The query runs the
+    * UNPRIVILEGED path — the oracle states the redacted output, so
+    * the gate proves real values cannot leak through
+    * [[operators.Quality.masked]]'s projection. */
+  private val masking = Q(
+    "q_masking",
+    (s, dir) =>
+      operators.Quality.masked(
+          ViewingData.table(s, dir, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+              col("c_mktsegment")),
+          Map(
+            "c_name" -> concat(substring(col("c_name"), 1, 2), lit("****")),
+            "c_acctbal" -> lit(null).cast("double")),
+          unmaskedWhen = lit("analyst") === "admin")
+        .withColumn("c_acctbal", round(col("c_acctbal"), 2)),
+    Some("""SELECT c_custkey,
+       substring(c_name, 1, 2) || '****' AS c_name,
+       CAST(NULL AS DOUBLE) AS c_acctbal,
+       c_mktsegment
+FROM customer"""))
+
   val all: Seq[Q] =
     Seq(minmaxBy, condAggs, changeEvents, ratioReport, likeAny, timezone,
       regression, ewma, modeAgg, profile, flattenArr, twap,
-      attribution, histogramEqd, percentileDisc, standardize)
+      attribution, histogramEqd, percentileDisc, standardize,
+      jsonBuild, masking)
 }

@@ -112,4 +112,26 @@ object Quality {
         }: _*),
         c => c.isNotNull))
   }
+
+  /** Dynamic data MASKING (Snowflake CREATE MASKING POLICY — the
+    * expression-level half of the governance plane the engine CAN
+    * enforce; the GRANT half is A10's documented non-goal): each
+    * policy maps a column to its redacted form, applied only when
+    * `unmaskedWhen` is false. Pure projection — masking runs at scan
+    * speed inside whole-stage codegen, and because it rewrites the
+    * plan's output columns (not a view on top), a masked frame can be
+    * handed to ANY downstream operator with no way to reach through
+    * to the raw values. Non-policy columns pass through untouched;
+    * naming a column absent from the frame is an analysis error (a
+    * typo must not silently leave a column unmasked). */
+  def masked(df: DataFrame, policies: Map[String, Column],
+      unmaskedWhen: Column): DataFrame = {
+    val missing = policies.keySet -- df.columns.toSet
+    require(missing.isEmpty,
+      s"masking policies name absent columns: ${missing.mkString(", ")}")
+    policies.foldLeft(df) { case (acc, (c, redacted)) =>
+      acc.withColumn(c,
+        when(unmaskedWhen, col(c)).otherwise(redacted))
+    }
+  }
 }

@@ -92,4 +92,21 @@ class QualitySpec extends SparkTestBase {
     val (_, rejected) = Quality.tryIngest(raw, casts)
     assert(errs.map(_._1) == rejected.select("id").as[Long].collect().toSet)
   }
+
+  test("masked: unprivileged redaction, privileged passthrough, typo'd policy fails") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "Alice", 10.5)).toDF("k", "name", "bal")
+    val pol = Map(
+      "name" -> concat(substring(col("name"), 1, 1), lit("***")),
+      "bal" -> lit(null).cast("double"))
+    val shut = Quality.masked(df, pol, unmaskedWhen = lit(false)).head()
+    assert(shut.getString(1) == "A***" && shut.isNullAt(2))
+    val open = Quality.masked(df, pol, unmaskedWhen = lit(true)).head()
+    assert(open.getString(1) == "Alice" && open.getDouble(2) == 10.5)
+    // a policy naming an absent column must fail loudly, not silently
+    // leave the (misspelled) real column unmasked
+    intercept[IllegalArgumentException] {
+      Quality.masked(df, Map("nmae" -> lit("x")), lit(false))
+    }
+  }
 }
