@@ -654,9 +654,36 @@ FROM events"""))
        c_mktsegment
 FROM customer"""))
 
+  /** Safe-division surface — Snowflake DIV0 (0 on ÷0), DIV0NULL (0 on
+    * ÷0 OR NULL divisor) and Spark's native try_divide (NULL on ÷0),
+    * the arithmetic siblings of C34's TRY_CAST error handling. All
+    * scan-speed conditionals; the divisor is crafted to hit zero,
+    * NULL, and normal lanes on real rows. */
+  private val div0 = Q(
+    "q_div0",
+    (s, dir) => {
+      val d = (floor(col("l_quantity")) % 5).cast("long")
+      val dn = nullif(d, lit(3L))
+      val p = col("l_extendedprice")
+      ViewingData.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(when(d === 0, lit(0.0)).otherwise(p / d), 6).as("div0"),
+          round(when(dn === 0 || dn.isNull, lit(0.0)).otherwise(p / dn), 6)
+            .as("div0null"),
+          round(try_divide(p, d), 6).as("try_div"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+       round(CASE WHEN d = 0 THEN 0.0 ELSE l_extendedprice / d END, 6) AS div0,
+       round(CASE WHEN dn = 0 OR dn IS NULL THEN 0.0
+                  ELSE l_extendedprice / dn END, 6) AS div0null,
+       round(CASE WHEN d = 0 THEN NULL ELSE l_extendedprice / d END, 6) AS try_div
+FROM (SELECT *, CAST(floor(l_quantity) % 5 AS BIGINT) AS d,
+             nullif(CAST(floor(l_quantity) % 5 AS BIGINT), 3) AS dn
+      FROM lineitem)"""))
+
   val all: Seq[Q] =
     Seq(minmaxBy, condAggs, changeEvents, ratioReport, likeAny, timezone,
       regression, ewma, modeAgg, profile, flattenArr, twap,
       attribution, histogramEqd, percentileDisc, standardize,
-      jsonBuild, masking)
+      jsonBuild, masking, div0)
 }
