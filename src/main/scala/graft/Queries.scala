@@ -944,5 +944,6 @@ FROM ev e ASOF LEFT JOIN r
     controlTableQ, panelWindowsMergeQ, scd2Weights,
     q1Agg, joinDims, joinFact, topkWindow, rollupQ, distinctQ, semiAnti,
     pivotCase, runningWindow) ++ QueriesML.all ++ QueriesExt.all ++
-    QueriesLLM.all ++ QueriesScale.all ++ QueriesFns.all
+    QueriesLLM.all ++ QueriesScale.all ++ QueriesFns.all ++
+    QueriesTs.all ++ QueriesCurate.all
 }

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.ViewingData
+
+/** Corpus-curation operators beyond the dedup/mixing families already
+  * landed: substring-level duplicate detection via winnowing
+  * fingerprints (Schleimer/Wilkerson/Aiken's local fingerprinting —
+  * the scalable stand-in for suffix-array substring dedup), hashed
+  * n-gram importance filtering (the DSIR shape: score docs by how
+  * target-like their hashed feature mass is), and temperature-scaled
+  * source mixing (the multilingual-training `p ∝ n^α` rebalance).
+  *
+  * All three are fully DuckDB-oracled: hashes are md5-derived (both
+  * engines agree byte-for-byte), importance scores use an integer
+  * cross-multiplied contrast instead of a float log-ratio (same
+  * ordering for the two-distribution case, zero FP boundary), and the
+  * temperature keep-probability is a single correctly-rounded sqrt
+  * compared against an exact 16-bit hash fraction.
+  */
+object QueriesCurate {
+
+  /** DuckDB integer value of the first `n` hex chars of lambda/expr
+    * `e` (generalizes QueriesLLM's 6-digit form; 12 digits = 48 bits,
+    * still BIGINT-safe). */
+  private def hexNSql(e: String, n: Int): String =
+    (1 to n).map(i =>
+      s"(strpos('0123456789abcdef', substring($e, $i, 1)) - 1) * " +
+        math.pow(16, n - i).toLong)
+      .mkString("(", " + ", ")")
+
+  // Winnowing parameters: k-gram length and hash-window width. Any
+  // substring shared between two documents of length >= k + w - 1
+  // (= 23 chars) is GUARANTEED to contribute a shared fingerprint
+  // (the winnowing guarantee), at ~2/(w+1) the density of
+  // every-position hashing. See operators.Winnow.
+  private val K = 16
+  private val W = 8
+
+  /** Substring-duplication detection: winnowing fingerprints per doc,
+    * then candidate pairs from fingerprint-bucket equality — never
+    * all-pairs, exactly the LSH-band join shape. Per doc the work is
+    * one md5 per character position folded to ~|chars|/4 distinct
+    * fingerprints (window minima), so the shuffled fingerprint table
+    * is a fraction of corpus size; a boilerplate-hot fingerprint is
+    * ordinary equi-join skew (AQE splits it). Offset-independent by
+    * construction — a copied paragraph matches wherever it lands in
+    * the copying doc, which aligned-stride chunk hashing cannot do. */
+  private val dedupSubstring = Q(
+    "dedup_substring",
+    (s, dir) => {
+      val f = graft.operators.Winnow.fingerprints(
+        graft.Par.widen(
+          ViewingData.table(s, dir, "documents").select("doc_id", "text")),
+        "doc_id", "text", K, W)
+      graft.operators.Winnow.candidatePairs(f, "doc_id", minShared = 2)
+    },
+    Some(s"""WITH d AS (
+  SELECT doc_id, text, CAST(len(text) - ${K - 1} AS INTEGER) AS m
+  FROM documents),
+h AS (
+  SELECT doc_id, m,
+         list_transform(
+           CASE WHEN m >= 1 THEN range(1, m + 1) ELSE [] END,
+           i -> ${hexNSql(s"md5(substring(text, CAST(i AS INTEGER), $K))", 12)})
+           AS hs
+  FROM d),
+f AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(list_transform(
+           CASE WHEN m >= 1 THEN range(1, greatest(m - ${W - 1}, 1) + 1)
+                ELSE [] END,
+           j -> list_min(hs[j:j+${W - 1}])))) AS fp
+  FROM h),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
+
+  /** Hashed n-gram importance filtering — the DSIR selection shape
+    * (Xie et al. 2023): hash every token into B buckets, estimate a
+    * target distribution (here: lang='en' docs) and the raw
+    * distribution from the SAME one-token-scan aggregate, and score
+    * each doc by the sum of its tokens' target-vs-raw contrast. The
+    * published form sums log(p_target/p_raw); this row uses the
+    * integer cross-product contrast `t[b]·N_raw − r[b]·N_target`
+    * (same sign, exact arithmetic → hash-stable oracle; the log form
+    * is a one-line swap where calibrated magnitudes matter). Plan:
+    * one token scan feeds BOTH the 64-row bucket table (map-side
+    * combined) and the per-doc score join (bucket table broadcast);
+    * top-k is a TakeOrdered, not a global sort. */
+  private val corpusDsir = Q(
+    "corpus_dsir",
+    (s, dir) => {
+      val docs = graft.Par.widen(
+        ViewingData.table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("text")))
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .withColumn("b",
+          conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10)
+            .cast("long") % 64)
+      val bt = toks.groupBy("b").agg(
+        count(lit(1)).as("r"),
+        count(when(col("lang") === "en", 1)).as("t"))
+      val tot = bt.agg(sum("r").as("nr"), sum("t").as("nt"))
+      val contrast = bt.crossJoin(broadcast(tot))
+        .select(col("b"), (col("t") * col("nr") - col("r") * col("nt")).as("c"))
+      toks.join(broadcast(contrast), "b")
+        .groupBy("doc_id")
+        .agg(min("lang").as("lang"), sum("c").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)
+    },
+    Some(s"""WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+tb AS (
+  SELECT doc_id, lang, ${hexNSql("md5(tok)", 4)} % 64 AS b FROM toks),
+bt AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS r,
+         CAST(COUNT(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS t
+  FROM tb GROUP BY 1),
+tot AS (SELECT CAST(SUM(r) AS BIGINT) AS nr, CAST(SUM(t) AS BIGINT) AS nt FROM bt),
+c AS (
+  SELECT b, t * (SELECT nr FROM tot) - r * (SELECT nt FROM tot) AS c
+  FROM bt)
+SELECT tb.doc_id, MIN(tb.lang) AS lang, CAST(SUM(c.c) AS BIGINT) AS score
+FROM tb JOIN c USING (b)
+GROUP BY tb.doc_id
+ORDER BY score DESC, doc_id LIMIT 50"""))
+
+  /** Temperature-scaled language mixing: keep probability
+    * `p = (n_min / n_lang)^(1-α)` with α = 0.5 — the multilingual
+    * `p ∝ n^α` rebalance (small languages kept whole, dominant ones
+    * downsampled toward balance; α=1 keeps everything, α=0 equalizes
+    * counts). The keep decision is md5-deterministic per doc
+    * (retry/reshard-stable, no rand()), and every float on the
+    * boundary is reproducible: an integer ratio, one IEEE sqrt, and
+    * an exact 16-bit hash fraction. Group sizes are a broadcast
+    * |langs|-row table; the filter itself is scan-speed. */
+  private val corpusMixTemp = Q(
+    "corpus_mix_temp",
+    (s, dir) => {
+      val docs = ViewingData.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val nmin = counts.agg(min("n_lang").as("n_min"))
+      val withP = docs
+        .join(broadcast(counts), "lang")
+        .crossJoin(broadcast(nmin))
+        .withColumn("p_keep", sqrt(col("n_min") / col("n_lang")))
+      withP
+        .withColumn("frac",
+          conv(substring(md5(concat(lit("graft-temp-5:"),
+            col("doc_id").cast("string")).cast("binary")), 1, 4), 16, 10)
+            .cast("double") / 65536.0)
+        .filter(col("frac") < col("p_keep"))
+        .select(col("doc_id"), col("lang"), round(col("p_keep"), 9).as("p_keep"))
+    },
+    Some(s"""WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM documents GROUP BY 1),
+nmin AS (SELECT MIN(n_lang) AS n_min FROM counts)
+SELECT d.doc_id, d.lang,
+       round(sqrt(CAST(n.n_min AS DOUBLE) / c.n_lang), 9) AS p_keep
+FROM documents d
+JOIN counts c USING (lang)
+CROSS JOIN nmin n
+WHERE ${hexNSql("md5('graft-temp-5:' || CAST(d.doc_id AS VARCHAR))", 4)}
+        / 65536.0
+      < sqrt(CAST(n.n_min AS DOUBLE) / c.n_lang)"""))
+
+  val all: Seq[Q] = Seq(dedupSubstring, corpusDsir, corpusMixTemp)
+}

@@ -1,0 +1,235 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.ViewingData
+
+/** Time-series / behavioral analytics over the event feed (reference
+  * capability: full ANSI OLAP surface, SURVEY §1 — these are the
+  * monitoring/journey queries a viewing-data warehouse runs daily):
+  * robust anomaly detection (median/MAD), winsorized aggregates,
+  * Markov transition matrices, lead-lag cross-correlation, and top
+  * navigation paths.
+  *
+  * Scale shape shared by all five: ONE map-side-combined aggregate
+  * folds the raw feed to a small per-group/per-day table (days ×
+  * groups, control-plane-sized even at 100 TB of raw events);
+  * everything after — group medians, transition ratios, lag joins —
+  * runs on that folded table, with the per-group scalars broadcast
+  * back where a rescan of raw data would otherwise be needed.
+  */
+object QueriesTs {
+
+  /** Exact discrete per-group quantile of an already-folded table via
+    * the rank formulation both engines state identically (see
+    * q_percentile_disc for the convention note): value at position
+    * `ceil(p · n)` of the group's sorted multiset. Returns
+    * (group, q-value) rows — tiny, meant to be broadcast-joined back. */
+  private def discQuantile(
+      df: org.apache.spark.sql.DataFrame, grp: String, v: String,
+      tie: String, p: Double, as: String) = {
+    val w = Window.partitionBy(grp).orderBy(col(v), col(tie))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(grp)))
+      .groupBy(grp)
+      .agg(min(when(col("__rn") === ceil(col("__n") * p), col(v))).as(as))
+  }
+
+  /** Robust anomaly detection on daily volumes — median/MAD, the
+    * outlier-resistant z-score (a traffic spike can't drag its own
+    * threshold the way mean/stddev lets it). Counts and both medians
+    * are integers, so the whole chain is EXACT — no float boundary
+    * for the oracle to disagree on. Daily-count fold: one shuffle;
+    * medians: two aggregates over the folded table joined back
+    * (broadcast — |event_type| rows). */
+  private val anomalyMad = Q(
+    "q_anomaly_mad",
+    (s, dir) => {
+      val daily = ViewingData.table(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val med = discQuantile(daily, "event_type", "n", "day", 0.5, "med")
+      val dev = daily.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("n") - col("med")))
+      val mad = discQuantile(dev, "event_type", "dev", "day", 0.5, "mad")
+      dev.join(broadcast(mad), "event_type")
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          col("n"), col("med"), col("mad"),
+          (col("dev") > col("mad") * 3).as("is_anomaly"))
+    },
+    Some("""WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+rmed AS (
+  SELECT event_type, n,
+         row_number() OVER (PARTITION BY event_type ORDER BY n, day) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM daily),
+med AS (
+  SELECT event_type, MIN(CASE WHEN rn = ceil(cnt * 0.5) THEN n END) AS med
+  FROM rmed GROUP BY 1),
+dev AS (
+  SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS dev
+  FROM daily d JOIN med m USING (event_type)),
+rmad AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev, day) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM dev),
+mad AS (
+  SELECT event_type, MIN(CASE WHEN rn = ceil(cnt * 0.5) THEN dev END) AS mad
+  FROM rmad GROUP BY 1)
+SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, d.n, d.med, m.mad,
+       d.dev > m.mad * 3 AS is_anomaly
+FROM dev d JOIN mad m USING (event_type)"""))
+
+  /** Winsorized group aggregates — clamp at the exact discrete
+    * p05/p95 before averaging, the standard robust-mean prep for
+    * heavy-tailed measures. The clamp bounds come from one keyed
+    * window pass over the fact table, broadcast back; the clamped
+    * re-aggregate is a second map-side-combined pass. */
+  private val winsorize = Q(
+    "q_winsorize",
+    (s, dir) => {
+      val o = ViewingData.table(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      val lo = discQuantile(o, "o_orderpriority", "o_totalprice", "o_orderkey",
+        0.05, "p05")
+      val hi = discQuantile(o, "o_orderpriority", "o_totalprice", "o_orderkey",
+        0.95, "p95")
+      o.join(broadcast(lo), "o_orderpriority")
+        .join(broadcast(hi), "o_orderpriority")
+        .withColumn("w", greatest(col("p05"), least(col("p95"), col("o_totalprice"))))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(avg("o_totalprice"), 6).as("avg_raw"),
+          round(avg("w"), 6).as("avg_wins"),
+          round(min("p05"), 2).as("p05"),
+          round(min("p95"), 2).as("p95"))
+    },
+    Some("""WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+  FROM orders),
+b AS (
+  SELECT o_orderpriority,
+         MIN(CASE WHEN rn = ceil(cnt * 0.05) THEN o_totalprice END) AS p05,
+         MIN(CASE WHEN rn = ceil(cnt * 0.95) THEN o_totalprice END) AS p95
+  FROM r GROUP BY 1)
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       round(AVG(o.o_totalprice), 6) AS avg_raw,
+       round(AVG(greatest(b.p05, least(b.p95, o.o_totalprice))), 6) AS avg_wins,
+       round(MIN(b.p05), 2) AS p05, round(MIN(b.p95), 2) AS p95
+FROM orders o JOIN b USING (o_orderpriority)
+GROUP BY 1"""))
+
+  /** First-order Markov transition matrix over each user's event
+    * stream — the journey-analysis primitive (what follows what, and
+    * how often). One keyed window exchange for LAG, one aggregate for
+    * the transition counts; the per-prev normalization runs on the
+    * |types|² folded table. Probabilities are ratios of exact counts
+    * — identical doubles in both engines under round. */
+  private val markov = Q(
+    "q_markov",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = ViewingData.table(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("next_type"))
+        .withColumn("prev_type", lag("next_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+      trans.withColumn("p",
+        round(col("n") / sum("n").over(Window.partitionBy("prev_type")), 9))
+    },
+    Some("""WITH seq AS (
+  SELECT event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+t AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, n,
+       round(n / SUM(n) OVER (PARTITION BY prev_type), 9) AS p
+FROM t"""))
+
+  /** Lead-lag cross-correlation between per-type daily volumes —
+    * "do clicks today predict purchases tomorrow". The daily fold is
+    * the only scan of raw data; the lag alignment is a self-join of
+    * the tiny folded series (types × days rows) shifted -2..+2 days,
+    * and Pearson runs per (pair, lag). Degenerate series (constant,
+    * or fewer than two aligned days) are NULLed explicitly on both
+    * engines — Spark yields NaN where DuckDB yields NULL, so the
+    * guard IS the contract. */
+  private val xcorr = Q(
+    "q_xcorr",
+    (s, dir) => {
+      val daily = ViewingData.table(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val a = daily.select(col("event_type").as("type_a"),
+        col("day").as("day_a"), col("n").as("n_a"))
+        .withColumn("lag", explode(sequence(lit(-2), lit(2))))
+      val b = daily.select(col("event_type").as("type_b"),
+        col("day").as("day_b"), col("n").as("n_b"))
+      val sdA = stddev_samp(col("n_a"))
+      val sdB = stddev_samp(col("n_b"))
+      a.join(b, expr("day_b = date_add(day_a, lag)"))
+        .groupBy("type_a", "type_b", "lag")
+        .agg(count(lit(1)).as("n_days"),
+          when(sdA.isNull || sdA === 0.0 || sdB.isNull || sdB === 0.0,
+            lit(null)).otherwise(round(corr(col("n_a"), col("n_b")), 6))
+            .as("xcorr"))
+    },
+    Some("""WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+lags AS (SELECT unnest(range(-2, 3)) AS lag)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(l.lag AS INTEGER) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CASE WHEN stddev_samp(a.n) IS NULL OR stddev_samp(a.n) = 0
+              OR stddev_samp(b.n) IS NULL OR stddev_samp(b.n) = 0
+            THEN NULL ELSE round(corr(a.n, b.n), 6) END AS xcorr
+FROM daily a
+CROSS JOIN lags l
+JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER) * INTERVAL 1 DAY
+GROUP BY 1, 2, 3"""))
+
+  /** Top navigation paths: each user-day's ordered event-type
+    * sequence folded to a path string, counted, top 20. The per-key
+    * collect is bounded by one user's single-day activity (a session,
+    * not the corpus) — the same boundedness argument as listagg; the
+    * final top-k is a TakeOrdered over the path-count table. Ties in
+    * the ordering break on the path string so the LIMIT set is
+    * deterministic. */
+  private val sessionPaths = Q(
+    "q_session_paths",
+    (s, dir) => {
+      ViewingData.table(s, dir, "events")
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    },
+    Some("""WITH p AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY 1, 2)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY 1
+ORDER BY n_sessions DESC, path LIMIT 20"""))
+
+  val all: Seq[Q] = Seq(anomalyMad, winsorize, markov, xcorr, sessionPaths)
+}

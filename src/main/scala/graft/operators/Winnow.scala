@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+  * SIGMOD 2003 — the MOSS algorithm) — substring-level duplicate
+  * detection at corpus scale, the practical stand-in for
+  * suffix-array substring dedup over training corpora.
+  *
+  * Hash every k-character gram of a document, then slide a window of
+  * `w` consecutive hashes and keep each window's MINIMUM. The
+  * winnowing guarantee: any substring shared between two documents of
+  * length >= k + w - 1 contributes at least one IDENTICAL fingerprint
+  * to both — regardless of where the substring sits in either
+  * document (offset-independent, which aligned-stride chunk hashing
+  * is not). Expected fingerprint density is 2/(w+1) of positions, so
+  * the shuffled fingerprint table is a fraction of corpus size.
+  *
+  * Scale shape: fingerprinting is scan-local per document (one md5
+  * per character position, folded to window minima inside array
+  * expressions — no shuffle, no UDF); candidate generation groups
+  * fingerprints across documents — the LSH-band equi-join shape,
+  * never all-pairs. A boilerplate-hot fingerprint is ordinary
+  * equi-join skew (AQE splits it).
+  */
+object Winnow {
+
+  /** First 48 bits of md5 as a long — collision odds at 2^48 are
+    * negligible for candidate generation (and a collision only adds
+    * a candidate, never loses one). */
+  private def hash48(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("long")
+
+  /** One row per (id, fingerprint), distinct within a document.
+    * Documents shorter than `k` produce no rows. */
+  def fingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8): DataFrame = {
+    require(k >= 2 && w >= 1, s"need k >= 2, w >= 1; got k=$k w=$w")
+    val txt = col(textCol)
+    val m = (length(txt) - lit(k - 1)).cast("int")
+    val hs = when(m >= 1,
+      transform(sequence(lit(1), m), i => hash48(txt.substr(i, lit(k)))))
+      .otherwise(array().cast("array<long>"))
+    // 1 <= m < w leaves a single (truncated) window — slice past the
+    // array end returns the remainder, matching the oracle's list
+    // slicing semantics
+    val starts = when(m >= 1, sequence(lit(1), greatest(m - lit(w - 1), lit(1))))
+      .otherwise(array().cast("array<int>"))
+    val fps = array_distinct(
+      transform(starts, j => array_min(slice(col("__gr_hs"), j, lit(w)))))
+    df.select(col(idCol), txt)
+      .withColumn("__gr_hs", hs)
+      .select(col(idCol), explode(fps).as("fp"))
+  }
+
+  /** Candidate pairs (a < b) sharing at least `minShared`
+    * fingerprints, with the shared count — the verification-ready
+    * output (a downstream exact pass confirms/locates the spans). */
+  def candidatePairs(fps: DataFrame, idCol: String,
+      minShared: Int = 2): DataFrame = {
+    val a = fps.select(col(idCol).as("doc_a"), col("fp"))
+    val b = fps.select(col(idCol).as("doc_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}
