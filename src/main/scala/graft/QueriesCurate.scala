@@ -44,10 +44,13 @@ object QueriesCurate {
     * all-pairs, exactly the LSH-band join shape. Per doc the work is
     * one md5 per character position folded to ~|chars|/4 distinct
     * fingerprints (window minima), so the shuffled fingerprint table
-    * is a fraction of corpus size; a boilerplate-hot fingerprint is
-    * ordinary equi-join skew (AQE splits it). Offset-independent by
-    * construction — a copied paragraph matches wherever it lands in
-    * the copying doc, which aligned-stride chunk hashing cannot do. */
+    * is a fraction of corpus size; fingerprints hotter than 64 docs
+    * are dropped as stop-grams BEFORE the pair join (the MOSS
+    * discipline — see [[graft.operators.Winnow.candidatePairs]]),
+    * bounding per-bucket pair output at corpus-independent maxDf²/2.
+    * Offset-independent by construction — a copied paragraph matches
+    * wherever it lands in the copying doc, which aligned-stride chunk
+    * hashing cannot do. */
   private val dedupSubstring = Q(
     "dedup_substring",
     (s, dir) => {
@@ -55,7 +58,8 @@ object QueriesCurate {
         graft.Par.widen(
           ViewingData.table(s, dir, "documents").select("doc_id", "text")),
         "doc_id", "text", K, W)
-      graft.operators.Winnow.candidatePairs(f, "doc_id", minShared = 2)
+      graft.operators.Winnow.candidatePairs(f, "doc_id", minShared = 2,
+        maxDf = 64)
     },
     Some(s"""WITH d AS (
   SELECT doc_id, text, CAST(len(text) - ${K - 1} AS INTEGER) AS m
@@ -68,15 +72,19 @@ h AS (
            AS hs
   FROM d),
 f AS (
-  SELECT DISTINCT doc_id,
+  SELECT doc_id,
          unnest(list_distinct(list_transform(
            CASE WHEN m >= 1 THEN range(1, greatest(m - ${W - 1}, 1) + 1)
                 ELSE [] END,
            j -> list_min(hs[j:j+${W - 1}])))) AS fp
   FROM h),
+kept AS (
+  SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 64),
+fk AS (
+  SELECT f.doc_id, f.fp FROM f JOIN kept USING (fp)),
 p AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
 

@@ -57,11 +57,26 @@ object Winnow {
 
   /** Candidate pairs (a < b) sharing at least `minShared`
     * fingerprints, with the shared count — the verification-ready
-    * output (a downstream exact pass confirms/locates the spans). */
+    * output (a downstream exact pass confirms/locates the spans).
+    *
+    * `maxDf` drops fingerprints present in more than that many
+    * documents BEFORE the pair join — the stop-gram discipline every
+    * fingerprint/LSH system applies (MOSS calls them "too common to
+    * be interesting"): a boilerplate gram shared by f docs costs
+    * f²/2 pairs, so one hot fingerprint dominates the join output
+    * while carrying no dedup signal. The cap bounds per-bucket work
+    * at maxDf²/2 regardless of corpus size; genuine near-dup
+    * CLUSTERS still pair through their many uncommon fingerprints. */
   def candidatePairs(fps: DataFrame, idCol: String,
-      minShared: Int = 2): DataFrame = {
-    val a = fps.select(col(idCol).as("doc_a"), col("fp"))
-    val b = fps.select(col(idCol).as("doc_b"), col("fp"))
+      minShared: Int = 2, maxDf: Int = Int.MaxValue): DataFrame = {
+    val kept =
+      if (maxDf == Int.MaxValue) fps
+      else fps.join(
+        fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("fp"),
+        Seq("fp"))
+    val a = kept.select(col(idCol).as("doc_a"), col("fp"))
+    val b = kept.select(col(idCol).as("doc_b"), col("fp"))
     a.join(b, Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")

@@ -68,6 +68,23 @@ class WinnowSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"fingerprints must not shuffle:\n$plan")
   }
 
+  test("maxDf drops boilerplate fingerprints but keeps true near-dup pairs") {
+    val boiler = "this exact same boilerplate header appears everywhere in all"
+    val unique = "totally distinctive duplicated body paragraph number nine"
+    // 6 docs share the boilerplate; only docs 1 and 2 share the body
+    val docs = (1L to 6L).map { i =>
+      val body = if (i <= 2) unique else s"doc $i body ${"z" * 30} ${i * 7919}"
+      (i, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    val f = Winnow.fingerprints(docs, "doc_id", "text", K, W)
+    val capped = Winnow.candidatePairs(f, "doc_id", minShared = 1, maxDf = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)), s"true dup must survive the cap: $capped")
+    // boilerplate-only pairs (e.g. 3-4) must be gone: their only
+    // shared fingerprints sit in all 6 docs, above maxDf=3
+    assert(!capped.contains((3L, 4L)), s"boilerplate-only pair must drop: $capped")
+  }
+
   test("registry row matches a literal re-derivation on real data") {
     val q = SparkEntry.queries("dedup_substring")(spark, Sf)
     val rows = q.collect()
