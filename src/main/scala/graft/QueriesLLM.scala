@@ -860,7 +860,7 @@ FROM rk WHERE rk <= 5"""))
   }
 
   /** DuckDB integer value of the first 6 hex chars of expression `e`. */
-  private def hex6Sql(e: String): String =
+  private[graft] def hex6Sql(e: String): String =
     (1 to 6).map(i =>
       s"(strpos('0123456789abcdef', substring($e, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
       .mkString("(", " + ", ")")

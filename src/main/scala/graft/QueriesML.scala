@@ -911,6 +911,88 @@ FROM names a JOIN names b
   ON a.blk = b.blk AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 3"""))
 
+  /** E3's hash-checkable twin (the D9/E2b discipline): the PRODUCTION
+    * probe path — [[graft.operators.Ivf.assign]] then
+    * [[graft.operators.Ivf.probe]], byte-identical code to ann_ivf —
+    * but with the trained centroids replaced by md5-derived FIXED unit
+    * vectors (and the query likewise), so every stage — assignment
+    * argmax, nprobe cell ranking, candidate scoring, rounded top-k —
+    * is reproduced by the DuckDB oracle with list arithmetic. The
+    * rows-only E3 check proves recall of the trained index; this row
+    * proves the probe ARITHMETIC the recall spec can't hash. Ties in
+    * the assignment break on the GREATER cell id (Ivf.assign's max_by
+    * struct ordering), mirrored by the oracle's ORDER BY dot DESC,
+    * cell DESC. */
+  private val annIvfOracle = Q(
+    "ann_ivf_oracle",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val cents = s.range(8).toDF("cell")
+        .select(col("cell").cast("int").as("cell"),
+          QueriesLLM.hashEmbed(
+            concat(lit("graft-ivfc-"), col("cell").cast("string")), 64)
+            .as("centroid"))
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          VectorFunctions.normalize(
+            VectorFunctions.toDouble(col("embedding"))).as("e"))
+      val index = graft.operators.Ivf.assign(v, cents, "vec_id", "e", "cell")
+      val query = s.range(1)
+        .select(QueriesLLM.hashEmbed(lit("graft-ivfq-1"), 64).as("q"))
+      graft.operators.Ivf.probe(index, cents, query,
+        "vec_id", "e", "cell", nprobe = 2, k = 10)
+    },
+    Some(s"""WITH cells AS (SELECT unnest(range(0, 8)) AS cell),
+craw AS (
+  SELECT cell, list_transform(range(0, 64), i ->
+    ${QueriesLLM.hex6Sql(
+        "md5('graft-ivfc-' || CAST(cell AS VARCHAR) || ':' || CAST(i AS VARCHAR))")}
+      / 16777216.0 * 2 - 1) AS raw
+  FROM cells),
+c AS (
+  SELECT cell, list_transform(raw, x ->
+    x / sqrt(list_sum(list_transform(raw, y -> y * y)))) AS ce
+  FROM craw),
+qraw AS (
+  SELECT list_transform(range(0, 64), i ->
+    ${QueriesLLM.hex6Sql("md5('graft-ivfq-1:' || CAST(i AS VARCHAR))")}
+      / 16777216.0 * 2 - 1) AS raw),
+q AS (
+  SELECT list_transform(raw, x ->
+    x / sqrt(list_sum(list_transform(raw, y -> y * y)))) AS qe
+  FROM qraw),
+v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v AS (
+  SELECT vec_id, list_transform(e, x ->
+    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0),
+ad AS (
+  SELECT v.vec_id, v.e, c.cell,
+         list_sum(list_transform(generate_series(1, 64), i ->
+           v.e[i] * c.ce[i])) AS dot
+  FROM v CROSS JOIN c),
+asg AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT vec_id, e, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cell DESC) AS rn
+    FROM ad) WHERE rn = 1),
+pc AS (
+  SELECT cell FROM (
+    SELECT c.cell,
+           row_number() OVER (ORDER BY list_sum(list_transform(
+             generate_series(1, 64), i -> q.qe[i] * c.ce[i])) DESC,
+             c.cell) AS rn
+    FROM c CROSS JOIN q) WHERE rn <= 2)
+SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+       round(list_sum(list_transform(generate_series(1, 64), i ->
+         a.e[i] * q.qe[i])), 6) AS cos_sim
+FROM asg a JOIN pc USING (cell) CROSS JOIN q
+ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
+
   val all: Seq[Q] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
     bpeTrain, bpeSegment,
@@ -918,8 +1000,8 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3"""))
     dedupSimhashOracle, dedupEmbedding,
     dedupIncremental, dedupMinhashOracle, dedupIncrementalOracle,
     dedupEmbeddingIncremental, dedupFuzzyNames,
-    annBruteforce, annBucketed, annBucketedOracle, annIvf, annIvfPq,
-    annKnnJoin, annQ8,
+    annBruteforce, annBucketed, annBucketedOracle, annIvf, annIvfOracle,
+    annIvfPq, annKnnJoin, annQ8,
     mmBinaryMeta, mmDecode,
     streamBatchParity)
 }
