@@ -88,6 +88,55 @@ p AS (
 SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
 
+  /** dedup_substring under the D8/D11 incremental split: the corpus
+    * (3/4 of docs) is the standing fingerprint side, the delta (1/4)
+    * probes it — "does this new document copy a span from anything
+    * already ingested?" — plus its own self-join, via
+    * [[graft.operators.Winnow.incrementalPairs]]. Corpus text is
+    * never re-hashed; delta fingerprints broadcast. The oracle is the
+    * FULL winnowing recompute restricted to delta-touching pairs —
+    * the exact-parity contract (WinnowSpec also proves the streamed
+    * two-batch loop converges to this same set). */
+  private val dedupSubstringIncremental = Q(
+    "dedup_substring_incremental",
+    (s, dir) => {
+      val docs = graft.Par.widen(
+        ViewingData.table(s, dir, "documents").select("doc_id", "text"))
+      val fc = graft.operators.Winnow.fingerprints(
+        docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", K, W)
+      val fd = graft.operators.Winnow.fingerprints(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", K, W)
+      graft.operators.Winnow.incrementalPairs(fc, fd, "doc_id",
+        minShared = 2, maxDf = 64)
+    },
+    Some(s"""WITH d AS (
+  SELECT doc_id, text, CAST(len(text) - ${K - 1} AS INTEGER) AS m
+  FROM documents),
+h AS (
+  SELECT doc_id, m,
+         list_transform(
+           CASE WHEN m >= 1 THEN range(1, m + 1) ELSE [] END,
+           i -> ${hexNSql(s"md5(substring(text, CAST(i AS INTEGER), $K))", 12)})
+           AS hs
+  FROM d),
+f AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           CASE WHEN m >= 1 THEN range(1, greatest(m - ${W - 1}, 1) + 1)
+                ELSE [] END,
+           j -> list_min(hs[j:j+${W - 1}])))) AS fp
+  FROM h),
+kept AS (
+  SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 64),
+fk AS (
+  SELECT f.doc_id, f.fp FROM f JOIN kept USING (fp)),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM p GROUP BY 1, 2
+HAVING COUNT(*) >= 2 AND (doc_a % 4 = 0 OR doc_b % 4 = 0)"""))
+
   /** Hashed n-gram importance filtering — the DSIR selection shape
     * (Xie et al. 2023): hash every token into B buckets, estimate a
     * target distribution (here: lang='en' docs) and the raw
@@ -182,5 +231,6 @@ WHERE ${hexNSql("md5('graft-temp-5:' || CAST(d.doc_id AS VARCHAR))", 4)}
         / 65536.0
       < sqrt(CAST(n.n_min AS DOUBLE) / c.n_lang)"""))
 
-  val all: Seq[Q] = Seq(dedupSubstring, corpusDsir, corpusMixTemp)
+  val all: Seq[Q] =
+    Seq(dedupSubstring, dedupSubstringIncremental, corpusDsir, corpusMixTemp)
 }

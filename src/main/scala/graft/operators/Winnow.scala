@@ -55,6 +55,47 @@ object Winnow {
       .select(col(idCol), explode(fps).as("fp"))
   }
 
+  /** Incremental candidate pairs: a DELTA of new documents probes the
+    * STANDING fingerprint table — corpus text is never re-hashed, and
+    * the output is exactly [[candidatePairs]] over the union
+    * RESTRICTED to pairs touching the delta (the D8/D11 incremental
+    * discipline; spec'd equivalent, and the streamed multi-batch loop
+    * converges to the one-shot set). Delta fingerprints broadcast
+    * into the standing scan; within-delta pairs self-join. `maxDf`
+    * document frequencies are taken over the UNION (standing +
+    * delta) at probe time — at production scale the standing side's
+    * (fp, df) aggregate is part of the persisted index manifest and
+    * the union df is an increment, not a rescan. Under a growing
+    * corpus the cap engages the moment a fingerprint's df exceeds
+    * maxDf; pairs emitted while it was still rare stand (the cap is
+    * candidate pruning, not a semantic guarantee), so one-shot
+    * equivalence is exact whenever no fingerprint crosses the cap
+    * between batches — the regime the spec pins. */
+  def incrementalPairs(standing: DataFrame, delta: DataFrame, idCol: String,
+      minShared: Int = 2, maxDf: Int = Int.MaxValue): DataFrame = {
+    val all = standing.select(col(idCol), col("fp"))
+      .unionByName(delta.select(col(idCol), col("fp")))
+    val keep =
+      if (maxDf == Int.MaxValue) null
+      else all.groupBy("fp").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).select("fp")
+    def kept(f: DataFrame) = if (keep == null) f else f.join(keep, Seq("fp"))
+    val d = kept(delta)
+    val oldNew = kept(standing).select(col(idCol).as("__sid"), col("fp"))
+      .join(broadcast(d.select(col(idCol).as("__did"), col("fp"))), Seq("fp"))
+      .select(least(col("__sid"), col("__did")).as("doc_a"),
+        greatest(col("__sid"), col("__did")).as("doc_b"))
+    val a = d.select(col(idCol).as("doc_a"), col("fp"))
+    val b = d.select(col(idCol).as("doc_b"), col("fp"))
+    val newNew = a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    oldNew.unionByName(newNew)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Candidate pairs (a < b) sharing at least `minShared`
     * fingerprints, with the shared count — the verification-ready
     * output (a downstream exact pass confirms/locates the spans).

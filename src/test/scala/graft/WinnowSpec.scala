@@ -85,6 +85,50 @@ class WinnowSpec extends SparkTestBase {
     assert(!capped.contains((3L, 4L)), s"boilerplate-only pair must drop: $capped")
   }
 
+  test("incrementalPairs == one-shot restricted to delta-touching pairs") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text")
+    val all = Winnow.fingerprints(docs, "doc_id", "text", K, W)
+    val oneShot = Winnow.candidatePairs(all, "doc_id", 2, maxDf = 64)
+      .filter(col("doc_a") % 4 === 0 || col("doc_b") % 4 === 0)
+      .as[(Long, Long, Long)].collect().toSet
+    val fc = Winnow.fingerprints(
+      docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", K, W)
+    val fd = Winnow.fingerprints(
+      docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", K, W)
+    val inc = Winnow.incrementalPairs(fc, fd, "doc_id", 2, maxDf = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc == oneShot, s"diff: ${(inc diff oneShot) ++ (oneShot diff inc)}")
+    assert(inc.nonEmpty)
+  }
+
+  test("streamed batches converge to the one-shot delta pair set") {
+    // two micro-batches: each probes standing = corpus + earlier
+    // batches, then its fingerprints append — the foreachBatch loop
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val b1 = docs.filter(col("doc_id") % 8 === 0)
+    val b2 = docs.filter(col("doc_id") % 4 === 0 && col("doc_id") % 8 =!= 0)
+    var standing = Winnow.fingerprints(corpus, "doc_id", "text", K, W)
+      .localCheckpoint()
+    val got = scala.collection.mutable.Set[(Long, Long, Long)]()
+    Seq(b1, b2).foreach { batch =>
+      val fd = Winnow.fingerprints(batch, "doc_id", "text", K, W)
+        .localCheckpoint()
+      got ++= Winnow.incrementalPairs(standing, fd, "doc_id", 2, maxDf = 64)
+        .as[(Long, Long, Long)].collect()
+      standing = standing.unionByName(fd).localCheckpoint()
+    }
+    val oneShot = Winnow.candidatePairs(
+      Winnow.fingerprints(docs, "doc_id", "text", K, W), "doc_id", 2,
+      maxDf = 64)
+      .filter(col("doc_a") % 4 === 0 || col("doc_b") % 4 === 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.toSet == oneShot,
+      s"diff: ${(got.toSet diff oneShot) ++ (oneShot diff got.toSet)}")
+  }
+
   test("registry row matches a literal re-derivation on real data") {
     val q = SparkEntry.queries("dedup_substring")(spark, Sf)
     val rows = q.collect()
