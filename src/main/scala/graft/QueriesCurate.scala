@@ -88,36 +88,98 @@ p AS (
 SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
 
+  /** dedup_substring on the PRODUCTION kernel: the native `winnow_fps`
+    * expression ([[graft.plans.WinnowFpsExpr]]) — rolling polynomial
+    * hash + monotone-deque window minima, one codegen'd O(n) pass per
+    * document instead of one md5 per character position. STILL fully
+    * oracled: the DuckDB twin refolds each k-gram with `list_reduce`
+    * under the same `(h·31 + c) mod 2^31-1` convention plus the final
+    * MINSTD de-biasing mix (see [[graft.functions.WinnowHash]]) and
+    * takes the same window minima — the rolling update is pure
+    * algebra, so the hash values match exactly. Same candidate/cap
+    * pipeline as dedup_substring. */
+  private val dedupSubstringFast = Q(
+    "dedup_substring_fast",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val f = graft.operators.Winnow.fingerprintsFast(
+        graft.Par.widen(
+          ViewingData.table(s, dir, "documents").select("doc_id", "text")),
+        "doc_id", "text", K, W)
+      graft.operators.Winnow.candidatePairs(f, "doc_id", minShared = 2,
+        maxDf = 64)
+    },
+    Some(s"""WITH d AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))
+           AS cs
+  FROM documents),
+g AS (
+  SELECT doc_id, cs, CAST(len(cs) - ${K - 1} AS INTEGER) AS m FROM d),
+h AS (
+  SELECT doc_id, m,
+         list_transform(
+           CASE WHEN m >= 1 THEN range(1, m + 1) ELSE [] END,
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+${K - 1}]),
+                            (h, c) -> (h * 31 + c) % 2147483647)
+                  * 48271 % 2147483647) AS hs
+  FROM g),
+f AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           CASE WHEN m >= 1 THEN range(1, greatest(m - ${W - 1}, 1) + 1)
+                ELSE [] END,
+           j -> list_min(hs[j:j+${W - 1}])))) AS fp
+  FROM h),
+kept AS (
+  SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 64),
+fk AS (
+  SELECT f.doc_id, f.fp FROM f JOIN kept USING (fp)),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
+
   /** dedup_substring under the D8/D11 incremental split: the corpus
     * (3/4 of docs) is the standing fingerprint side, the delta (1/4)
     * probes it — "does this new document copy a span from anything
     * already ingested?" — plus its own self-join, via
     * [[graft.operators.Winnow.incrementalPairs]]. Corpus text is
-    * never re-hashed; delta fingerprints broadcast. The oracle is the
-    * FULL winnowing recompute restricted to delta-touching pairs —
-    * the exact-parity contract (WinnowSpec also proves the streamed
+    * never re-hashed; delta fingerprints broadcast. Runs on the
+    * native `winnow_fps` kernel — the production combination
+    * (incremental probe + rolling hash, the two costs that matter at
+    * 100 TB). The oracle refolds the rolling hash per k-gram and
+    * restricts the FULL recompute to delta-touching pairs — the
+    * exact-parity contract (WinnowSpec also proves the streamed
     * two-batch loop converges to this same set). */
   private val dedupSubstringIncremental = Q(
     "dedup_substring_incremental",
     (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
       val docs = graft.Par.widen(
         ViewingData.table(s, dir, "documents").select("doc_id", "text"))
-      val fc = graft.operators.Winnow.fingerprints(
+      val fc = graft.operators.Winnow.fingerprintsFast(
         docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", K, W)
-      val fd = graft.operators.Winnow.fingerprints(
+      val fd = graft.operators.Winnow.fingerprintsFast(
         docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", K, W)
       graft.operators.Winnow.incrementalPairs(fc, fd, "doc_id",
         minShared = 2, maxDf = 64)
     },
-    Some(s"""WITH d AS (
-  SELECT doc_id, text, CAST(len(text) - ${K - 1} AS INTEGER) AS m
+    Some(s"""WITH d0 AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))
+           AS cs
   FROM documents),
+d AS (
+  SELECT doc_id, cs, CAST(len(cs) - ${K - 1} AS INTEGER) AS m FROM d0),
 h AS (
   SELECT doc_id, m,
          list_transform(
            CASE WHEN m >= 1 THEN range(1, m + 1) ELSE [] END,
-           i -> ${hexNSql(s"md5(substring(text, CAST(i AS INTEGER), $K))", 12)})
-           AS hs
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+${K - 1}]),
+                            (h, c) -> (h * 31 + c) % 2147483647)
+                  * 48271 % 2147483647) AS hs
   FROM d),
 f AS (
   SELECT doc_id,
@@ -232,5 +294,6 @@ WHERE ${hexNSql("md5('graft-temp-5:' || CAST(d.doc_id AS VARCHAR))", 4)}
       < sqrt(CAST(n.n_min AS DOUBLE) / c.n_lang)"""))
 
   val all: Seq[Q] =
-    Seq(dedupSubstring, dedupSubstringIncremental, corpusDsir, corpusMixTemp)
+    Seq(dedupSubstring, dedupSubstringFast, dedupSubstringIncremental,
+      corpusDsir, corpusMixTemp)
 }

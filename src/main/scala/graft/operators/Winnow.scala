@@ -55,17 +55,37 @@ object Winnow {
       .select(col(idCol), explode(fps).as("fp"))
   }
 
+  /** [[fingerprints]] on the native `winnow_fps` kernel
+    * ([[graft.plans.WinnowFpsExpr]]): a rolling polynomial hash +
+    * monotone-deque window minima in ONE codegen'd O(n) pass per
+    * document, versus the md5-per-position expression chain. Same
+    * output contract (distinct fingerprints per doc), different hash
+    * family — candidate SETS agree to the extent two winnowing hash
+    * choices select the same positions (high, spec'd), and both sides
+    * feed the same [[candidatePairs]]. Requires
+    * [[graft.plans.GraftExtensions.register]]. */
+  def fingerprintsFast(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, w: Int = 8): DataFrame =
+    df.select(col(idCol),
+      explode(call_function("winnow_fps", col(textCol), lit(k), lit(w)))
+        .as("fp"))
+
   /** Incremental candidate pairs: a DELTA of new documents probes the
     * STANDING fingerprint table — corpus text is never re-hashed, and
     * the output is exactly [[candidatePairs]] over the union
     * RESTRICTED to pairs touching the delta (the D8/D11 incremental
     * discipline; spec'd equivalent, and the streamed multi-batch loop
-    * converges to the one-shot set). Delta fingerprints broadcast
-    * into the standing scan; within-delta pairs self-join. `maxDf`
-    * document frequencies are taken over the UNION (standing +
-    * delta) at probe time — at production scale the standing side's
-    * (fp, df) aggregate is part of the persisted index manifest and
-    * the union df is an increment, not a rescan. Under a growing
+    * converges to the one-shot set). With a finite `maxDf` the cap,
+    * the standing×delta probe, and the within-delta pairs collapse
+    * into ONE tagged bucket fold (bucket-local pair explode, only
+    * delta-touching pairs kept); without a cap, delta fingerprints
+    * broadcast into the standing scan and within-delta pairs
+    * self-join. `maxDf` document frequencies are taken over the UNION
+    * (standing + delta) at probe time — at production scale the
+    * standing side's (fp, df) aggregate is part of the persisted
+    * index manifest and the union df is an increment, not a rescan,
+    * and the probe keeps the broadcast shape. Under a growing
     * corpus the cap engages the moment a fingerprint's df exceeds
     * maxDf; pairs emitted while it was still rare stand (the cap is
     * candidate pruning, not a semantic guarantee), so one-shot
@@ -73,27 +93,47 @@ object Winnow {
     * between batches — the regime the spec pins. */
   def incrementalPairs(standing: DataFrame, delta: DataFrame, idCol: String,
       minShared: Int = 2, maxDf: Int = Int.MaxValue): DataFrame = {
-    val all = standing.select(col(idCol), col("fp"))
-      .unionByName(delta.select(col(idCol), col("fp")))
-    val keep =
-      if (maxDf == Int.MaxValue) null
-      else all.groupBy("fp").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxDf).select("fp")
-    def kept(f: DataFrame) = if (keep == null) f else f.join(keep, Seq("fp"))
-    val d = kept(delta)
-    val oldNew = kept(standing).select(col(idCol).as("__sid"), col("fp"))
-      .join(broadcast(d.select(col(idCol).as("__did"), col("fp"))), Seq("fp"))
-      .select(least(col("__sid"), col("__did")).as("doc_a"),
-        greatest(col("__sid"), col("__did")).as("doc_b"))
-    val a = d.select(col(idCol).as("doc_a"), col("fp"))
-    val b = d.select(col(idCol).as("doc_b"), col("fp"))
-    val newNew = a.join(b, Seq("fp"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-    oldNew.unionByName(newNew)
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+    if (maxDf == Int.MaxValue) {
+      // unbounded buckets: broadcast-probe shape (collect_list of an
+      // uncapped bucket is an executor-memory hazard)
+      val d = delta.select(col(idCol), col("fp"))
+      val oldNew = standing.select(col(idCol).as("__sid"), col("fp"))
+        .join(broadcast(d.select(col(idCol).as("__did"), col("fp"))), Seq("fp"))
+        .select(least(col("__sid"), col("__did")).as("doc_a"),
+          greatest(col("__sid"), col("__did")).as("doc_b"))
+      val a = d.select(col(idCol).as("doc_a"), col("fp"))
+      val b = d.select(col(idCol).as("doc_b"), col("fp"))
+      val newNew = a.join(b, Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+      oldNew.unionByName(newNew)
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+    } else {
+      // capped buckets: the union's probe-time df, the cap, and BOTH
+      // pair families (standing×delta, delta×delta) collapse into one
+      // tagged bucket fold — pairs explode bucket-locally and keep
+      // only delta-touching ones. One shuffle instead of the df
+      // aggregate + two keep-joins + probe join chain.
+      val all = standing
+        .select(col(idCol).as("__id"), col("fp"), lit(false).as("__d"))
+        .unionByName(delta
+          .select(col(idCol).as("__id"), col("fp"), lit(true).as("__d")))
+      val ids = array_sort(col("__ids"))
+      all.groupBy("fp")
+        .agg(collect_list(struct(col("__id"), col("__d"))).as("__ids"))
+        .filter(size(col("__ids")).between(2, maxDf))
+        .select(explode(flatten(transform(ids, (x, i) =>
+          transform(slice(ids, i + 2, size(ids) - i - 1), y =>
+            struct(x.getField("__id").as("doc_a"),
+              y.getField("__id").as("doc_b"),
+              (x.getField("__d") || y.getField("__d")).as("touch")))))).as("p"))
+        .filter(col("p.touch"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= minShared)
+    }
   }
 
   /** Candidate pairs (a < b) sharing at least `minShared`
@@ -110,16 +150,29 @@ object Winnow {
     * CLUSTERS still pair through their many uncommon fingerprints. */
   def candidatePairs(fps: DataFrame, idCol: String,
       minShared: Int = 2, maxDf: Int = Int.MaxValue): DataFrame = {
-    val kept =
-      if (maxDf == Int.MaxValue) fps
-      else fps.join(
-        fps.groupBy("fp").agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDf).select("fp"),
-        Seq("fp"))
-    val a = kept.select(col(idCol).as("doc_a"), col("fp"))
-    val b = kept.select(col(idCol).as("doc_b"), col("fp"))
-    a.join(b, Seq("fp"))
-      .filter(col("doc_a") < col("doc_b"))
+    val pairs =
+      if (maxDf == Int.MaxValue) {
+        // unbounded buckets: the self-join shape (a collect_list of an
+        // uncapped bucket is an executor-memory hazard)
+        val a = fps.select(col(idCol).as("doc_a"), col("fp"))
+        val b = fps.select(col(idCol).as("doc_b"), col("fp"))
+        a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b")
+      } else {
+        // capped buckets: ONE shuffle folds each fingerprint's ≤maxDf
+        // member list, pairs explode bucket-locally — the df cap, the
+        // dedup of the a/b exchange, and the join all collapse into
+        // the aggregate (~2 shuffles saved vs join-then-filter; the
+        // list is bounded by the cap, so collect_list is safe)
+        val ids = array_sort(col("__ids"))
+        fps.groupBy("fp").agg(collect_list(col(idCol)).as("__ids"))
+          .filter(size(col("__ids")).between(2, maxDf))
+          .select(explode(flatten(transform(ids, (x, i) =>
+            transform(slice(ids, i + 2, size(ids) - i - 1), y =>
+              struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+          .select(col("p.doc_a"), col("p.doc_b"))
+      }
+    pairs
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

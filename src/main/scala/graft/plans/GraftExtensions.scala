@@ -50,6 +50,25 @@ object GraftExtensions {
       new ExpressionInfo(classOf[VecSum].getName, "vec_sum"),
       (children: Seq[Expression]) => VecSum(children(0))),
     (
+      new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFpsExpr].getName, "winnow_fps"),
+      (children: Seq[Expression]) => {
+        // k and w are required plan-time constants: fingerprints are
+        // only comparable across documents under ONE (k, w)
+        def intLit(e: Expression, name: String): Int = e match {
+          case lit if lit.foldable =>
+            lit.eval() match {
+              case i: Int => i
+              case other => throw new IllegalArgumentException(
+                s"winnow_fps: $name must be an int literal, got $other")
+            }
+          case _ => throw new IllegalArgumentException(
+            s"winnow_fps: $name must be a literal")
+        }
+        WinnowFpsExpr(children(0),
+          intLit(children(1), "k"), intLit(children(2), "w"))
+      }),
+    (
       new FunctionIdentifier("vec_argmax_dot"),
       new ExpressionInfo(classOf[VecArgmaxDot].getName, "vec_argmax_dot"),
       (children: Seq[Expression]) =>

@@ -129,6 +129,56 @@ class WinnowSpec extends SparkTestBase {
       s"diff: ${(got.toSet diff oneShot) ++ (oneShot diff got.toSet)}")
   }
 
+  test("rolling hash equals the per-gram refold at every position") {
+    val rnd = new scala.util.Random(7)
+    (1 to 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(120)
+      val s = (1 to n).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+      val m = s.length - K + 1
+      if (m >= 1) {
+        // re-derive fingerprints from independent per-gram refolds
+        val hs = (0 until m).map(i =>
+          graft.functions.WinnowHash.gramHash(s, i, K))
+        val wins = (0 until math.max(m - W + 1, 1)).map(j =>
+          hs.slice(j, j + W).min)
+        val expect = wins.distinct.sorted
+        val got = graft.functions.WinnowHash.fingerprints(s, K, W).toSeq
+        assert(got == expect, s"mismatch for '$s'")
+      } else {
+        assert(graft.functions.WinnowHash.fingerprints(s, K, W).isEmpty)
+      }
+    }
+  }
+
+  test("winnow_fps native expression runs under strict codegen") {
+    graft.plans.GraftExtensions.register(spark)
+    withStrictCodegen {
+      val docs = Seq((1L, "the quick brown fox jumps over the lazy dog body"))
+        .toDF("doc_id", "text")
+      val n = docs.select(explode(call_function("winnow_fps",
+        col("text"), lit(K), lit(W)))).count()
+      assert(n > 0)
+    }
+  }
+
+  test("fast (rolling) flavor finds every strong md5-flavor pair") {
+    graft.plans.GraftExtensions.register(spark)
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text")
+    val md5Strong = Winnow.candidatePairs(
+      Winnow.fingerprints(docs, "doc_id", "text", K, W), "doc_id",
+      minShared = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val fastAll = Winnow.candidatePairs(
+      Winnow.fingerprintsFast(docs, "doc_id", "text", K, W), "doc_id",
+      minShared = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(md5Strong.nonEmpty)
+    val missed = md5Strong diff fastAll
+    assert(missed.isEmpty,
+      s"pairs sharing >=5 md5 winnow fps must share a rolling fp: $missed")
+  }
+
   test("registry row matches a literal re-derivation on real data") {
     val q = SparkEntry.queries("dedup_substring")(spark, Sf)
     val rows = q.collect()
