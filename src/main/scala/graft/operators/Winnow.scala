@@ -136,6 +136,21 @@ object Winnow {
     }
   }
 
+  /** Persist one batch of fingerprints under `path/batch=<id>` —
+    * the [[MinhashDelta]] layout discipline: write-by-batch-dir is
+    * replay-idempotent (an at-least-once foreachBatch overwrites its
+    * own partition instead of appending a second copy). */
+  def writeBatch(fps: DataFrame, path: String, batchId: Long): Unit = {
+    require(batchId >= 0L, s"negative batch ids are reserved, got $batchId")
+    fps.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+  }
+
+  /** The full standing fingerprint index (all batches); `batch` is a
+    * partition column, dropped — probes are batch-agnostic. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path).drop("batch")
+
   /** Candidate pairs (a < b) sharing at least `minShared`
     * fingerprints, with the shared count — the verification-ready
     * output (a downstream exact pass confirms/locates the spans).

@@ -179,6 +179,56 @@ class WinnowSpec extends SparkTestBase {
       s"pairs sharing >=5 md5 winnow fps must share a rolling fp: $missed")
   }
 
+  test("Structured Streaming foreachBatch loop over a persisted index converges") {
+    graft.plans.GraftExtensions.register(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("winstream").toString
+    val idxPath = s"$base/idx"
+    val pairsPath = s"$base/pairs"
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    // standing index exists before the stream starts (user-space id
+    // clear of the stream's 0..N)
+    Winnow.writeBatch(
+      Winnow.fingerprintsFast(corpus, "doc_id", "text", K, W),
+      idxPath, 1000000L)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val deltaIds = docs.filter(col("doc_id") % 4 === 0)
+      .select("doc_id").as[Long].collect().sorted
+    val (half1, half2) = deltaIds.splitAt(deltaIds.length / 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val q = input.toDF().toDF("doc_id").writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val withText = batch.as[Long].collect().toSeq
+          .map(i => (i, texts(i))).toDF("doc_id", "text")
+        val fd = Winnow.fingerprintsFast(withText, "doc_id", "text", K, W)
+          .localCheckpoint()
+        // probe everything indexed SO FAR, then append this batch —
+        // each pair is found exactly once, when its later member lands
+        Winnow.incrementalPairs(
+            Winnow.readIndex(spark, idxPath), fd, "doc_id", 2, maxDf = 64)
+          .write.mode("overwrite").parquet(s"$pairsPath/batch=$id")
+        Winnow.writeBatch(fd, idxPath, id)
+      }
+      .start()
+    try {
+      input.addData(half1: _*); q.processAllAvailable()
+      input.addData(half2: _*); q.processAllAvailable()
+      val streamed = spark.read.parquet(pairsPath)
+        .select("doc_a", "doc_b", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+      val oneShot = Winnow.candidatePairs(
+        Winnow.fingerprintsFast(docs, "doc_id", "text", K, W), "doc_id", 2,
+        maxDf = 64)
+        .filter(col("doc_a") % 4 === 0 || col("doc_b") % 4 === 0)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == oneShot,
+        s"missing=${(oneShot -- streamed).take(5)} extra=${(streamed -- oneShot).take(5)}")
+    } finally q.stop()
+  }
+
   test("registry row matches a literal re-derivation on real data") {
     val q = SparkEntry.queries("dedup_substring")(spark, Sf)
     val rows = q.collect()
