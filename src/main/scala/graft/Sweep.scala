@@ -210,6 +210,28 @@ object Sweep {
               docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
             .write.format("noop").mode("overwrite").save()
         }
+      case "dedup_substring_probe" =>
+        // production increment: the standing winnowing fingerprint
+        // index EXISTS (built once, untimed, persisted); measured =
+        // delta fingerprinting + the tagged bucket-fold probe — the
+        // registry query re-fingerprints the corpus too, which a real
+        // increment never pays
+        graft.plans.GraftExtensions.register(spark)
+        val docs = sweepDocs(spark, work)
+        val path = s"$work/win_index"
+        probeCase(spark, "dedup_substring_probe", factor, path) {
+          operators.Winnow.writeBatch(
+            operators.Winnow.fingerprintsFast(
+              docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text"),
+            path, 0L)
+        } {
+          operators.Winnow.incrementalPairs(
+              operators.Winnow.readIndex(spark, path),
+              operators.Winnow.fingerprintsFast(
+                docs.filter(col("doc_id") % 4 === 0), "doc_id", "text"),
+              "doc_id", minShared = 2, maxDf = 64)
+            .write.format("noop").mode("overwrite").save()
+        }
       case "dedup_point_probe" =>
         // ONLINE shape: one freshly-landed document asks "am I a
         // near-dup of anything in the corpus?". Band hashes are

@@ -317,4 +317,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"fuzzy pairing must be block-bucketed:\n$p")
   }
+
+  test("q_anomaly_mad joins group medians back by broadcast only") {
+    val p = plan("q_anomaly_mad")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"|event_type|-row median tables must broadcast:\n$p")
+  }
+
+  test("dedup_substring_fast is two hash exchanges: bucket fold + pair count") {
+    val p = plan("dedup_substring_fast")
+    // fingerprinting is scan-local; the only hash shuffles are the
+    // fingerprint bucket aggregate and the (doc_a, doc_b) count — the
+    // df-cap join and a/b self-join exchanges were folded away
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no join shuffle in the capped path:\n$p")
+  }
+
+  test("corpus_dsir broadcasts the 64-row contrast table into the token scan") {
+    val p = plan("corpus_dsir")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"bucket-contrast join must broadcast:\n$p")
+  }
 }
