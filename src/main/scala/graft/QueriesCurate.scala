@@ -217,11 +217,16 @@ HAVING COUNT(*) >= 2 AND (doc_a % 4 = 0 OR doc_b % 4 = 0)"""))
       val docs = graft.Par.widen(
         ViewingData.table(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("text")))
+      // the token table is built ONCE (checkpoint) for both consumers
+      // — the bucket-mass aggregate and the per-doc score join — the
+      // text_unigram_logprob discipline
       val toks = docs.select(col("doc_id"), col("lang"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
         .withColumn("b",
           conv(substring(md5(col("tok").cast("binary")), 1, 4), 16, 10)
             .cast("long") % 64)
+        .drop("tok")
+        .localCheckpoint()
       val bt = toks.groupBy("b").agg(
         count(lit(1)).as("r"),
         count(when(col("lang") === "en", 1)).as("t"))
@@ -267,7 +272,10 @@ ORDER BY score DESC, doc_id LIMIT 50"""))
     (s, dir) => {
       val docs = ViewingData.table(s, dir, "documents")
         .select(col("doc_id"), col("lang"))
+      // |langs|-row fold checkpoints so the n_min derivation doesn't
+      // re-aggregate the corpus
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+        .localCheckpoint()
       val nmin = counts.agg(min("n_lang").as("n_min"))
       val withP = docs
         .join(broadcast(counts), "lang")

@@ -26,15 +26,23 @@ object QueriesTs {
     * q_percentile_disc for the convention note): value at position
     * `ceil(p · n)` of the group's sorted multiset. Returns
     * (group, q-value) rows — tiny, meant to be broadcast-joined back. */
-  private def discQuantile(
+  private def discQuantiles(
       df: org.apache.spark.sql.DataFrame, grp: String, v: String,
-      tie: String, p: Double, as: String) = {
+      tie: String, ps: Seq[(Double, String)]) = {
     val w = Window.partitionBy(grp).orderBy(col(v), col(tie))
+    val aggs = ps.map { case (p, as) =>
+      min(when(col("__rn") === ceil(col("__n") * p), col(v))).as(as)
+    }
     df.withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(grp)))
       .groupBy(grp)
-      .agg(min(when(col("__rn") === ceil(col("__n") * p), col(v))).as(as))
+      .agg(aggs.head, aggs.tail: _*)
   }
+
+  private def discQuantile(
+      df: org.apache.spark.sql.DataFrame, grp: String, v: String,
+      tie: String, p: Double, as: String) =
+    discQuantiles(df, grp, v, tie, Seq(p -> as))
 
   /** Robust anomaly detection on daily volumes — median/MAD, the
     * outlier-resistant z-score (a traffic spike can't drag its own
@@ -46,9 +54,13 @@ object QueriesTs {
   private val anomalyMad = Q(
     "q_anomaly_mad",
     (s, dir) => {
+      // ONE raw-feed scan: the folded daily table (groups × days,
+      // control-plane-sized) is checkpointed so the median/MAD
+      // branches don't each re-aggregate 100 TB of events
       val daily = ViewingData.table(s, dir, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val med = discQuantile(daily, "event_type", "n", "day", 0.5, "med")
       val dev = daily.join(broadcast(med), "event_type")
         .withColumn("dev", abs(col("n") - col("med")))
@@ -94,12 +106,12 @@ FROM dev d JOIN mad m USING (event_type)"""))
     (s, dir) => {
       val o = ViewingData.table(s, dir, "orders")
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
-      val lo = discQuantile(o, "o_orderpriority", "o_totalprice", "o_orderkey",
-        0.05, "p05")
-      val hi = discQuantile(o, "o_orderpriority", "o_totalprice", "o_orderkey",
-        0.95, "p95")
-      o.join(broadcast(lo), "o_orderpriority")
-        .join(broadcast(hi), "o_orderpriority")
+      // both clamp bounds from ONE keyed window pass — two scans of
+      // the fact total (bounds + clamped re-aggregate), the floor for
+      // an exact-quantile clamp without caching the fact
+      val bounds = discQuantiles(o, "o_orderpriority", "o_totalprice",
+        "o_orderkey", Seq(0.05 -> "p05", 0.95 -> "p95"))
+      o.join(broadcast(bounds), "o_orderpriority")
         .withColumn("w", greatest(col("p05"), least(col("p95"), col("o_totalprice"))))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"),
@@ -169,9 +181,12 @@ FROM t"""))
   private val xcorr = Q(
     "q_xcorr",
     (s, dir) => {
+      // one raw scan; the folded series checkpoints before the lag
+      // self-join re-reads it from both sides
       val daily = ViewingData.table(s, dir, "events")
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val a = daily.select(col("event_type").as("type_a"),
         col("day").as("day_a"), col("n").as("n_a"))
         .withColumn("lag", explode(sequence(lit(-2), lit(2))))
