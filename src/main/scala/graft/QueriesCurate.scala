@@ -22,22 +22,72 @@ import graft.sources.ViewingData
   */
 object QueriesCurate {
 
-  /** DuckDB integer value of the first `n` hex chars of lambda/expr
-    * `e` (generalizes QueriesLLM's 6-digit form; 12 digits = 48 bits,
-    * still BIGINT-safe). */
-  private def hexNSql(e: String, n: Int): String =
-    (1 to n).map(i =>
-      s"(strpos('0123456789abcdef', substring($e, $i, 1)) - 1) * " +
-        math.pow(16, n - i).toLong)
-      .mkString("(", " + ", ")")
+  /** Shared DuckDB hex fold — one definition for the whole package. */
+  private def hexNSql(e: String, n: Int): String = QueriesLLM.hexNSql(e, n)
 
   // Winnowing parameters: k-gram length and hash-window width. Any
   // substring shared between two documents of length >= k + w - 1
   // (= 23 chars) is GUARANTEED to contribute a shared fingerprint
   // (the winnowing guarantee), at ~2/(w+1) the density of
-  // every-position hashing. See operators.Winnow.
-  private val K = 16
-  private val W = 8
+  // every-position hashing. See operators.Winnow. private[graft] so
+  // Sweep's dedup_substring_probe measures the SAME (k, w) workload
+  // as the registry rows.
+  private[graft] val K = 16
+  private[graft] val W = 8
+
+  /** ONE definition of the winnowing oracle CTE chain (per-position
+    * k-gram hashes → window minima → distinct fingerprints → df≤64
+    * stop-gram cap → bucket pairs) shared by all three
+    * dedup_substring flavors — only the hash CTEs and the final
+    * SELECT differ per row. `rolling = true` refolds the
+    * base-31-mod-2^31−1 + MINSTD-mix hash `WinnowHash` computes;
+    * false is the md5 flavor. */
+  private def winnowCtes(rolling: Boolean): String = {
+    val hash =
+      if (rolling) s"""WITH d0 AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))
+           AS cs
+  FROM documents),
+d AS (
+  SELECT doc_id, cs, CAST(len(cs) - ${K - 1} AS INTEGER) AS m FROM d0),
+h AS (
+  SELECT doc_id, m,
+         list_transform(
+           CASE WHEN m >= 1 THEN range(1, m + 1) ELSE [] END,
+           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+${K - 1}]),
+                            (h, c) -> (h * 31 + c) % 2147483647)
+                  * 48271 % 2147483647) AS hs
+  FROM d)"""
+      else s"""WITH d AS (
+  SELECT doc_id, text, CAST(len(text) - ${K - 1} AS INTEGER) AS m
+  FROM documents),
+h AS (
+  SELECT doc_id, m,
+         list_transform(
+           CASE WHEN m >= 1 THEN range(1, m + 1) ELSE [] END,
+           i -> ${hexNSql(s"md5(substring(text, CAST(i AS INTEGER), $K))", 12)})
+           AS hs
+  FROM d)"""
+    hash + s""",
+f AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           CASE WHEN m >= 1 THEN range(1, greatest(m - ${W - 1}, 1) + 1)
+                ELSE [] END,
+           j -> list_min(hs[j:j+${W - 1}])))) AS fp
+  FROM h),
+kept AS (
+  SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 64),
+fk AS (
+  SELECT f.doc_id, f.fp FROM f JOIN kept USING (fp)),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM p GROUP BY 1, 2
+HAVING COUNT(*) >= 2"""
+  }
 
   /** Substring-duplication detection: winnowing fingerprints per doc,
     * then candidate pairs from fingerprint-bucket equality — never
@@ -61,32 +111,7 @@ object QueriesCurate {
       graft.operators.Winnow.candidatePairs(f, "doc_id", minShared = 2,
         maxDf = 64)
     },
-    Some(s"""WITH d AS (
-  SELECT doc_id, text, CAST(len(text) - ${K - 1} AS INTEGER) AS m
-  FROM documents),
-h AS (
-  SELECT doc_id, m,
-         list_transform(
-           CASE WHEN m >= 1 THEN range(1, m + 1) ELSE [] END,
-           i -> ${hexNSql(s"md5(substring(text, CAST(i AS INTEGER), $K))", 12)})
-           AS hs
-  FROM d),
-f AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-           CASE WHEN m >= 1 THEN range(1, greatest(m - ${W - 1}, 1) + 1)
-                ELSE [] END,
-           j -> list_min(hs[j:j+${W - 1}])))) AS fp
-  FROM h),
-kept AS (
-  SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 64),
-fk AS (
-  SELECT f.doc_id, f.fp FROM f JOIN kept USING (fp)),
-p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
-FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
+    Some(winnowCtes(rolling = false)))
 
   /** dedup_substring on the PRODUCTION kernel: the native `winnow_fps`
     * expression ([[graft.plans.WinnowFpsExpr]]) — rolling polynomial
@@ -109,37 +134,7 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
       graft.operators.Winnow.candidatePairs(f, "doc_id", minShared = 2,
         maxDf = 64)
     },
-    Some(s"""WITH d AS (
-  SELECT doc_id,
-         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))
-           AS cs
-  FROM documents),
-g AS (
-  SELECT doc_id, cs, CAST(len(cs) - ${K - 1} AS INTEGER) AS m FROM d),
-h AS (
-  SELECT doc_id, m,
-         list_transform(
-           CASE WHEN m >= 1 THEN range(1, m + 1) ELSE [] END,
-           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+${K - 1}]),
-                            (h, c) -> (h * 31 + c) % 2147483647)
-                  * 48271 % 2147483647) AS hs
-  FROM g),
-f AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-           CASE WHEN m >= 1 THEN range(1, greatest(m - ${W - 1}, 1) + 1)
-                ELSE [] END,
-           j -> list_min(hs[j:j+${W - 1}])))) AS fp
-  FROM h),
-kept AS (
-  SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 64),
-fk AS (
-  SELECT f.doc_id, f.fp FROM f JOIN kept USING (fp)),
-p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
-FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
+    Some(winnowCtes(rolling = true)))
 
   /** dedup_substring under the D8/D11 incremental split: the corpus
     * (3/4 of docs) is the standing fingerprint side, the delta (1/4)
@@ -166,38 +161,8 @@ FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2"""))
       graft.operators.Winnow.incrementalPairs(fc, fd, "doc_id",
         minShared = 2, maxDf = 64)
     },
-    Some(s"""WITH d0 AS (
-  SELECT doc_id,
-         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))
-           AS cs
-  FROM documents),
-d AS (
-  SELECT doc_id, cs, CAST(len(cs) - ${K - 1} AS INTEGER) AS m FROM d0),
-h AS (
-  SELECT doc_id, m,
-         list_transform(
-           CASE WHEN m >= 1 THEN range(1, m + 1) ELSE [] END,
-           i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+${K - 1}]),
-                            (h, c) -> (h * 31 + c) % 2147483647)
-                  * 48271 % 2147483647) AS hs
-  FROM d),
-f AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-           CASE WHEN m >= 1 THEN range(1, greatest(m - ${W - 1}, 1) + 1)
-                ELSE [] END,
-           j -> list_min(hs[j:j+${W - 1}])))) AS fp
-  FROM h),
-kept AS (
-  SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 64),
-fk AS (
-  SELECT f.doc_id, f.fp FROM f JOIN kept USING (fp)),
-p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
-FROM p GROUP BY 1, 2
-HAVING COUNT(*) >= 2 AND (doc_a % 4 = 0 OR doc_b % 4 = 0)"""))
+    Some(winnowCtes(rolling = true) +
+      " AND (doc_a % 4 = 0 OR doc_b % 4 = 0)"))
 
   /** Hashed n-gram importance filtering — the DSIR selection shape
     * (Xie et al. 2023): hash every token into B buckets, estimate a

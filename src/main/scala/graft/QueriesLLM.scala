@@ -859,11 +859,15 @@ FROM rk WHERE rk <= 5"""))
     transform(raw, x => x / norm)
   }
 
-  /** DuckDB integer value of the first 6 hex chars of expression `e`. */
-  private[graft] def hex6Sql(e: String): String =
-    (1 to 6).map(i =>
-      s"(strpos('0123456789abcdef', substring($e, $i, 1)) - 1) * ${math.pow(16, 6 - i).toLong}")
+  /** DuckDB integer value of the first `n` hex chars of expression
+    * `e` (12 digits = 48 bits, still BIGINT-safe). */
+  private[graft] def hexNSql(e: String, n: Int): String =
+    (1 to n).map(i =>
+      s"(strpos('0123456789abcdef', substring($e, $i, 1)) - 1) * ${math.pow(16, n - i).toLong}")
       .mkString("(", " + ", ")")
+
+  /** DuckDB integer value of the first 6 hex chars of expression `e`. */
+  private[graft] def hex6Sql(e: String): String = hexNSql(e, 6)
 
   private val chunkEmbed = Q(
     "q_chunk_embed",

@@ -219,16 +219,21 @@ object Sweep {
         graft.plans.GraftExtensions.register(spark)
         val docs = sweepDocs(spark, work)
         val path = s"$work/win_index"
+        // (k, w) taken from the registry rows' single definition so a
+        // tuning there can't silently leave this measuring a
+        // different workload
         probeCase(spark, "dedup_substring_probe", factor, path) {
           operators.Winnow.writeBatch(
             operators.Winnow.fingerprintsFast(
-              docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text"),
+              docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text",
+              QueriesCurate.K, QueriesCurate.W),
             path, 0L)
         } {
           operators.Winnow.incrementalPairs(
               operators.Winnow.readIndex(spark, path),
               operators.Winnow.fingerprintsFast(
-                docs.filter(col("doc_id") % 4 === 0), "doc_id", "text"),
+                docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+                QueriesCurate.K, QueriesCurate.W),
               "doc_id", minShared = 2, maxDf = 64)
             .write.format("noop").mode("overwrite").save()
         }

@@ -64,26 +64,32 @@ object WinnowHash {
       hs(i) = h * Mix % M
       i += 1
     }
-    // sliding window minima, monotone deque over indices
-    val nWin = math.max(m - w + 1, 1)
+    // sliding window minima, monotone deque over indices; minima land
+    // in a primitive scratch buffer — sort + in-place dedupe gives the
+    // sorted-distinct result with zero boxing (this runs per row
+    // inside the codegen'd scan)
     val wEff = math.min(w, m)
     val deque = new Array[Int](m)
     var head = 0
     var tail = 0 // [head, tail)
-    val out = new java.util.TreeSet[java.lang.Long]()
+    val mins = new Array[Long](math.max(m - wEff + 1, 1))
+    var nMin = 0
     i = 0
     while (i < m) {
       while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
       deque(tail) = i; tail += 1
       if (deque(head) <= i - wEff) head += 1
-      if (i >= wEff - 1) out.add(hs(deque(head)))
+      if (i >= wEff - 1) { mins(nMin) = hs(deque(head)); nMin += 1 }
       i += 1
     }
-    val res = new Array[Long](out.size)
-    val it = out.iterator()
+    java.util.Arrays.sort(mins, 0, nMin)
+    var nOut = 0
     i = 0
-    while (it.hasNext) { res(i) = it.next(); i += 1 }
-    res
+    while (i < nMin) {
+      if (nOut == 0 || mins(nOut - 1) != mins(i)) { mins(nOut) = mins(i); nOut += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOfRange(mins, 0, nOut)
   }
 
   /** Reference refold of one k-gram (test oracle for the rolling

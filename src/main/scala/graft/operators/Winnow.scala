@@ -93,11 +93,19 @@ object Winnow {
     * between batches — the regime the spec pins. */
   def incrementalPairs(standing: DataFrame, delta: DataFrame, idCol: String,
       minShared: Int = 2, maxDf: Int = Int.MaxValue): DataFrame = {
+    // a replayed at-least-once batch arrives with its docs ALREADY in
+    // the standing index — those standing rows are the same documents,
+    // not neighbors: pairing against them yields self-pairs, double
+    // counts, and cap-busting duplicate bucket members. Dropping the
+    // delta's ids from the standing side makes a replay reproduce its
+    // original output exactly (the Ivf.nearDupProbe absorb discipline).
+    val standing0 = standing.join(
+      delta.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
     if (maxDf == Int.MaxValue) {
       // unbounded buckets: broadcast-probe shape (collect_list of an
       // uncapped bucket is an executor-memory hazard)
       val d = delta.select(col(idCol), col("fp"))
-      val oldNew = standing.select(col(idCol).as("__sid"), col("fp"))
+      val oldNew = standing0.select(col(idCol).as("__sid"), col("fp"))
         .join(broadcast(d.select(col(idCol).as("__did"), col("fp"))), Seq("fp"))
         .select(least(col("__sid"), col("__did")).as("doc_a"),
           greatest(col("__sid"), col("__did")).as("doc_b"))
@@ -116,7 +124,7 @@ object Winnow {
       // tagged bucket fold — pairs explode bucket-locally and keep
       // only delta-touching ones. One shuffle instead of the df
       // aggregate + two keep-joins + probe join chain.
-      val all = standing
+      val all = standing0
         .select(col(idCol).as("__id"), col("fp"), lit(false).as("__d"))
         .unionByName(delta
           .select(col(idCol).as("__id"), col("fp"), lit(true).as("__d")))

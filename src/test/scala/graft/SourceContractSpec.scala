@@ -124,4 +124,20 @@ class SourceContractSpec extends SparkTestBase {
     }
     assert(loaded == raw, s"loaded instant $loaded != raw wall-clock-as-UTC $raw")
   }
+
+  test("documents.text is ASCII — the substring-row oracle contract") {
+    // The dedup_substring_fast/incremental oracles restate WinnowHash's
+    // code-point iteration with DuckDB's string_split(text, '') +
+    // ascii(); the two tokenizations are only guaranteed to agree on
+    // ASCII (combining sequences / grapheme clustering could diverge).
+    // Pin the corpus property so a generator drift to non-ASCII text
+    // fails HERE, not as an opaque hash mismatch three stages deep.
+    import org.apache.spark.sql.functions._
+    sfDirs.foreach { dir =>
+      val nonAscii = ViewingData.table(spark, dir, "documents")
+        .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+      assert(nonAscii == 0,
+        s"$dir: $nonAscii non-ASCII docs — revisit the substring-row oracles")
+    }
+  }
 }

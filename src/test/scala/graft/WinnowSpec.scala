@@ -229,6 +229,28 @@ class WinnowSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("a replayed batch (docs already standing) reproduces its original pairs") {
+    // at-least-once crash shape: the batch's fingerprints landed in the
+    // standing index, the stream restarts, the batch re-probes — its
+    // stale standing rows must NOT self-pair or double-count
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val delta = docs.filter(col("doc_id") % 4 === 0)
+    val fc = Winnow.fingerprints(corpus, "doc_id", "text", K, W)
+      .localCheckpoint()
+    val fd = Winnow.fingerprints(delta, "doc_id", "text", K, W)
+      .localCheckpoint()
+    val original = Winnow.incrementalPairs(fc, fd, "doc_id", 2, maxDf = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    val replayed = Winnow.incrementalPairs(
+        fc.unionByName(fd), fd, "doc_id", 2, maxDf = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(replayed == original,
+      s"diff: ${(replayed diff original).take(5)} ${(original diff replayed).take(5)}")
+    assert(!replayed.exists(p => p._1 == p._2), "no self-pairs")
+  }
+
   test("registry row matches a literal re-derivation on real data") {
     val q = SparkEntry.queries("dedup_substring")(spark, Sf)
     val rows = q.collect()
