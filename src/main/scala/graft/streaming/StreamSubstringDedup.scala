@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.Winnow
+
+/** Always-on substring-level dedup: each micro-batch of new documents
+  * probes the persisted winnowing fingerprint index ("did anything
+  * just ingested copy a span from anything already standing?"), writes
+  * its candidate pairs, then appends its own fingerprints — the
+  * probe-then-append loop MinhashDelta and IvfPq run for their
+  * families, on the [[graft.operators.Winnow]] substring family.
+  *
+  * Both writes are overwrite-by-batch-dir, so an at-least-once replay
+  * replaces exactly its own output; the replayed batch's fingerprints
+  * already standing in the index are absorbed by
+  * [[Winnow.incrementalPairs]]'s delta-id guard (the replay reproduces
+  * its original pairs — spec'd). Each near-dup pair is found exactly
+  * once, when its later member arrives.
+  */
+object StreamSubstringDedup {
+
+  /** Returns a (batchDF, batchId) function for
+    * `writeStream.foreachBatch`. `batch` must carry (`idCol`: long,
+    * `textCol`: string). Requires
+    * [[graft.plans.GraftExtensions.register]] on the session (the
+    * native `winnow_fps` kernel). Seed the standing corpus with
+    * [[Winnow.writeBatch]] under an id clear of the stream's 0..N. */
+  def probeThenAppendParquet(
+      indexPath: String, pairsPath: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 16, w: Int = 8,
+      minShared: Int = 2, maxDf: Int = 64)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fd = Winnow.fingerprintsFast(batch, idCol, textCol, k, w)
+      .localCheckpoint()
+    try {
+      Winnow.incrementalPairs(
+          Winnow.readIndex(spark, indexPath), fd, idCol, minShared, maxDf)
+        .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
+      Winnow.writeBatch(fd, indexPath, batchId)
+    } finally fd.unpersist(blocking = false)
+  }
+}

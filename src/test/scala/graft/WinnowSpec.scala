@@ -198,19 +198,14 @@ class WinnowSpec extends SparkTestBase {
       .select("doc_id").as[Long].collect().sorted
     val (half1, half2) = deltaIds.splitAt(deltaIds.length / 2)
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val sink = graft.streaming.StreamSubstringDedup.probeThenAppendParquet(
+      idxPath, pairsPath, k = K, w = W, minShared = 2, maxDf = 64) _
     val q = input.toDF().toDF("doc_id").writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         val withText = batch.as[Long].collect().toSeq
           .map(i => (i, texts(i))).toDF("doc_id", "text")
-        val fd = Winnow.fingerprintsFast(withText, "doc_id", "text", K, W)
-          .localCheckpoint()
-        // probe everything indexed SO FAR, then append this batch —
-        // each pair is found exactly once, when its later member lands
-        Winnow.incrementalPairs(
-            Winnow.readIndex(spark, idxPath), fd, "doc_id", 2, maxDf = 64)
-          .write.mode("overwrite").parquet(s"$pairsPath/batch=$id")
-        Winnow.writeBatch(fd, idxPath, id)
+        sink(withText, id)
       }
       .start()
     try {
