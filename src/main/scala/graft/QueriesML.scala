@@ -993,6 +993,88 @@ SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
 FROM asg a JOIN pc USING (cell) CROSS JOIN q
 ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
 
+  /** First-6-hex-chars md5 fraction in [-1, 1) — the SAME value
+    * DuckDB's hex-fold of md5 yields, computed driver-side (codebooks
+    * and query vectors are control-plane metadata). */
+  private def md5Unit(seed: String): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(seed.getBytes("UTF-8"))
+    val hex6 = d.take(3).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex6, 16).toDouble / 16777216.0 * 2 - 1
+  }
+
+  /** E6/E7's hash-checkable twin (the E3b discipline): the PRODUCTION
+    * PQ path — [[graft.operators.Pq.encode]] (native argmaxDot L2
+    * argmin against literal codebooks) then [[graft.operators.Pq
+    * .adcTopK]] (driver-built m×k LUT, per-row `Σ lut[s][code]`
+    * scoring, zero join/shuffle) — with the TRAINED codebooks replaced
+    * by md5-derived fixed entries and an md5-derived query, so the
+    * whole quantize-and-score arithmetic (per-segment objective
+    * `v_s·c − ‖c‖²/2`, first-max tie to the smallest code, LUT sum,
+    * rounded top-k) is reproduced by the DuckDB oracle. PqSpec's
+    * recall floors prove the TRAINED index; this row proves the
+    * ARITHMETIC those floors ride on. */
+  private val annPqOracle = Q(
+    "ann_pq_oracle",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val m = 8; val kCodes = 16; val segLen = 8
+      val books = for { sg <- 0 until m; c <- 0 until kCodes } yield
+        (sg, c, (0 until segLen).map(i => md5Unit(s"graft-pqcb-$sg-$c:$i")))
+      import s.implicits._
+      val cb = books.toDF("seg", "code", "centroid")
+      val qv = (0 until m * segLen).map(i => md5Unit(s"graft-pqq-1:$i"))
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          VectorFunctions.normalize(
+            VectorFunctions.toDouble(col("embedding"))).as("e"))
+      val codes = graft.operators.Pq.encode(v, cb, "vec_id", "e", m)
+      graft.operators.Pq.adcTopK(s, codes, cb, qv, "vec_id", m, k = 10)
+    },
+    Some(s"""WITH cb AS (
+  SELECT sg.s AS s, cc.c AS c,
+         list_transform(range(0, 8), i ->
+           ${QueriesLLM.hex6Sql(
+             "md5('graft-pqcb-' || sg.s || '-' || cc.c || ':' || i)")}
+             / 16777216.0 * 2 - 1) AS cent
+  FROM (SELECT unnest(range(0, 8)) AS s) sg
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS c) cc),
+q AS (
+  SELECT list_transform(range(0, 64), i ->
+    ${QueriesLLM.hex6Sql("md5('graft-pqq-1:' || i)")}
+      / 16777216.0 * 2 - 1) AS qe),
+v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v AS (
+  SELECT vec_id, list_transform(e, x ->
+    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0),
+enc AS (
+  SELECT v.vec_id, cb.s, cb.c,
+         list_sum(list_transform(generate_series(1, 8), i ->
+           v.e[CAST(cb.s * 8 + i AS INT)] * cb.cent[CAST(i AS INT)]))
+           - list_sum(list_transform(cb.cent, x -> x * x)) / 2 AS obj
+  FROM v CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY obj DESC, c) AS rn
+    FROM enc) WHERE rn = 1),
+sc AS (
+  SELECT codes.vec_id,
+         SUM(list_sum(list_transform(generate_series(1, 8), i ->
+           q.qe[CAST(codes.s * 8 + i AS INT)] * cb.cent[CAST(i AS INT)])))
+           AS score
+  FROM codes
+  JOIN cb ON cb.s = codes.s AND cb.c = codes.c
+  CROSS JOIN q
+  GROUP BY 1)
+SELECT vec_id, round(score, 6) AS adc_score
+FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
+
   val all: Seq[Q] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
     bpeTrain, bpeSegment,
@@ -1001,7 +1083,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
     dedupIncremental, dedupMinhashOracle, dedupIncrementalOracle,
     dedupEmbeddingIncremental, dedupFuzzyNames,
     annBruteforce, annBucketed, annBucketedOracle, annIvf, annIvfOracle,
-    annIvfPq, annKnnJoin, annQ8,
+    annIvfPq, annKnnJoin, annPqOracle, annQ8,
     mmBinaryMeta, mmDecode,
     streamBatchParity)
 }
