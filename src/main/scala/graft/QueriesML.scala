@@ -1075,6 +1075,144 @@ sc AS (
 SELECT vec_id, round(score, 6) AS adc_score
 FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
 
+  /** The COMPOSED index's twin — E7's residual arithmetic under fixed
+    * quantizers: [[graft.operators.Ivf.assign]] against md5-derived
+    * unit centroids, residual `e − c`, [[graft.operators.Pq.encode]]
+    * of the residuals, then the IVF-PQ probe identity
+    * `q·x ≈ q·c + Σ lut[s][code]` over the nprobe=2 driver-ranked
+    * cells via [[graft.operators.Pq.adcScore]] — the same primitives
+    * `IvfPq.writeIndex`/`probe` compose, with trained quantizers
+    * swapped for hash-derived ones so DuckDB reproduces assignment,
+    * residual, per-segment argmin, cell ranking, LUT sum and the
+    * rounded top-k. With E3b and E6b this closes the LAST unhashed
+    * arithmetic in the ANN family: the composition itself. */
+  private val annIvfPqOracle = Q(
+    "ann_ivfpq_oracle",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      import s.implicits._
+      val m = 8; val kCodes = 16; val segLen = 8; val dim = 64
+      def unitVec(tag: String, d: Int): Seq[Double] = {
+        val raw = (0 until d).map(i => md5Unit(s"$tag:$i"))
+        val norm = math.sqrt(raw.map(x => x * x).sum)
+        raw.map(_ / norm)
+      }
+      val centSeq = (0 until 8).map(cl => (cl, unitVec(s"graft-ivfc-$cl", dim)))
+      val cents = centSeq.toDF("cell", "centroid")
+      val books = for { sg <- 0 until m; c <- 0 until kCodes } yield
+        (sg, c, (0 until segLen).map(i => md5Unit(s"graft-pqcb-$sg-$c:$i")))
+      val cb = books.toDF("seg", "code", "centroid")
+      val qn = unitVec("graft-ivfq-1", dim)
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          VectorFunctions.normalize(
+            VectorFunctions.toDouble(col("embedding"))).as("e"))
+      val assigned = graft.operators.Ivf.assign(v, cents, "vec_id", "e", "cell")
+      val withRes = assigned
+        .join(broadcast(cents), "cell")
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("e"), col("centroid"), (a, b) => a - b).as("r"))
+      val codes = graft.operators.Pq.encode(withRes, cb, "vec_id", "r", m,
+        carry = Seq("cell"))
+      // driver-ranked probe cells + their q·c terms (control plane)
+      val ranked = centSeq
+        .map { case (cl, ce) =>
+          (cl, qn.zip(ce).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (cl, d0) => (-d0, cl) }
+        .take(2)
+      val qdotc = ranked.map { case (cl, d0) =>
+        when(col("cell") === cl, lit(d0)) }
+        .reduce(_ otherwise _)
+      codes.filter(col("cell").isin(ranked.map(_._1): _*))
+        .select(col("vec_id"), col("cell"),
+          round(qdotc + graft.operators.Pq.adcScore(cb, qn, m), 6)
+            .as("adc_score"))
+        .orderBy(col("adc_score").desc, col("vec_id")).limit(10)
+    },
+    Some(s"""WITH cells AS (SELECT unnest(range(0, 8)) AS cell),
+craw AS (
+  SELECT cell, list_transform(range(0, 64), i ->
+    ${QueriesLLM.hex6Sql(
+        "md5('graft-ivfc-' || CAST(cell AS VARCHAR) || ':' || CAST(i AS VARCHAR))")}
+      / 16777216.0 * 2 - 1) AS raw
+  FROM cells),
+c AS (
+  SELECT cell, list_transform(raw, x ->
+    x / sqrt(list_sum(list_transform(raw, y -> y * y)))) AS ce
+  FROM craw),
+cb AS (
+  SELECT sg.s AS s, cc.c AS c,
+         list_transform(range(0, 8), i ->
+           ${QueriesLLM.hex6Sql(
+             "md5('graft-pqcb-' || sg.s || '-' || cc.c || ':' || i)")}
+             / 16777216.0 * 2 - 1) AS cent
+  FROM (SELECT unnest(range(0, 8)) AS s) sg
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS c) cc),
+qraw AS (
+  SELECT list_transform(range(0, 64), i ->
+    ${QueriesLLM.hex6Sql("md5('graft-ivfq-1:' || CAST(i AS VARCHAR))")}
+      / 16777216.0 * 2 - 1) AS raw),
+q AS (
+  SELECT list_transform(raw, x ->
+    x / sqrt(list_sum(list_transform(raw, y -> y * y)))) AS qe
+  FROM qraw),
+v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v AS (
+  SELECT vec_id, list_transform(e, x ->
+    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0),
+ad AS (
+  SELECT v.vec_id, v.e, c.cell,
+         list_sum(list_transform(generate_series(1, 64), i ->
+           v.e[i] * c.ce[i])) AS dot
+  FROM v CROSS JOIN c),
+asg AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT vec_id, e, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cell DESC) AS rn
+    FROM ad) WHERE rn = 1),
+res AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(generate_series(1, 64), i -> a.e[i] - c.ce[i]) AS r
+  FROM asg a JOIN c USING (cell)),
+enc AS (
+  SELECT res.vec_id, res.cell, cb.s, cb.c,
+         list_sum(list_transform(generate_series(1, 8), i ->
+           res.r[CAST(cb.s * 8 + i AS INT)] * cb.cent[CAST(i AS INT)]))
+           - list_sum(list_transform(cb.cent, x -> x * x)) / 2 AS obj
+  FROM res CROSS JOIN cb),
+codes AS (
+  SELECT vec_id, cell, s, c FROM (
+    SELECT vec_id, cell, s, c,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY obj DESC, c) AS rn
+    FROM enc) WHERE rn = 1),
+pc AS (
+  SELECT cell, qd FROM (
+    SELECT c.cell,
+           list_sum(list_transform(generate_series(1, 64), i ->
+             q.qe[i] * c.ce[i])) AS qd,
+           row_number() OVER (ORDER BY list_sum(list_transform(
+             generate_series(1, 64), i -> q.qe[i] * c.ce[i])) DESC,
+             c.cell) AS rn
+    FROM c CROSS JOIN q) WHERE rn <= 2),
+sc AS (
+  SELECT codes.vec_id, codes.cell,
+         MIN(pc.qd) + SUM(list_sum(list_transform(generate_series(1, 8), i ->
+           q.qe[CAST(codes.s * 8 + i AS INT)] * cb.cent[CAST(i AS INT)])))
+           AS score
+  FROM codes
+  JOIN pc ON pc.cell = codes.cell
+  JOIN cb ON cb.s = codes.s AND cb.c = codes.c
+  CROSS JOIN q
+  GROUP BY 1, 2)
+SELECT vec_id, CAST(cell AS INTEGER) AS cell, round(score, 6) AS adc_score
+FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
+
   val all: Seq[Q] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
     bpeTrain, bpeSegment,
@@ -1083,7 +1221,7 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
     dedupIncremental, dedupMinhashOracle, dedupIncrementalOracle,
     dedupEmbeddingIncremental, dedupFuzzyNames,
     annBruteforce, annBucketed, annBucketedOracle, annIvf, annIvfOracle,
-    annIvfPq, annKnnJoin, annPqOracle, annQ8,
+    annIvfPq, annIvfPqOracle, annKnnJoin, annPqOracle, annQ8,
     mmBinaryMeta, mmDecode,
     streamBatchParity)
 }

@@ -145,8 +145,12 @@ object Pq {
     * partition predicate), so scoring is `Σ_s lut[s][codes[s]]` — a
     * per-row expression over the codes table with NO join and NO
     * shuffle before the final distributed top-k. */
-  def adcTopK(spark: SparkSession, codes: DataFrame, codebooks: DataFrame,
-      queryVec: Seq[Double], idCol: String, m: Int, k: Int): DataFrame = {
+  /** The ADC scoring EXPRESSION over a `codes array<int>` column:
+    * `Σ_s lut[s][codes[s]]` with the m×k LUT built driver-side from
+    * the codebooks and query and shipped as a literal. Exposed so
+    * composed indexes (IVF-PQ: `q·c + adcScore` over residual codes)
+    * reuse the exact same arithmetic [[adcTopK]] scores with. */
+  def adcScore(codebooks: DataFrame, queryVec: Seq[Double], m: Int): Column = {
     val d = queryVec.length
     val segLen = d / m
     val lut: Map[(Int, Int), Double] = codebooks
@@ -161,10 +165,14 @@ object Pq {
         .map(c => lut.getOrElse((s, c), Double.NegativeInfinity))
       array(row.map(lit): _*)
     }: _*)
-    val score = (0 until m)
+    (0 until m)
       .map(s => element_at(element_at(lutLit, s + 1), col("codes")(s) + 1))
       .reduce(_ + _)
-    codes.select(col(idCol), round(score, 6).as("adc_score"))
-      .orderBy(col("adc_score").desc, col(idCol)).limit(k)
   }
+
+  def adcTopK(spark: SparkSession, codes: DataFrame, codebooks: DataFrame,
+      queryVec: Seq[Double], idCol: String, m: Int, k: Int): DataFrame =
+    codes.select(col(idCol),
+        round(adcScore(codebooks, queryVec, m), 6).as("adc_score"))
+      .orderBy(col("adc_score").desc, col(idCol)).limit(k)
 }
