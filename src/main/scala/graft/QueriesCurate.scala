@@ -42,7 +42,7 @@ object QueriesCurate {
     * SELECT differ per row. `rolling = true` refolds the
     * base-31-mod-2^31−1 + MINSTD-mix hash `WinnowHash` computes;
     * false is the md5 flavor. */
-  private def winnowCtes(rolling: Boolean): String = {
+  private def winnowCtes(rolling: Boolean, havingExtra: String = ""): String = {
     val hash =
       if (rolling) s"""WITH d0 AS (
   SELECT doc_id,
@@ -86,7 +86,7 @@ p AS (
   FROM fk a JOIN fk b ON a.fp = b.fp AND a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
 FROM p GROUP BY 1, 2
-HAVING COUNT(*) >= 2"""
+HAVING COUNT(*) >= 2$havingExtra"""
   }
 
   /** Substring-duplication detection: winnowing fingerprints per doc,
@@ -159,10 +159,11 @@ HAVING COUNT(*) >= 2"""
       val fd = graft.operators.Winnow.fingerprintsFast(
         docs.filter(col("doc_id") % 4 === 0), "doc_id", "text", K, W)
       graft.operators.Winnow.incrementalPairs(fc, fd, "doc_id",
-        minShared = 2, maxDf = 64)
+        minShared = 2, maxDf = 64,
+        absorbReplays = false) // %4 split is disjoint by construction
     },
-    Some(winnowCtes(rolling = true) +
-      " AND (doc_a % 4 = 0 OR doc_b % 4 = 0)"))
+    Some(winnowCtes(rolling = true,
+      havingExtra = " AND (doc_a % 4 = 0 OR doc_b % 4 = 0)")))
 
   /** Hashed n-gram importance filtering — the DSIR selection shape
     * (Xie et al. 2023): hash every token into B buckets, estimate a

@@ -1003,6 +1003,17 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
     java.lang.Long.parseLong(hex6, 16).toDouble / 16777216.0 * 2 - 1
   }
 
+  /** ONE definition of the fixed md5-derived PQ codebooks shared by
+    * the PQ and IVF-PQ oracle rows — the seed strings must stay
+    * identical for the oracles' shared-codebook story. */
+  private def md5Codebooks(s: org.apache.spark.sql.SparkSession,
+      m: Int, kCodes: Int, segLen: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    (for { sg <- 0 until m; c <- 0 until kCodes } yield
+      (sg, c, (0 until segLen).map(i => md5Unit(s"graft-pqcb-$sg-$c:$i"))))
+      .toDF("seg", "code", "centroid")
+  }
+
   /** E6/E7's hash-checkable twin (the E3b discipline): the PRODUCTION
     * PQ path — [[graft.operators.Pq.encode]] (native argmaxDot L2
     * argmin against literal codebooks) then [[graft.operators.Pq
@@ -1019,10 +1030,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
     (s, dir) => {
       graft.plans.GraftExtensions.register(s)
       val m = 8; val kCodes = 16; val segLen = 8
-      val books = for { sg <- 0 until m; c <- 0 until kCodes } yield
-        (sg, c, (0 until segLen).map(i => md5Unit(s"graft-pqcb-$sg-$c:$i")))
-      import s.implicits._
-      val cb = books.toDF("seg", "code", "centroid")
+      val cb = md5Codebooks(s, m, kCodes, segLen)
       val qv = (0 until m * segLen).map(i => md5Unit(s"graft-pqq-1:$i"))
       val v = ViewingData.table(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
@@ -1099,9 +1107,7 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
       }
       val centSeq = (0 until 8).map(cl => (cl, unitVec(s"graft-ivfc-$cl", dim)))
       val cents = centSeq.toDF("cell", "centroid")
-      val books = for { sg <- 0 until m; c <- 0 until kCodes } yield
-        (sg, c, (0 until segLen).map(i => md5Unit(s"graft-pqcb-$sg-$c:$i")))
-      val cb = books.toDF("seg", "code", "centroid")
+      val cb = md5Codebooks(s, m, kCodes, segLen)
       val qn = unitVec("graft-ivfq-1", dim)
       val v = ViewingData.table(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
@@ -1121,9 +1127,10 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
           (cl, qn.zip(ce).map { case (a, b) => a * b }.sum) }
         .sortBy { case (cl, d0) => (-d0, cl) }
         .take(2)
-      val qdotc = ranked.map { case (cl, d0) =>
-        when(col("cell") === cl, lit(d0)) }
-        .reduce(_ otherwise _)
+      // coalesce over one when() per probed cell — safe for any nprobe
+      // (chained .otherwise throws past two branches)
+      val qdotc = coalesce(ranked.map { case (cl, d0) =>
+        when(col("cell") === cl, lit(d0)) }: _*)
       codes.filter(col("cell").isin(ranked.map(_._1): _*))
         .select(col("vec_id"), col("cell"),
           round(qdotc + graft.operators.Pq.adcScore(cb, qn, m), 6)

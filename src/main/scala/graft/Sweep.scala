@@ -234,7 +234,8 @@ object Sweep {
               operators.Winnow.fingerprintsFast(
                 docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
                 QueriesCurate.K, QueriesCurate.W),
-              "doc_id", minShared = 2, maxDf = 64)
+              "doc_id", minShared = 2, maxDf = 64,
+              absorbReplays = false) // %4 split disjoint by construction
             .write.format("noop").mode("overwrite").save()
         }
       case "dedup_point_probe" =>

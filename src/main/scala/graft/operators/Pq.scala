@@ -140,11 +140,6 @@ object Pq {
       array(codeExprs: _*).as("codes"): _*)
   }
 
-  /** ADC top-k: the query's per-(segment, code) dot contributions are
-    * collected into an m×k literal LUT (control-plane metadata, like a
-    * partition predicate), so scoring is `Σ_s lut[s][codes[s]]` — a
-    * per-row expression over the codes table with NO join and NO
-    * shuffle before the final distributed top-k. */
   /** The ADC scoring EXPRESSION over a `codes array<int>` column:
     * `Σ_s lut[s][codes[s]]` with the m×k LUT built driver-side from
     * the codebooks and query and shipped as a literal. Exposed so
@@ -170,6 +165,10 @@ object Pq {
       .reduce(_ + _)
   }
 
+  /** ADC top-k: [[adcScore]] over the codes table — per-row LUT
+    * arithmetic with NO join and NO shuffle before the final
+    * distributed top-k (the LUT is control-plane metadata, like a
+    * partition predicate). */
   def adcTopK(spark: SparkSession, codes: DataFrame, codebooks: DataFrame,
       queryVec: Seq[Double], idCol: String, m: Int, k: Int): DataFrame =
     codes.select(col(idCol),

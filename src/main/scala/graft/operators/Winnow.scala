@@ -92,15 +92,22 @@ object Winnow {
     * equivalence is exact whenever no fingerprint crosses the cap
     * between batches — the regime the spec pins. */
   def incrementalPairs(standing: DataFrame, delta: DataFrame, idCol: String,
-      minShared: Int = 2, maxDf: Int = Int.MaxValue): DataFrame = {
+      minShared: Int = 2, maxDf: Int = Int.MaxValue,
+      absorbReplays: Boolean = true): DataFrame = {
     // a replayed at-least-once batch arrives with its docs ALREADY in
     // the standing index — those standing rows are the same documents,
     // not neighbors: pairing against them yields self-pairs, double
     // counts, and cap-busting duplicate bucket members. Dropping the
     // delta's ids from the standing side makes a replay reproduce its
     // original output exactly (the Ivf.nearDupProbe absorb discipline).
-    val standing0 = standing.join(
-      delta.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+    // The id set broadcasts (ids only, delta-sized); callers whose
+    // split is disjoint BY CONSTRUCTION (a partitioned backfill, the
+    // registry row) pass absorbReplays = false and skip the guard's
+    // extra evaluation of the delta subtree entirely.
+    val standing0 =
+      if (!absorbReplays) standing
+      else standing.join(
+        broadcast(delta.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
     if (maxDf == Int.MaxValue) {
       // unbounded buckets: broadcast-probe shape (collect_list of an
       // uncapped bucket is an executor-memory hazard)
