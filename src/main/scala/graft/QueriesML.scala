@@ -642,10 +642,12 @@ WHERE rk <= 10"""))
       // Quantized brute force: the index stores array<tinyint> + one
       // scale (8× narrower scans than array<double> — the memory-fit
       // lever at 100 TB); scoring is integer multiply-accumulate via
-      // the native vec_dot_q8 expression. Not SQL-expressible in
-      // DuckDB (round-half tie semantics differ) → rows-only;
-      // NativeExpressionSpec pins ≥0.9 recall@10 vs full precision
-      // and the quantization error bound.
+      // the native vec_dot_q8 expression. NativeExpressionSpec pins
+      // ≥0.9 recall@10 vs full precision and the quantization error
+      // bound; ann_q8_oracle is the hash-checked twin (Java's
+      // Math.round(x) IS floor(x + 0.5), which DuckDB restates
+      // verbatim — the round() builtin's tie semantics differ, the
+      // floor form's do not).
       graft.plans.GraftExtensions.register(s)
       val v = ViewingData.table(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
@@ -660,6 +662,61 @@ WHERE rk <= 10"""))
           row_number().over(Window.orderBy(col("cos_q8").desc, col("vec_id"))))
     },
     None)
+
+  /** E5's hash-checkable twin — the SAME native vec_q8/vec_dot_q8
+    * path as ann_q8 (byte-identical pipeline), with the oracle
+    * restating the kernel's exact arithmetic: scale = max|x|/127,
+    * q_i = floor(x_i/scale + 0.5) (Java Math.round — DuckDB's
+    * round() ties differ, the floor form's do not), integer
+    * multiply-accumulate, then scaleA·scaleB·Σ. With this row every
+    * native vector kernel (vec_dot, vec_q8, vec_dot_q8, argmax-dot
+    * via E6b, winnow_fps) is DuckDB-proven. */
+  private val annQ8Oracle = Q(
+    "ann_q8_oracle",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          quantize(normalize(toDouble(col("embedding")))).as("z"))
+      val q = v.filter(col("vec_id") === 0).select(col("z").as("qz"))
+      v.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), round(dotQ8(col("z"), col("qz")), 6).as("cos_q8"))
+        .orderBy(col("cos_q8").desc, col("vec_id")).limit(10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cos_q8").desc, col("vec_id")))
+            .cast("int"))
+    },
+    Some("""WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v AS (
+  SELECT vec_id, list_transform(e, x ->
+    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0),
+z AS (
+  SELECT vec_id,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale,
+         e
+  FROM v),
+qt AS (
+  SELECT vec_id, scale,
+         list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+  FROM z),
+qv AS (SELECT scale AS qscale, q AS qq FROM qt WHERE vec_id = 0),
+sc AS (
+  SELECT qt.vec_id,
+         round(qt.scale * qv.qscale *
+           CAST(list_sum(list_transform(generate_series(1, 64), i ->
+             qt.q[i] * qv.qq[i])) AS DOUBLE), 6) AS cos_q8
+  FROM qt CROSS JOIN qv WHERE qt.vec_id <> 0),
+top AS (
+  SELECT vec_id, cos_q8 FROM sc
+  ORDER BY cos_q8 DESC, vec_id LIMIT 10)
+SELECT vec_id, cos_q8,
+       CAST(row_number() OVER (ORDER BY cos_q8 DESC, vec_id) AS INTEGER) AS rank
+FROM top"""))
 
   private val annIvf = Q(
     "ann_ivf",
@@ -1228,7 +1285,7 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
     dedupIncremental, dedupMinhashOracle, dedupIncrementalOracle,
     dedupEmbeddingIncremental, dedupFuzzyNames,
     annBruteforce, annBucketed, annBucketedOracle, annIvf, annIvfOracle,
-    annIvfPq, annIvfPqOracle, annKnnJoin, annPqOracle, annQ8,
+    annIvfPq, annIvfPqOracle, annKnnJoin, annPqOracle, annQ8, annQ8Oracle,
     mmBinaryMeta, mmDecode,
     streamBatchParity)
 }
