@@ -841,6 +841,39 @@ WHERE rk <= 3"""))
        'application/octet-stream' AS mime
 FROM documents"""))
 
+  /** The frame-sampling stage of the G2 pipeline as its own
+    * hash-checked row: [[Multimodal.sampleFrames]] over the BINARY
+    * payload (fixed 64-byte frames, every 2nd kept, past-end frames
+    * dropped, empty payloads yield no frames — the clamp semantics
+    * the scaladoc documents), frames emitted with their ids and byte
+    * lengths. Payload bytes are the ASCII text bytes, so the DuckDB
+    * twin restates the slicing over the text column verbatim
+    * (SourceContractSpec pins the ASCII contract). Scan-speed array
+    * expressions, zero shuffle. */
+  private val mmFrameSample = Q(
+    "mm_frame_sample",
+    (s, dir) => {
+      val bin = col("text").cast("binary")
+      ViewingData.table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Multimodal.sampleFrames(bin, 64, 2)).as("f"))
+        .select(col("doc_id"), col("f.frame_id").as("frame_id"),
+          col("f.frame").cast("string").as("frame"),
+          octet_length(col("f.frame")).cast("long").as("frame_bytes"))
+    },
+    Some("""WITH ids AS (
+  SELECT doc_id, text,
+         unnest(range(0,
+           greatest(CAST(floor((strlen(text) - 1) / 64) AS BIGINT), 0) + 1))
+           AS frame_id
+  FROM documents)
+SELECT doc_id, frame_id,
+       substring(text, CAST(frame_id * 64 + 1 AS BIGINT), 64) AS frame,
+       CAST(strlen(substring(text, CAST(frame_id * 64 + 1 AS BIGINT), 64))
+         AS BIGINT) AS frame_bytes
+FROM ids
+WHERE frame_id % 2 = 0 AND frame_id * 64 < strlen(text)"""))
+
   private val mmDecode = Q(
     "mm_decode",
     (s, dir) => {
@@ -1286,6 +1319,6 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
     dedupEmbeddingIncremental, dedupFuzzyNames,
     annBruteforce, annBucketed, annBucketedOracle, annIvf, annIvfOracle,
     annIvfPq, annIvfPqOracle, annKnnJoin, annPqOracle, annQ8, annQ8Oracle,
-    mmBinaryMeta, mmDecode,
+    mmBinaryMeta, mmDecode, mmFrameSample,
     streamBatchParity)
 }
