@@ -341,4 +341,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"bucket-contrast join must broadcast:\n$p")
   }
+
+  test("mm_frame_sample is a pure scan: no shuffle, no join") {
+    val p = plan("mm_frame_sample")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"frame sampling must stay scan-local:\n$p")
+  }
+
+  test("graph_triangles joins are equi-joins — never a cartesian wedge") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"oriented wedge join must be an equi-join:\n$p")
+  }
+
+  test("ann_q8_oracle scores at scan speed: broadcast query, TakeOrdered top-k") {
+    val p = plan("ann_q8_oracle")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the one-row query frame must broadcast:\n$p")
+  }
 }
