@@ -636,58 +636,45 @@ SELECT vec_id, bucket, cos_sim, CAST(rk AS INTEGER) AS rank
 FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rk FROM scored)
 WHERE rk <= 10"""))
 
-  private val annQ8 = Q(
-    "ann_q8",
-    (s, dir) => {
-      // Quantized brute force: the index stores array<tinyint> + one
-      // scale (8× narrower scans than array<double> — the memory-fit
-      // lever at 100 TB); scoring is integer multiply-accumulate via
-      // the native vec_dot_q8 expression. NativeExpressionSpec pins
-      // ≥0.9 recall@10 vs full precision and the quantization error
-      // bound; ann_q8_oracle is the hash-checked twin (Java's
-      // Math.round(x) IS floor(x + 0.5), which DuckDB restates
-      // verbatim — the round() builtin's tie semantics differ, the
-      // floor form's do not).
-      graft.plans.GraftExtensions.register(s)
-      val v = ViewingData.table(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"),
-          quantize(normalize(toDouble(col("embedding")))).as("z"))
-      val q = v.filter(col("vec_id") === 0).select(col("z").as("qz"))
-      v.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), round(dotQ8(col("z"), col("qz")), 6).as("cos_q8"))
-        .orderBy(col("cos_q8").desc, col("vec_id")).limit(10)
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("cos_q8").desc, col("vec_id"))))
-    },
-    None)
+  /** ONE builder shared by ann_q8 (the original rows-only row, kept
+    * for registry continuity) and ann_q8_oracle — "byte-identical
+    * pipeline" holds by construction, not by hand-kept duplication.
+    * Quantized brute force: the index stores array<tinyint> + one
+    * scale (8× narrower scans than array<double> — the memory-fit
+    * lever at 100 TB); scoring is integer multiply-accumulate via the
+    * native vec_dot_q8 expression. NativeExpressionSpec pins ≥0.9
+    * recall@10 vs full precision and the quantization error bound. */
+  private def q8Pipeline(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val v = ViewingData.table(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"),
+        quantize(normalize(toDouble(col("embedding")))).as("z"))
+    val q = v.filter(col("vec_id") === 0).select(col("z").as("qz"))
+    v.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(dotQ8(col("z"), col("qz")), 6).as("cos_q8"))
+      .orderBy(col("cos_q8").desc, col("vec_id")).limit(10)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cos_q8").desc, col("vec_id"))))
+  }
 
-  /** E5's hash-checkable twin — the SAME native vec_q8/vec_dot_q8
-    * path as ann_q8 (byte-identical pipeline), with the oracle
-    * restating the kernel's exact arithmetic: scale = max|x|/127,
-    * q_i = floor(x_i/scale + 0.5) (Java Math.round — DuckDB's
-    * round() ties differ, the floor form's do not), integer
-    * multiply-accumulate, then scaleA·scaleB·Σ. With this row every
+  private val annQ8 = Q("ann_q8", q8Pipeline, None)
+
+  /** E5's hash-checkable twin — literally the SAME builder as ann_q8
+    * ([[q8Pipeline]]), with the oracle restating the kernel's exact
+    * arithmetic: scale = max|x|/127, q_i = floor(x_i/scale + 0.5)
+    * (the kernel's STATED round-half-up convention — DuckDB's round()
+    * builtin ties differ, the floor form's do not), integer
+    * multiply-accumulate, then scaleA·scaleB·Σ. Zero vectors score
+    * 0.0 on both engines (the kernel's scale-0 branch; the oracle's
+    * coalesce — DuckDB's x/sqrt(0) is NULL). With this row every
     * native vector kernel (vec_dot, vec_q8, vec_dot_q8, argmax-dot
     * via E6b, winnow_fps) is DuckDB-proven. */
   private val annQ8Oracle = Q(
     "ann_q8_oracle",
-    (s, dir) => {
-      graft.plans.GraftExtensions.register(s)
-      val v = ViewingData.table(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"),
-          quantize(normalize(toDouble(col("embedding")))).as("z"))
-      val q = v.filter(col("vec_id") === 0).select(col("z").as("qz"))
-      v.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), round(dotQ8(col("z"), col("qz")), 6).as("cos_q8"))
-        .orderBy(col("cos_q8").desc, col("vec_id")).limit(10)
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("cos_q8").desc, col("vec_id")))
-            .cast("int"))
-    },
+    q8Pipeline,
     Some("""WITH v0 AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
   FROM embeddings),
@@ -707,9 +694,9 @@ qt AS (
 qv AS (SELECT scale AS qscale, q AS qq FROM qt WHERE vec_id = 0),
 sc AS (
   SELECT qt.vec_id,
-         round(qt.scale * qv.qscale *
-           CAST(list_sum(list_transform(generate_series(1, 64), i ->
-             qt.q[i] * qv.qq[i])) AS DOUBLE), 6) AS cos_q8
+         round(coalesce(qt.scale * qv.qscale *
+           CAST(list_sum(list_transform(generate_series(1, len(qt.q)), i ->
+             qt.q[i] * qv.qq[i])) AS DOUBLE), 0.0), 6) AS cos_q8
   FROM qt CROSS JOIN qv WHERE qt.vec_id <> 0),
 top AS (
   SELECT vec_id, cos_q8 FROM sc

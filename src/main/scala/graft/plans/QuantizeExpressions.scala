@@ -48,7 +48,12 @@ case class VecQuantize(child: Expression) extends UnaryExpression {
     if (scale != 0.0) {
       i = 0
       while (i < n) {
-        q(i) = math.round(xs.getDouble(i) / scale).toByte
+        // round-half-up as floor(x + 0.5) — the STATED convention, so
+        // the DuckDB oracle can restate it verbatim (Math.round
+        // diverges from this at one pathological double near 0.5
+        // since JDK-6430675; pinning the floor form removes the
+        // engine-vs-oracle ambiguity)
+        q(i) = math.floor(xs.getDouble(i) / scale + 0.5).toByte
         i += 1
       }
     }
@@ -78,7 +83,8 @@ case class VecQuantize(child: Expression) extends UnaryExpression {
          |  double $sc = $mx / 127.0;
          |  if ($sc != 0.0) {
          |    for (int $i = 0; $i < $n; $i++) {
-         |      $q[$i] = (byte) Math.round($a.getDouble($i) / $sc);
+         |      // floor(x + 0.5): same round-half-up convention as eval
+         |      $q[$i] = (byte) Math.floor($a.getDouble($i) / $sc + 0.5);
          |    }
          |  }
          |  ${ev.value} = new $rowCls(new Object[] {
