@@ -681,9 +681,84 @@ FROM (SELECT *, CAST(floor(l_quantity) % 5 AS BIGINT) AS d,
              nullif(CAST(floor(l_quantity) % 5 AS BIGINT), 3) AS dn
       FROM lineitem)"""))
 
+  /** k-anonymity / l-diversity release audit — the data-governance
+    * check a panel-data team runs before sharing viewer-level cuts
+    * (the engine-enforceable side of the reference's access-control
+    * plane, SURVEY §2 A10): every quasi-identifier group (zip3, day,
+    * hour) is scored by distinct panelists (k, threshold 5) and
+    * distinct sensitive values (l, threshold 3); groups failing either
+    * must be suppressed or generalized before release.
+    *
+    * Plan shape: ONE hash aggregate keyed by the QI with two distinct
+    * aggregates → Catalyst plans an Expand ×3 (same documented shape
+    * as q_profile's multi-distinct) with map-side partials; the
+    * flags are post-aggregate projection. At 100 TB the exact
+    * distincts swap for the C46 bitmap_distinct path per QI group —
+    * the audit's group key space (geo × day) is control-plane-sized
+    * either way. */
+  private val anonymityAudit = Q(
+    "q_anonymity_audit",
+    (s, dir) => {
+      ViewingData.table(s, dir, "events")
+        .select(
+          substring((col("user_id") % 90000 + 10000).cast("string"), 1, 3)
+            .as("zip3"),
+          to_date(col("ts")).cast("string").as("day"),
+          hour(col("ts")).as("hh"),
+          col("user_id"), col("event_type"))
+        .groupBy("zip3", "day", "hh")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct("user_id").as("n_users"),
+          countDistinct("event_type").as("n_sensitive"))
+        .withColumn("k_anonymous", col("n_users") >= 5)
+        .withColumn("l_diverse", col("n_sensitive") >= 3)
+    },
+    Some("""SELECT substring(CAST(user_id % 90000 + 10000 AS VARCHAR), 1, 3) AS zip3,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(hour(ts) AS INTEGER) AS hh,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_sensitive,
+       count(DISTINCT user_id) >= 5 AS k_anonymous,
+       count(DISTINCT event_type) >= 3 AS l_diverse
+FROM events GROUP BY 1, 2, 3"""))
+
+  /** Noised aggregate release — the differential-privacy release
+    * SHAPE (per-cell count + bounded additive noise + clamp) with the
+    * RNG swapped for a deterministic md5 draw so the whole chain is
+    * hash-checkable cross-engine; a production release keys the same
+    * derivation from a secret seed (the noise column is the ONLY
+    * pluggable piece). Noise is uniform on [-3, 3] per released cell
+    * (count query sensitivity 1), released = max(n + noise, 0).
+    * One hash aggregate + scan-speed projection. */
+  private val noisedRelease = Q(
+    "q_noised_release",
+    (s, dir) => {
+      ViewingData.table(s, dir, "events")
+        .select(
+          concat(lit("dma-"), (col("user_id") % 5).cast("string")).as("dma"),
+          to_date(col("ts")).cast("string").as("day"))
+        .groupBy("dma", "day")
+        .agg(count(lit(1)).as("n_true"))
+        .withColumn("noise",
+          conv(substring(md5(concat(col("dma"), lit("|"), col("day"))), 1, 6),
+            16, 10).cast("long") % 7 - 3)
+        .withColumn("released", greatest(col("n_true") + col("noise"), lit(0L)))
+    },
+    Some(s"""WITH g AS (
+  SELECT 'dma-' || CAST(user_id % 5 AS VARCHAR) AS dma,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(count(*) AS BIGINT) AS n_true
+  FROM events GROUP BY 1, 2)
+SELECT dma, day, n_true,
+       ${QueriesLLM.hex6Sql("md5(dma || '|' || day)")} % 7 - 3 AS noise,
+       greatest(n_true + ${QueriesLLM.hex6Sql("md5(dma || '|' || day)")} % 7 - 3,
+                0) AS released
+FROM g"""))
+
   val all: Seq[Q] =
     Seq(minmaxBy, condAggs, changeEvents, ratioReport, likeAny, timezone,
       regression, ewma, modeAgg, profile, flattenArr, twap,
       attribution, histogramEqd, percentileDisc, standardize,
-      jsonBuild, masking, div0)
+      jsonBuild, masking, div0, anonymityAudit, noisedRelease)
 }

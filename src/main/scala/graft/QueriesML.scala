@@ -861,6 +861,58 @@ SELECT doc_id, frame_id,
 FROM ids
 WHERE frame_id % 2 = 0 AND frame_id * 64 < strlen(text)"""))
 
+  /** The audio leg of the G2 pipeline as a hash-checked row: the
+    * payload read as little-endian signed-int16 PCM, folded into
+    * per-frame energy (Σ v², exact in a long) and peak (max |v|) by
+    * the native `pcm_frames` kernel ([[graft.plans.PcmFramesExpr]] —
+    * ONE codegen'd byte pass per row, no UDF). 32-sample frames, last
+    * frame partial, trailing odd byte dropped — the decode contract
+    * [[graft.functions.PcmAudio]] documents, restated verbatim by the
+    * DuckDB twin over the ASCII payload bytes (`ord(substring(...))`
+    * pairs; all-integer arithmetic, so no FP boundary anywhere).
+    * Scan-speed, zero shuffle: at 100 TB this is embarrassingly
+    * parallel over the payload scan, like every G-family stage. */
+  private val mmAudioEnergy = Q(
+    "mm_audio_energy",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val bin = col("text").cast("binary")
+      ViewingData.table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("octet_length(cast(text as binary)) div 2").as("nsamp"),
+          posexplode(call_function("pcm_frames", bin, lit(32))))
+        .select(col("doc_id"),
+          col("pos").cast("int").as("frame_id"),
+          least(lit(32L), col("nsamp") - col("pos") * 32L).cast("int")
+            .as("n_samples"),
+          col("col.energy").as("energy"),
+          col("col.peak").as("peak"))
+    },
+    Some("""WITH f AS (
+  SELECT doc_id, text, strlen(text) // 2 AS nsamp,
+         unnest(range(0, CAST(ceil((strlen(text) // 2) / 32.0) AS BIGINT)))
+           AS frame_id
+  FROM documents
+  WHERE strlen(text) >= 2),
+s AS (
+  SELECT doc_id, frame_id, text,
+         unnest(range(frame_id * 32, least((frame_id + 1) * 32, nsamp))) AS si
+  FROM f),
+u AS (
+  SELECT doc_id, frame_id,
+         ord(substring(text, CAST(2 * si + 1 AS BIGINT), 1))
+           + 256 * ord(substring(text, CAST(2 * si + 2 AS BIGINT), 1)) AS uv
+  FROM s),
+v AS (
+  SELECT doc_id, frame_id,
+         CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS val
+  FROM u)
+SELECT doc_id, CAST(frame_id AS INTEGER) AS frame_id,
+       CAST(count(*) AS INTEGER) AS n_samples,
+       CAST(sum(CAST(val AS BIGINT) * val) AS BIGINT) AS energy,
+       CAST(max(abs(val)) AS INTEGER) AS peak
+FROM v GROUP BY doc_id, frame_id"""))
+
   private val mmDecode = Q(
     "mm_decode",
     (s, dir) => {
@@ -1069,6 +1121,89 @@ SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
          a.e[i] * q.qe[i])), 6) AS cos_sim
 FROM asg a JOIN pc USING (cell) CROSS JOIN q
 ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
+
+  /** Cluster-balanced DIVERSITY sampling — the curation move that
+    * keeps a subsample semantically representative instead of letting
+    * frequent modes dominate (the SemDeDup/DSIR-era selection shape):
+    * embeddings are assigned to semantic cells (the SAME fixed
+    * hash-derived spherical centroids as ann_ivf_oracle, so the whole
+    * chain stays hash-checkable) and an equal per-cell quota is drawn
+    * by deterministic md5 priority — rare clusters survive at full
+    * quota while dominant ones are capped.
+    *
+    * Scale shape: centroids broadcast, assignment is the map-side
+    * argmax fold ([[graft.operators.Ivf.assign]]); the per-cell draw
+    * is the native `topk_by` bounded heap — each task ships at most
+    * k rows per cell, so the one shuffle carries O(cells·k·tasks)
+    * rows no matter the corpus size (never a whole-cell sort). The
+    * DuckDB twin restates assignment + md5 ranking verbatim. */
+  private val annDiversitySample = Q(
+    "ann_diversity_sample",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val cents = s.range(8).toDF("cell")
+        .select(col("cell").cast("int").as("cell"),
+          QueriesLLM.hashEmbed(
+            concat(lit("graft-ivfc-"), col("cell").cast("string")), 64)
+            .as("centroid"))
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          VectorFunctions.normalize(
+            VectorFunctions.toDouble(col("embedding"))).as("e"))
+      val index = graft.operators.Ivf.assign(v, cents, "vec_id", "e", "cell")
+      index
+        .select(col("cell"),
+          (-conv(substring(md5(concat(lit("graft-divs:"),
+              col("vec_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+            .cast("double")).as("nkey"),
+          col("vec_id"))
+        .groupBy("cell")
+        .agg(expr("topk_by(nkey, vec_id, 5)").as("res"))
+        .select(col("cell"), posexplode(col("res")))
+        .select(col("cell"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("vec_id"))
+    },
+    Some(s"""WITH cells AS (SELECT unnest(range(0, 8)) AS cell),
+craw AS (
+  SELECT cell, list_transform(range(0, 64), i ->
+    ${QueriesLLM.hex6Sql(
+        "md5('graft-ivfc-' || CAST(cell AS VARCHAR) || ':' || CAST(i AS VARCHAR))")}
+      / 16777216.0 * 2 - 1) AS raw
+  FROM cells),
+c AS (
+  SELECT cell, list_transform(raw, x ->
+    x / sqrt(list_sum(list_transform(raw, y -> y * y)))) AS ce
+  FROM craw),
+v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v AS (
+  SELECT vec_id, list_transform(e, x ->
+    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0),
+ad AS (
+  SELECT v.vec_id, v.e, c.cell,
+         list_sum(list_transform(generate_series(1, 64), i ->
+           v.e[i] * c.ce[i])) AS dot
+  FROM v CROSS JOIN c),
+asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cell DESC) AS rn
+    FROM ad) WHERE rn = 1),
+keyed AS (
+  SELECT cell, vec_id,
+         ${QueriesLLM.hexNSql(
+        "md5('graft-divs:' || CAST(vec_id AS VARCHAR))", 12)} AS key
+  FROM asg)
+SELECT CAST(cell AS INTEGER) AS cell, CAST(rk AS INTEGER) AS rank, vec_id
+FROM (SELECT cell, vec_id,
+        row_number() OVER (PARTITION BY cell ORDER BY key, vec_id) AS rk
+      FROM keyed)
+WHERE rk <= 5"""))
 
   /** First-6-hex-chars md5 fraction in [-1, 1) — the SAME value
     * DuckDB's hex-fold of md5 yields, computed driver-side (codebooks
@@ -1306,6 +1441,7 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
     dedupEmbeddingIncremental, dedupFuzzyNames,
     annBruteforce, annBucketed, annBucketedOracle, annIvf, annIvfOracle,
     annIvfPq, annIvfPqOracle, annKnnJoin, annPqOracle, annQ8, annQ8Oracle,
-    mmBinaryMeta, mmDecode, mmFrameSample,
+    annDiversitySample,
+    mmBinaryMeta, mmDecode, mmFrameSample, mmAudioEnergy,
     streamBatchParity)
 }

@@ -69,6 +69,24 @@ object GraftExtensions {
           intLit(children(1), "k"), intLit(children(2), "w"))
       }),
     (
+      new FunctionIdentifier("pcm_frames"),
+      new ExpressionInfo(classOf[PcmFramesExpr].getName, "pcm_frames"),
+      (children: Seq[Expression]) => {
+        // frame size is a plan-time constant — frame statistics are
+        // only comparable across rows under ONE framing
+        val n = children(1) match {
+          case lit if lit.foldable =>
+            lit.eval() match {
+              case i: Int => i
+              case other => throw new IllegalArgumentException(
+                s"pcm_frames: frameSamples must be an int literal, got $other")
+            }
+          case _ => throw new IllegalArgumentException(
+            "pcm_frames: frameSamples must be a literal")
+        }
+        PcmFramesExpr(children(0), n)
+      }),
+    (
       new FunctionIdentifier("vec_argmax_dot"),
       new ExpressionInfo(classOf[VecArgmaxDot].getName, "vec_argmax_dot"),
       (children: Seq[Expression]) =>
