@@ -756,9 +756,121 @@ SELECT dma, day, n_true,
                 0) AS released
 FROM g"""))
 
+  /** Reach & FREQUENCY DISTRIBUTION — the media-measurement deliverable
+    * B6's per-title rollup doesn't give (it reports average frequency;
+    * planners buy the exposure curve): per broadcast week, panelists
+    * bucketed by exposure count (1 / 2 / 3-5 / 6+), each bucket's
+    * weighted reach and gross rating points (Σ n·w / universe × 100,
+    * universe = total panel weight).
+    *
+    * Plan shape: the exposure fold is the only fact-table aggregate
+    * (map-side combined, keyed by panelist); the weight table is
+    * panel-sized → broadcast join (the geoWeights argument), the
+    * universe is a 1-row broadcast frame. Integral weights keep every
+    * sum exact; the single GRP division is rounded on both engines. */
+  private val freqDistribution = Q(
+    "q_freq_distribution",
+    (s, dir) => {
+      val w = ViewingData.table(s, dir, "customer")
+        .select(col("c_custkey").as("uid"),
+          floor(abs(col("c_acctbal"))).cast("long").as("wgt"))
+      val universe = w.agg(sum("wgt").as("universe"))
+      val f = ViewingData.table(s, dir, "events")
+        .filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("uid"),
+          date_trunc("week", to_date(col("ts"))).cast("date").cast("string")
+            .as("week"))
+        .agg(count(lit(1)).as("n"))
+      f.join(broadcast(w), "uid")
+        .withColumn("freq_bucket",
+          when(col("n") >= 6, lit("6+"))
+            .when(col("n") >= 3, lit("3-5"))
+            .otherwise(col("n").cast("string")))
+        .groupBy("week", "freq_bucket")
+        .agg(count(lit(1)).as("panelists"),
+          sum("wgt").as("reach_w"),
+          sum(col("n") * col("wgt")).as("impressions_w"))
+        .crossJoin(broadcast(universe))
+        .withColumn("grp",
+          round(col("impressions_w") * 100.0 / col("universe"), 6))
+        .drop("universe")
+    },
+    Some("""WITH w AS (
+  SELECT c_custkey AS uid, CAST(floor(abs(c_acctbal)) AS BIGINT) AS wgt
+  FROM customer),
+u AS (SELECT CAST(sum(wgt) AS BIGINT) AS universe FROM w),
+f AS (SELECT user_id AS uid,
+             CAST(date_trunc('week', CAST(ts AS DATE)) AS VARCHAR) AS week,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT week,
+       CASE WHEN n >= 6 THEN '6+'
+            WHEN n >= 3 THEN '3-5'
+            ELSE CAST(n AS VARCHAR) END AS freq_bucket,
+       CAST(count(*) AS BIGINT) AS panelists,
+       CAST(sum(wgt) AS BIGINT) AS reach_w,
+       CAST(sum(n * wgt) AS BIGINT) AS impressions_w,
+       round(CAST(sum(n * wgt) AS BIGINT) * 100.0 / (SELECT universe FROM u), 6) AS grp
+FROM f JOIN w USING (uid)
+GROUP BY 1, 2"""))
+
+  /** RFM SEGMENTATION (recency / frequency / monetary quintiles — the
+    * classic audience-CRM cut): one entity fold of the feed per
+    * panelist, then three ntile(5) rankings with explicit uid
+    * tiebreaks so the quintile edges are deterministic cross-engine,
+    * composed into the 'R{r}F{f}M{m}' segment label.
+    *
+    * Scale note: the fold is the only corpus-sized aggregate; the
+    * ntiles sort the ENTITY table (panel-sized — the
+    * dedup_fuzzy_names argument: |panelists| ≪ |events| and grows
+    * far slower). At a truly huge entity count the exact global
+    * ntile swaps for range-partitioned ranking or approx quantile
+    * edges; the audit's quintile semantics don't change. */
+  private val rfmSegments = Q(
+    "q_rfm_segments",
+    (s, dir) => {
+      val maxd = ViewingData.table(s, dir, "events")
+        .agg(max(to_date(col("ts"))).as("max_d"))
+      val per = ViewingData.table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(to_date(col("ts"))).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(floor(col("value")).cast("long")).as("monetary"))
+        .crossJoin(broadcast(maxd))
+        .withColumn("recency_days",
+          datediff(col("max_d"), col("last_d")).cast("long"))
+        .drop("max_d", "last_d")
+      per
+        .withColumn("r", ntile(5).over(
+          Window.orderBy(col("recency_days"), col("user_id"))))
+        .withColumn("f", ntile(5).over(
+          Window.orderBy(col("freq").desc, col("user_id"))))
+        .withColumn("m", ntile(5).over(
+          Window.orderBy(col("monetary").desc, col("user_id"))))
+        .select(col("user_id"), col("recency_days"), col("freq"),
+          col("monetary"),
+          concat(lit("R"), col("r").cast("string"),
+            lit("F"), col("f").cast("string"),
+            lit("M"), col("m").cast("string")).as("segment"))
+    },
+    Some("""WITH per AS (
+  SELECT user_id,
+         date_diff('day', max(CAST(ts AS DATE)),
+           (SELECT max(CAST(ts AS DATE)) FROM events)) AS recency_days,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS monetary
+  FROM events GROUP BY 1)
+SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, freq, monetary,
+       'R' || CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS VARCHAR)
+       || 'F' || CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS VARCHAR)
+       || 'M' || CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS VARCHAR)
+         AS segment
+FROM per"""))
+
   val all: Seq[Q] =
     Seq(minmaxBy, condAggs, changeEvents, ratioReport, likeAny, timezone,
       regression, ewma, modeAgg, profile, flattenArr, twap,
       attribution, histogramEqd, percentileDisc, standardize,
-      jsonBuild, masking, div0, anonymityAudit, noisedRelease)
+      jsonBuild, masking, div0, anonymityAudit, noisedRelease,
+      freqDistribution, rfmSegments)
 }
