@@ -360,4 +360,38 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"the one-row query frame must broadcast:\n$p")
   }
+
+  test("mm_audio_energy is a pure scan: no shuffle, no join, pcm_frames in codegen") {
+    val p = plan("mm_audio_energy")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"PCM framing must stay scan-local:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("pcm_frames")),
+      s"expected pcm_frames inside a codegen stage:\n$p")
+  }
+
+  test("q_anonymity_audit is ONE scan through the multi-distinct expand") {
+    val df = SparkEntry.queries("q_anonymity_audit")(spark, Sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"audit must scan events once, got ${scans.size}")
+    assert(df.queryExecution.sparkPlan.toString.contains("Expand"),
+      "exact k/l distincts go through Expand by design (swap to bitmap at 100 TB)")
+  }
+
+  test("ann_diversity_sample draws per-cell quotas via the bounded topk_by heap") {
+    val p = plan("ann_diversity_sample")
+    assert(p.contains("topk_by"), s"per-cell draw must be the bounded heap:\n$p")
+    assert(!p.contains("WindowGroupLimit") && !"""Window\b""".r.findFirstIn(p).isDefined,
+      s"no whole-cell window sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"centroids must broadcast:\n$p")
+  }
+
+  test("q_freq_distribution: panel weights broadcast, fact folds before the join") {
+    val p = plan("q_freq_distribution")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"panel-sized weight table must broadcast:\n$p")
+  }
 }
