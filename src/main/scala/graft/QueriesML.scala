@@ -913,6 +913,78 @@ SELECT doc_id, CAST(frame_id AS INTEGER) AS frame_id,
        CAST(max(abs(val)) AS INTEGER) AS peak
 FROM v GROUP BY doc_id, frame_id"""))
 
+  /** Voice-activity-shaped SEGMENTATION over the PCM frames — the
+    * composed pipeline a speech-data curator runs (frame energies →
+    * active/silent classification → contiguous segments): G6's native
+    * frame fold classified by an integer mean-square threshold
+    * (energy ≥ τ·n_samples, τ = 6.5e8 ≈ the corpus median — no
+    * division, no FP), then the gaps-and-islands fold (the C45
+    * pattern) collapses runs into (seg_start, seg_end, n_frames)
+    * segments per activity class.
+    *
+    * Plan shape: the frame explode is scan-local; the island
+    * row_number window and the segment aggregate share ONE
+    * (doc_id, active) exchange. Per-doc frame counts bound every
+    * partition, so the window never sees more than one payload's
+    * frames. */
+  private val mmAudioSegments = Q(
+    "mm_audio_segments",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val bin = col("text").cast("binary")
+      val frames = ViewingData.table(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("octet_length(cast(text as binary)) div 2").as("nsamp"),
+          posexplode(call_function("pcm_frames", bin, lit(32))))
+        .select(col("doc_id"),
+          col("pos").cast("int").as("frame_id"),
+          (col("col.energy") >=
+            lit(650000000L) *
+              least(lit(32L), col("nsamp") - col("pos") * 32L)).as("active"))
+      import org.apache.spark.sql.expressions.Window
+      frames
+        .withColumn("grp", col("frame_id") - row_number().over(
+          Window.partitionBy("doc_id", "active").orderBy("frame_id")))
+        .groupBy("doc_id", "active", "grp")
+        .agg(min("frame_id").as("seg_start"),
+          max("frame_id").as("seg_end"),
+          count(lit(1)).cast("int").as("n_frames"))
+        .drop("grp")
+    },
+    Some("""WITH f AS (
+  SELECT doc_id, text, strlen(text) // 2 AS nsamp,
+         unnest(range(0, CAST(ceil((strlen(text) // 2) / 32.0) AS BIGINT)))
+           AS frame_id
+  FROM documents
+  WHERE strlen(text) >= 2),
+s AS (
+  SELECT doc_id, frame_id, text,
+         unnest(range(frame_id * 32, least((frame_id + 1) * 32, nsamp))) AS si
+  FROM f),
+u AS (
+  SELECT doc_id, frame_id,
+         ord(substring(text, CAST(2 * si + 1 AS BIGINT), 1))
+           + 256 * ord(substring(text, CAST(2 * si + 2 AS BIGINT), 1)) AS uv
+  FROM s),
+e AS (
+  SELECT doc_id, frame_id,
+         sum(CAST(CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END AS BIGINT)
+             * (CASE WHEN uv >= 32768 THEN uv - 65536 ELSE uv END)) AS energy,
+         count(*) AS n
+  FROM u GROUP BY 1, 2),
+a AS (
+  SELECT doc_id, frame_id, energy >= 650000000 * n AS active FROM e),
+g AS (
+  SELECT doc_id, frame_id, active,
+         frame_id - row_number()
+           OVER (PARTITION BY doc_id, active ORDER BY frame_id) AS grp
+  FROM a)
+SELECT doc_id, active,
+       CAST(min(frame_id) AS INTEGER) AS seg_start,
+       CAST(max(frame_id) AS INTEGER) AS seg_end,
+       CAST(count(*) AS INTEGER) AS n_frames
+FROM g GROUP BY doc_id, active, grp"""))
+
   private val mmDecode = Q(
     "mm_decode",
     (s, dir) => {
@@ -1442,6 +1514,6 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
     annBruteforce, annBucketed, annBucketedOracle, annIvf, annIvfOracle,
     annIvfPq, annIvfPqOracle, annKnnJoin, annPqOracle, annQ8, annQ8Oracle,
     annDiversitySample,
-    mmBinaryMeta, mmDecode, mmFrameSample, mmAudioEnergy,
+    mmBinaryMeta, mmDecode, mmFrameSample, mmAudioEnergy, mmAudioSegments,
     streamBatchParity)
 }

@@ -388,6 +388,13 @@ class PlanAuditSpec extends SparkTestBase {
       s"centroids must broadcast:\n$p")
   }
 
+  test("mm_audio_segments: island window + segment agg share ONE exchange") {
+    val p = plan("mm_audio_segments")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected one (doc_id, active) exchange, got $hashEx:\n$p")
+    assert(!p.contains("Join"), s"segmentation is single-table:\n$p")
+  }
+
   test("q_freq_distribution: panel weights broadcast, fact folds before the join") {
     val p = plan("q_freq_distribution")
     assert(p.contains("BroadcastHashJoin"), p)
