@@ -246,5 +246,135 @@ SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
 FROM p GROUP BY 1
 ORDER BY n_sessions DESC, path LIMIT 20"""))
 
-  val all: Seq[Q] = Seq(anomalyMad, winsorize, markov, xcorr, sessionPaths)
+  /** Daypart audience INDEX — the TV-measurement daypart report (how a
+    * content type's audience concentrates by broadcast daypart,
+    * normalized to its own 24-h average = 100): hourly activity folded
+    * per (type, daypart), index = n / hours_in_part / (total / 24) ×
+    * 100. One map-side-combined fold; the per-type total rides a
+    * window over the folded (types × 4)-row table. Counts exact; the
+    * single index division rounded on both engines. */
+  private val daypartIndex = Q(
+    "q_daypart_index",
+    (s, dir) => {
+      val dp = when(hour(col("ts")) <= 5, lit("1-late"))
+        .when(hour(col("ts")) <= 11, lit("2-morning"))
+        .when(hour(col("ts")) <= 17, lit("3-afternoon"))
+        .otherwise(lit("4-prime"))
+      val folded = ViewingData.table(s, dir, "events")
+        .groupBy(col("event_type"), dp.as("daypart"))
+        .agg(count(lit(1)).as("n"))
+      folded
+        .withColumn("total",
+          sum("n").over(Window.partitionBy("event_type")))
+        .withColumn("idx",
+          round(col("n") * lit(24.0) / lit(6.0) / col("total") * 100, 6))
+        .drop("total")
+    },
+    Some("""WITH folded AS (
+  SELECT event_type,
+         CASE WHEN hour(ts) <= 5 THEN '1-late'
+              WHEN hour(ts) <= 11 THEN '2-morning'
+              WHEN hour(ts) <= 17 THEN '3-afternoon'
+              ELSE '4-prime' END AS daypart,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, daypart, n,
+       round(n * 24.0 / 6.0
+             / (sum(n) OVER (PARTITION BY event_type)) * 100, 6) AS idx
+FROM folded"""))
+
+  /** GROWTH ACCOUNTING (the weekly active-panelist ledger: new /
+    * retained / resurrected, plus who churns out of each week) — the
+    * audience-health report every measurement shop runs. "Active" =
+    * ≥ 16 events in the week — the engagement bar that splits this
+    * corpus into all four classes (any-event saturates: every
+    * panelist is active every week). The raw feed folds ONCE to
+    * qualifying (panelist, week) rows; lag/lead over that
+    * entity-week table (|panelists|·|weeks| rows — far smaller than
+    * the feed) classify each active week, and the final rollup is
+    * weeks-sized. Churn is counted on the week the user is LAST seen
+    * before a gap > 1 week (the corpus' final week therefore counts
+    * everyone still active — the documented right-censoring). */
+  private val growthAccounting = Q(
+    "q_growth_accounting",
+    (s, dir) => {
+      val uw = ViewingData.table(s, dir, "events")
+        .groupBy(col("user_id"),
+          date_trunc("week", to_date(col("ts"))).cast("date").as("wk"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 16)
+        .drop("n")
+      val w = Window.partitionBy("user_id").orderBy("wk")
+      uw.withColumn("prev", lag("wk", 1).over(w))
+        .withColumn("next", lead("wk", 1).over(w))
+        .groupBy(col("wk").cast("string").as("week"))
+        .agg(count(lit(1)).as("n_active"),
+          count(when(col("prev").isNull, 1)).as("n_new"),
+          count(when(datediff(col("wk"), col("prev")) === 7, 1))
+            .as("n_retained"),
+          count(when(col("prev").isNotNull &&
+            datediff(col("wk"), col("prev")) > 7, 1)).as("n_resurrected"),
+          count(when(col("next").isNull ||
+            datediff(col("next"), col("wk")) > 7, 1)).as("n_churning"))
+    },
+    Some("""WITH uw AS (
+  SELECT user_id, date_trunc('week', CAST(ts AS DATE)) AS wk
+  FROM events GROUP BY 1, 2 HAVING count(*) >= 16),
+cls AS (
+  SELECT user_id, wk,
+         lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+         lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next
+  FROM uw)
+SELECT CAST(wk AS VARCHAR) AS week,
+       CAST(count(*) AS BIGINT) AS n_active,
+       CAST(count(CASE WHEN prev IS NULL THEN 1 END) AS BIGINT) AS n_new,
+       CAST(count(CASE WHEN date_diff('day', prev, wk) = 7 THEN 1 END)
+         AS BIGINT) AS n_retained,
+       CAST(count(CASE WHEN prev IS NOT NULL
+                        AND date_diff('day', prev, wk) > 7 THEN 1 END)
+         AS BIGINT) AS n_resurrected,
+       CAST(count(CASE WHEN next IS NULL
+                        OR date_diff('day', wk, next) > 7 THEN 1 END)
+         AS BIGINT) AS n_churning
+FROM cls GROUP BY 1"""))
+
+  /** Seasonal-naive FORECAST BACKTEST (the forecasting-eval shape:
+    * predict each day with the value one season = 7 days earlier,
+    * score per series): daily fold per type, the lag-7 prediction via
+    * an explicit self-join on (type, day−7) — exact under calendar
+    * gaps where a ROWS-lag would silently misalign — then MAE and
+    * WAPE (Σ|err| / Σ actual — the integer-ratio form; a per-row MAPE
+    * mean would sum doubles in engine-dependent order). Both error
+    * sums are exact integers; the two final divisions are rounded. */
+  private val forecastSnaive = Q(
+    "q_forecast_snaive",
+    (s, dir) => {
+      val daily = ViewingData.table(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val pred = daily.select(col("event_type"),
+        date_add(col("day"), 7).as("day"), col("n").as("p"))
+      daily.join(pred, Seq("event_type", "day"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          round(sum(abs(col("n") - col("p"))) / count(lit(1)), 6).as("mae"),
+          round(sum(abs(col("n") - col("p"))) / sum(col("n")), 6).as("wape"))
+    },
+    Some("""WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+j AS (
+  SELECT a.event_type, a.n, p.n AS p
+  FROM daily a
+  JOIN daily p ON p.event_type = a.event_type
+              AND p.day = a.day - INTERVAL 7 DAY)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(CAST(sum(abs(n - p)) AS BIGINT) * 1.0 / count(*), 6) AS mae,
+       round(CAST(sum(abs(n - p)) AS BIGINT) * 1.0
+             / CAST(sum(n) AS BIGINT), 6) AS wape
+FROM j GROUP BY 1"""))
+
+  val all: Seq[Q] = Seq(anomalyMad, winsorize, markov, xcorr, sessionPaths,
+    daypartIndex, growthAccounting, forecastSnaive)
 }
