@@ -242,6 +242,109 @@ dupes AS (SELECT doc_id FROM comp WHERE doc_id <> canonical_id)
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d ANTI JOIN dupes USING (doc_id)"""))
 
+  /** Dedup REPORTING: the cluster-size histogram + corpus dup-rate a
+    * curation team reads after a dedup pass (how much mass sits in
+    * how-big clusters): D6's components folded to per-cluster sizes,
+    * sizes folded to a histogram, each size class annotated with its
+    * duplicate-member count and corpus share. Everything after the
+    * component fold is control-plane-sized (|clusters| ≤ |docs|,
+    * |size classes| ≪ that); the corpus total rides a 1-row
+    * broadcast frame. */
+  private val dedupClusterStats = Q(
+    "dedup_cluster_stats",
+    (s, dir) => {
+      val pairs = QueriesML.ngramJaccardPairs(s, dir)
+        .select("id_a", "id_b").localCheckpoint()
+      val sizes = Components.connectedComponents(pairs, "id_a", "id_b")
+        .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      val total = ViewingData.table(s, dir, "documents")
+        .agg(count(lit(1)).as("total_docs"))
+      sizes.groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_members", col("cluster_size") * col("n_clusters"))
+        .withColumn("n_dupes", (col("cluster_size") - 1) * col("n_clusters"))
+        .crossJoin(broadcast(total))
+        .withColumn("pct_of_corpus",
+          round(col("n_members") * 100.0 / col("total_docs"), 6))
+        .drop("total_docs")
+    },
+    Some(s"""WITH RECURSIVE ${QueriesML.ngramPairsCte},
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(s, n) AS (SELECT s, s FROM edges UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.n = e.s),
+comp AS (SELECT s AS doc_id, MIN(n) AS canonical_id FROM reach GROUP BY s),
+sizes AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY 1),
+hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM sizes GROUP BY 1)
+SELECT cluster_size, n_clusters,
+       cluster_size * n_clusters AS n_members,
+       (cluster_size - 1) * n_clusters AS n_dupes,
+       round(cluster_size * n_clusters * 100.0
+             / (SELECT count(*) FROM documents), 6) AS pct_of_corpus
+FROM hist"""))
+
+  /** SURVIVORSHIP (the MDM "golden record" rules, field-level — D7
+    * picks a surviving ROW, this row merges best FIELDS per cluster):
+    * per near-dup cluster, text/length from the longest member (tie →
+    * lowest doc_id), language by cluster majority vote (tie →
+    * lexicographic), membership count. The vote and the longest-pick
+    * are per-cluster aggregates on the component table — cluster
+    * counts bound every group, no corpus-wide sort. */
+  private val dedupSurvivorship = Q(
+    "dedup_survivorship",
+    (s, dir) => {
+      val pairs = QueriesML.ngramJaccardPairs(s, dir)
+        .select("id_a", "id_b").localCheckpoint()
+      val comp = Components.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
+      val members = comp.join(
+        ViewingData.table(s, dir, "documents")
+          .select("doc_id", "lang", "n_chars"), "doc_id")
+      val golden = members.groupBy("canonical_id")
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"),
+            struct(col("n_chars"), -col("doc_id"))).as("golden_doc_id"),
+          max("n_chars").as("golden_chars"))
+      val langVote = members.groupBy("canonical_id", "lang")
+        .agg(count(lit(1)).as("v"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("canonical_id")
+            .orderBy(col("v").desc, col("lang"))))
+        .filter(col("rk") === 1)
+        .select(col("canonical_id"), col("lang").as("lang_majority"))
+      golden.join(langVote, "canonical_id")
+    },
+    Some(s"""WITH RECURSIVE ${QueriesML.ngramPairsCte},
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(s, n) AS (SELECT s, s FROM edges UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.n = e.s),
+comp AS (SELECT s AS doc_id, MIN(n) AS canonical_id FROM reach GROUP BY s),
+members AS (
+  SELECT c.canonical_id, d.doc_id, d.lang, d.n_chars
+  FROM comp c JOIN documents d USING (doc_id)),
+golden AS (
+  SELECT canonical_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         max(n_chars) AS golden_chars
+  FROM members GROUP BY 1),
+gpick AS (
+  SELECT canonical_id, doc_id AS golden_doc_id FROM (
+    SELECT canonical_id, doc_id,
+           row_number() OVER (PARTITION BY canonical_id
+                              ORDER BY n_chars DESC, doc_id) AS rk
+    FROM members) WHERE rk = 1),
+vote AS (
+  SELECT canonical_id, lang AS lang_majority FROM (
+    SELECT canonical_id, lang,
+           row_number() OVER (PARTITION BY canonical_id
+                              ORDER BY count(*) DESC, lang) AS rk
+    FROM members GROUP BY canonical_id, lang) WHERE rk = 1)
+SELECT g.canonical_id, g.n_members, p.golden_doc_id, g.golden_chars,
+       v.lang_majority
+FROM golden g JOIN gpick p USING (canonical_id)
+              JOIN vote v USING (canonical_id)"""))
+
   /** Approximate aggregates (Snowflake HLL / APPROX_PERCENTILE):
     * mergeable sketches, constant memory per group — the 100 TB path
     * where exact distinct would shuffle every key. Sketch estimates
@@ -1078,6 +1181,7 @@ GROUP BY c.cohort_week, (a.week - c.cohort_week) // 7"""))
   val all: Seq[Q] = Seq(
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
+    dedupClusterStats, dedupSurvivorship,
     approxAggs, hllReach, hllOverlap, bitmapReach, audienceOverlap, quantileSketch, connectBy, pagerank, islands, textNormalize, docPack, docPackSharded, trainSplit, sessionWindow,
     pivotOp, unpivotOp, ntileDist, setOpsAll, regexFuncs, arrayFuncs,
     tryCast, skewAgg, statsAgg, skewJoin, runtimeFilter, dqAudit, dedupKeepCanonical,

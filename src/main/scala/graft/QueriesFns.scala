@@ -723,6 +723,46 @@ FROM (SELECT *, CAST(floor(l_quantity) % 5 AS BIGINT) AS d,
        count(DISTINCT event_type) >= 3 AS l_diverse
 FROM events GROUP BY 1, 2, 3"""))
 
+  /** The ENFORCEMENT step after C87's audit — one-round
+    * generalization: QI cells failing k-anonymity are merged into a
+    * '***' bucket per (day, hour) before release. Computed entirely
+    * on the GROUP table (pass-through cells keep their counts; failing
+    * cells fold into the generalized bucket) — the fact table is
+    * scanned exactly once for the audit aggregate, never rejoined.
+    * Real systems iterate until the generalized bucket itself clears
+    * k; this row documents the single round (the fixpoint is the same
+    * fold repeated on the released table). */
+  private val anonymityEnforce = Q(
+    "q_anonymity_enforce",
+    (s, dir) => {
+      val g = ViewingData.table(s, dir, "events")
+        .select(
+          substring((col("user_id") % 90000 + 10000).cast("string"), 1, 3)
+            .as("zip3"),
+          to_date(col("ts")).cast("string").as("day"),
+          hour(col("ts")).as("hh"),
+          col("user_id"))
+        .groupBy("zip3", "day", "hh")
+        .agg(count(lit(1)).as("n"), countDistinct("user_id").as("u"))
+      val pass = g.filter(col("u") >= 5)
+        .select(col("zip3"), col("day"), col("hh"), col("n"))
+      val gen = g.filter(col("u") < 5)
+        .groupBy("day", "hh").agg(sum("n").as("n"))
+        .select(lit("***").as("zip3"), col("day"), col("hh"), col("n"))
+      pass.union(gen)
+    },
+    Some("""WITH g AS (
+  SELECT substring(CAST(user_id % 90000 + 10000 AS VARCHAR), 1, 3) AS zip3,
+         CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(hour(ts) AS INTEGER) AS hh,
+         CAST(count(*) AS BIGINT) AS n,
+         count(DISTINCT user_id) AS u
+  FROM events GROUP BY 1, 2, 3)
+SELECT zip3, day, hh, n FROM g WHERE u >= 5
+UNION ALL
+SELECT '***' AS zip3, day, hh, CAST(sum(n) AS BIGINT) AS n
+FROM g WHERE u < 5 GROUP BY day, hh"""))
+
   /** Noised aggregate release — the differential-privacy release
     * SHAPE (per-cell count + bounded additive noise + clamp) with the
     * RNG swapped for a deterministic md5 draw so the whole chain is
@@ -871,6 +911,6 @@ FROM per"""))
     Seq(minmaxBy, condAggs, changeEvents, ratioReport, likeAny, timezone,
       regression, ewma, modeAgg, profile, flattenArr, twap,
       attribution, histogramEqd, percentileDisc, standardize,
-      jsonBuild, masking, div0, anonymityAudit, noisedRelease,
-      freqDistribution, rfmSegments)
+      jsonBuild, masking, div0, anonymityAudit, anonymityEnforce,
+      noisedRelease, freqDistribution, rfmSegments)
 }

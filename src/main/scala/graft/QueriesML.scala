@@ -1277,6 +1277,115 @@ FROM (SELECT cell, vec_id,
       FROM keyed)
 WHERE rk <= 5"""))
 
+  /** Contrastive TRAINING-PAIR MINING (the embedding-finetune data
+    * stage: anchor → hard positive + cross-cluster negative): per
+    * anchor, the positive is its highest-cosine SAME-CELL neighbor
+    * (hard positive — cell-local candidate generation, the IVF-cell
+    * trade that keeps pair mining off the |corpus|² cliff) and the
+    * negative is the neighboring cell's md5 diversity exemplar
+    * (E8's rank-1 draw from cell+1 mod 8 — deterministic, so the
+    * whole mining chain stays hash-checkable).
+    *
+    * Scale shape: assignment is the broadcast argmax fold; the
+    * positive search is a cell-bucketed self-join + max_by (per-cell
+    * work bounded by cell size, the E4 argument); negatives are a
+    * cells-sized broadcast. Ties break (sim DESC, cand ASC) on both
+    * engines — dot products are the identical FP sequence, so the
+    * pre-round argmax agrees. */
+  private val annPairMining = Q(
+    "ann_pair_mining",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val cents = s.range(8).toDF("cell")
+        .select(col("cell").cast("int").as("cell"),
+          QueriesLLM.hashEmbed(
+            concat(lit("graft-ivfc-"), col("cell").cast("string")), 64)
+            .as("centroid"))
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          VectorFunctions.normalize(
+            VectorFunctions.toDouble(col("embedding"))).as("e"))
+      val index = graft.operators.Ivf.assign(v, cents, "vec_id", "e", "cell")
+        .localCheckpoint()
+      val a = index.select(col("cell"), col("vec_id").as("anchor"),
+        col("e").as("ea"))
+      val b = index.select(col("cell"), col("vec_id").as("cand"),
+        col("e").as("eb"))
+      val pos = a.join(b, "cell").filter(col("anchor") =!= col("cand"))
+        .withColumn("sim", VectorFunctions.dotNative(col("ea"), col("eb")))
+        .groupBy("cell", "anchor")
+        .agg(max_by(struct(col("cand"), col("sim")),
+          struct(col("sim"), -col("cand"))).as("best"))
+        .select(col("cell"), col("anchor"),
+          col("best.cand").as("pos_id"),
+          round(col("best.sim"), 6).as("pos_sim"))
+      val neg = index
+        .select(col("cell"),
+          (-conv(substring(md5(concat(lit("graft-divs:"),
+              col("vec_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+            .cast("double")).as("nkey"),
+          col("vec_id"))
+        .groupBy("cell")
+        .agg(expr("topk_by(nkey, vec_id, 1)").as("r"))
+        .select(col("cell").as("neg_cell"),
+          element_at(col("r"), 1).getField("id").as("neg_id"))
+      pos.withColumn("neg_cell", (col("cell") + 1) % 8)
+        .join(broadcast(neg), "neg_cell")
+        .select(col("anchor"), col("cell"), col("pos_id"), col("pos_sim"),
+          col("neg_id"))
+    },
+    Some(s"""WITH cells AS (SELECT unnest(range(0, 8)) AS cell),
+craw AS (
+  SELECT cell, list_transform(range(0, 64), i ->
+    ${QueriesLLM.hex6Sql(
+        "md5('graft-ivfc-' || CAST(cell AS VARCHAR) || ':' || CAST(i AS VARCHAR))")}
+      / 16777216.0 * 2 - 1) AS raw
+  FROM cells),
+c AS (
+  SELECT cell, list_transform(raw, x ->
+    x / sqrt(list_sum(list_transform(raw, y -> y * y)))) AS ce
+  FROM craw),
+v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v AS (
+  SELECT vec_id, list_transform(e, x ->
+    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0),
+ad AS (
+  SELECT v.vec_id, v.e, c.cell,
+         list_sum(list_transform(generate_series(1, 64), i ->
+           v.e[i] * c.ce[i])) AS dot
+  FROM v CROSS JOIN c),
+asg AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT vec_id, e, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cell DESC) AS rn
+    FROM ad) WHERE rn = 1),
+pos AS (
+  SELECT a.cell, a.vec_id AS anchor, b.vec_id AS cand,
+         list_sum(list_transform(generate_series(1, 64), i ->
+           a.e[i] * b.e[i])) AS dot
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+best AS (
+  SELECT cell, anchor, cand AS pos_id, round(dot, 6) AS pos_sim FROM (
+    SELECT cell, anchor, cand, dot,
+           row_number() OVER (PARTITION BY anchor
+                              ORDER BY dot DESC, cand) AS rk
+    FROM pos) WHERE rk = 1),
+neg AS (
+  SELECT cell AS neg_cell, vec_id AS neg_id FROM (
+    SELECT cell, vec_id,
+           row_number() OVER (PARTITION BY cell ORDER BY
+             ${QueriesLLM.hexNSql(
+        "md5('graft-divs:' || CAST(vec_id AS VARCHAR))", 12)}, vec_id) AS rk
+    FROM asg) WHERE rk = 1)
+SELECT b.anchor, CAST(b.cell AS INTEGER) AS cell, b.pos_id, b.pos_sim,
+       n.neg_id
+FROM best b JOIN neg n ON n.neg_cell = (b.cell + 1) % 8"""))
+
   /** First-6-hex-chars md5 fraction in [-1, 1) — the SAME value
     * DuckDB's hex-fold of md5 yields, computed driver-side (codebooks
     * and query vectors are control-plane metadata). */
@@ -1513,7 +1622,7 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
     dedupEmbeddingIncremental, dedupFuzzyNames,
     annBruteforce, annBucketed, annBucketedOracle, annIvf, annIvfOracle,
     annIvfPq, annIvfPqOracle, annKnnJoin, annPqOracle, annQ8, annQ8Oracle,
-    annDiversitySample,
+    annDiversitySample, annPairMining,
     mmBinaryMeta, mmDecode, mmFrameSample, mmAudioEnergy, mmAudioSegments,
     streamBatchParity)
 }
