@@ -744,6 +744,10 @@ FROM events GROUP BY 1, 2, 3"""))
           col("user_id"))
         .groupBy("zip3", "day", "hh")
         .agg(count(lit(1)).as("n"), countDistinct("user_id").as("u"))
+        // build-once: both release branches read the SAME group table —
+        // without the barrier each branch re-instantiates the audit
+        // aggregate and the fact table is scanned twice (plan-pinned)
+        .localCheckpoint()
       val pass = g.filter(col("u") >= 5)
         .select(col("zip3"), col("day"), col("hh"), col("n"))
       val gen = g.filter(col("u") < 5)

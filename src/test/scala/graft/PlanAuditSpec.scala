@@ -395,6 +395,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"segmentation is single-table:\n$p")
   }
 
+  test("ann_pair_mining: positives cell-bucketed (equi-join), negatives broadcast") {
+    val p = plan("ann_pair_mining")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"hard-positive search must stay cell-local:\n$p")
+  }
+
+  test("q_anonymity_enforce: both release branches read the materialized group table") {
+    val df = SparkEntry.queries("q_anonymity_enforce")(spark, Sf)
+    // the audit aggregate materializes once (localCheckpoint); the
+    // release plan must contain NO parquet scan — a file scan here
+    // means a branch re-instantiated the aggregate (fact read twice)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.isEmpty,
+      s"pass/generalize split is group-table arithmetic, got ${scans.size} scans")
+  }
+
   test("q_freq_distribution: panel weights broadcast, fact folds before the join") {
     val p = plan("q_freq_distribution")
     assert(p.contains("BroadcastHashJoin"), p)
