@@ -336,4 +336,51 @@ object MergeSink {
     merged.write.mode(SaveMode.Overwrite).parquet(staged)
     graft.sources.LakeWriter.publish(spark, staged, metricsPath)
   }
+
+  /** Streaming k-anonymity release maintenance — the C87/C94
+    * governance pair kept EXACT under streaming ingest. State layout
+    * is `batch_id=N/` partitions, each holding the batch's per-QI
+    * fold (row count + panelist bitmap): a REPLAYED batch overwrites
+    * its OWN partition and touches nothing else (the
+    * [[sketchTopKParquet]] layout contract), so BOTH statistics stay
+    * exactly-once under at-least-once delivery — counts by partition
+    * overwrite, panelist sets doubly safe by OR-idempotence. Per-QI
+    * state is one row + one bitmap per batch; no raw row is kept. */
+  def anonymityStateParquet(statePath: String, groupCols: Seq[String],
+      idCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.plans.GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
+    batch.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), expr(s"bitmap_agg($idCol)").as("bm"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$statePath/batch_id=$batchId")
+  }
+
+  /** The released table derived from [[anonymityStateParquet]] state
+    * alone (C94's one-round generalization, never re-reading raw
+    * rows): per-batch folds merge by sum + bitmap OR, QI cells whose
+    * EXACT panelist count clears k release their row counts, the rest
+    * generalize `generalizeCol` into the '***' bucket. The merged
+    * group table materializes once so both release branches read it
+    * (the C94 build-once contract). */
+  def anonymityRelease(spark: SparkSession, statePath: String,
+      fullCols: Seq[String], generalizeCol: String, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions.{col, expr, lit, sum}
+    require(fullCols.contains(generalizeCol),
+      s"$generalizeCol must be one of $fullCols")
+    val residual = fullCols.filterNot(_ == generalizeCol)
+    val g = spark.read.parquet(statePath)
+      .groupBy(fullCols.map(col): _*)
+      .agg(sum("n").as("n"), expr("bitmap_or_count(bm)").as("u"))
+      .localCheckpoint()
+    val pass = g.filter(col("u") >= k)
+      .select(fullCols.map(col) :+ col("n"): _*)
+    val gen = g.filter(col("u") < k)
+      .groupBy(residual.map(col): _*).agg(sum("n").as("n"))
+      .select(fullCols.map(c =>
+        if (c == generalizeCol) lit("***").as(c) else col(c)) :+ col("n"): _*)
+    pass.union(gen)
+  }
 }

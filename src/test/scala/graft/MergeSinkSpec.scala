@@ -386,4 +386,51 @@ class MergeSinkSpec extends SparkTestBase {
       assert(win == Map("d1" -> 3L, "d2" -> 4L, "d3" -> 3L), s"got $win")
     } finally q.stop()
   }
+
+  test("anonymity sink: streamed release == batch fold; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val state = Files.createTempDirectory("anonsink").toString + "/s"
+    val input = MemoryStream[(String, String, Long)]
+    val q = input.toDF().toDF("zip3", "day", "uid").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(
+        MergeSink.anonymityStateParquet(state, Seq("zip3", "day"), "uid") _)
+      .start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    def release() = MergeSink
+      .anonymityRelease(spark, state, Seq("zip3", "day"), "zip3", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .sortBy(_._1).toSeq
+    // the batch-side truth: C94's fold over everything seen so far
+    def oracle() = {
+      val g = all.toSeq.toDF("zip3", "day", "uid")
+        .groupBy("zip3", "day")
+        .agg(count(lit(1)).as("n"), countDistinct("uid").as("u"))
+      g.filter(col("u") >= 2).select(col("zip3"), col("day"), col("n"))
+        .union(g.filter(col("u") < 2).groupBy("day").agg(sum("n").as("n"))
+          .select(lit("***").as("zip3"), col("day"), col("n")))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .sortBy(_._1).toSeq
+    }
+    try {
+      // b1: "100" clears k=2 on d1, "200" doesn't
+      val b1 = Seq(("100", "d1", 1L), ("100", "d1", 2L), ("200", "d1", 7L))
+      input.addData(b1: _*); q.processAllAvailable(); all ++= b1
+      assert(release() == oracle(), "after batch 1")
+      // b2: a second distinct panelist flips "200" from generalized to
+      // released — the k decision must move with the EXACT distinct
+      val b2 = Seq(("200", "d1", 8L), ("100", "d2", 1L))
+      input.addData(b2: _*); q.processAllAvailable(); all ++= b2
+      assert(release() == oracle(), "after batch 2")
+      // replay batch 0 VERBATIM (same batchId — the foreachBatch crash/
+      // redeliver contract): it overwrites its own state partition, so
+      // counts AND panelist sets are unchanged
+      val before = release()
+      MergeSink.anonymityStateParquet(state, Seq("zip3", "day"), "uid")(
+        b1.toDF("zip3", "day", "uid"), 0L)
+      assert(release() == before, "replayed batch must be a no-op")
+    } finally q.stop()
+  }
 }
