@@ -911,10 +911,123 @@ SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days, freq, monetary,
          AS segment
 FROM per"""))
 
+  /** MARKET-BASKET association rules (support / confidence / lift over
+    * co-ordered parts — the retail-analytics classic): distinct
+    * (order, part) fold first, pair explode via an order-key
+    * equi-join with part_a < part_b — per-order pair work is bounded
+    * by BASKET SIZE (TPC-H ≤ 7 items), never |lineitem|²; pair
+    * supports are the one big aggregate, item supports broadcast back
+    * into the rule projection. Rules kept at support ≥ 3 (63 pairs on
+    * this corpus). Counts exact; confidence/lift divisions rounded. */
+  private val marketBasket = Q(
+    "q_market_basket",
+    (s, dir) => {
+      val it = ViewingData.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint()
+      val nOrders = it.select(countDistinct("l_orderkey").as("n_orders"))
+      val itemSup = it.groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
+      val a = it.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = it.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      val pairSup = a.join(b, "l_orderkey")
+        .filter(col("part_a") < col("part_b"))
+        .groupBy("part_a", "part_b").agg(count(lit(1)).as("s_ab"))
+        .filter(col("s_ab") >= 3)
+      pairSup
+        .join(broadcast(itemSup.withColumnRenamed("l_partkey", "part_a")
+          .withColumnRenamed("s", "s_a")), "part_a")
+        .join(broadcast(itemSup.withColumnRenamed("l_partkey", "part_b")
+          .withColumnRenamed("s", "s_b")), "part_b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("part_a"), col("part_b"), col("s_ab"), col("s_a"),
+          col("s_b"),
+          round(col("s_ab") / col("s_a"), 6).as("confidence"),
+          round(col("s_ab") * col("n_orders") / (col("s_a") * col("s_b")), 6)
+            .as("lift"))
+    },
+    Some("""WITH it AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM it),
+sup AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS s FROM it GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS s_ab
+  FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT p.part_a, p.part_b, p.s_ab, sa.s AS s_a, sb.s AS s_b,
+       round(p.s_ab * 1.0 / sa.s, 6) AS confidence,
+       round(p.s_ab * (SELECT n_orders FROM n) * 1.0 / (sa.s * sb.s), 6)
+         AS lift
+FROM pairs p JOIN sup sa ON sa.l_partkey = p.part_a
+             JOIN sup sb ON sb.l_partkey = p.part_b"""))
+
+  /** A/B experiment READOUT with deterministic hash assignment (the
+    * md5-bucket arm split every experimentation platform uses —
+    * retry/reshard-stable, no rand()): panelists split 50/50 by
+    * md5(uid) parity, converted = ≥ 14 purchases in the period (the
+    * bar that splits this corpus — every panelist has ≥ 1 purchase,
+    * which would pool p to 1 and zero the z denominator); one entity
+    * fold,
+    * then the readout (rates, absolute lift, pooled two-proportion
+    * z-score) is scalar arithmetic on a 2-row frame. Counts exact;
+    * each derived ratio rounded once on both engines. */
+  private val abTest = Q(
+    "q_ab_test",
+    (s, dir) => {
+      val per = ViewingData.table(s, dir, "events")
+        .groupBy("user_id")
+        .agg(when(count(when(col("event_type") === "purchase", 1)) >= 14,
+          1L).otherwise(0L).as("conv"))
+        .withColumn("arm",
+          when(conv(substring(md5(concat(lit("graft-ab:"),
+              col("user_id").cast("string")).cast("binary")), 1, 6), 16, 10)
+            .cast("long") % 2 === 0, lit("A")).otherwise(lit("B")))
+      val arms = per.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("conv").as("nc"))
+      val w = arms.groupBy()
+        .agg(sum(when(col("arm") === "A", col("n"))).as("n_a"),
+          sum(when(col("arm") === "A", col("nc"))).as("conv_a"),
+          sum(when(col("arm") === "B", col("n"))).as("n_b"),
+          sum(when(col("arm") === "B", col("nc"))).as("conv_b"))
+      w.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(col("conv_a") / col("n_a"), 6).as("rate_a"),
+        round(col("conv_b") / col("n_b"), 6).as("rate_b"),
+        round(col("conv_b") / col("n_b") - col("conv_a") / col("n_a"), 6)
+          .as("abs_lift"),
+        round((col("conv_b") / col("n_b") - col("conv_a") / col("n_a")) /
+          sqrt(((col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))) *
+            (lit(1.0) - (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z"))
+    },
+    Some(s"""WITH per AS (
+  SELECT user_id,
+         CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END) >= 14
+              THEN 1 ELSE 0 END AS conv,
+         CASE WHEN ${QueriesLLM.hex6Sql(
+        "md5('graft-ab:' || CAST(user_id AS VARCHAR))")} % 2 = 0
+              THEN 'A' ELSE 'B' END AS arm
+  FROM events GROUP BY user_id),
+w AS (
+  SELECT CAST(count(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN arm = 'A' THEN conv END) AS BIGINT) AS conv_a,
+         CAST(count(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN arm = 'B' THEN conv END) AS BIGINT) AS conv_b
+  FROM per)
+SELECT n_a, conv_a, n_b, conv_b,
+       round(conv_a * 1.0 / n_a, 6) AS rate_a,
+       round(conv_b * 1.0 / n_b, 6) AS rate_b,
+       round(conv_b * 1.0 / n_b - conv_a * 1.0 / n_a, 6) AS abs_lift,
+       round((conv_b * 1.0 / n_b - conv_a * 1.0 / n_a) /
+         sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b)) *
+              (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b)) *
+              (1.0 / n_a + 1.0 / n_b)), 6) AS z
+FROM w"""))
+
   val all: Seq[Q] =
     Seq(minmaxBy, condAggs, changeEvents, ratioReport, likeAny, timezone,
       regression, ewma, modeAgg, profile, flattenArr, twap,
       attribution, histogramEqd, percentileDisc, standardize,
-      jsonBuild, masking, div0, anonymityAudit, anonymityEnforce,
+      jsonBuild, masking, div0, marketBasket, abTest, anonymityAudit, anonymityEnforce,
       noisedRelease, freqDistribution, rfmSegments)
 }

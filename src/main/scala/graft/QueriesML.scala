@@ -1386,6 +1386,86 @@ SELECT b.anchor, CAST(b.cell AS INTEGER) AS cell, b.pos_id, b.pos_sim,
        n.neg_id
 FROM best b JOIN neg n ON n.neg_cell = (b.cell + 1) % 8"""))
 
+  /** CLUSTER-QUALITY report (the silhouette-style margin audit read
+    * before trusting a semantic partitioning — the eval complement of
+    * Ivf.cellFill's occupancy signal): per vector, cosine to its own
+    * centroid (best) and to the runner-up (second, the
+    * assignment-ambiguity witness); per cell, mean own-similarity and
+    * mean margin (best − second). A thin margin marks cells whose
+    * members straddle a boundary — re-train or raise nprobe there.
+    *
+    * Scale shape: centroids broadcast into the ONE vector scan; the
+    * per-vector top-2 is a bounded collect over |cells| dots (sorted
+    * desc (dot, cell) — the exact Ivf.assign tie-break); the report is
+    * a |cells|-row aggregate. Double sums cross partition order →
+    * both engines round the two means (the C36 stats precedent). */
+  private val annClusterQuality = Q(
+    "ann_cluster_quality",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val cents = s.range(8).toDF("cell")
+        .select(col("cell").cast("int").as("cell"),
+          QueriesLLM.hashEmbed(
+            concat(lit("graft-ivfc-"), col("cell").cast("string")), 64)
+            .as("centroid"))
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"),
+          VectorFunctions.normalize(
+            VectorFunctions.toDouble(col("embedding"))).as("e"))
+      val top2 = v.crossJoin(broadcast(cents))
+        .withColumn("dot", VectorFunctions.dotNative(col("e"), col("centroid")))
+        .groupBy("vec_id")
+        .agg(sort_array(collect_list(struct(col("dot"), col("cell"))),
+          asc = false).as("arr"))
+        .select(col("vec_id"),
+          col("arr")(0).getField("cell").as("cell"),
+          col("arr")(0).getField("dot").as("best"),
+          col("arr")(1).getField("dot").as("second"))
+      top2.groupBy("cell")
+        .agg(count(lit(1)).as("n_members"),
+          round(sum(col("best")) / count(lit(1)), 6).as("avg_own"),
+          round(sum(col("best") - col("second")) / count(lit(1)), 6)
+            .as("avg_margin"))
+    },
+    Some(s"""WITH cells AS (SELECT unnest(range(0, 8)) AS cell),
+craw AS (
+  SELECT cell, list_transform(range(0, 64), i ->
+    ${QueriesLLM.hex6Sql(
+        "md5('graft-ivfc-' || CAST(cell AS VARCHAR) || ':' || CAST(i AS VARCHAR))")}
+      / 16777216.0 * 2 - 1) AS raw
+  FROM cells),
+c AS (
+  SELECT cell, list_transform(raw, x ->
+    x / sqrt(list_sum(list_transform(raw, y -> y * y)))) AS ce
+  FROM craw),
+v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v AS (
+  SELECT vec_id, list_transform(e, x ->
+    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0),
+ad AS (
+  SELECT v.vec_id, c.cell,
+         list_sum(list_transform(generate_series(1, 64), i ->
+           v.e[i] * c.ce[i])) AS dot
+  FROM v CROSS JOIN c),
+rk AS (
+  SELECT vec_id, cell, dot,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, cell DESC) AS rn
+  FROM ad),
+top2 AS (
+  SELECT b1.vec_id, b1.cell, b1.dot AS best, b2.dot AS second
+  FROM (SELECT * FROM rk WHERE rn = 1) b1
+  JOIN (SELECT * FROM rk WHERE rn = 2) b2 USING (vec_id))
+SELECT CAST(cell AS INTEGER) AS cell,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(sum(best) / count(*), 6) AS avg_own,
+       round(sum(best - second) / count(*), 6) AS avg_margin
+FROM top2 GROUP BY cell"""))
+
   /** First-6-hex-chars md5 fraction in [-1, 1) — the SAME value
     * DuckDB's hex-fold of md5 yields, computed driver-side (codebooks
     * and query vectors are control-plane metadata). */
@@ -1622,7 +1702,7 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
     dedupEmbeddingIncremental, dedupFuzzyNames,
     annBruteforce, annBucketed, annBucketedOracle, annIvf, annIvfOracle,
     annIvfPq, annIvfPqOracle, annKnnJoin, annPqOracle, annQ8, annQ8Oracle,
-    annDiversitySample, annPairMining,
+    annDiversitySample, annPairMining, annClusterQuality,
     mmBinaryMeta, mmDecode, mmFrameSample, mmAudioEnergy, mmAudioSegments,
     streamBatchParity)
 }
