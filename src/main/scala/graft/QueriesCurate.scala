@@ -267,7 +267,36 @@ WHERE ${hexNSql("md5('graft-temp-5:' || CAST(d.doc_id AS VARCHAR))", 4)}
         / 65536.0
       < sqrt(CAST(n.n_min AS DOUBLE) / c.n_lang)"""))
 
+  /** EXACT set-similarity self-join by PREFIX FILTERING
+    * ([[graft.operators.PrefixFilter]] — the AllPairs/PPJoin family):
+    * every word-trigram-Jaccard ≥ 0.5 pair, with no blocking
+    * heuristic (D2 trades recall via (lang, n_chars) buckets) and no
+    * probabilistic miss (D3's LSH) — candidate generation explodes
+    * only each document's rarest-first PREFIX (n − ceil(τn) + 1
+    * elements), which provably collides for every qualifying pair;
+    * exact verification keeps the output identical to brute force,
+    * which is exactly what the DuckDB oracle computes. */
+  private val dedupPrefixFilter = Q(
+    "dedup_prefix_filter",
+    (s, dir) => graft.operators.PrefixFilter.pairs(
+      ViewingData.table(s, dir, "documents"),
+      "doc_id", "text", shingle = 3, tau = 0.5),
+    Some("""WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(ws) - 2),
+           i -> array_to_string(ws[i:i+2], ' '))) AS grams
+  FROM w WHERE len(ws) >= 3),
+j AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+               (len(a.grams) + len(b.grams)
+                - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5"""))
+
   val all: Seq[Q] =
     Seq(dedupSubstring, dedupSubstringFast, dedupSubstringIncremental,
-      corpusDsir, corpusMixTemp)
+      corpusDsir, corpusMixTemp, dedupPrefixFilter)
 }

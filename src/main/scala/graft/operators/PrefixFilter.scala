@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity self-join by prefix filtering (the
+  * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al.
+  * WWW'08): every pair with Jaccard ≥ τ over word-shingle sets is
+  * found, with NO blocking heuristic (D2's (lang, n_chars) buckets
+  * trade recall for cost) and NO probabilistic miss (D3's LSH bands).
+  *
+  * The guarantee: order the element universe totally (rarest-first by
+  * (df, gram) — any total order is correct, rarest-first makes
+  * prefixes selective); give each document's sorted element list a
+  * PREFIX of length n − ceil(τ·n) + 1. If J(a,b) ≥ τ then
+  * |a∩b| ≥ ceil(τ·max(na,nb)), and two sets whose prefixes are
+  * disjoint can intersect in at most min(n_a − L_a, n_b − L_b) =
+  * min(ceil(τ·n_a), ceil(τ·n_b)) − 1 elements — fewer than any
+  * qualifying pair shares. So candidate generation = explode PREFIX
+  * elements only, group by element, pair within groups; exact Jaccard
+  * verification on the full sets keeps the result identical to
+  * brute force (PrefixFilterSpec proves completeness against it).
+  *
+  * Scale shape: ONE corpus scan folds shingle sets (checkpointed —
+  * df, prefixes, and the verify sets all derive from it); the df
+  * dictionary is \|vocab\|-sized (the BpeTrain argument: vocabulary
+  * folds corpus-independent) and broadcast; the only big shuffle
+  * groups prefix elements, whose buckets the rarest-first order keeps
+  * small — the df-cap escape hatch of the winnow path applies
+  * unchanged if a degenerate corpus needs it. */
+object PrefixFilter {
+
+  /** Distinct word-`shingle`-gram sets per document. Documents with
+    * fewer than `shingle` words yield an empty set and cannot pair. */
+  private def shingleSets(docs: DataFrame, idCol: String, textCol: String,
+      shingle: Int): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("__ws"))
+      // filter BEFORE the sequence: sequence(0, -1) throws on
+      // sub-shingle docs, and a doc with no shingles can't pair anyway
+      .filter(size(col("__ws")) >= shingle)
+      .select(col(idCol), array_distinct(expr(
+        s"""transform(sequence(0, size(__ws) - $shingle),
+            i -> array_join(slice(__ws, i + 1, $shingle), ' '))"""))
+        .as("grams"))
+
+  /** All pairs (id_a < id_b) with Jaccard(grams_a, grams_b) ≥ tau,
+    * exactly. Output: (id_a, id_b, jaccard) with jaccard rounded to
+    * 6 dp (one integer-ratio division — the only FP in the chain). */
+  def pairs(docs: DataFrame, idCol: String, textCol: String,
+      shingle: Int, tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau in (0, 1], got $tau")
+    val sets = shingleSets(docs, idCol, textCol, shingle).localCheckpoint()
+    val dfTab = sets.select(explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    // per doc: elements sorted rarest-first, prefix = first
+    // n - ceil(tau*n) + 1 (any pair at tau MUST collide on a prefix
+    // element of both sides — the scaladoc bound)
+    val ranked = sets.select(col(idCol), explode(col("grams")).as("gram"))
+      .join(broadcast(dfTab), "gram")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("df"), col("gram"))))
+        .as("ordered"))
+      .select(col(idCol),
+        expr("transform(ordered, x -> x.gram)").as("sorted_grams"))
+      .withColumn("n", size(col("sorted_grams")))
+      .withColumn("prefix", slice(col("sorted_grams"), lit(1),
+        (col("n") - ceil(col("n") * tau) + 1).cast("int")))
+    val pref = ranked.select(col(idCol), col("n"),
+      explode(col("prefix")).as("gram"))
+    // LENGTH FILTER (AllPairs, exactness-preserving): J >= tau forces
+    // tau·na <= nb <= na/tau — applied inside the bucket join it cuts
+    // the candidate quadratic before the distinct
+    val cand = pref.select(col("gram"), col(idCol).as("id_a"),
+        col("n").as("na"))
+      .join(pref.select(col("gram"), col(idCol).as("id_b"),
+        col("n").as("nb")), "gram")
+      .filter(col("id_a") < col("id_b") &&
+        col("nb") >= ceil(col("na") * tau) &&
+        col("na") >= ceil(col("nb") * tau))
+      .select("id_a", "id_b").distinct()
+    val a = sets.select(col(idCol).as("id_a"), col("grams").as("ga"))
+    val b = sets.select(col(idCol).as("id_b"), col("grams").as("gb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("ga")) + size(col("gb")) - col("inter")), 6))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+}
