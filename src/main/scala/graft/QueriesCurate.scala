@@ -290,11 +290,11 @@ g AS (
   FROM w WHERE len(ws) >= 3),
 j AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         round(len(list_intersect(a.grams, b.grams)) * 1.0 /
-               (len(a.grams) + len(b.grams)
-                - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+         len(list_intersect(a.grams, b.grams)) * 1.0 /
+         (len(a.grams) + len(b.grams)
+          - len(list_intersect(a.grams, b.grams))) AS jx
   FROM g a JOIN g b ON a.doc_id < b.doc_id)
-SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5"""))
+SELECT id_a, id_b, round(jx, 6) AS jaccard FROM j WHERE jx >= 0.5"""))
 
   val all: Seq[Q] =
     Seq(dedupSubstring, dedupSubstringFast, dedupSubstringIncremental,

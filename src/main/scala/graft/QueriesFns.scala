@@ -815,9 +815,12 @@ FROM g"""))
   private val freqDistribution = Q(
     "q_freq_distribution",
     (s, dir) => {
+      // build-once: the universe aggregate and the broadcast join both
+      // read the SAME panel-sized weight table (one customer scan)
       val w = ViewingData.table(s, dir, "customer")
         .select(col("c_custkey").as("uid"),
           floor(abs(col("c_acctbal"))).cast("long").as("wgt"))
+        .localCheckpoint()
       val universe = w.agg(sum("wgt").as("universe"))
       val f = ViewingData.table(s, dir, "events")
         .filter(col("event_type") === "view")
@@ -873,14 +876,16 @@ GROUP BY 1, 2"""))
   private val rfmSegments = Q(
     "q_rfm_segments",
     (s, dir) => {
-      val maxd = ViewingData.table(s, dir, "events")
-        .agg(max(to_date(col("ts"))).as("max_d"))
-      val per = ViewingData.table(s, dir, "events")
+      // ONE fact fold; the corpus max date derives from the folded
+      // entity table (max of per-user last dates), not a second scan
+      val per0 = ViewingData.table(s, dir, "events")
         .groupBy(col("user_id"))
         .agg(max(to_date(col("ts"))).as("last_d"),
           count(lit(1)).as("freq"),
           sum(floor(col("value")).cast("long")).as("monetary"))
-        .crossJoin(broadcast(maxd))
+        .localCheckpoint()
+      val maxd = per0.agg(max(col("last_d")).as("max_d"))
+      val per = per0.crossJoin(broadcast(maxd))
         .withColumn("recency_days",
           datediff(col("max_d"), col("last_d")).cast("long"))
         .drop("max_d", "last_d")
@@ -985,11 +990,15 @@ FROM pairs p JOIN sup sa ON sa.l_partkey = p.part_a
             .cast("long") % 2 === 0, lit("A")).otherwise(lit("B")))
       val arms = per.groupBy("arm")
         .agg(count(lit(1)).as("n"), sum("conv").as("nc"))
+      // coalesce to 0 so an empty arm reports a zero COUNT on both
+      // engines (a bare conditional sum is NULL in Spark, 0 via
+      // DuckDB's count form); the rate/z divisions then hit the same
+      // ANSI div-0 gate either way — the documented degenerate case
       val w = arms.groupBy()
-        .agg(sum(when(col("arm") === "A", col("n"))).as("n_a"),
-          sum(when(col("arm") === "A", col("nc"))).as("conv_a"),
-          sum(when(col("arm") === "B", col("n"))).as("n_b"),
-          sum(when(col("arm") === "B", col("nc"))).as("conv_b"))
+        .agg(coalesce(sum(when(col("arm") === "A", col("n"))), lit(0L)).as("n_a"),
+          coalesce(sum(when(col("arm") === "A", col("nc"))), lit(0L)).as("conv_a"),
+          coalesce(sum(when(col("arm") === "B", col("n"))), lit(0L)).as("n_b"),
+          coalesce(sum(when(col("arm") === "B", col("nc"))), lit(0L)).as("conv_b"))
       w.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
         round(col("conv_a") / col("n_a"), 6).as("rate_a"),
         round(col("conv_b") / col("n_b"), 6).as("rate_b"),
@@ -1010,9 +1019,9 @@ FROM pairs p JOIN sup sa ON sa.l_partkey = p.part_a
   FROM events GROUP BY user_id),
 w AS (
   SELECT CAST(count(CASE WHEN arm = 'A' THEN 1 END) AS BIGINT) AS n_a,
-         CAST(sum(CASE WHEN arm = 'A' THEN conv END) AS BIGINT) AS conv_a,
+         CAST(coalesce(sum(CASE WHEN arm = 'A' THEN conv END), 0) AS BIGINT) AS conv_a,
          CAST(count(CASE WHEN arm = 'B' THEN 1 END) AS BIGINT) AS n_b,
-         CAST(sum(CASE WHEN arm = 'B' THEN conv END) AS BIGINT) AS conv_b
+         CAST(coalesce(sum(CASE WHEN arm = 'B' THEN conv END), 0) AS BIGINT) AS conv_b
   FROM per)
 SELECT n_a, conv_a, n_b, conv_b,
        round(conv_a * 1.0 / n_a, 6) AS rate_a,

@@ -1124,27 +1124,32 @@ WHERE levenshtein(a.p_name, b.p_name) <= 3"""))
     * the assignment break on the GREATER cell id (Ivf.assign's max_by
     * struct ordering), mirrored by the oracle's ORDER BY dot DESC,
     * cell DESC. */
-  private val annIvfOracle = Q(
-    "ann_ivf_oracle",
-    (s, dir) => {
-      graft.plans.GraftExtensions.register(s)
-      val cents = s.range(8).toDF("cell")
-        .select(col("cell").cast("int").as("cell"),
-          QueriesLLM.hashEmbed(
-            concat(lit("graft-ivfc-"), col("cell").cast("string")), 64)
-            .as("centroid"))
-      val v = ViewingData.table(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"),
-          VectorFunctions.normalize(
-            VectorFunctions.toDouble(col("embedding"))).as("e"))
-      val index = graft.operators.Ivf.assign(v, cents, "vec_id", "e", "cell")
-      val query = s.range(1)
-        .select(QueriesLLM.hashEmbed(lit("graft-ivfq-1"), 64).as("q"))
-      graft.operators.Ivf.probe(index, cents, query,
-        "vec_id", "e", "cell", nprobe = 2, k = 10)
-    },
-    Some(s"""WITH cells AS (SELECT unnest(range(0, 8)) AS cell),
+  /** The 8 fixed md5-derived unit centroids every hash-checked ANN
+    * row shares (assignment, diversity draw, pair mining, cluster
+    * quality) — ONE definition so the Spark side and the DuckDB twin
+    * prelude ([[ivfTwinCte]]) cannot drift apart per row. */
+  private def fixedCentroids(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame =
+    s.range(8).toDF("cell")
+      .select(col("cell").cast("int").as("cell"),
+        QueriesLLM.hashEmbed(
+          concat(lit("graft-ivfc-"), col("cell").cast("string")), 64)
+          .as("centroid"))
+
+  /** The L2-normalized embedding corpus those same rows scan. */
+  private def normalizedVecs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    ViewingData.table(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"),
+        VectorFunctions.normalize(
+          VectorFunctions.toDouble(col("embedding"))).as("e"))
+
+  /** Shared DuckDB twin prelude: the fixed centroids (cells/craw/c)
+    * and the normalized corpus (v0/v) — the SQL mirror of
+    * [[fixedCentroids]] + [[normalizedVecs]]. */
+  private val ivfTwinCte: String =
+    s"""cells AS (SELECT unnest(range(0, 8)) AS cell),
 craw AS (
   SELECT cell, list_transform(range(0, 64), i ->
     ${QueriesLLM.hex6Sql(
@@ -1155,6 +1160,27 @@ c AS (
   SELECT cell, list_transform(raw, x ->
     x / sqrt(list_sum(list_transform(raw, y -> y * y)))) AS ce
   FROM craw),
+v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v AS (
+  SELECT vec_id, list_transform(e, x ->
+    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0)"""
+
+  private val annIvfOracle = Q(
+    "ann_ivf_oracle",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val cents = fixedCentroids(s)
+      val v = normalizedVecs(s, dir)
+      val index = graft.operators.Ivf.assign(v, cents, "vec_id", "e", "cell")
+      val query = s.range(1)
+        .select(QueriesLLM.hashEmbed(lit("graft-ivfq-1"), 64).as("q"))
+      graft.operators.Ivf.probe(index, cents, query,
+        "vec_id", "e", "cell", nprobe = 2, k = 10)
+    },
+    Some(s"""WITH $ivfTwinCte,
 qraw AS (
   SELECT list_transform(range(0, 64), i ->
     ${QueriesLLM.hex6Sql("md5('graft-ivfq-1:' || CAST(i AS VARCHAR))")}
@@ -1163,13 +1189,6 @@ q AS (
   SELECT list_transform(raw, x ->
     x / sqrt(list_sum(list_transform(raw, y -> y * y)))) AS qe
   FROM qraw),
-v0 AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings),
-v AS (
-  SELECT vec_id, list_transform(e, x ->
-    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
-  FROM v0),
 ad AS (
   SELECT v.vec_id, v.e, c.cell,
          list_sum(list_transform(generate_series(1, 64), i ->
@@ -1213,16 +1232,8 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
     "ann_diversity_sample",
     (s, dir) => {
       graft.plans.GraftExtensions.register(s)
-      val cents = s.range(8).toDF("cell")
-        .select(col("cell").cast("int").as("cell"),
-          QueriesLLM.hashEmbed(
-            concat(lit("graft-ivfc-"), col("cell").cast("string")), 64)
-            .as("centroid"))
-      val v = ViewingData.table(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"),
-          VectorFunctions.normalize(
-            VectorFunctions.toDouble(col("embedding"))).as("e"))
+      val cents = fixedCentroids(s)
+      val v = normalizedVecs(s, dir)
       val index = graft.operators.Ivf.assign(v, cents, "vec_id", "e", "cell")
       index
         .select(col("cell"),
@@ -1237,24 +1248,7 @@ ORDER BY cos_sim DESC, vec_id LIMIT 10"""))
           (col("pos") + 1).cast("int").as("rank"),
           col("col.id").as("vec_id"))
     },
-    Some(s"""WITH cells AS (SELECT unnest(range(0, 8)) AS cell),
-craw AS (
-  SELECT cell, list_transform(range(0, 64), i ->
-    ${QueriesLLM.hex6Sql(
-        "md5('graft-ivfc-' || CAST(cell AS VARCHAR) || ':' || CAST(i AS VARCHAR))")}
-      / 16777216.0 * 2 - 1) AS raw
-  FROM cells),
-c AS (
-  SELECT cell, list_transform(raw, x ->
-    x / sqrt(list_sum(list_transform(raw, y -> y * y)))) AS ce
-  FROM craw),
-v0 AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings),
-v AS (
-  SELECT vec_id, list_transform(e, x ->
-    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
-  FROM v0),
+    Some(s"""WITH $ivfTwinCte,
 ad AS (
   SELECT v.vec_id, v.e, c.cell,
          list_sum(list_transform(generate_series(1, 64), i ->
@@ -1296,16 +1290,8 @@ WHERE rk <= 5"""))
     "ann_pair_mining",
     (s, dir) => {
       graft.plans.GraftExtensions.register(s)
-      val cents = s.range(8).toDF("cell")
-        .select(col("cell").cast("int").as("cell"),
-          QueriesLLM.hashEmbed(
-            concat(lit("graft-ivfc-"), col("cell").cast("string")), 64)
-            .as("centroid"))
-      val v = ViewingData.table(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"),
-          VectorFunctions.normalize(
-            VectorFunctions.toDouble(col("embedding"))).as("e"))
+      val cents = fixedCentroids(s)
+      val v = normalizedVecs(s, dir)
       val index = graft.operators.Ivf.assign(v, cents, "vec_id", "e", "cell")
         .localCheckpoint()
       val a = index.select(col("cell"), col("vec_id").as("anchor"),
@@ -1335,24 +1321,7 @@ WHERE rk <= 5"""))
         .select(col("anchor"), col("cell"), col("pos_id"), col("pos_sim"),
           col("neg_id"))
     },
-    Some(s"""WITH cells AS (SELECT unnest(range(0, 8)) AS cell),
-craw AS (
-  SELECT cell, list_transform(range(0, 64), i ->
-    ${QueriesLLM.hex6Sql(
-        "md5('graft-ivfc-' || CAST(cell AS VARCHAR) || ':' || CAST(i AS VARCHAR))")}
-      / 16777216.0 * 2 - 1) AS raw
-  FROM cells),
-c AS (
-  SELECT cell, list_transform(raw, x ->
-    x / sqrt(list_sum(list_transform(raw, y -> y * y)))) AS ce
-  FROM craw),
-v0 AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings),
-v AS (
-  SELECT vec_id, list_transform(e, x ->
-    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
-  FROM v0),
+    Some(s"""WITH $ivfTwinCte,
 ad AS (
   SELECT v.vec_id, v.e, c.cell,
          list_sum(list_transform(generate_series(1, 64), i ->
@@ -1403,16 +1372,8 @@ FROM best b JOIN neg n ON n.neg_cell = (b.cell + 1) % 8"""))
     "ann_cluster_quality",
     (s, dir) => {
       graft.plans.GraftExtensions.register(s)
-      val cents = s.range(8).toDF("cell")
-        .select(col("cell").cast("int").as("cell"),
-          QueriesLLM.hashEmbed(
-            concat(lit("graft-ivfc-"), col("cell").cast("string")), 64)
-            .as("centroid"))
-      val v = ViewingData.table(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"),
-          VectorFunctions.normalize(
-            VectorFunctions.toDouble(col("embedding"))).as("e"))
+      val cents = fixedCentroids(s)
+      val v = normalizedVecs(s, dir)
       val top2 = v.crossJoin(broadcast(cents))
         .withColumn("dot", VectorFunctions.dotNative(col("e"), col("centroid")))
         .groupBy("vec_id")
@@ -1428,24 +1389,7 @@ FROM best b JOIN neg n ON n.neg_cell = (b.cell + 1) % 8"""))
           round(sum(col("best") - col("second")) / count(lit(1)), 6)
             .as("avg_margin"))
     },
-    Some(s"""WITH cells AS (SELECT unnest(range(0, 8)) AS cell),
-craw AS (
-  SELECT cell, list_transform(range(0, 64), i ->
-    ${QueriesLLM.hex6Sql(
-        "md5('graft-ivfc-' || CAST(cell AS VARCHAR) || ':' || CAST(i AS VARCHAR))")}
-      / 16777216.0 * 2 - 1) AS raw
-  FROM cells),
-c AS (
-  SELECT cell, list_transform(raw, x ->
-    x / sqrt(list_sum(list_transform(raw, y -> y * y)))) AS ce
-  FROM craw),
-v0 AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings),
-v AS (
-  SELECT vec_id, list_transform(e, x ->
-    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
-  FROM v0),
+    Some(s"""WITH $ivfTwinCte,
 ad AS (
   SELECT v.vec_id, c.cell,
          list_sum(list_transform(generate_series(1, 64), i ->

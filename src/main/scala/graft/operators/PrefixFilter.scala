@@ -82,9 +82,14 @@ object PrefixFilter {
     val b = sets.select(col(idCol).as("id_b"), col("grams").as("gb"))
     cand.join(a, "id_a").join(b, "id_b")
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      // filter on the UNROUNDED ratio: the prefix guarantee covers
+      // pairs with TRUE J >= tau — a round-then-compare filter would
+      // also admit J in [tau - 5e-7, tau), which candidates may miss;
+      // the rounded column is display-only
+      .filter(col("inter") /
+        (size(col("ga")) + size(col("gb")) - col("inter")) >= tau)
       .withColumn("jaccard", round(col("inter") /
         (size(col("ga")) + size(col("gb")) - col("inter")), 6))
-      .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
   }
 }

@@ -23,6 +23,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Plan-time int-literal extraction for functions whose tuning
+    * constants must be fixed at registration (winnow_fps k/w,
+    * pcm_frames frame size — values only comparable across rows
+    * under ONE setting). */
+  private def intLit(fn: String, e: Expression, name: String): Int = e match {
+    case lit if lit.foldable =>
+      lit.eval() match {
+        case i: Int => i
+        case other => throw new IllegalArgumentException(
+          s"$fn: $name must be an int literal, got $other")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $name must be a literal")
+  }
+
   private val injections: Seq[
       (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (
@@ -52,40 +67,14 @@ object GraftExtensions {
     (
       new FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[WinnowFpsExpr].getName, "winnow_fps"),
-      (children: Seq[Expression]) => {
-        // k and w are required plan-time constants: fingerprints are
-        // only comparable across documents under ONE (k, w)
-        def intLit(e: Expression, name: String): Int = e match {
-          case lit if lit.foldable =>
-            lit.eval() match {
-              case i: Int => i
-              case other => throw new IllegalArgumentException(
-                s"winnow_fps: $name must be an int literal, got $other")
-            }
-          case _ => throw new IllegalArgumentException(
-            s"winnow_fps: $name must be a literal")
-        }
-        WinnowFpsExpr(children(0),
-          intLit(children(1), "k"), intLit(children(2), "w"))
-      }),
+      (children: Seq[Expression]) => WinnowFpsExpr(children(0),
+        intLit("winnow_fps", children(1), "k"),
+        intLit("winnow_fps", children(2), "w"))),
     (
       new FunctionIdentifier("pcm_frames"),
       new ExpressionInfo(classOf[PcmFramesExpr].getName, "pcm_frames"),
-      (children: Seq[Expression]) => {
-        // frame size is a plan-time constant — frame statistics are
-        // only comparable across rows under ONE framing
-        val n = children(1) match {
-          case lit if lit.foldable =>
-            lit.eval() match {
-              case i: Int => i
-              case other => throw new IllegalArgumentException(
-                s"pcm_frames: frameSamples must be an int literal, got $other")
-            }
-          case _ => throw new IllegalArgumentException(
-            "pcm_frames: frameSamples must be a literal")
-        }
-        PcmFramesExpr(children(0), n)
-      }),
+      (children: Seq[Expression]) => PcmFramesExpr(children(0),
+        intLit("pcm_frames", children(1), "frameSamples"))),
     (
       new FunctionIdentifier("vec_argmax_dot"),
       new ExpressionInfo(classOf[VecArgmaxDot].getName, "vec_argmax_dot"),

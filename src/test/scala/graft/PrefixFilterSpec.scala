@@ -16,9 +16,10 @@ class PrefixFilterSpec extends SparkTestBase {
     (for {
       (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
       ga = grams(ta); gb = grams(tb) if ga.nonEmpty && gb.nonEmpty
+      // the operator filters on the UNROUNDED ratio (exactness
+      // contract); the rounded jaccard column is display-only
       j = ga.intersect(gb).size.toDouble / ga.union(gb).size
-      // mirror the operator's round-then-compare contract
-      if BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= tau
+      if j >= tau
     } yield (ia, ib)).toSet
   }
 
