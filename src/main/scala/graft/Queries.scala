@@ -904,6 +904,100 @@ SELECT event_id, round(value, 6) AS value FROM kept
 UNION ALL
 SELECT event_id, round(value, 6) AS value FROM winner WHERE op <> 'delete'"""))
 
+  /** INCREMENTAL VIEW MAINTENANCE of a grouped aggregate under the
+    * SAME CDC stream as q_cdc_apply — the materialized (cnt, Σv) view
+    * is updated from the deltas alone, never recomputed from the
+    * maintained base (the IVM algebra: counts and sums are
+    * self-maintainable; subtract each changed key's pre-image, add
+    * the post-image for upserts). The row's oracle IS the correctness
+    * statement: maintained view ≡ the aggregate recomputed over the
+    * CDC-applied base.
+    *
+    * Scale shape: the only base touch is the pre-image LOOKUP for the
+    * |changes| keys (broadcast keyed join — a point-read at 100 TB
+    * with A14-style file skipping; the change batch is micro-batch
+    * sized); the view update is a |groups|-keyed full-outer merge.
+    * The measure is integral (floor) so every delta is exact — the
+    * FP caveat of IVM over double sums doesn't arise. */
+  private val ivmAgg = Q(
+    "q_ivm_agg",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.filter(col("event_id") % 7 =!= 0)
+        .select(col("event_id"),
+          (col("event_id") % 100).as("grp"),
+          floor(col("value")).cast("long").as("v"))
+        .localCheckpoint()
+      val view = base.groupBy("grp")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("total"))
+        .localCheckpoint()
+      val c1 = ev.filter(col("event_id") % 5 === 0).select(
+        col("event_id"), floor(col("value") * 2).cast("long").as("v"),
+        lit(1).as("version"),
+        when(col("event_id") % 3 === 0, lit("delete")).otherwise(lit("upsert"))
+          .as("op"))
+      val c2 = ev.filter(col("event_id") % 10 === 0).select(
+        col("event_id"), floor(col("value") * 3).cast("long").as("v"),
+        lit(2).as("version"),
+        when(col("event_id") % 4 === 0, lit("delete")).otherwise(lit("upsert"))
+          .as("op"))
+      val winner = c1.unionByName(c2)
+        .groupBy("event_id")
+        .agg(max_by(struct(col("v"), col("op")), col("version")).as("w"))
+        .select(col("event_id"), (col("event_id") % 100).as("grp"),
+          col("w.v").as("new_v"), col("w.op").as("op"))
+        .localCheckpoint()
+      // pre-image lookup: the ONLY base touch — the |changes| key set
+      // broadcasts into a semi-join point-read, and the bounded result
+      // broadcasts back onto the change batch
+      val lookup = base
+        .join(broadcast(winner.select("event_id")), Seq("event_id"),
+          "left_semi")
+        .select(col("event_id"), col("v").as("old_v"))
+      val pre = winner.join(broadcast(lookup), Seq("event_id"), "left")
+      val delta = pre.select(col("grp"),
+        // remove the pre-image (if the key existed), add the
+        // post-image (if the change is an upsert)
+        (when(col("old_v").isNotNull, -1L).otherwise(0L) +
+          when(col("op") === "upsert", 1L).otherwise(0L)).as("dcnt"),
+        (when(col("old_v").isNotNull, -col("old_v")).otherwise(0L) +
+          when(col("op") === "upsert", col("new_v")).otherwise(0L))
+          .as("dtotal"))
+        .groupBy("grp")
+        .agg(sum("dcnt").as("dcnt"), sum("dtotal").as("dtotal"))
+      view.join(delta, Seq("grp"), "full_outer")
+        .select(col("grp"),
+          (coalesce(col("cnt"), lit(0L)) + coalesce(col("dcnt"), lit(0L)))
+            .as("cnt"),
+          (coalesce(col("total"), lit(0L)) + coalesce(col("dtotal"), lit(0L)))
+            .as("total"))
+        .filter(col("cnt") > 0)
+    },
+    // the recompute over the CDC-applied base — IVM must equal it
+    Some("""WITH base AS (
+  SELECT event_id, event_id % 100 AS grp,
+         CAST(floor(value) AS BIGINT) AS v
+  FROM events WHERE event_id % 7 <> 0),
+changes AS (
+  SELECT event_id, CAST(floor(value * 2) AS BIGINT) AS v, 1 AS version,
+         CASE WHEN event_id % 3 = 0 THEN 'delete' ELSE 'upsert' END AS op
+  FROM events WHERE event_id % 5 = 0
+  UNION ALL
+  SELECT event_id, CAST(floor(value * 3) AS BIGINT), 2,
+         CASE WHEN event_id % 4 = 0 THEN 'delete' ELSE 'upsert' END
+  FROM events WHERE event_id % 10 = 0),
+winner AS (
+  SELECT event_id, v, op FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY version DESC) AS rn
+    FROM changes) WHERE rn = 1),
+kept AS (SELECT b.event_id, b.grp, b.v FROM base b ANTI JOIN winner USING (event_id)),
+final AS (
+  SELECT event_id, grp, v FROM kept
+  UNION ALL
+  SELECT event_id, event_id % 100 AS grp, v FROM winner WHERE op <> 'delete')
+SELECT grp, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(v) AS BIGINT) AS total
+FROM final GROUP BY grp"""))
+
   private val asofMulti = Q(
     "q_asof_multi",
     (s, dir) => {
@@ -937,7 +1031,7 @@ FROM ev e ASOF LEFT JOIN r
   // ---------------------------------------------------------------------
   val all: Seq[Q] = Seq(
     percentiles, stringFuncs, dateFuncs, cubeQ, scalarSubquery,
-    setOps, nestedTypes, asofJoin, asofNative, asofMulti, cdcApply,
+    setOps, nestedTypes, asofJoin, asofNative, asofMulti, cdcApply, ivmAgg,
     ingestCast, partitionExtract, ingestReject, ingestValidate,
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
     audienceMetrics, incrementalMerge, upsertMergeQ, affectedRebuild, watermarkQ,
