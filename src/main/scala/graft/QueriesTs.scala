@@ -375,6 +375,83 @@ SELECT event_type,
              / CAST(sum(n) AS BIGINT), 6) AS wape
 FROM j GROUP BY 1"""))
 
+  /** LINEAR interpolation resample — q_gap_fill's twin with the other
+    * fill policy (LOCF carries the last value; interpolation draws the
+    * line between the surrounding observations — the policy metric
+    * backfills and sensor/panel series want). Same one-scan shape as
+    * q_gap_fill: the daily fold is the only touch of the fact table;
+    * the spine fan-out is a broadcast one-row bounds frame; then TWO
+    * window passes per user (previous and next observation, each
+    * carrying (day, value) so the slope has both anchors). Edges
+    * before the first / after the last observation fall back to the
+    * nearest one (pandas `interpolate(limit_direction='both')`
+    * semantics). Exact integer day arithmetic feeds the fraction, so
+    * both engines compute the same doubles; round(6) absorbs FP. */
+  private val interpolate = Q(
+    "q_interpolate",
+    (s, dir) => {
+      val ev = ViewingData.table(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      val daily = ev.groupBy("user_id", "day").agg(max("value").as("v"))
+        .localCheckpoint()
+      val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val spine = daily.select("user_id").distinct()
+        .crossJoin(bounds)
+        .select(col("user_id"), explode(sequence(col("lo"), col("hi"))).as("day"))
+      val obs = when(col("v").isNotNull, struct(col("day").as("d"), col("v")))
+      val wPrev = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .withColumn("p", last(obs, ignoreNulls = true).over(wPrev))
+        .withColumn("nx", first(obs, ignoreNulls = true).over(wNext))
+        .select(
+          col("user_id"),
+          col("day").cast("string").as("day"),
+          round(
+            when(col("v").isNotNull, col("v"))
+              .when(col("p").isNull, col("nx.v"))
+              .when(col("nx").isNull, col("p.v"))
+              .otherwise(col("p.v") +
+                (col("nx.v") - col("p.v")) *
+                  datediff(col("day"), col("p.d")).cast("double") /
+                  datediff(col("nx.d"), col("p.d")).cast("double")),
+            6).as("value_interp"))
+    },
+    Some("""WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS v
+  FROM events GROUP BY 1, 2),
+bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events),
+spine AS (
+  SELECT u.user_id, CAST(gs.day AS DATE) AS day
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM bounds) gs),
+g AS (
+  SELECT s.user_id, s.day, d.v,
+         LAST_VALUE(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+           OVER wp AS pd,
+         LAST_VALUE(d.v IGNORE NULLS) OVER wp AS pv,
+         FIRST_VALUE(CASE WHEN d.v IS NOT NULL THEN s.day END IGNORE NULLS)
+           OVER wn AS nd,
+         FIRST_VALUE(d.v IGNORE NULLS) OVER wn AS nv
+  FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+  WINDOW wp AS (PARTITION BY s.user_id ORDER BY s.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY s.user_id ORDER BY s.day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, CAST(day AS VARCHAR) AS day,
+       ROUND(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         ELSE pv + (nv - pv) * CAST(day - pd AS DOUBLE)
+                             / CAST(nd - pd AS DOUBLE)
+       END, 6) AS value_interp
+FROM g"""))
+
   val all: Seq[Q] = Seq(anomalyMad, winsorize, markov, xcorr, sessionPaths,
-    daypartIndex, growthAccounting, forecastSnaive)
+    daypartIndex, growthAccounting, forecastSnaive, interpolate)
 }

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Geo
+
+/** Spatial radius join by GRID BUCKETING — the geographic sibling of
+  * `RangeJoin`'s interval bucketing: the non-equi predicate
+  * `haversine(a, b) ≤ R` becomes an equi-join on grid-cell keys plus
+  * an exact residual filter, so Catalyst gets a hashable join instead
+  * of the nested-loop a raw distance predicate forces.
+  *
+  * Layout: each LEFT point lands in exactly one `cellDeg`-degree cell
+  * `(floor(lat/cell), floor(lon/cell))`; each RIGHT point is
+  * replicated to its 3×3 cell NEIGHBORHOOD (longitude cells wrap
+  * modulo 360/cell, so pairs straddling the ±180 antimeridian meet).
+  * A qualifying pair is then guaranteed to share a key — provided one
+  * cell step covers the radius, which is the contract `require`d
+  * below: `radiusKm ≤ cellDeg · 110.57` (min km per degree latitude)
+  * and `radiusKm ≤ cellDeg · 111.32 · cos(maxAbsLat)` (km per degree
+  * longitude at the highest latitude the data reaches — the caller
+  * states its domain; fixed-width grids are honest only away from the
+  * poles, which is why production systems band cell widths by
+  * latitude). Replication meets each pair in AT MOST one cell (the 9
+  * neighbor keys are distinct), so no post-join dedup.
+  *
+  * At 100 TB: the replicated side is ×9 rows of the SMALLER relation
+  * and the join is a plain equi-join — broadcast when the small side
+  * fits (`broadcastRight`), shuffle-on-cell otherwise, with AQE
+  * handling hot-cell skew the same way it handles any hot key.
+  */
+object GeoJoin {
+
+  /** @param right       the (usually smaller) side that gets ×9 replicated
+    * @param maxAbsLat   highest |latitude| present in either input, degrees
+    * @param broadcastRight hint the replicated side as the build side */
+  def radiusJoin(
+      left: DataFrame,
+      latL: String, lonL: String,
+      right: DataFrame,
+      latR: String, lonR: String,
+      radiusKm: Double,
+      cellDeg: Double = 1.0,
+      maxAbsLat: Double = 90.0,
+      broadcastRight: Boolean = true): DataFrame = {
+    require(360.0 / cellDeg == (360.0 / cellDeg).toLong,
+      s"cellDeg=$cellDeg must divide 360 so longitude cells wrap cleanly")
+    require(radiusKm <= cellDeg * 110.57,
+      s"radiusKm=$radiusKm exceeds one latitude cell step (${cellDeg * 110.57} km)")
+    val lonStepKm = cellDeg * 111.32 * math.cos(math.toRadians(maxAbsLat))
+    require(radiusKm <= lonStepKm,
+      s"radiusKm=$radiusKm exceeds one longitude cell step at |lat|=$maxAbsLat " +
+        s"($lonStepKm km) — shrink cellDeg's longitude span or band by latitude")
+    require(latL != latR && lonL != lonR,
+      "rename coordinate columns so the two sides don't collide after the join")
+    val nLon = (360.0 / cellDeg).toLong
+
+    def cy(lat: String) = floor(col(lat) / cellDeg).cast("long")
+    def cx(lon: String) = pmod(floor((col(lon) + 180.0) / cellDeg).cast("long"), lit(nLon))
+
+    val l = left.withColumn("_cy", cy(latL)).withColumn("_cx", cx(lonL))
+    val offsets = for (dy <- -1 to 1; dx <- -1 to 1)
+      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))
+    val r9 = right
+      .withColumn("_o", explode(array(offsets: _*)))
+      .withColumn("_cy", cy(latR) + col("_o.dy"))
+      .withColumn("_cx", pmod(cx(lonR) + col("_o.dx"), lit(nLon)))
+      .drop("_o")
+    val rSide = if (broadcastRight) broadcast(r9) else r9
+    l.join(rSide, Seq("_cy", "_cx"))
+      .withColumn("dist_km", expr(Geo.haversineSql(latL, lonL, latR, lonR)))
+      .filter(col("dist_km") <= radiusKm)
+      .drop("_cy", "_cx")
+  }
+}
