@@ -10,6 +10,53 @@ import graft.sources.ViewingData
   */
 object QueriesGraph {
 
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** The densified demo graph as a DISTINCT undirected edge set
+    * (u < v) — tree + cross + ring + doubling families over doc ids
+    * (ring guarantees min degree 2, so every node has neighbors).
+    * Shared by triangles / label propagation / Jaccard so the family
+    * composes over one graph. */
+  private def undirectedEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = ViewingData.table(s, dir, "documents").select(col("doc_id"))
+    val tree = docs.filter(col("doc_id") > 0)
+      .select(col("doc_id").as("src"),
+        floor(col("doc_id") / 7).cast("long").as("dst"))
+    val cross = docs
+      .select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 31, lit(500)).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val ring = docs.select(col("doc_id").as("src"),
+      pmod(col("doc_id") + 1, lit(500)).cast("long").as("dst"))
+    val dbl = docs
+      .select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 2, lit(500)).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    tree.unionByName(cross).unionByName(ring).unionByName(dbl)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+  }
+
+  /** The same edge families as DuckDB CTE text (`d`, `raw`, `und`). */
+  private val undSql =
+    """d AS (SELECT doc_id FROM documents),
+raw AS (
+  SELECT doc_id AS src, CAST(floor(doc_id / 7) AS BIGINT) AS dst
+  FROM d WHERE doc_id > 0
+  UNION ALL
+  SELECT doc_id AS src, CAST(doc_id * 31 % 500 AS BIGINT) AS dst
+  FROM d WHERE doc_id <> doc_id * 31 % 500
+  UNION ALL
+  SELECT doc_id AS src, CAST((doc_id + 1) % 500 AS BIGINT) AS dst FROM d
+  UNION ALL
+  SELECT doc_id AS src, CAST(doc_id * 2 % 500 AS BIGINT) AS dst
+  FROM d WHERE doc_id <> doc_id * 2 % 500),
+und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst)"""
+
   /** Triangle counting with DEGREE ORIENTATION (Suri &
     * Vassilvitskii 2011 — "the curse of the last reducer"): orient
     * every undirected edge from its lower-(degree, id) endpoint to
@@ -26,28 +73,10 @@ object QueriesGraph {
   private val triangles = Q(
     "graph_triangles",
     (s, dir) => {
-      val docs = ViewingData.table(s, dir, "documents").select(col("doc_id"))
-      val tree = docs.filter(col("doc_id") > 0)
-        .select(col("doc_id").as("src"),
-          floor(col("doc_id") / 7).cast("long").as("dst"))
-      val cross = docs
-        .select(col("doc_id").as("src"),
-          pmod(col("doc_id") * 31, lit(500)).cast("long").as("dst"))
-        .filter(col("src") =!= col("dst"))
       // ring + doubling families densify the demo graph into one with
       // real triangle structure (456 triangles at sf0.01 vs 1 from
       // tree+cross alone)
-      val ring = docs.select(col("doc_id").as("src"),
-        pmod(col("doc_id") + 1, lit(500)).cast("long").as("dst"))
-      val dbl = docs
-        .select(col("doc_id").as("src"),
-          pmod(col("doc_id") * 2, lit(500)).cast("long").as("dst"))
-        .filter(col("src") =!= col("dst"))
-      val und = tree.unionByName(cross).unionByName(ring).unionByName(dbl)
-        .filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("u"),
-          greatest(col("src"), col("dst")).as("v"))
-        .distinct()
+      val und = undirectedEdges(s, dir)
         .localCheckpoint() // one edge materialization feeds degrees AND orientation
       val deg = und.select(explode(array(col("u"), col("v"))).as("x"))
         .groupBy("x").agg(count(lit(1)).as("dg"))
@@ -70,21 +99,7 @@ object QueriesGraph {
       tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
     },
-    Some("""WITH d AS (SELECT doc_id FROM documents),
-raw AS (
-  SELECT doc_id AS src, CAST(floor(doc_id / 7) AS BIGINT) AS dst
-  FROM d WHERE doc_id > 0
-  UNION ALL
-  SELECT doc_id AS src, CAST(doc_id * 31 % 500 AS BIGINT) AS dst
-  FROM d WHERE doc_id <> doc_id * 31 % 500
-  UNION ALL
-  SELECT doc_id AS src, CAST((doc_id + 1) % 500 AS BIGINT) AS dst FROM d
-  UNION ALL
-  SELECT doc_id AS src, CAST(doc_id * 2 % 500 AS BIGINT) AS dst
-  FROM d WHERE doc_id <> doc_id * 2 % 500),
-und AS (
-  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-  FROM raw WHERE src <> dst),
+    Some(s"""WITH $undSql,
 deg AS (
   SELECT x, CAST(COUNT(*) AS BIGINT) AS dg
   FROM (SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und)
@@ -107,5 +122,122 @@ FROM (SELECT a AS x FROM tri UNION ALL SELECT b AS x FROM tri
       UNION ALL SELECT c AS x FROM tri)
 GROUP BY 1"""))
 
-  val all: Seq[Q] = Seq(triangles)
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan
+    * 2007), made deterministic: every node simultaneously adopts the
+    * MODE of its neighbors' labels with ties broken toward the
+    * smallest label (row_number over (count DESC, label ASC) — the
+    * async/random variants converge faster but aren't reproducible,
+    * and a data-pipeline signal must be). Fixed 3 rounds (the demo
+    * graph's communities stabilize by then; production iterates to a
+    * fixpoint with the same per-round plan). Scale shape = PageRank's:
+    * each round is ONE |edges| shuffle (adjacency join) + a
+    * map-side-combined (node, label) count + a per-node top-1 that
+    * Catalyst runs as WindowGroupLimit; labels localCheckpoint'd per
+    * round so the lineage stays flat. Output: community sizes. */
+  private val labelProp = Q(
+    "graph_label_prop",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val und = undirectedEdges(s, dir).localCheckpoint()
+      val adj = und.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint()
+      var labels = adj.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val counted = adj
+          .join(labels.withColumnRenamed("node", "b"), "b")
+          .groupBy(col("a").as("node"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("node")
+          .orderBy(col("c").desc, col("label").asc)
+        labels = counted
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("node", "label")
+          .localCheckpoint()
+      }
+      labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+        .withColumnRenamed("label", "community")
+    },
+    Some(s"""WITH $undSql,
+adj AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM adj),
+r1 AS (
+  SELECT adj.a AS node, l.label, COUNT(*) AS c
+  FROM adj JOIN l0 l ON l.node = adj.b GROUP BY 1, 2),
+l1 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM r1) WHERE rn = 1),
+r2 AS (
+  SELECT adj.a AS node, l.label, COUNT(*) AS c
+  FROM adj JOIN l1 l ON l.node = adj.b GROUP BY 1, 2),
+l2 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM r2) WHERE rn = 1),
+r3 AS (
+  SELECT adj.a AS node, l.label, COUNT(*) AS c
+  FROM adj JOIN l2 l ON l.node = adj.b GROUP BY 1, 2),
+l3 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+    FROM r3) WHERE rn = 1)
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l3 GROUP BY 1"""))
+
+  /** Structural node similarity: neighbor-set JACCARD over the wedge
+    * join — pairs sharing ≥1 neighbor get |N(x) ∩ N(y)| from one
+    * (middle-vertex) equi-join + count, then J = common /
+    * (deg_x + deg_y − common); emitted at J ≥ 0.2 (link prediction /
+    * near-identical-role detection). Wedge volume is Σ deg(m)² — the
+    * triangle row bounds it by orientation, which common-neighbor
+    * COUNTING can't use directly; at skewed scale the standard
+    * mitigation is a stop-vertex cap on middle degree (the D13
+    * stop-gram discipline — drop middles whose degree exceeds the
+    * cap, under-counting only pairs whose overlap is hub-mediated).
+    * This graph's max degree is small, so the row runs EXACT with no
+    * cap and the oracle hash-checks the full arithmetic. */
+  private val jaccard = Q(
+    "graph_jaccard",
+    (s, dir) => {
+      val und = undirectedEdges(s, dir).localCheckpoint()
+      val adj = und.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint()
+      val deg = adj.groupBy(col("a").as("x")).agg(count(lit(1)).as("dg"))
+      val common = adj.select(col("a").as("m"), col("b").as("x"))
+        .join(adj.select(col("a").as("m"), col("b").as("y")), "m")
+        .filter(col("x") < col("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("common"))
+      common
+        .join(deg, "x")
+        .join(deg.select(col("x").as("y"), col("dg").as("dgy")), "y")
+        .withColumn("jaccard",
+          round(col("common").cast("double") /
+            (col("dg") + col("dgy") - col("common")), 6))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("x"), col("y"), col("common"), col("jaccard"))
+    },
+    Some(s"""WITH $undSql,
+adj AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und),
+deg AS (SELECT a AS x, CAST(COUNT(*) AS BIGINT) AS dg FROM adj GROUP BY 1),
+common AS (
+  SELECT e1.b AS x, e2.b AS y, CAST(COUNT(*) AS BIGINT) AS common
+  FROM adj e1 JOIN adj e2 ON e1.a = e2.a AND e1.b < e2.b
+  GROUP BY 1, 2),
+j AS (
+  SELECT c.x, c.y, c.common,
+         ROUND(CAST(c.common AS DOUBLE) / (dx.dg + dy.dg - c.common), 6) AS jaccard
+  FROM common c
+  JOIN deg dx ON dx.x = c.x
+  JOIN deg dy ON dy.x = c.y)
+SELECT x, y, common, jaccard FROM j WHERE jaccard >= 0.2"""))
+
+  val all: Seq[Q] = Seq(triangles, labelProp, jaccard)
 }
