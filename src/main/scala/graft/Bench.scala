@@ -124,9 +124,13 @@ object Bench {
     val minPasses = if (succeeded.isEmpty) 0 else succeeded.map(_._3).min
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$minPasses,"n_queries":${results.size},"calib_sec":[$calibBefore,$calibAfter]}""")
     val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench/history.jsonl")
-    BenchHistory.append(histPath,
-      BenchHistory.line(sfDir, calibBefore, calibAfter, total, results,
-        BenchHistory.prevEntry(histPath, sfDir)))
+    // Narrowed iteration runs stay out of the committed history: a
+    // 3-query line would become the next full run's vs_prev baseline
+    // and blind the per-query deltas for everything it omits.
+    if (only.isEmpty)
+      BenchHistory.append(histPath,
+        BenchHistory.line(sfDir, calibBefore, calibAfter, total, results,
+          BenchHistory.prevEntry(histPath, sfDir)))
     spark.stop()
   }
 }
