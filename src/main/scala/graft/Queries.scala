@@ -351,6 +351,81 @@ SELECT smba_id, hh_id, CAST(w AS BIGINT) AS weight,
        effective_to IS NULL AS is_current
 FROM scd"""))
 
+  /** BITEMPORAL as-of readout — the SCD2 family's second time axis
+    * (Snowflake/SQL:2011 application-time + system-time): weekly
+    * panel-weight versions carry BOTH a valid interval
+    * [metadata_date, +7) and a transaction time (when the row was
+    * recorded; every 5th member gets a +10 correction recorded
+    * Monday+3). The query answers "what was member X's weight ON
+    * valid date V, as the warehouse knew it AT transaction time T" for
+    * two T's in one result: T = V ("as we knew it then" — the
+    * correction, recorded later, is invisible) and T = now ("as we
+    * know it now" — restated). The two readouts differing on exactly
+    * the corrected members is what the hash check proves. Shape: the
+    * valid-interval filter reduces to the covering week first; both
+    * argmax-by-tx picks are windows over that already-small slice
+    * sharing one smba_id partitioning; the as-of date is a broadcast
+    * one-row frame (derived from the data — no wall clock). */
+  private val bitemporal = Q(
+    "q_bitemporal",
+    (s, dir) => {
+      val snaps = ViewingData.geoWeights(s, dir)
+      val base = snaps.select(
+        col("smba_id"),
+        col("metadata_date").as("valid_from"),
+        date_add(col("metadata_date"), 7).as("valid_to"),
+        col("metadata_date").as("tx_from"),
+        col("geo_weight"))
+      val corr = snaps.filter(col("smba_id").cast("long") % 5 === 0)
+        .select(
+          col("smba_id"),
+          col("metadata_date").as("valid_from"),
+          date_add(col("metadata_date"), 7).as("valid_to"),
+          date_add(col("metadata_date"), 3).as("tx_from"),
+          (col("geo_weight") + 10).as("geo_weight"))
+      val versions = base.unionByName(corr)
+      val vd = snaps.agg(date_add(min("metadata_date"), 9).as("v_date"))
+      val covering = versions.join(broadcast(vd),
+          col("valid_from") <= col("v_date") && col("v_date") < col("valid_to"))
+      val byTx = Window.partitionBy("smba_id").orderBy(col("tx_from").desc)
+      val thenV = covering.filter(col("tx_from") <= col("v_date"))
+        .withColumn("rn", row_number().over(byTx)).filter(col("rn") === 1)
+        .select(col("smba_id"), col("geo_weight").as("weight_as_known_then"))
+      val nowV = covering
+        .withColumn("rn", row_number().over(byTx)).filter(col("rn") === 1)
+        .select(col("smba_id"), col("geo_weight").as("weight_as_known_now"))
+      thenV.join(nowV, "smba_id")
+    },
+    Some("""WITH mondays AS (
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS panel_monday FROM events),
+snaps AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS smba_id, c_custkey,
+         CAST(floor(abs(c_acctbal)) AS BIGINT) AS geo_weight,
+         panel_monday AS metadata_date
+  FROM customer CROSS JOIN mondays),
+versions AS (
+  SELECT smba_id, metadata_date AS valid_from, metadata_date + 7 AS valid_to,
+         metadata_date AS tx_from, geo_weight FROM snaps
+  UNION ALL
+  SELECT smba_id, metadata_date, metadata_date + 7,
+         metadata_date + 3, geo_weight + 10 FROM snaps WHERE c_custkey % 5 = 0),
+vd AS (SELECT MIN(metadata_date) + 9 AS v_date FROM snaps),
+covering AS (
+  SELECT ver.*, vd.v_date FROM versions ver CROSS JOIN vd
+  WHERE ver.valid_from <= vd.v_date AND vd.v_date < ver.valid_to),
+then_v AS (
+  SELECT smba_id, geo_weight AS weight_as_known_then FROM (
+    SELECT smba_id, geo_weight,
+           ROW_NUMBER() OVER (PARTITION BY smba_id ORDER BY tx_from DESC) AS rn
+    FROM covering WHERE tx_from <= v_date) WHERE rn = 1),
+now_v AS (
+  SELECT smba_id, geo_weight AS weight_as_known_now FROM (
+    SELECT smba_id, geo_weight,
+           ROW_NUMBER() OVER (PARTITION BY smba_id ORDER BY tx_from DESC) AS rn
+    FROM covering) WHERE rn = 1)
+SELECT t.smba_id, t.weight_as_known_then, n.weight_as_known_now
+FROM then_v t JOIN now_v n USING (smba_id)"""))
+
   private val sessionize = Q(
     "q_sessionize",
     (s, dir) => datesAsStrings(Pipeline.sessions(s, dir)),
@@ -1035,7 +1110,7 @@ FROM ev e ASOF LEFT JOIN r
     ingestCast, partitionExtract, ingestReject, ingestValidate,
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
     audienceMetrics, incrementalMerge, upsertMergeQ, affectedRebuild, watermarkQ,
-    controlTableQ, panelWindowsMergeQ, scd2Weights,
+    controlTableQ, panelWindowsMergeQ, scd2Weights, bitemporal,
     q1Agg, joinDims, joinFact, topkWindow, rollupQ, distinctQ, semiAnti,
     pivotCase, runningWindow) ++ QueriesML.all ++ QueriesExt.all ++
     QueriesLLM.all ++ QueriesScale.all ++ QueriesFns.all ++
