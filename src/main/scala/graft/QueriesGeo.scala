@@ -126,5 +126,49 @@ FROM q
 GROUP BY 1"""
     })
 
-  val all: Seq[Q] = Seq(geoDistance, geoRadiusJoin, geohashCells)
+  /** Nearest-neighbor-within-radius: each customer's closest supplier
+    * among those ≤ 60 km (the store-assignment / nearest-transmitter
+    * readout). Radius-bounded nearest is the form grid bucketing
+    * answers COMPLETELY (unbounded nearest needs expanding-ring
+    * probes); candidates come from the same `GeoJoin.radiusJoin`,
+    * then a per-customer top-1 that Catalyst runs as WindowGroupLimit
+    * (map-side partial before the exchange). Ordering uses the
+    * ROUNDED distance + supplier id so lattice-symmetric exact ties
+    * and last-ulp trig differences both break identically in the two
+    * engines. */
+  private val geoNearest = Q(
+    "q_geo_nearest",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cust = ViewingData.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr(custLat).as("clat"), expr(custLon).as("clon"))
+      val supp = ViewingData.table(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          expr(suppLat).as("slat"), expr(suppLon).as("slon"))
+      val pairs = GeoJoin.radiusJoin(
+          cust, "clat", "clon", supp, "slat", "slon",
+          radiusKm = 60.0, cellDeg = 1.0, maxAbsLat = 10.0)
+        .withColumn("dist_km", round(col("dist_km"), 4))
+      val w = Window.partitionBy("c_custkey")
+        .orderBy(col("dist_km").asc, col("s_suppkey").asc)
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("c_custkey"), col("s_suppkey"), col("dist_km"))
+    },
+    Some(s"""WITH c AS (
+  SELECT c_custkey, $custLat AS clat, $custLon AS clon FROM customer),
+s AS (
+  SELECT s_suppkey, $suppLat AS slat, $suppLon AS slon FROM supplier),
+p AS (
+  SELECT c_custkey, s_suppkey,
+         ${Geo.haversineSql("clat", "clon", "slat", "slon")} AS raw_km
+  FROM c CROSS JOIN s),
+r AS (
+  SELECT c_custkey, s_suppkey, ROUND(raw_km, 4) AS dist_km,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY ROUND(raw_km, 4) ASC, s_suppkey ASC) AS rn
+  FROM p WHERE raw_km <= 60.0)
+SELECT c_custkey, s_suppkey, dist_km FROM r WHERE rn = 1"""))
+
+  val all: Seq[Q] = Seq(geoDistance, geoRadiusJoin, geohashCells, geoNearest)
 }
