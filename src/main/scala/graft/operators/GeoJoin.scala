@@ -32,6 +32,41 @@ import graft.functions.Geo
   */
 object GeoJoin {
 
+  /** The completeness contract a fixed-width grid needs: one cell
+    * step must cover the radius in both axes at every latitude the
+    * data reaches. Shared by the batch join and the streaming
+    * geofence. */
+  def requireContract(radiusKm: Double, cellDeg: Double, maxAbsLat: Double): Unit = {
+    require(360.0 / cellDeg == (360.0 / cellDeg).toLong,
+      s"cellDeg=$cellDeg must divide 360 so longitude cells wrap cleanly")
+    require(radiusKm <= cellDeg * 110.57,
+      s"radiusKm=$radiusKm exceeds one latitude cell step (${cellDeg * 110.57} km)")
+    val lonStepKm = cellDeg * 111.32 * math.cos(math.toRadians(maxAbsLat))
+    require(radiusKm <= lonStepKm,
+      s"radiusKm=$radiusKm exceeds one longitude cell step at |lat|=$maxAbsLat " +
+        s"($lonStepKm km) — shrink cellDeg's longitude span or band by latitude")
+  }
+
+  def cellY(lat: String, cellDeg: Double) =
+    floor(col(lat) / cellDeg).cast("long")
+  def cellX(lon: String, cellDeg: Double) =
+    pmod(floor((col(lon) + 180.0) / cellDeg).cast("long"),
+      lit((360.0 / cellDeg).toLong))
+
+  /** Replicates each row to its 3×3 cell neighborhood (longitude
+    * wraps mod 360/cell); emits the keys as (cyName, cxName). */
+  def replicate9(
+      df: DataFrame, lat: String, lon: String, cellDeg: Double,
+      cyName: String, cxName: String): DataFrame = {
+    val nLon = (360.0 / cellDeg).toLong
+    val offsets = for (dy <- -1 to 1; dx <- -1 to 1)
+      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))
+    df.withColumn("_o", explode(array(offsets: _*)))
+      .withColumn(cyName, cellY(lat, cellDeg) + col("_o.dy"))
+      .withColumn(cxName, pmod(cellX(lon, cellDeg) + col("_o.dx"), lit(nLon)))
+      .drop("_o")
+  }
+
   /** @param right       the (usually smaller) side that gets ×9 replicated
     * @param maxAbsLat   highest |latitude| present in either input, degrees
     * @param broadcastRight hint the replicated side as the build side */
@@ -44,29 +79,12 @@ object GeoJoin {
       cellDeg: Double = 1.0,
       maxAbsLat: Double = 90.0,
       broadcastRight: Boolean = true): DataFrame = {
-    require(360.0 / cellDeg == (360.0 / cellDeg).toLong,
-      s"cellDeg=$cellDeg must divide 360 so longitude cells wrap cleanly")
-    require(radiusKm <= cellDeg * 110.57,
-      s"radiusKm=$radiusKm exceeds one latitude cell step (${cellDeg * 110.57} km)")
-    val lonStepKm = cellDeg * 111.32 * math.cos(math.toRadians(maxAbsLat))
-    require(radiusKm <= lonStepKm,
-      s"radiusKm=$radiusKm exceeds one longitude cell step at |lat|=$maxAbsLat " +
-        s"($lonStepKm km) — shrink cellDeg's longitude span or band by latitude")
+    requireContract(radiusKm, cellDeg, maxAbsLat)
     require(latL != latR && lonL != lonR,
       "rename coordinate columns so the two sides don't collide after the join")
-    val nLon = (360.0 / cellDeg).toLong
-
-    def cy(lat: String) = floor(col(lat) / cellDeg).cast("long")
-    def cx(lon: String) = pmod(floor((col(lon) + 180.0) / cellDeg).cast("long"), lit(nLon))
-
-    val l = left.withColumn("_cy", cy(latL)).withColumn("_cx", cx(lonL))
-    val offsets = for (dy <- -1 to 1; dx <- -1 to 1)
-      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))
-    val r9 = right
-      .withColumn("_o", explode(array(offsets: _*)))
-      .withColumn("_cy", cy(latR) + col("_o.dy"))
-      .withColumn("_cx", pmod(cx(lonR) + col("_o.dx"), lit(nLon)))
-      .drop("_o")
+    val l = left.withColumn("_cy", cellY(latL, cellDeg))
+      .withColumn("_cx", cellX(lonL, cellDeg))
+    val r9 = replicate9(right, latR, lonR, cellDeg, "_cy", "_cx")
     val rSide = if (broadcastRight) broadcast(r9) else r9
     l.join(rSide, Seq("_cy", "_cx"))
       .withColumn("dist_km", expr(Geo.haversineSql(latL, lonL, latR, lonR)))
