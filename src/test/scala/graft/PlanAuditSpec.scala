@@ -419,4 +419,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"panel-sized weight table must broadcast:\n$p")
   }
+
+  test("q_geo_distance folds at scan speed: zero joins, one aggregate exchange") {
+    val p = plan("q_geo_distance")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_geohash_cells: encode is scan-local — no join, one cell-agg exchange") {
+    val p = plan("q_geohash_cells")
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_interpolate: both fill windows share one per-user partitioning") {
+    val p = plan("q_interpolate")
+    // spine fan-out is a broadcast one-row bounds frame (its global
+    // min/max agg is the only SinglePartition exchange); the prev/next
+    // windows and the spine join all ride ONE hashpartitioning(user_id)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    val windows = "windowspecdefinition\\(user_id".r.findAllIn(p).size
+    assert(windows == 2, s"both fill windows must partition by user_id:\n$p")
+  }
+
+  test("graph_jaccard: wedge join and degree joins are equi-joins") {
+    val p = plan("graph_jaccard")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
