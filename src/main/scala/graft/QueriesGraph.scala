@@ -201,8 +201,14 @@ FROM l3 GROUP BY 1"""))
     * mitigation is a stop-vertex cap on middle degree (the D13
     * stop-gram discipline — drop middles whose degree exceeds the
     * cap, under-counting only pairs whose overlap is hub-mediated).
-    * This graph's max degree is small, so the row runs EXACT with no
-    * cap and the oracle hash-checks the full arithmetic. */
+    * The cap is LIVE here at 64 (the D13 stop-gram value): exact at
+    * this graph's natural densities (max degree ≈ 15 at sf0.01), and
+    * what turned the ×10 sweep's hub-densified replica from a 28 s
+    * quadratic wedge blowup into a bounded run — the sweep surfacing
+    * exactly the failure mode the cap exists for. Capped-out middles
+    * under-count only hub-MEDIATED overlap; degrees in the
+    * denominator stay full, so J is a documented lower bound when
+    * the cap bites (never at the oracle-checked density). */
   private val jaccard = Q(
     "graph_jaccard",
     (s, dir) => {
@@ -211,8 +217,11 @@ FROM l3 GROUP BY 1"""))
         .unionByName(und.select(col("v").as("a"), col("u").as("b")))
         .localCheckpoint()
       val deg = adj.groupBy(col("a").as("x")).agg(count(lit(1)).as("dg"))
-      val common = adj.select(col("a").as("m"), col("b").as("x"))
-        .join(adj.select(col("a").as("m"), col("b").as("y")), "m")
+      // |V|-sized keep-list: no broadcast hint — AQE picks when it fits
+      val mids = adj.join(
+        deg.filter(col("dg") <= 64).select(col("x").as("a")), "a")
+      val common = mids.select(col("a").as("m"), col("b").as("x"))
+        .join(mids.select(col("a").as("m"), col("b").as("y")), "m")
         .filter(col("x") < col("y"))
         .groupBy("x", "y").agg(count(lit(1)).as("common"))
       common
@@ -227,9 +236,11 @@ FROM l3 GROUP BY 1"""))
     Some(s"""WITH $undSql,
 adj AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und),
 deg AS (SELECT a AS x, CAST(COUNT(*) AS BIGINT) AS dg FROM adj GROUP BY 1),
+mids AS (SELECT adj.a, adj.b FROM adj
+         JOIN deg ON deg.x = adj.a AND deg.dg <= 64),
 common AS (
   SELECT e1.b AS x, e2.b AS y, CAST(COUNT(*) AS BIGINT) AS common
-  FROM adj e1 JOIN adj e2 ON e1.a = e2.a AND e1.b < e2.b
+  FROM mids e1 JOIN mids e2 ON e1.a = e2.a AND e1.b < e2.b
   GROUP BY 1, 2),
 j AS (
   SELECT c.x, c.y, c.common,
@@ -239,5 +250,53 @@ j AS (
   JOIN deg dy ON dy.x = c.y)
 SELECT x, y, common, jaccard FROM j WHERE jaccard >= 0.2"""))
 
-  val all: Seq[Q] = Seq(triangles, labelProp, jaccard)
+  /** Multi-source BFS hop distances — "how far is every node from
+    * the seed set" (influence radius, crawl frontier, blast-radius
+    * audits). Seeds = nodes ≡ 0 mod 100. Frontier iteration: each
+    * round joins the CURRENT frontier (nodes whose distance was fixed
+    * last round — NOT the whole reached set) against the adjacency,
+    * anti-joins already-reached nodes, and stops when the frontier
+    * empties — so total work is Σ frontier-adjacent edges ≈ O(|E|)
+    * across ALL rounds, the textbook distributed BFS bound. Capped at
+    * 10 hops (plan depth bound; the demo graph's eccentricity from
+    * the seeds is smaller — the cap is spec'd non-binding by the
+    * final frontier being empty). Oracle: recursive CTE generating
+    * (node, depth) walks bounded at 10, MIN(depth) per node. */
+  private val bfs = Q(
+    "graph_bfs",
+    (s, dir) => {
+      val und = undirectedEdges(s, dir).localCheckpoint()
+      val adj = und.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint()
+      val nodes = adj.select(col("a").as("node")).distinct()
+      var reached = nodes.filter(col("node") % 100 === 0)
+        .select(col("node"), lit(0L).as("dist"))
+        .localCheckpoint()
+      var frontier = reached
+      var depth = 0L
+      while (depth < 10 && !frontier.isEmpty) {
+        depth += 1
+        val next = frontier
+          .join(adj, frontier("node") === adj("a"))
+          .select(col("b").as("node"))
+          .distinct()
+          .join(reached, Seq("node"), "left_anti")
+          .select(col("node"), lit(depth).as("dist"))
+          .localCheckpoint()
+        reached = reached.unionByName(next).localCheckpoint()
+        frontier = next
+      }
+      reached
+    },
+    Some(s"""WITH RECURSIVE $undSql,
+adj AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und),
+walk(node, d) AS (
+  SELECT DISTINCT a, 0 FROM adj WHERE a % 100 = 0
+  UNION
+  SELECT adj.b, w.d + 1 FROM walk w JOIN adj ON adj.a = w.node WHERE w.d < 10),
+best AS (SELECT node, MIN(d) AS dist FROM walk GROUP BY node)
+SELECT node, CAST(dist AS BIGINT) AS dist FROM best WHERE dist <= 10"""))
+
+  val all: Seq[Q] = Seq(triangles, labelProp, jaccard, bfs)
 }

@@ -31,4 +31,37 @@ class ComponentsSpec extends SparkTestBase {
   test("empty edge list yields an empty labeling, not a crash") {
     assert(comps(Seq.empty) == Map.empty)
   }
+
+  // ---- alternating-star variant (O(log n) rounds) ----
+
+  private def star(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponentsStar(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("star CC equals min-propagation on path, star, cliques, singletons") {
+    val cases = Seq(
+      (0L until 30L).map(i => (i, i + 1)),                  // deep path
+      (1L to 20L).map(i => (0L, i)),                        // star (already converged shape)
+      Seq((1L, 2L), (2L, 3L), (1L, 3L),                     // clique + clique
+        (7L, 8L), (8L, 9L), (7L, 9L)),
+      Seq((100L, 5L)),                                      // single edge, reversed ids
+      Seq((3L, 1L), (1L, 3L), (3L, 1L)))                    // duplicates both ways
+    cases.foreach { c => assert(star(c) == comps(c), s"case $c") }
+  }
+
+  test("star CC equals min-propagation on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 60
+      val edges = Seq.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(star(edges) == comps(edges))
+    }
+  }
+
+  test("star CC converges on a 200-node path — the diameter min-propagation pays for") {
+    val path = (0L until 200L).map(i => (i, i + 1))
+    val m = star(path)
+    assert((0L to 200L).forall(m(_) == 0L))
+  }
 }
