@@ -174,9 +174,12 @@ SELECT c_custkey, s_suppkey, dist_km FROM r WHERE rn = 1"""))
     * ENTIRELY from operators the engine already proves: neighbor
     * pairs from `GeoJoin.radiusJoin` (grid-bucketed, never all-pairs),
     * core points from one count aggregate (≥ minPts neighbors incl.
-    * self), clusters from `Components.connectedComponents` over the
-    * core-core subgraph (Pregel min-propagation, supersteps = cluster
-    * diameter), border points assigned to their MINIMUM adjacent core
+    * self), clusters from `Components.connectedComponentsStar` over
+    * the core-core subgraph (the alternating two-phase star CC,
+    * O(log n) rounds — chosen over Pregel min-propagation whose
+    * superstep count is the cluster DIAMETER, which a percolated
+    * geometric graph makes large), border points assigned to their
+    * MINIMUM adjacent core
     * cluster (classic DBSCAN takes the first-discovered cluster —
     * order-dependent; the min rule is the deterministic variant a
     * reproducible pipeline needs), everything else noise. eps=60 km /
@@ -196,8 +199,11 @@ SELECT c_custkey, s_suppkey, dist_km FROM r WHERE rn = 1"""))
         col("lat").as("alat"), col("lon").as("alon"))
       val b = pts.select(col("id").as("b_id"),
         col("lat").as("blat"), col("lon").as("blon"))
+      // self join: BOTH sides are the fact-sized point set — no forced
+      // broadcast of the ×9 replica (AQE still picks one when it fits)
       val pairs = GeoJoin.radiusJoin(a, "alat", "alon", b, "blat", "blon",
-          radiusKm = 60.0, cellDeg = 1.0, maxAbsLat = 10.0)
+          radiusKm = 60.0, cellDeg = 1.0, maxAbsLat = 10.0,
+          broadcastRight = false)
         .filter(col("a_id") =!= col("b_id"))
         .select("a_id", "b_id")
         .localCheckpoint()

@@ -57,6 +57,16 @@ und AS (
   SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
   FROM raw WHERE src <> dst)"""
 
+
+  /** Both-direction adjacency view of the undirected edge set. */
+  private def adjacency(und: DataFrame): DataFrame =
+    und.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+
+  /** The same adjacency as DuckDB CTE text (follows `undSql`). */
+  private val adjSql =
+    "adj AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und)"
+
   /** Triangle counting with DEGREE ORIENTATION (Suri &
     * Vassilvitskii 2011 — "the curse of the last reducer"): orient
     * every undirected edge from its lower-(degree, id) endpoint to
@@ -139,9 +149,7 @@ GROUP BY 1"""))
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val und = undirectedEdges(s, dir).localCheckpoint()
-      val adj = und.select(col("u").as("a"), col("v").as("b"))
-        .unionByName(und.select(col("v").as("a"), col("u").as("b")))
-        .localCheckpoint()
+      val adj = adjacency(und).localCheckpoint()
       var labels = adj.select(col("a").as("node")).distinct()
         .select(col("node"), col("node").as("label"))
         .localCheckpoint()
@@ -162,7 +170,7 @@ GROUP BY 1"""))
         .withColumnRenamed("label", "community")
     },
     Some(s"""WITH $undSql,
-adj AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und),
+$adjSql,
 l0 AS (SELECT DISTINCT a AS node, a AS label FROM adj),
 r1 AS (
   SELECT adj.a AS node, l.label, COUNT(*) AS c
@@ -213,9 +221,7 @@ FROM l3 GROUP BY 1"""))
     "graph_jaccard",
     (s, dir) => {
       val und = undirectedEdges(s, dir).localCheckpoint()
-      val adj = und.select(col("u").as("a"), col("v").as("b"))
-        .unionByName(und.select(col("v").as("a"), col("u").as("b")))
-        .localCheckpoint()
+      val adj = adjacency(und).localCheckpoint()
       val deg = adj.groupBy(col("a").as("x")).agg(count(lit(1)).as("dg"))
       // |V|-sized keep-list: no broadcast hint — AQE picks when it fits
       val mids = adj.join(
@@ -234,7 +240,7 @@ FROM l3 GROUP BY 1"""))
         .select(col("x"), col("y"), col("common"), col("jaccard"))
     },
     Some(s"""WITH $undSql,
-adj AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und),
+$adjSql,
 deg AS (SELECT a AS x, CAST(COUNT(*) AS BIGINT) AS dg FROM adj GROUP BY 1),
 mids AS (SELECT adj.a, adj.b FROM adj
          JOIN deg ON deg.x = adj.a AND deg.dg <= 64),
@@ -266,9 +272,7 @@ SELECT x, y, common, jaccard FROM j WHERE jaccard >= 0.2"""))
     "graph_bfs",
     (s, dir) => {
       val und = undirectedEdges(s, dir).localCheckpoint()
-      val adj = und.select(col("u").as("a"), col("v").as("b"))
-        .unionByName(und.select(col("v").as("a"), col("u").as("b")))
-        .localCheckpoint()
+      val adj = adjacency(und).localCheckpoint()
       val nodes = adj.select(col("a").as("node")).distinct()
       var reached = nodes.filter(col("node") % 100 === 0)
         .select(col("node"), lit(0L).as("dist"))
@@ -290,7 +294,7 @@ SELECT x, y, common, jaccard FROM j WHERE jaccard >= 0.2"""))
       reached
     },
     Some(s"""WITH RECURSIVE $undSql,
-adj AS (SELECT u AS a, v AS b FROM und UNION ALL SELECT v AS a, u AS b FROM und),
+$adjSql,
 walk(node, d) AS (
   SELECT DISTINCT a, 0 FROM adj WHERE a % 100 = 0
   UNION

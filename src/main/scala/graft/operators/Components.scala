@@ -79,7 +79,6 @@ object Components {
     * barrier the min-propagation loop uses. */
   def connectedComponentsStar(
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val spark = edges.sparkSession
     var e = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))

@@ -34,17 +34,37 @@ object GeoJoin {
 
   /** The completeness contract a fixed-width grid needs: one cell
     * step must cover the radius in both axes at every latitude the
-    * data reaches. Shared by the batch join and the streaming
-    * geofence. */
+    * data reaches — on the SAME sphere the haversine measures
+    * (R = Geo.EarthRadiusKm), with the exact inverse formulas rather
+    * than flat-earth approximations. Latitude: a distance d spans at
+    * most degrees(d/R) of latitude (meridian arc). Longitude: two
+    * points within d can differ by up to
+    * Δλ = 2·asin(sin(d/2R)/cos(maxAbsLat)) — both sitting at the
+    * band's highest latitude, where the asin curvature makes Δλ
+    * STRICTLY larger than d/(111.195·cos φ); a linear bound here
+    * silently dropped boundary pairs. Shared by the batch join and
+    * the streaming geofence. */
   def requireContract(radiusKm: Double, cellDeg: Double, maxAbsLat: Double): Unit = {
-    require(360.0 / cellDeg == (360.0 / cellDeg).toLong,
+    val nLon = 360.0 / cellDeg
+    require(nLon == nLon.toLong,
       s"cellDeg=$cellDeg must divide 360 so longitude cells wrap cleanly")
-    require(radiusKm <= cellDeg * 110.57,
-      s"radiusKm=$radiusKm exceeds one latitude cell step (${cellDeg * 110.57} km)")
-    val lonStepKm = cellDeg * 111.32 * math.cos(math.toRadians(maxAbsLat))
-    require(radiusKm <= lonStepKm,
-      s"radiusKm=$radiusKm exceeds one longitude cell step at |lat|=$maxAbsLat " +
-        s"($lonStepKm km) — shrink cellDeg's longitude span or band by latitude")
+    require(nLon >= 3,
+      s"cellDeg=$cellDeg leaves fewer than 3 longitude cells — the 3×3 " +
+        "neighbor keys would collide mod 360/cell and double-count pairs")
+    val R = graft.functions.Geo.EarthRadiusKm
+    val maxDlatDeg = math.toDegrees(radiusKm / R)
+    require(maxDlatDeg <= cellDeg,
+      s"radiusKm=$radiusKm spans $maxDlatDeg° of latitude — exceeds one " +
+        s"$cellDeg° cell step")
+    val s = math.sin(radiusKm / (2 * R)) / math.cos(math.toRadians(maxAbsLat))
+    require(s < 1.0,
+      s"radiusKm=$radiusKm reaches around the |lat|=$maxAbsLat parallel — " +
+        "no fixed grid is complete there; band cell widths by latitude")
+    val maxDlonDeg = math.toDegrees(2.0 * math.asin(s))
+    require(maxDlonDeg <= cellDeg,
+      s"radiusKm=$radiusKm spans up to $maxDlonDeg° of longitude at " +
+        s"|lat|=$maxAbsLat — exceeds one $cellDeg° cell step; shrink the " +
+        "radius, widen the cells, or band by latitude")
   }
 
   def cellY(lat: String, cellDeg: Double) =

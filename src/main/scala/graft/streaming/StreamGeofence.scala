@@ -8,7 +8,7 @@ import org.apache.spark.sql.streaming.{
 import graft.functions.Geo
 import graft.operators.GeoJoin
 
-/** Streaming GEOFENCE enter/exit detection (H16): position pings
+/** Streaming GEOFENCE enter/exit detection (H18): position pings
   * against a static fence set, emitting an event exactly when a
   * user's fence membership CHANGES — the alerting shape (arrival
   * notifications, zone-based ad triggers, OOH attribution) that a
