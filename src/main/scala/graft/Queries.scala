@@ -41,7 +41,7 @@ object Queries {
   // etl-ddl-backfill.sql), over the same domain mapping as
   // sources.ViewingData / Pipeline.
   // ---------------------------------------------------------------------
-  private val veCte: String =
+  private[graft] val veCte: String =
     """WITH norm AS (
   SELECT event_id,
          CAST(user_id AS VARCHAR) AS smba_id,

@@ -279,12 +279,15 @@ LEFT JOIN border ON border.id = pts.id"""))
     * flags, cumulative trip ids, per-trip sums — is hash-checked.
     * ONE per-user exchange carries the LAG, the cumsum, and the trip
     * aggregate (the sessionizer's single-shuffle budget). */
+  /** Ping positions derived from (user_id, event_id) — shared by the
+    * trip and geofence rows so both walk the same synthetic paths. */
+  private val pingLat = Geo.synthLatSql("(user_id * 7 + event_id % 13)", 37)
+  private val pingLon = Geo.synthLonSql("(user_id * 7 + event_id % 13)", 73)
+
   private val tripSegment = Q(
     "q_trip_segment",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val pingLat = Geo.synthLatSql("(user_id * 7 + event_id % 13)", 37)
-      val pingLon = Geo.synthLonSql("(user_id * 7 + event_id % 13)", 73)
       val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
       val pings = ViewingData.table(s, dir, "events")
         .select(col("user_id"), col("event_id"),
@@ -310,8 +313,6 @@ LEFT JOIN border ON border.id = pts.id"""))
           max("ts_sec").as("end_sec"))
     },
     Some {
-      val pingLat = Geo.synthLatSql("(user_id * 7 + event_id % 13)", 37)
-      val pingLon = Geo.synthLonSql("(user_id * 7 + event_id % 13)", 73)
       s"""WITH pings AS (
   SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
          $pingLat AS lat, $pingLon AS lon
@@ -341,7 +342,66 @@ SELECT user_id, CAST(trip AS BIGINT) AS trip,
 FROM tripped GROUP BY 1, 2"""
     })
 
+  /** Geofence enter/exit events over the stored ping history — the
+    * BATCH form of H18's streaming detector, run through the very
+    * same `StreamGeofence.fenceEventsBatch` code the streaming spec
+    * pins parity against, here under a full DuckDB oracle so the
+    * event semantics themselves (per-ping fence sets via the
+    * left-outer grid join, LAG set-diff, enter on appearance / exit
+    * on disappearance — including the no-fence ping that evidences a
+    * total exit) are hash-checked end to end. Fences = suppliers at
+    * their synthetic coordinates, pings = the shared trip paths. */
+  private val geofenceEvents = Q(
+    "q_geofence_events",
+    (s, dir) => {
+      val pings = ViewingData.table(s, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          unix_timestamp(col("ts")).as("tsSec"),
+          expr(pingLat).as("lat"), expr(pingLon).as("lon"))
+        .withColumnRenamed("user_id", "userId")
+        .withColumnRenamed("event_id", "pingId")
+      val fences = ViewingData.table(s, dir, "supplier")
+        .select(col("s_suppkey").as("fenceId"),
+          expr(suppLat).as("flat"), expr(suppLon).as("flon"))
+      graft.streaming.StreamGeofence.fenceEventsBatch(
+        pings, fences, radiusKm = 60.0, cellDeg = 1.0, maxAbsLat = 10.0)
+    },
+    Some(s"""WITH pings AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         $pingLat AS lat, $pingLon AS lon
+  FROM events),
+fences AS (
+  SELECT s_suppkey AS fence_id, $suppLat AS flat, $suppLon AS flon
+  FROM supplier),
+matched AS (
+  SELECT p.user_id, p.ts_sec, p.event_id, f.fence_id
+  FROM pings p LEFT JOIN fences f
+    ON ${Geo.haversineSql("p.lat", "p.lon", "flat", "flon")} <= 60.0),
+sets AS (
+  SELECT user_id, ts_sec, event_id,
+         COALESCE(LIST_SORT(LIST(fence_id) FILTER (fence_id IS NOT NULL)),
+                  []) AS now
+  FROM matched GROUP BY 1, 2, 3),
+lagged AS (
+  SELECT user_id, ts_sec, now,
+         COALESCE(LAG(now) OVER (PARTITION BY user_id
+                                 ORDER BY ts_sec, event_id), []) AS prev
+  FROM sets),
+enters AS (
+  SELECT user_id, ts_sec,
+         UNNEST(list_filter(now, x -> NOT list_contains(prev, x))) AS fence_id,
+         'enter' AS event
+  FROM lagged),
+exits AS (
+  SELECT user_id, ts_sec,
+         UNNEST(list_filter(prev, x -> NOT list_contains(now, x))) AS fence_id,
+         'exit' AS event
+  FROM lagged)
+SELECT user_id, ts_sec, CAST(fence_id AS BIGINT) AS fence_id, event FROM enters
+UNION ALL
+SELECT user_id, ts_sec, CAST(fence_id AS BIGINT) AS fence_id, event FROM exits"""))
+
   val all: Seq[Q] =
     Seq(geoDistance, geoRadiusJoin, geohashCells, geoNearest, geoDbscan,
-      tripSegment)
+      tripSegment, geofenceEvents)
 }

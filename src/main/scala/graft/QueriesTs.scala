@@ -452,6 +452,132 @@ SELECT user_id, CAST(day AS VARCHAR) AS day,
        END, 6) AS value_interp
 FROM g"""))
 
+  /** Peak concurrent sessions per content — the SWEEP-LINE pattern
+    * (interval-overlap maximum: concurrency curves, capacity planning,
+    * "peak viewers" headlines): each exposure interval [start, end)
+    * becomes a +1 at start and a −1 at end, the per-content running
+    * sum over (ts, delta)-ordered deltas traces the concurrency
+    * curve, and MAX of the curve is the peak. Ordering (ts, delta
+    * ASC) processes ends before starts at the same instant — the
+    * half-open-interval convention, so back-to-back sessions never
+    * double-count. Ties among identical (ts, delta) rows permute
+    * only WITHIN a run of equal increments, so the running-value
+    * multiset — and its max — is deterministic. One |deltas| shuffle
+    * per content partition; the curve never materializes globally. */
+  private val peakConcurrency = Q(
+    "q_peak_concurrency",
+    (s, dir) => {
+      val acr = ViewingData.acr(s, dir)
+        .select(col("content_id"), col("exposure_start_ts"), col("exposure_end_ts"))
+      val deltas = acr
+        .select(col("content_id"), col("exposure_start_ts").as("ts"), lit(1L).as("d"))
+        .unionByName(acr.select(col("content_id"),
+          col("exposure_end_ts").as("ts"), lit(-1L).as("d")))
+      val w = Window.partitionBy("content_id").orderBy(col("ts"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("running", sum("d").over(w))
+        .groupBy("content_id")
+        .agg(max("running").as("peak_concurrent"))
+    },
+    Some(Queries.veCte + """,
+deltas AS (
+  SELECT content_id, exposure_start_ts AS ts, 1 AS d FROM acr
+  UNION ALL
+  SELECT content_id, exposure_end_ts AS ts, -1 AS d FROM acr),
+curve AS (
+  SELECT content_id,
+         SUM(d) OVER (PARTITION BY content_id ORDER BY ts, d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM deltas)
+SELECT content_id, CAST(MAX(running) AS BIGINT) AS peak_concurrent
+FROM curve GROUP BY 1"""))
+
+  /** WEIGHTED median — the panel statistic plain percentiles get
+    * wrong (each viewer counts by geo weight, not once): smallest
+    * duration whose cumulative weight reaches half the total. The
+    * cumulative window uses a RANGE frame over the VALUE, so every
+    * row of a tied duration carries the same cumulative weight — the
+    * tie-safe formulation (a ROWS frame would give tied rows
+    * different cumsums in nondeterministic order). Weights integral
+    * (the ViewingData contract) → both engines compare exact longs.
+    * One fact fold, weights broadcast, per-type windows on the folded
+    * slice. */
+  private val weightedMedian = Q(
+    "q_weighted_median",
+    (s, dir) => {
+      val weights = ViewingData.table(s, dir, "customer")
+        .select(col("c_custkey").cast("string").as("smba_id"),
+          floor(abs(col("c_acctbal"))).cast("long").as("w"))
+      val ev = ViewingData.acr(s, dir)
+        .select(col("smba_id"), col("content_type"), col("duration"))
+        .join(broadcast(weights), "smba_id")
+      val wv = Window.partitionBy("content_type").orderBy("duration")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("cum_w", sum("w").over(wv))
+        .withColumn("total_w",
+          sum("w").over(Window.partitionBy("content_type")))
+        .filter(col("cum_w") * 2 >= col("total_w"))
+        .groupBy("content_type")
+        .agg(min("duration").as("weighted_median_duration"))
+    },
+    Some(Queries.veCte + """,
+wev AS (
+  SELECT a.content_type, a.duration,
+         CAST(floor(abs(c.c_acctbal)) AS BIGINT) AS w
+  FROM acr a JOIN customer c ON CAST(c.c_custkey AS VARCHAR) = a.smba_id),
+cum AS (
+  SELECT content_type, duration,
+         SUM(w) OVER (PARTITION BY content_type ORDER BY duration
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+         SUM(w) OVER (PARTITION BY content_type) AS total_w
+  FROM wev)
+SELECT content_type, MIN(duration) AS weighted_median_duration
+FROM cum WHERE cum_w * 2 >= total_w GROUP BY 1"""))
+
+  /** Rolling 7-row median of the daily event counts per type — the
+    * robust smoother (a rolling MEAN chases the spike the median
+    * ignores). Spark has no median window function, so the frame's
+    * values collect into a bounded array (≤ 7 longs — bounded by the
+    * FRAME, not the data) and the median is array arithmetic:
+    * sort + middle element, or the mean of the two middles on even
+    * prefixes, matching DuckDB's interpolating MEDIAN() OVER. ROWS
+    * frame (the 7 previous observations), not calendar days — the
+    * daily fold is gap-free here; a gapped series composes this on
+    * top of C56's spine. */
+  private val rollingMedian = Q(
+    "q_rolling_median",
+    (s, dir) => {
+      val daily = ViewingData.table(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+      daily
+        .withColumn("win", sort_array(collect_list(col("n")).over(w)))
+        .select(
+          col("event_type"),
+          col("day").cast("string").as("day"),
+          col("n"),
+          round(when(size(col("win")) % 2 === 1,
+              element_at(col("win"),
+                ((size(col("win")) + 1) / 2).cast("int")).cast("double"))
+            .otherwise(
+              (element_at(col("win"), (size(col("win")) / 2).cast("int")) +
+                element_at(col("win"),
+                  (size(col("win")) / 2 + 1).cast("int"))) / 2.0),
+            1).as("rolling_median"))
+    },
+    Some("""WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2)
+SELECT event_type, CAST(day AS VARCHAR) AS day, n,
+       ROUND(MEDIAN(n) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 1)
+         AS rolling_median
+FROM daily"""))
+
   val all: Seq[Q] = Seq(anomalyMad, winsorize, markov, xcorr, sessionPaths,
-    daypartIndex, growthAccounting, forecastSnaive, interpolate)
+    daypartIndex, growthAccounting, forecastSnaive, interpolate,
+    peakConcurrency, weightedMedian, rollingMedian)
 }
