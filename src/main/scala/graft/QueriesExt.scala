@@ -1178,7 +1178,105 @@ SELECT CAST(c.cohort_week AS VARCHAR) AS cohort_week,
 FROM activity a JOIN cohorts c USING (user_id)
 GROUP BY c.cohort_week, (a.week - c.cohort_week) // 7"""))
 
+  /** Snowflake's MINHASH / APPROXIMATE_SIMILARITY pair for AUDIENCE
+    * sets: per-type 16-slot md5 minhash signatures (the D9 md5-min
+    * discipline — lexicographic hex min is the same total order in
+    * both engines), pairwise estimate = matching slots / 16, emitted
+    * BESIDE the exact Jaccard from the distinct-set counts so the
+    * result is its own accuracy readout. Signatures fold the fact to
+    * |types| rows in one aggregate (signature state is 16 strings per
+    * type no matter the audience size — the mergeable-sketch
+    * property); pairing and the exact twin run on folded tables. */
+  private val minhashSimilarity = Q(
+    "q_minhash_similarity",
+    (s, dir) => {
+      val users = ViewingData.table(s, dir, "events")
+        .select(col("event_type"), col("user_id").cast("string").as("uid"))
+        .distinct()
+        .localCheckpoint() // feeds signatures AND the exact twin
+      val sigs = users.groupBy("event_type")
+        .agg(count(lit(1)).as("nu"),
+          (0 until 16).map(i =>
+            min(md5(concat(lit(s"$i:"), col("uid")))).as(s"m$i")): _*)
+      val a = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+      val b = sigs.columns.foldLeft(sigs)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+      val matches = (0 until 16)
+        .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      val inter = users.select(col("event_type").as("type_a"), col("uid"))
+        .join(users.select(col("event_type").as("type_b"), col("uid")), "uid")
+        .filter(col("type_a") < col("type_b"))
+        .groupBy("type_a", "type_b").agg(count(lit(1)).as("ni"))
+      a.crossJoin(b) // |types|² pairs — a dim-sized frame, not data
+        .filter(col("a_event_type") < col("b_event_type"))
+        .select(col("a_event_type").as("type_a"), col("b_event_type").as("type_b"),
+          col("a_nu"), col("b_nu"),
+          (matches.cast("double") / 16.0).as("est_jaccard"))
+        .join(inter, Seq("type_a", "type_b"))
+        .select(col("type_a"), col("type_b"),
+          round(col("est_jaccard"), 4).as("est_jaccard"),
+          round(col("ni").cast("double") /
+            (col("a_nu") + col("b_nu") - col("ni")), 6).as("exact_jaccard"))
+    },
+    Some {
+      val mins = (0 until 16)
+        .map(i => s"MIN(md5('$i:' || uid)) AS m$i").mkString(",\n         ")
+      val eqs = (0 until 16)
+        .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH users AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS uid FROM events),
+sigs AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nu,
+         $mins
+  FROM users GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS ni
+  FROM users a JOIN users b ON a.uid = b.uid AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       ROUND(($eqs) / 16.0, 4) AS est_jaccard,
+       ROUND(CAST(i.ni AS DOUBLE) / (a.nu + b.nu - i.ni), 6) AS exact_jaccard
+FROM sigs a
+JOIN sigs b ON a.event_type < b.event_type
+JOIN inter i ON i.type_a = a.event_type AND i.type_b = b.event_type"""
+    })
+
+  /** SAMPLE SYSTEM (block sampling) vs the row-level BERNOULLI the
+    * registry already has (C26/F18): keep or drop whole BLOCKS by a
+    * deterministic md5 draw on the block id — at scale the dropped
+    * blocks are never read (partition/file pruning; StatsIndex
+    * manifests make the same decision at the file level), the I/O
+    * economics row sampling can't offer, at the price of clustered
+    * sampling error. Blocks here are synthetic (event_id div 1024 —
+    * the parquet-row-group analog); keep ≈ 25% by first-nibble < '4'.
+    * Fully deterministic → fully oracled. */
+  private val sampleBlock = Q(
+    "q_sample_block",
+    (s, dir) => {
+      ViewingData.table(s, dir, "events")
+        .withColumn("blk", floor(col("event_id") / 1024).cast("long"))
+        .filter(substring(md5(col("blk").cast("string")), 1, 1) < "4")
+        .groupBy("event_type")
+        .agg(countDistinct(col("blk")).as("n_blocks"),
+          count(lit(1)).as("n_rows"),
+          round(avg("value"), 6).as("avg_value"))
+    },
+    Some("""WITH b AS (
+  SELECT event_type, value,
+         CAST(floor(event_id / 1024) AS BIGINT) AS blk
+  FROM events),
+kept AS (
+  SELECT * FROM b WHERE substr(md5(CAST(blk AS VARCHAR)), 1, 1) < '4')
+SELECT event_type,
+       CAST(COUNT(DISTINCT blk) AS BIGINT) AS n_blocks,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(AVG(value), 6) AS avg_value
+FROM kept GROUP BY 1"""))
+
   val all: Seq[Q] = Seq(
+    minhashSimilarity, sampleBlock,
     jsonFuncs, listagg, groupingSets, qualify, lateral,
     windowRange, windowNav, sampleStratified, dedupComponents,
     dedupClusterStats, dedupSurvivorship,
