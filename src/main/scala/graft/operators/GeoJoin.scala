@@ -111,4 +111,110 @@ object GeoJoin {
       .filter(col("dist_km") <= radiusKm)
       .drop("_cy", "_cx")
   }
+
+  // ------------------------------------------------------------------
+  // Latitude-banded grid — the POLES-HONEST radius join. Fixed-width
+  // grids fail where meridians converge; the standard fix is wider
+  // longitude cells per latitude band.
+  // ------------------------------------------------------------------
+
+  /** Longitude cell count for one latitude band (bands are
+    * `cellLat`-degree stripes indexed from the south pole). A pair
+    * with its in-band point AT the band's pole-most edge can have its
+    * OTHER point up to a full radius further poleward (it lands in
+    * the adjacent band but replicates back into this one), and near
+    * the poles that poleward push WIDENS the reachable Δλ — so the
+    * bound must use the pair-reachable extreme, not the edge alone:
+    * sin(Δλ/2) ≤ sin(d/2R)/√(cos φ_edge · cos φ_reach), conservative
+    * (grants the whole distance budget to longitude AND the worst
+    * denominators). Bands whose parallel is too tight for 3 cells of
+    * that span collapse to ONE polar-cap cell — every point there
+    * shares it, trivially complete. Any count ≤ the fit keeps one
+    * cell ≥ the span (the ±1-in-target-width completeness argument
+    * doesn't need nesting), so counts snap down to powers of two
+    * only to keep the per-band widths tidy. */
+  def bandCells(band: Int, cellLat: Double, radiusKm: Double): Long = {
+    val nBands = (180.0 / cellLat).toInt
+    val worstLat =
+      if (band >= nBands / 2) -90.0 + (band + 1) * cellLat  // northern: top edge
+      else -90.0 + band * cellLat                           // southern: bottom edge
+    val R = Geo.EarthRadiusKm
+    val edge = math.min(89.9999, math.abs(worstLat))
+    val reach = math.min(89.9999, edge + math.toDegrees(radiusKm / R))
+    val denom = math.sqrt(
+      math.cos(math.toRadians(edge)) * math.cos(math.toRadians(reach)))
+    val s = math.sin(radiusKm / (2 * R)) / math.max(denom, 1e-12)
+    if (s >= 1.0) 1L // radius reaches around the parallel → one cap cell
+    else {
+      val maxDlonDeg = math.toDegrees(2.0 * math.asin(s))
+      val fit = (360.0 / maxDlonDeg).toLong
+      if (fit < 3) 1L
+      else Math.min(1L << (63 - java.lang.Long.numberOfLeadingZeros(fit)), 1L << 30)
+    }
+  }
+
+  /** Radius join on a latitude-BANDED grid: works at every latitude,
+    * including across the poles' converging meridians, at the price
+    * of per-band cell arithmetic. Left points key once into their own
+    * band; right points replicate to bands b−1, b, b+1 and, within
+    * each target band, to the band-local cell of their longitude ± 1
+    * — both sides key in the SAME width there, and one target-band
+    * cell is at least the pair-reachable Δλ, so the indices differ by
+    * at most 1 mod wrap (polar caps are one cell). Contract:
+    * radiusKm ≤ cellLat · (π·R/180) — the
+    * latitude step; longitude completeness is per-band by
+    * construction. */
+  def radiusJoinBanded(
+      left: DataFrame,
+      latL: String, lonL: String,
+      right: DataFrame,
+      latR: String, lonR: String,
+      radiusKm: Double,
+      cellLat: Double = 1.0,
+      broadcastRight: Boolean = true): DataFrame = {
+    require(180.0 / cellLat == (180.0 / cellLat).toLong,
+      s"cellLat=$cellLat must divide 180")
+    val R = Geo.EarthRadiusKm
+    require(radiusKm <= cellLat * (math.Pi * R / 180.0),
+      s"radiusKm=$radiusKm exceeds one $cellLat° latitude step")
+    require(latL != latR && lonL != lonR,
+      "rename coordinate columns so the two sides don't collide after the join")
+    val nBands = (180.0 / cellLat).toInt
+    val cells = (0 until nBands).map(b => bandCells(b, cellLat, radiusKm))
+    val cellsArr = array(cells.map(lit): _*)
+
+    def bandOf(lat: String) =
+      least(greatest(floor((col(lat) + 90.0) / cellLat).cast("int"), lit(0)),
+        lit(nBands - 1))
+    def lonCell(lon: String, band: org.apache.spark.sql.Column) = {
+      val n = element_at(cellsArr, band + 1)
+      pmod(floor((col(lon) + 180.0) / 360.0 * n).cast("long"), n)
+    }
+
+    val l = left
+      .withColumn("_b", bandOf(latL))
+      .withColumn("_c", lonCell(lonL, col("_b")))
+    val bandOffsets = array(lit(-1), lit(0), lit(1))
+    val r3 = right
+      .withColumn("_db", explode(bandOffsets))
+      .withColumn("_b", bandOf(latR) + col("_db"))
+      .filter(col("_b") >= 0 && col("_b") < nBands)
+      .drop("_db")
+    // within the TARGET band's width: own cell ± 1 (distinct — a
+    // 1-cell cap band collapses the three keys to one)
+    val r9 = r3
+      .withColumn("_c0", lonCell(lonR, col("_b")))
+      .withColumn("_n", element_at(cellsArr, col("_b") + 1))
+      .withColumn("_c",
+        explode(array_distinct(array(
+          pmod(col("_c0") - 1, col("_n")),
+          col("_c0"),
+          pmod(col("_c0") + 1, col("_n"))))))
+      .drop("_c0", "_n")
+    val rSide = if (broadcastRight) broadcast(r9) else r9
+    l.join(rSide, Seq("_b", "_c"))
+      .withColumn("dist_km", expr(Geo.haversineSql(latL, lonL, latR, lonR)))
+      .filter(col("dist_km") <= radiusKm)
+      .drop("_b", "_c")
+  }
 }

@@ -119,6 +119,69 @@ class GeoSpec extends SparkTestBase {
     assert(e.getMessage.contains("exceeds"))
   }
 
+  test("banded radiusJoin equals brute force on GLOBAL points incl. high latitudes") {
+    // deterministic points over the whole globe — the domain the
+    // fixed-width grid's contract excludes
+    val pts = (0 until 200).map { i =>
+      (i.toLong, (i * 37 % 1800) / 10.0 - 90.0, (i * 73 % 3600) / 10.0 - 180.0)
+    }
+    val l = pts.toDF("lid", "llat", "llon")
+    val r = pts.map { case (i, la, lo) => (i + 1000, la, lo) }
+      .toDF("rid", "rlat", "rlon")
+    val banded = GeoJoin.radiusJoinBanded(l, "llat", "llon", r, "rlat", "rlon",
+        radiusKm = 100.0, cellLat = 1.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val brute = l.crossJoin(r)
+      .withColumn("d", expr(Geo.haversineSql("llat", "llon", "rlat", "rlon")))
+      .filter(col("d") <= 100.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(banded == brute)
+  }
+
+  test("banded radiusJoin meets pairs across the pole cap") {
+    // both at lat 89.5, opposite longitudes: ~111 km apart THROUGH the
+    // pole — lon cells are meaningless there; the cap cell catches it
+    val l = Seq((1L, 89.5, 0.0)).toDF("lid", "llat", "llon")
+    val r = Seq((10L, 89.5, 180.0), (20L, 89.5, -90.0)).toDF("rid", "rlat", "rlon")
+    val pairs = GeoJoin.radiusJoinBanded(l, "llat", "llon", r, "rlat", "rlon",
+        radiusKm = 120.0, cellLat = 2.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L), (1L, 20L)))
+  }
+
+  test("banded radiusJoin never duplicates a pair (9 keys distinct)") {
+    val l = Seq((1L, 0.01, 0.01)).toDF("lid", "llat", "llon")
+    val r = Seq((10L, 0.02, 0.02)).toDF("rid", "rlat", "rlon")
+    val rows = GeoJoin.radiusJoinBanded(l, "llat", "llon", r, "rlat", "rlon",
+      radiusKm = 60.0, cellLat = 1.0).collect()
+    assert(rows.length == 1)
+    // and in a polar cap band, where the 3 lon keys collapse to one
+    val lp = Seq((2L, 89.1, 10.0)).toDF("lid", "llat", "llon")
+    val rp = Seq((30L, 89.15, 11.0)).toDF("rid", "rlat", "rlon")
+    val rows2 = GeoJoin.radiusJoinBanded(lp, "llat", "llon", rp, "rlat", "rlon",
+      radiusKm = 60.0, cellLat = 1.0).collect()
+    assert(rows2.length == 1)
+  }
+
+  test("banded grid matches the fixed grid away from the poles") {
+    val cust = ViewingDataHelper.table(spark, Sf, "customer")
+      .select(col("c_custkey"),
+        expr(Geo.synthLatSql("c_custkey", 37)).as("clat"),
+        expr(Geo.synthLonSql("c_custkey", 73)).as("clon"))
+    val supp = ViewingDataHelper.table(spark, Sf, "supplier")
+      .select(col("s_suppkey"),
+        expr(Geo.synthLatSql("s_suppkey", 91)).as("slat"),
+        expr(Geo.synthLonSql("s_suppkey", 57)).as("slon"))
+    val fixed = GeoJoin.radiusJoin(cust, "clat", "clon", supp, "slat", "slon",
+        radiusKm = 60.0, cellDeg = 1.0, maxAbsLat = 10.0)
+      .select("c_custkey", "s_suppkey").as[(Long, Long)].collect().toSet
+    val banded = GeoJoin.radiusJoinBanded(cust, "clat", "clon",
+        supp, "slat", "slon", radiusKm = 60.0, cellLat = 1.0)
+      .select("c_custkey", "s_suppkey").as[(Long, Long)].collect().toSet
+    assert(banded == fixed)
+  }
+
   test("plan: radius join is a broadcast equi-join, not a cross join") {
     val q = Queries.all.find(_.name == "q_geo_radius_join").get
     val plan = q.run(spark, Sf).queryExecution.executedPlan.toString
