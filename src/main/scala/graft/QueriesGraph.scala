@@ -147,25 +147,14 @@ GROUP BY 1"""))
   private val labelProp = Q(
     "graph_label_prop",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val und = undirectedEdges(s, dir).localCheckpoint()
-      val adj = adjacency(und).localCheckpoint()
-      var labels = adj.select(col("a").as("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-        .localCheckpoint()
-      for (_ <- 1 to 3) {
-        val counted = adj
-          .join(labels.withColumnRenamed("node", "b"), "b")
-          .groupBy(col("a").as("node"), col("label"))
-          .agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy("node")
-          .orderBy(col("c").desc, col("label").asc)
-        labels = counted
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("node", "label")
-          .localCheckpoint()
-      }
+      import graft.operators.LabelProp
+      val adj = adjacency(undirectedEdges(s, dir)).localCheckpoint()
+      // fixed 3 rounds — the unrolled-CTE oracle's depth; the operator
+      // form (LabelProp.propagate) iterates to the fixpoint with
+      // 2-cycle detection, spec'd in LabelPropSpec
+      var labels = LabelProp.seed(adj).localCheckpoint()
+      for (_ <- 1 to 3)
+        labels = LabelProp.step(adj, labels).localCheckpoint()
       labels.groupBy("label").agg(count(lit(1)).as("n_members"))
         .withColumnRenamed("label", "community")
     },
