@@ -401,7 +401,43 @@ SELECT user_id, ts_sec, CAST(fence_id AS BIGINT) AS fence_id, event FROM enters
 UNION ALL
 SELECT user_id, ts_sec, CAST(fence_id AS BIGINT) AS fence_id, event FROM exits"""))
 
+  /** UNBOUNDED 2-nearest suppliers per customer — C101's documented
+    * trade closed: `GeoJoin.knn`'s expanding-ring search (probe at r,
+    * resolve rows whose k-th match is inside the complete ring, retry
+    * the rest at 2r on a re-picked band ladder — frontier economics,
+    * only unresolved rows rejoin). Here every customer resolves, most
+    * in the first ring; the DuckDB brute-force oracle hash-checks the
+    * whole (rounded dist, id)-ordered top-2. */
+  private val geoKnn = Q(
+    "q_geo_knn",
+    (s, dir) => {
+      val cust = ViewingData.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr(custLat).as("clat"), expr(custLon).as("clon"))
+      val supp = ViewingData.table(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          expr(suppLat).as("slat"), expr(suppLon).as("slon"))
+      GeoJoin.knn(cust, "clat", "clon", supp, "slat", "slon",
+          rightId = "s_suppkey", k = 2, r0 = 50.0)
+        .select(col("c_custkey"), col("s_suppkey"), col("dist_km"), col("rank"))
+    },
+    Some(s"""WITH c AS (
+  SELECT c_custkey, $custLat AS clat, $custLon AS clon FROM customer),
+s AS (
+  SELECT s_suppkey, $suppLat AS slat, $suppLon AS slon FROM supplier),
+p AS (
+  SELECT c_custkey, s_suppkey,
+         ROUND(${Geo.haversineSql("clat", "clon", "slat", "slon")}, 4) AS dist_km
+  FROM c CROSS JOIN s),
+r AS (
+  SELECT c_custkey, s_suppkey, dist_km,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY dist_km ASC, s_suppkey ASC) AS rn
+  FROM p)
+SELECT c_custkey, s_suppkey, dist_km, CAST(rn AS INT) AS rank
+FROM r WHERE rn <= 2"""))
+
   val all: Seq[Q] =
     Seq(geoDistance, geoRadiusJoin, geohashCells, geoNearest, geoDbscan,
-      tripSegment, geofenceEvents)
+      tripSegment, geofenceEvents, geoKnn)
 }

@@ -217,4 +217,79 @@ object GeoJoin {
       .filter(col("dist_km") <= radiusKm)
       .drop("_b", "_c")
   }
+
+  /** Half the meridian: no two points are farther apart. */
+  private val MaxDistKm = math.Pi * Geo.EarthRadiusKm
+
+  /** cellLat values that divide 180, coarsest last. */
+  private val LatLadder =
+    Seq(0.5, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 9.0, 10.0, 12.0, 15.0, 18.0,
+      20.0, 30.0, 36.0, 45.0, 60.0, 90.0, 180.0)
+
+  /** UNBOUNDED k-nearest-neighbors by EXPANDING-RING search — the
+    * form a single grid pass can't answer (C101 documents the trade):
+    * probe at radius r with the banded join; left rows with ≥ k
+    * matches take their top-k (if the k-th is within r it IS the true
+    * top-k — the ring is complete, so nothing closer was missed);
+    * unresolved rows retry at 2r with a cell width re-picked from the
+    * divisors-of-180 ladder, until the ring covers the globe. Rings
+    * decade out: log2(20000/r0) ≈ 9 rounds worst case, and each round
+    * joins ONLY the still-unresolved rows (frontier economics, like
+    * graph_bfs). Ordering (rounded dist, right id) — the C101 tie
+    * discipline. `rightId` names the column carried into the result;
+    * right coordinates stay too. */
+  def knn(
+      left: DataFrame,
+      latL: String, lonL: String,
+      right: DataFrame,
+      latR: String, lonR: String,
+      rightId: String,
+      k: Int = 1,
+      r0: Double = 50.0,
+      broadcastRight: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1)
+    val leftKeys = left.columns.toSeq
+    var unresolved = left.localCheckpoint()
+    var acc: DataFrame = null
+    var r = r0
+    while (!unresolved.isEmpty) {
+      val cellLat = LatLadder.find(d => r <= d * (math.Pi * Geo.EarthRadiusKm / 180.0))
+        .getOrElse(180.0)
+      val matches = radiusJoinBanded(unresolved, latL, lonL, right, latR, lonR,
+          radiusKm = math.min(r, MaxDistKm), cellLat = cellLat,
+          broadcastRight = broadcastRight)
+        .withColumn("dist_km", round(col("dist_km"), 4))
+      val w = Window.partitionBy(leftKeys.map(col): _*)
+        .orderBy(col("dist_km").asc, col(rightId).asc)
+      val ranked = matches
+        .withColumn("rank", row_number().over(w))
+        .withColumn("_nm", count(lit(1)).over(Window.partitionBy(leftKeys.map(col): _*)))
+      // resolved = enough matches, or the ring already covers the globe
+      val done = ranked
+        .filter(col("_nm") >= k || lit(r >= MaxDistKm))
+        .filter(col("rank") <= k)
+        .drop("_nm")
+        .localCheckpoint()
+      acc = if (acc == null) done else acc.unionByName(done)
+      unresolved = unresolved
+        .join(done.select(leftKeys.map(col): _*).distinct(), leftKeys, "left_anti")
+        .localCheckpoint()
+      if (r >= MaxDistKm && !unresolved.isEmpty) {
+        // right side empty (or smaller than k): emit what exists —
+        // rows with no match at the full ring simply have none
+        return acc
+      }
+      r = r * 2
+    }
+    if (acc == null) // empty left: an empty frame with the result schema
+      radiusJoinBanded(left, latL, lonL, right.limit(0), latR, lonR,
+          radiusKm = r0,
+          cellLat = LatLadder
+            .find(d => r0 <= d * (math.Pi * Geo.EarthRadiusKm / 180.0))
+            .getOrElse(180.0))
+        .withColumn("dist_km", round(col("dist_km"), 4))
+        .withColumn("rank", lit(1).cast("int"))
+    else acc
+  }
 }

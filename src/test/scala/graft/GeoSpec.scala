@@ -182,6 +182,53 @@ class GeoSpec extends SparkTestBase {
     assert(banded == fixed)
   }
 
+  test("expanding-ring knn equals brute-force global KNN (k=1 and k=3)") {
+    val pts = (0 until 120).map { i =>
+      (i.toLong, (i * 37 % 1800) / 10.0 - 90.0, (i * 73 % 3600) / 10.0 - 180.0)
+    }
+    val l = pts.take(40).toDF("lid", "llat", "llon")
+    val r = pts.drop(40).map { case (i, la, lo) => (i, la, lo) }
+      .toDF("rid", "rlat", "rlon")
+    def brute(k: Int): Set[(Long, Long, Int)] = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lid")
+        .orderBy(col("d").asc, col("rid").asc)
+      l.crossJoin(r)
+        .withColumn("d", round(expr(Geo.haversineSql("llat", "llon", "rlat", "rlon")), 4))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("lid", "rid", "rank").as[(Long, Long, Int)].collect().toSet
+    }
+    for (k <- Seq(1, 3)) {
+      val ringed = GeoJoin.knn(l, "llat", "llon", r, "rlat", "rlon",
+          rightId = "rid", k = k, r0 = 50.0)
+        .select("lid", "rid", "rank").as[(Long, Long, Int)].collect().toSet
+      assert(ringed == brute(k), s"k=$k")
+    }
+  }
+
+  test("knn rings expand: an isolated point still finds its neighbor") {
+    // left near the south pole, the only right point near the north
+    // pole — ~9 doublings from r0=50 to the global ring
+    val l = Seq((1L, -89.0, 0.0)).toDF("lid", "llat", "llon")
+    val r = Seq((10L, 89.0, 0.0)).toDF("rid", "rlat", "rlon")
+    val rows = GeoJoin.knn(l, "llat", "llon", r, "rlat", "rlon",
+      rightId = "rid", k = 1, r0 = 50.0).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("rid") == 10L)
+  }
+
+  test("knn with fewer rights than k emits what exists; empty right emits none") {
+    val l = Seq((1L, 0.0, 0.0)).toDF("lid", "llat", "llon")
+    val r = Seq((10L, 1.0, 1.0)).toDF("rid", "rlat", "rlon")
+    val got = GeoJoin.knn(l, "llat", "llon", r, "rlat", "rlon",
+      rightId = "rid", k = 3, r0 = 50.0).collect()
+    assert(got.length == 1)
+    val none = GeoJoin.knn(l, "llat", "llon", r.limit(0), "rlat", "rlon",
+      rightId = "rid", k = 1, r0 = 50.0).collect()
+    assert(none.isEmpty)
+  }
+
   test("plan: radius join is a broadcast equi-join, not a cross join") {
     val q = Queries.all.find(_.name == "q_geo_radius_join").get
     val plan = q.run(spark, Sf).queryExecution.executedPlan.toString
