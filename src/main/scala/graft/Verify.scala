@@ -7,12 +7,18 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_STRICT_CODEGEN=1: janino compile failures THROW
+    // instead of silently dropping to interpreted execution — the
+    // whole-registry sweep that caught QSketchEstimate's freshName bug
+    // (a broken doGenCode is invisible to result checks otherwise).
+    if (sys.env.get("SPARK_GRAFT_STRICT_CODEGEN").exists(_ == "1"))
+      builder.config("spark.sql.codegen.fallback", "false")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q1,q2 narrows the dump for local iteration
