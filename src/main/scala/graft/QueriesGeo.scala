@@ -437,7 +437,70 @@ r AS (
 SELECT c_custkey, s_suppkey, dist_km, CAST(rn AS INT) AS rank
 FROM r WHERE rn <= 2"""))
 
+  /** Point-in-polygon containment (the ST_CONTAINS surface) for
+    * CONVEX territories: a point is inside a counter-clockwise convex
+    * polygon iff every edge's 2-D cross product with it is ≥ 0 — each
+    * (point, edge) test is three multiplies on the planar (lon, lat)
+    * chart (the small-region approximation every planar GIS layer
+    * uses; geodesic edges would swap in great-circle side tests).
+    * Exact lattice coordinates → exact double products → hash-stable
+    * without rounding. Polygon edges are a 16-row broadcast VALUES
+    * frame in both engines; the test is one fused aggregate
+    * (bool_and per (point, polygon)) over the broadcast-expanded
+    * candidates — scan-speed, no data-side shuffle beyond the count. */
+  private val geoPolygon = Q(
+    "q_geo_polygon",
+    (s, dir) => {
+      import s.implicits._
+      // two convex quads + one triangle, CCW, on the synthetic domain
+      val polys = Seq(
+        (1L, 0, -5.0, -10.0), (1L, 1, -5.0, 0.0), (1L, 2, 5.0, 0.0), (1L, 3, 5.0, -10.0),
+        (2L, 0, -2.0, 5.0), (2L, 1, -2.0, 15.0), (2L, 2, 8.0, 15.0), (2L, 3, 8.0, 5.0),
+        (3L, 0, -9.0, -19.0), (3L, 1, -6.0, -12.0), (3L, 2, -1.0, -18.0))
+        .toDF("polygon_id", "idx", "vy", "vx")
+      val nv = polys.groupBy("polygon_id").agg(count(lit(1)).as("nv"))
+      val edges = polys.join(nv, "polygon_id")
+        .withColumn("nidx", pmod(col("idx") + 1, col("nv")).cast("int"))
+      val e2 = polys.select(col("polygon_id"), col("idx").as("nidx"),
+        col("vy").as("wy"), col("vx").as("wx"))
+      val edgeTable = edges.join(e2, Seq("polygon_id", "nidx"))
+        .select(col("polygon_id"), col("vy"), col("vx"), col("wy"), col("wx"))
+      val pts = ViewingData.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr(custLat).as("py"), expr(custLon).as("px"))
+      val cross = (col("wx") - col("vx")) * (col("py") - col("vy")) -
+        (col("wy") - col("vy")) * (col("px") - col("vx"))
+      pts.crossJoin(broadcast(edgeTable)) // 16 edge rows — a dim frame
+        .groupBy("c_custkey", "polygon_id")
+        .agg(min(when(cross >= 0, 1L).otherwise(0L)).as("all_in"))
+        .filter(col("all_in") === 1)
+        .groupBy("polygon_id")
+        .agg(count(lit(1)).as("n_inside"))
+    },
+    Some(s"""WITH polys(polygon_id, idx, vy, vx) AS (VALUES
+  (1, 0, -5.0, -10.0), (1, 1, -5.0, 0.0), (1, 2, 5.0, 0.0), (1, 3, 5.0, -10.0),
+  (2, 0, -2.0, 5.0), (2, 1, -2.0, 15.0), (2, 2, 8.0, 15.0), (2, 3, 8.0, 5.0),
+  (3, 0, -9.0, -19.0), (3, 1, -6.0, -12.0), (3, 2, -1.0, -18.0)),
+nv AS (SELECT polygon_id, COUNT(*) AS nv FROM polys GROUP BY 1),
+edges AS (
+  SELECT p.polygon_id, p.vy, p.vx, q.vy AS wy, q.vx AS wx
+  FROM polys p
+  JOIN nv USING (polygon_id)
+  JOIN polys q ON q.polygon_id = p.polygon_id
+             AND q.idx = (p.idx + 1) % nv.nv),
+pts AS (
+  SELECT c_custkey, $custLat AS py, $custLon AS px FROM customer),
+tests AS (
+  SELECT c_custkey, polygon_id,
+         MIN(CASE WHEN (wx - vx) * (py - vy) - (wy - vy) * (px - vx) >= 0
+                  THEN 1 ELSE 0 END) AS all_in
+  FROM pts CROSS JOIN edges
+  GROUP BY 1, 2)
+SELECT CAST(polygon_id AS BIGINT) AS polygon_id,
+       CAST(COUNT(*) AS BIGINT) AS n_inside
+FROM tests WHERE all_in = 1 GROUP BY 1"""))
+
   val all: Seq[Q] =
     Seq(geoDistance, geoRadiusJoin, geohashCells, geoNearest, geoDbscan,
-      tripSegment, geofenceEvents, geoKnn)
+      tripSegment, geofenceEvents, geoKnn, geoPolygon)
 }
