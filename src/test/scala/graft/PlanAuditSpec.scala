@@ -448,4 +448,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_peak_concurrency: curve window and peak agg share one content exchange") {
+    val p = plan("q_peak_concurrency")
+    assert("Exchange hashpartitioning\\(content_id".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_trip_segment: LAG, cumsum, and trip agg share one user exchange") {
+    val p = plan("q_trip_segment")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_weighted_median: weights broadcast, no shuffle join") {
+    val p = plan("q_weighted_median")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q_geo_dbscan / q_geofence_events: no cartesian anywhere") {
+    Seq("q_geo_dbscan", "q_geofence_events").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1200)}")
+    }
+  }
 }
