@@ -500,7 +500,43 @@ SELECT CAST(polygon_id AS BIGINT) AS polygon_id,
        CAST(COUNT(*) AS BIGINT) AS n_inside
 FROM tests WHERE all_in = 1 GROUP BY 1"""))
 
+  /** Multi-resolution geohash rollup — the spatial DRILL-DOWN cube
+    * (zoom-level tiles: world → region → city), exploiting the
+    * geohash PREFIX property (a cell's prefix at k chars IS its
+    * containing cell at resolution k): encode ONCE at the finest
+    * resolution, then every coarser level is a substring — each point
+    * contributes one row per level via a 4-element explode, one
+    * aggregate over (level, cell). The hierarchy costs nothing extra
+    * at scan time; compare C13's measure cube, here over space. */
+  private val geohashRollup = Q(
+    "q_geohash_rollup",
+    (s, dir) => {
+      val (latQ, lonQ) = Geo.geohashQuantizeSql("lat", "lon", 4)
+      ViewingData.table(s, dir, "customer")
+        .select(expr(custLat).as("lat"), expr(custLon).as("lon"))
+        .withColumn("latq", expr(latQ))
+        .withColumn("lonq", expr(lonQ))
+        .withColumn("gh4", expr(Geo.geohashFromQuantizedSql("latq", "lonq", 4)))
+        .select(explode(array((1 to 4).map(i =>
+          struct(lit(i).as("level"),
+            substring(col("gh4"), 1, i).as("cell"))): _*)).as("lc"))
+        .groupBy(col("lc.level").as("level"), col("lc.cell").as("cell"))
+        .agg(count(lit(1)).as("n"))
+    },
+    Some {
+      val (latQ, lonQ) = Geo.geohashQuantizeSql("lat", "lon", 4)
+      s"""WITH pts AS (
+  SELECT $custLat AS lat, $custLon AS lon FROM customer),
+q AS (SELECT lat, lon, $latQ AS latq, $lonQ AS lonq FROM pts),
+g AS (SELECT ${Geo.geohashFromQuantizedSql("latq", "lonq", 4)} AS gh4 FROM q),
+lv AS (
+  SELECT UNNEST([1, 2, 3, 4]) AS level, gh4 FROM g)
+SELECT CAST(level AS INT) AS level, substr(gh4, 1, level) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lv GROUP BY 1, 2"""
+    })
+
   val all: Seq[Q] =
     Seq(geoDistance, geoRadiusJoin, geohashCells, geoNearest, geoDbscan,
-      tripSegment, geofenceEvents, geoKnn, geoPolygon)
+      tripSegment, geofenceEvents, geoKnn, geoPolygon, geohashRollup)
 }
