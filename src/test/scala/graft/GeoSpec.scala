@@ -139,6 +139,28 @@ class GeoSpec extends SparkTestBase {
     assert(banded == brute)
   }
 
+  test("banded radiusJoin: brute-force equality across radius/cell configs incl. the contract edge") {
+    val pts = (0 until 150).map { i =>
+      (i.toLong, (i * 53 % 1800) / 10.0 - 90.0, (i * 97 % 3600) / 10.0 - 180.0)
+    }
+    val l = pts.toDF("lid", "llat", "llon")
+    val r = pts.map { case (i, la, lo) => (i + 5000, la, lo) }
+      .toDF("rid", "rlat", "rlon")
+    val cfgs = Seq(
+      (111.1949, 1.0),  // a hair under the exact latitude-step bound
+      (55.0, 0.5), (200.0, 2.0), (500.0, 5.0))
+    cfgs.foreach { case (rad, cell) =>
+      val banded = GeoJoin.radiusJoinBanded(l, "llat", "llon", r, "rlat", "rlon",
+          radiusKm = rad, cellLat = cell)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val brute = l.crossJoin(r)
+        .withColumn("d", expr(Geo.haversineSql("llat", "llon", "rlat", "rlon")))
+        .filter(col("d") <= rad)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(banded == brute, s"config (r=$rad, cell=$cell)")
+    }
+  }
+
   test("banded radiusJoin meets pairs across the pole cap") {
     // both at lat 89.5, opposite longitudes: ~111 km apart THROUGH the
     // pole — lon cells are meaningless there; the cap cell catches it
