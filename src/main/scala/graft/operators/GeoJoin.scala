@@ -226,6 +226,11 @@ object GeoJoin {
     Seq(0.5, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 9.0, 10.0, 12.0, 15.0, 18.0,
       20.0, 30.0, 36.0, 45.0, 60.0, 90.0, 180.0)
 
+  /** Narrowest ladder band whose latitude step covers radius `r` —
+    * the radiusJoinBanded contract (radius ≤ cellLat · π·R/180). */
+  private def pickCellLat(r: Double): Double =
+    LatLadder.find(d => r <= d * (MaxDistKm / 180.0)).getOrElse(180.0)
+
   /** UNBOUNDED k-nearest-neighbors by EXPANDING-RING search — the
     * form a single grid pass can't answer (C101 documents the trade):
     * probe at radius r with the banded join; left rows with ≥ k
@@ -249,47 +254,56 @@ object GeoJoin {
       broadcastRight: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1)
-    val leftKeys = left.columns.toSeq
-    var unresolved = left.localCheckpoint()
+    require(r0 > 0, s"r0=$r0 must be positive — a non-positive seed radius never grows")
+    // a synthetic per-row key: duplicate left rows must NOT pool their
+    // matches (pooling inflates the match count past k and duplicates
+    // neighbors in the ranked output)
+    val l0 = left.withColumn("_lrow", monotonically_increasing_id())
+    var unresolved = l0.localCheckpoint()
     var acc: DataFrame = null
     var r = r0
     while (!unresolved.isEmpty) {
-      val cellLat = LatLadder.find(d => r <= d * (math.Pi * Geo.EarthRadiusKm / 180.0))
-        .getOrElse(180.0)
+      val globalRing = r >= MaxDistKm
       val matches = radiusJoinBanded(unresolved, latL, lonL, right, latR, lonR,
-          radiusKm = math.min(r, MaxDistKm), cellLat = cellLat,
+          radiusKm = math.min(r, MaxDistKm), cellLat = pickCellLat(r),
           broadcastRight = broadcastRight)
         .withColumn("dist_km", round(col("dist_km"), 4))
-      val w = Window.partitionBy(leftKeys.map(col): _*)
+      val w = Window.partitionBy("_lrow")
         .orderBy(col("dist_km").asc, col(rightId).asc)
+      val perRow = Window.partitionBy("_lrow")
       val ranked = matches
         .withColumn("rank", row_number().over(w))
-        .withColumn("_nm", count(lit(1)).over(Window.partitionBy(leftKeys.map(col): _*)))
-      // resolved = enough matches, or the ring already covers the globe
+        .withColumn("_nm", count(lit(1)).over(perRow))
+        .withColumn("_kd", max(when(col("rank") <= k, col("dist_km"))).over(perRow))
+      // resolved = k matches whose k-th ROUNDED distance sits strictly
+      // inside the ring with slack for the rounding itself (0.1 m ≫
+      // the 4-dp granularity): a just-outside-ring candidate can round
+      // to the same 4-dp value as an in-ring one and then outrank it
+      // by id in the (rounded, id) order the oracle uses — such
+      // boundary rows simply resolve one doubling later, when both
+      // candidates are in-ring. The global ring resolves everything.
       val done = ranked
-        .filter(col("_nm") >= k || lit(r >= MaxDistKm))
+        .filter(lit(globalRing) ||
+          (col("_nm") >= k && col("_kd") < lit(r - 1e-4)))
         .filter(col("rank") <= k)
-        .drop("_nm")
+        .drop("_nm", "_kd")
         .localCheckpoint()
       acc = if (acc == null) done else acc.unionByName(done)
       unresolved = unresolved
-        .join(done.select(leftKeys.map(col): _*).distinct(), leftKeys, "left_anti")
+        .join(done.select("_lrow").distinct(), Seq("_lrow"), "left_anti")
         .localCheckpoint()
-      if (r >= MaxDistKm && !unresolved.isEmpty) {
+      if (globalRing && !unresolved.isEmpty) {
         // right side empty (or smaller than k): emit what exists —
         // rows with no match at the full ring simply have none
-        return acc
+        return acc.drop("_lrow")
       }
       r = r * 2
     }
     if (acc == null) // empty left: an empty frame with the result schema
       radiusJoinBanded(left, latL, lonL, right.limit(0), latR, lonR,
-          radiusKm = r0,
-          cellLat = LatLadder
-            .find(d => r0 <= d * (math.Pi * Geo.EarthRadiusKm / 180.0))
-            .getOrElse(180.0))
+          radiusKm = r0, cellLat = pickCellLat(r0))
         .withColumn("dist_km", round(col("dist_km"), 4))
         .withColumn("rank", lit(1).cast("int"))
-    else acc
+    else acc.drop("_lrow")
   }
 }

@@ -240,6 +240,28 @@ class GeoSpec extends SparkTestBase {
     assert(rows.head.getAs[Long]("rid") == 10L)
   }
 
+  test("knn: duplicate left rows each get their own full top-k (no pooling)") {
+    val l = Seq((1L, 0.0, 0.0), (1L, 0.0, 0.0)).toDF("lid", "llat", "llon")
+    val r = Seq((10L, 0.1, 0.0), (20L, 0.2, 0.0), (30L, 3.0, 0.0))
+      .toDF("rid", "rlat", "rlon")
+    val rows = GeoJoin.knn(l, "llat", "llon", r, "rlat", "rlon",
+        rightId = "rid", k = 3, r0 = 50.0)
+      .select("lid", "rid", "rank").as[(Long, Long, Int)].collect()
+    // each duplicate resolves independently: 2 × {10,20,30}
+    assert(rows.length == 6)
+    assert(rows.count(_._2 == 10L) == 2 && rows.count(_._2 == 30L) == 2)
+  }
+
+  test("knn rejects a non-positive seed radius") {
+    val df = Seq((1L, 0.0, 0.0)).toDF("lid", "llat", "llon")
+    val e = intercept[IllegalArgumentException] {
+      GeoJoin.knn(df, "llat", "llon",
+        df.toDF("rid", "rlat", "rlon"), "rlat", "rlon",
+        rightId = "rid", r0 = 0.0)
+    }
+    assert(e.getMessage.contains("positive"))
+  }
+
   test("knn with fewer rights than k emits what exists; empty right emits none") {
     val l = Seq((1L, 0.0, 0.0)).toDF("lid", "llat", "llon")
     val r = Seq((10L, 1.0, 1.0)).toDF("rid", "rlat", "rlon")
