@@ -56,6 +56,42 @@ class StreamConcurrencySpec extends SparkTestBase {
     }
   }
 
+  test("interval form: out-of-order arrivals fold in event-time order via timers") {
+    import graft.streaming.StreamConcurrency.{Interval, TimedConcurrency}
+    implicit val sqlCtx = spark.sqlContext
+    def iv(c: String, s0: Long, e0: Long) =
+      Interval(c, new java.sql.Timestamp(s0 * 1000L), s0, e0)
+    withConfs("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val input = MemoryStream[Interval]
+      val q = StreamConcurrency.peaksFromIntervals(input.toDS(),
+          watermarkDelay = "2 minutes")
+        .writeStream.format("memory").queryName("conc_iv")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        // arrivals OUT of event-time order across batches: the late
+        // [5,15) lands after [10,40)/[20,30) but within the watermark
+        input.addData(iv("a", 10L, 40L), iv("a", 20L, 30L))
+        q.processAllAvailable()
+        input.addData(iv("a", 5L, 15L))
+        q.processAllAvailable()
+        // flush: a far-future row on another key pushes the watermark
+        // past every buffered instant, firing all timers
+        input.addData(iv("zz", 100000L, 100001L))
+        q.processAllAvailable()
+        val rows = spark.table("conc_iv").as[TimedConcurrency].collect()
+          .filter(_.content_id == "a")
+        assert(rows.nonEmpty, "timers must have fired for key a")
+        val fin = rows.maxBy(_.as_of_sec)
+        // deltas: +1@5 +1@10 -1@15 +1@20 -1@30 -1@40 → curve
+        // 1,2,1,2,1,0 — peak 2 despite the late arrival
+        assert(fin.peak == 2L, s"got $fin")
+        assert(fin.current == 0L, s"got $fin")
+        assert(fin.as_of_sec == 40L)
+      } finally q.stop()
+    }
+  }
+
   test("half-open ends-before-starts: back-to-back sessions never double-count") {
     implicit val sqlCtx = spark.sqlContext
     withConfs("spark.sql.streaming.stateStore.providerClass" ->
