@@ -536,7 +536,103 @@ SELECT CAST(level AS INT) AS level, substr(gh4, 1, level) AS cell,
 FROM lv GROUP BY 1, 2"""
     })
 
+  /** C111's documented trade closed: GEODESIC polygon containment —
+    * edges are great circles, not chart lines, so the test is correct
+    * at any territory size. Each vertex maps to a unit vector on the
+    * sphere; an edge v→w defines the plane through the origin with
+    * normal v × w, and a point is inside the CCW polygon iff it lies
+    * on the non-negative side of EVERY edge plane:
+    * (v × w) · p ≥ 0 — nine multiplies per (point, edge). Vertices
+    * sit at x.005 offsets so no lattice point lands near an edge
+    * plane (the sign margin dwarfs cross-engine trig ulps — the same
+    * argument the haversine rows rest on). Same broadcast-edges +
+    * fused bool_and shape as C111. */
+  private val geoPolygonGeodesic = Q(
+    "q_geo_polygon_geodesic",
+    (s, dir) => {
+      import s.implicits._
+      val polys = Seq(
+        (1L, 0, -5.005, -10.005), (1L, 1, -5.005, 0.005),
+        (1L, 2, 5.005, 0.005), (1L, 3, 5.005, -10.005),
+        (2L, 0, -2.005, 5.005), (2L, 1, -2.005, 15.005),
+        (2L, 2, 8.005, 15.005), (2L, 3, 8.005, 5.005),
+        (3L, 0, -9.005, -19.005), (3L, 1, -6.005, -12.005), (3L, 2, -1.005, -18.005))
+        .toDF("polygon_id", "idx", "vy", "vx")
+      val nv = polys.groupBy("polygon_id").agg(count(lit(1)).as("nv"))
+      val e2 = polys.select(col("polygon_id"), col("idx").as("nidx"),
+        col("vy").as("wy"), col("vx").as("wx"))
+      val edgeTable = polys.join(nv, "polygon_id")
+        .withColumn("nidx", pmod(col("idx") + 1, col("nv")).cast("int"))
+        .join(e2, Seq("polygon_id", "nidx"))
+        .select(col("polygon_id"), col("vy"), col("vx"), col("wy"), col("wx"))
+      val pts = ViewingData.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr(custLat).as("py"), expr(custLon).as("px"))
+      // unit vectors: (cos lat cos lon, cos lat sin lon, sin lat)
+      def ux(lat: String, lon: String) =
+        expr(s"cos(radians($lat)) * cos(radians($lon))")
+      def uy(lat: String, lon: String) =
+        expr(s"cos(radians($lat)) * sin(radians($lon))")
+      def uz(lat: String) = expr(s"sin(radians($lat))")
+      val joined = pts.crossJoin(broadcast(edgeTable))
+        .withColumn("vx3", ux("vy", "vx")).withColumn("vy3", uy("vy", "vx"))
+        .withColumn("vz3", uz("vy"))
+        .withColumn("wx3", ux("wy", "wx")).withColumn("wy3", uy("wy", "wx"))
+        .withColumn("wz3", uz("wy"))
+        .withColumn("px3", ux("py", "px")).withColumn("py3", uy("py", "px"))
+        .withColumn("pz3", uz("py"))
+      val side =
+        (col("vy3") * col("wz3") - col("vz3") * col("wy3")) * col("px3") +
+        (col("vz3") * col("wx3") - col("vx3") * col("wz3")) * col("py3") +
+        (col("vx3") * col("wy3") - col("vy3") * col("wx3")) * col("pz3")
+      joined
+        .groupBy("c_custkey", "polygon_id")
+        .agg(min(when(side >= 0, 1L).otherwise(0L)).as("all_in"))
+        .filter(col("all_in") === 1)
+        .groupBy("polygon_id")
+        .agg(count(lit(1)).as("n_inside"))
+    },
+    Some(s"""WITH polys(polygon_id, idx, vy, vx) AS (VALUES
+  (1, 0, -5.005, -10.005), (1, 1, -5.005, 0.005),
+  (1, 2, 5.005, 0.005), (1, 3, 5.005, -10.005),
+  (2, 0, -2.005, 5.005), (2, 1, -2.005, 15.005),
+  (2, 2, 8.005, 15.005), (2, 3, 8.005, 5.005),
+  (3, 0, -9.005, -19.005), (3, 1, -6.005, -12.005), (3, 2, -1.005, -18.005)),
+nv AS (SELECT polygon_id, COUNT(*) AS nv FROM polys GROUP BY 1),
+edges AS (
+  SELECT p.polygon_id,
+         cos(radians(p.vy)) * cos(radians(p.vx)) AS vx3,
+         cos(radians(p.vy)) * sin(radians(p.vx)) AS vy3,
+         sin(radians(p.vy)) AS vz3,
+         cos(radians(q.vy)) * cos(radians(q.vx)) AS wx3,
+         cos(radians(q.vy)) * sin(radians(q.vx)) AS wy3,
+         sin(radians(q.vy)) AS wz3
+  FROM polys p
+  JOIN nv USING (polygon_id)
+  JOIN polys q ON q.polygon_id = p.polygon_id
+             AND q.idx = (p.idx + 1) % nv.nv),
+pts AS (
+  SELECT c_custkey, $custLat AS py, $custLon AS px FROM customer),
+p3 AS (
+  SELECT c_custkey,
+         cos(radians(py)) * cos(radians(px)) AS px3,
+         cos(radians(py)) * sin(radians(px)) AS py3,
+         sin(radians(py)) AS pz3
+  FROM pts),
+tests AS (
+  SELECT c_custkey, polygon_id,
+         MIN(CASE WHEN (vy3 * wz3 - vz3 * wy3) * px3
+                     + (vz3 * wx3 - vx3 * wz3) * py3
+                     + (vx3 * wy3 - vy3 * wx3) * pz3 >= 0
+                  THEN 1 ELSE 0 END) AS all_in
+  FROM p3 CROSS JOIN edges
+  GROUP BY 1, 2)
+SELECT CAST(polygon_id AS BIGINT) AS polygon_id,
+       CAST(COUNT(*) AS BIGINT) AS n_inside
+FROM tests WHERE all_in = 1 GROUP BY 1"""))
+
   val all: Seq[Q] =
     Seq(geoDistance, geoRadiusJoin, geohashCells, geoNearest, geoDbscan,
-      tripSegment, geofenceEvents, geoKnn, geoPolygon, geohashRollup)
+      tripSegment, geofenceEvents, geoKnn, geoPolygon, geohashRollup,
+      geoPolygonGeodesic)
 }
