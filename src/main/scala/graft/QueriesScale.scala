@@ -463,8 +463,57 @@ FROM unioned GROUP BY 1"""))
        CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
 FROM events GROUP BY 1"""))
 
+  /** CO-VIEWING detection — the range family's third member put to
+    * work: `RangeJoin.intervalOverlapJoin` (SQL:2011 OVERLAPS as a
+    * bucketed equi-join; every overlapping pair meets EXACTLY once,
+    * in its canonical max-start bucket — no dedup pass) self-joins
+    * the exposure intervals per content, distinct users only
+    * (a < b), emitting pair counts and total overlapped seconds —
+    * the shared-audience signal co-viewing panels sell. The Spark
+    * side's candidate volume is bucket-bounded; the oracle runs the
+    * content-keyed brute force (tractable at oracle SF). */
+  private val coviewing = Q(
+    "q_coviewing",
+    (s, dir) => {
+      val acr = ViewingData.acr(s, dir)
+        .select(col("smba_id"), col("content_id"),
+          col("exposure_start_ts"), col("exposure_end_ts"))
+      val a = acr.select(col("smba_id").as("a_user"),
+        col("content_id").as("a_content"),
+        col("exposure_start_ts").as("a_start"), col("exposure_end_ts").as("a_end"))
+      val b = acr.select(col("smba_id").as("b_user"),
+        col("content_id").as("b_content"),
+        col("exposure_start_ts").as("b_start"), col("exposure_end_ts").as("b_end"))
+      RangeJoin.intervalOverlapJoin(
+          a, "a_start", "a_end", Seq("a_content"),
+          b, "b_start", "b_end", Seq("b_content"), bucketSeconds = 1800L)
+        .filter(col("a_user") < col("b_user"))
+        .groupBy(col("a_content").as("content_id"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(least(col("a_end"), col("b_end")) -
+            greatest(col("a_start"), col("b_start"))).as("overlap_sec"))
+    },
+    Some(Queries.veCte + """,
+samp AS (
+  SELECT smba_id, content_id, exposure_start_ts, exposure_end_ts
+  FROM acr
+  WHERE exposure_start_ts < exposure_end_ts),
+p AS (
+  SELECT a.content_id,
+         LEAST(a.exposure_end_ts, b.exposure_end_ts)
+           - GREATEST(a.exposure_start_ts, b.exposure_start_ts) AS ov
+  FROM samp a JOIN samp b
+    ON a.content_id = b.content_id
+   AND a.smba_id < b.smba_id
+   AND a.exposure_start_ts < b.exposure_end_ts
+   AND b.exposure_start_ts < a.exposure_end_ts)
+SELECT content_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(ov) AS BIGINT) AS overlap_sec
+FROM p GROUP BY 1"""))
+
   val all: Seq[Q] =
     Seq(rangeJoin, rangeJoinKeyed, topkAgg, heavyHitters, slidingReach,
       sampleReservoir, globalIndex, gapFill, matchRecognize, starJoin3,
-      starJoin6, windowDist, unionEvolve, pivotDynamic)
+      starJoin6, windowDist, unionEvolve, pivotDynamic, coviewing)
 }

@@ -170,4 +170,56 @@ object RangeJoin {
           pt >= lo && pt < hi)(_ && _)
     p.join(i, cond).drop("__gr_pbucket", "__gr_ibucket")
   }
+
+  /** INTERVAL-×-INTERVAL overlap join (the SQL:2011 `OVERLAPS`
+    * predicate, half-open: [s1,e1) ∩ [s2,e2) ≠ ∅ ⟺ s1 < e2 ∧ s2 < e1)
+    * as a bucketed equi-join — the third member of the range family
+    * (point-in-interval C51, keyed point C52, and now overlap). Both
+    * sides explode their bucket spans; a pair that overlaps would meet
+    * in EVERY shared bucket, so the join keeps only the canonical
+    * first-overlap bucket — `max(startBucket₁, startBucket₂)` — which
+    * any overlapping pair's two spans both contain (each interval
+    * covers its own start bucket and runs past the later start):
+    * exactly-once with NO dedup pass. Same per-interval span guard as
+    * the other members; keys (e.g. the content id) ride the equi-join. */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      startL: String, endL: String, keysL: Seq[String],
+      right: DataFrame,
+      startR: String, endR: String, keysR: Seq[String],
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    require(keysL.length == keysR.length,
+      s"key lists must pair up: $keysL vs $keysR")
+    val overlapCols = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlapCols.isEmpty,
+      s"column names must be disjoint (rename: ${overlapCols.mkString(", ")})")
+    val b = lit(bucketSeconds)
+    def explodeBuckets(df: DataFrame, s: String, e: String, out: String,
+        startOut: String): DataFrame = {
+      val loB = floor(epochSec(df, s) / b)
+      val hiB = floor(epochSec(df, e) / b)
+      val guarded = when(
+        hiB - loB > lit(maxBucketsPerInterval),
+        raise_error(concat(
+          lit(s"intervalOverlapJoin: an interval spans more than " +
+            s"$maxBucketsPerInterval buckets of $bucketSeconds s ("),
+          col(s).cast("string"), lit(" .. "), col(e).cast("string"), lit(")"))))
+        .otherwise(sequence(loB, hiB))
+      df.filter(timeNorm(df, s) < timeNorm(df, e))
+        .withColumn(startOut, loB)
+        .withColumn(out, explode(guarded))
+    }
+    val l = explodeBuckets(left, startL, endL, "__gr_lb", "__gr_lsb")
+    val r = explodeBuckets(right, startR, endR, "__gr_rb", "__gr_rsb")
+    val s1 = timeNorm(left, startL); val e1 = timeNorm(left, endL)
+    val s2 = timeNorm(right, startR); val e2 = timeNorm(right, endR)
+    val cond = keysL.zip(keysR)
+      .map { case (a, c) => col(a) === col(c) }
+      .foldLeft(
+        col("__gr_lb") === col("__gr_rb") &&
+          col("__gr_lb") === greatest(col("__gr_lsb"), col("__gr_rsb")) &&
+          s1 < e2 && s2 < e1)(_ && _)
+    l.join(r, cond).drop("__gr_lb", "__gr_rb", "__gr_lsb", "__gr_rsb")
+  }
 }

@@ -279,4 +279,36 @@ class RangeJoinSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("disjoint"))
   }
+
+  test("overlap join: parity with naive OVERLAPS, exactly-once on long intervals") {
+    import spark.implicits._
+    // epoch-second intervals, several spanning MANY 60 s buckets (the
+    // exactly-once risk: an overlapping pair shares every common
+    // bucket; only its canonical max-start bucket may emit it)
+    val l = Seq(
+      (1L, "k1", 0L, 600L), (2L, "k1", 550L, 560L), (3L, "k1", 700L, 800L),
+      (4L, "k2", 0L, 50L), (5L, "k2", 40L, 1000L), (6L, "k1", 600L, 700L))
+      .toDF("a_id", "a_k", "a_s", "a_e")
+    val r = Seq(
+      (10L, "k1", 100L, 1200L), (20L, "k1", 590L, 610L),
+      (30L, "k2", 900L, 950L), (40L, "k2", 45L, 47L))
+      .toDF("b_id", "b_k", "b_s", "b_e")
+    val bucketed = RangeJoin.intervalOverlapJoin(
+        l, "a_s", "a_e", Seq("a_k"), r, "b_s", "b_e", Seq("b_k"), 60L)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val naive = l.crossJoin(r)
+      .filter(col("a_k") === col("b_k") &&
+        col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(bucketed.length == bucketed.toSet.size, "pairs must be exactly-once")
+    assert(bucketed.toSet == naive.toSet)
+    assert(naive.toSet.contains((1L, 10L)), "long-interval pair present")
+  }
+
+  test("overlap join: q_coviewing's shape plans as an equi-join, no nested loop") {
+    val p = SparkEntry.queries("q_coviewing")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(1500))
+  }
 }
