@@ -369,7 +369,10 @@ FROM scd"""))
   private val bitemporal = Q(
     "q_bitemporal",
     (s, dir) => {
-      val snaps = ViewingData.geoWeights(s, dir)
+      // control-plane-sized (|members| × |weeks|); checkpoint once —
+      // base/correction/as-of branches otherwise re-instantiate the
+      // customer × mondays build (Prof showed 6 scans of each table)
+      val snaps = ViewingData.geoWeights(s, dir).localCheckpoint()
       val base = snaps.select(
         col("smba_id"),
         col("metadata_date").as("valid_from"),
