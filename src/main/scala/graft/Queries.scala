@@ -939,6 +939,40 @@ r AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS rt,
 SELECT e.event_id, e.k, r.ref_order, CAST(r.rt AS VARCHAR) AS ref_odate
 FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t >= r.rt"""))
 
+  /** The as-of join under a TOLERANCE bound (pandas merge_asof
+    * tolerance; Snowflake ASOF JOIN users post-filter the same way):
+    * the latest prior order enriches an event only while ≤ 7 days
+    * old — staler matches null out exactly like no match, because an
+    * enrichment silently carrying month-old state forward is a bug,
+    * not a join. `AsOfJoin.nearestBeforeWithin` keeps the
+    * single-shuffle plan (matched ts rides the carry struct; the
+    * bound is a scan-speed projection). Oracle: DuckDB ASOF LEFT
+    * JOIN + the same CASE, proving the null-out semantics. */
+  private val asofTolerance = Q(
+    "q_asof_tolerance",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id").as("k"), to_date(col("ts")).as("t"))
+      val r = t(s, dir, "orders")
+        .select(col("o_custkey").as("k"),
+          to_date(col("o_orderdate")).as("t"), col("o_orderkey"))
+        .groupBy("k", "t").agg(max("o_orderkey").as("ref_order"))
+        .withColumn("ref_odate", col("t").cast("string"))
+      operators.AsOfJoin.nearestBeforeWithin(ev, r, "k", "t",
+          Seq("ref_order", "ref_odate"),
+          stale = (l, m) => datediff(l, m) > 7)
+        .select("event_id", "k", "ref_order", "ref_odate")
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id AS k, CAST(ts AS DATE) AS t FROM events),
+r AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS rt,
+             CAST(MAX(o_orderkey) AS BIGINT) AS ref_order
+      FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.k,
+       CASE WHEN e.t - r.rt > 7 THEN NULL ELSE r.ref_order END AS ref_order,
+       CASE WHEN e.t - r.rt > 7 THEN NULL
+            ELSE CAST(r.rt AS VARCHAR) END AS ref_odate
+FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t >= r.rt"""))
+
   private val cdcApply = Q(
     "q_cdc_apply",
     (s, dir) => {
@@ -1109,7 +1143,7 @@ FROM ev e ASOF LEFT JOIN r
   // ---------------------------------------------------------------------
   val all: Seq[Q] = Seq(
     percentiles, stringFuncs, dateFuncs, cubeQ, scalarSubquery,
-    setOps, nestedTypes, asofJoin, asofNative, asofMulti, cdcApply, ivmAgg,
+    setOps, nestedTypes, asofJoin, asofNative, asofMulti, asofTolerance, cdcApply, ivmAgg,
     ingestCast, partitionExtract, ingestReject, ingestValidate,
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
     audienceMetrics, incrementalMerge, upsertMergeQ, affectedRebuild, watermarkQ,

@@ -55,6 +55,34 @@ object AsOfJoin {
         rightCarry.map(c => col(s"__carry.$c").as(c)): _*)
   }
 
+  /** [[nearestBefore]] with a STALENESS bound — pandas
+    * `merge_asof(tolerance=...)`: the latest prior right row matches
+    * only while it is fresh enough; a staler ancestor yields NULLs,
+    * exactly like no match at all (an as-of enrichment that silently
+    * carries month-old state forward is usually a bug, not a join).
+    * `stale(leftTs, matchedTs)` returns true when the match is TOO
+    * old — the caller states the clock arithmetic (datediff, epoch
+    * subtraction), so the operator stays type-agnostic. Same
+    * single-shuffle plan: the matched timestamp rides the carry
+    * struct and the bound is a scan-speed projection after the fill. */
+  def nearestBeforeWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightCarry: Seq[String],
+      stale: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): DataFrame = {
+    val rtCol = "__asof_rt"
+    val joined = nearestBefore(
+      left, right.withColumn(rtCol, col(tsCol)),
+      keyCol, tsCol, rightCarry :+ rtCol)
+    val tooStale = col(rtCol).isNull || stale(col(tsCol), col(rtCol))
+    rightCarry.foldLeft(joined)((d, c) =>
+        d.withColumn(c, when(tooStale, lit(null)).otherwise(col(c))))
+      .drop(rtCol)
+  }
+
   /** [[nearestBefore]] as the custom BROADCAST physical operator
     * ([[graft.plans.BroadcastAsOfJoin]]): same semantics, but the left
     * (fact) side is NEVER shuffled or sorted — each row probes a
