@@ -973,6 +973,48 @@ SELECT e.event_id, e.k,
             ELSE CAST(r.rt AS VARCHAR) END AS ref_odate
 FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t >= r.rt"""))
 
+  /** merge_asof direction='nearest': each event matched to the
+    * CLOSEST order in either direction (tie → the earlier one, the
+    * merge_asof rule) — `AsOfJoin.nearestClosest`: one exchange, two
+    * windows on the same ordering. DuckDB restates it as a backward
+    * ASOF ⋈ forward ASOF + the distance CASE, so the direction
+    * choice itself is hash-checked on every row. */
+  private val asofNearest = Q(
+    "q_asof_nearest",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id").as("k"), to_date(col("ts")).as("t"))
+      val r = t(s, dir, "orders")
+        .select(col("o_custkey").as("k"),
+          to_date(col("o_orderdate")).as("t"), col("o_orderkey"))
+        .groupBy("k", "t").agg(max("o_orderkey").as("ref_order"))
+        .withColumn("ref_odate", col("t").cast("string"))
+      operators.AsOfJoin.nearestClosest(ev, r, "k", "t",
+          Seq("ref_order", "ref_odate"),
+          dist = (l, m) => abs(datediff(l, m)))
+        .select("event_id", "k", "ref_order", "ref_odate")
+    },
+    Some("""WITH ev AS (SELECT event_id, user_id AS k, CAST(ts AS DATE) AS t FROM events),
+r AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS rt,
+             CAST(MAX(o_orderkey) AS BIGINT) AS ref_order
+      FROM orders GROUP BY 1, 2),
+b AS (
+  SELECT e.event_id, e.k, e.t, r.rt AS bt, r.ref_order AS bo
+  FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t >= r.rt),
+f AS (
+  SELECT e.event_id, r.rt AS at, r.ref_order AS ao
+  FROM ev e ASOF LEFT JOIN r ON e.k = r.k AND e.t < r.rt)
+SELECT b.event_id, b.k,
+       CASE WHEN b.bt IS NULL THEN f.ao
+            WHEN f.at IS NULL THEN b.bo
+            WHEN abs(f.at - b.t) < abs(b.t - b.bt) THEN f.ao
+            ELSE b.bo END AS ref_order,
+       CAST(CASE WHEN b.bt IS NULL THEN f.at
+            WHEN f.at IS NULL THEN b.bt
+            WHEN abs(f.at - b.t) < abs(b.t - b.bt) THEN f.at
+            ELSE b.bt END AS VARCHAR) AS ref_odate
+FROM b JOIN f USING (event_id)"""))
+
   private val cdcApply = Q(
     "q_cdc_apply",
     (s, dir) => {
@@ -1143,7 +1185,7 @@ FROM ev e ASOF LEFT JOIN r
   // ---------------------------------------------------------------------
   val all: Seq[Q] = Seq(
     percentiles, stringFuncs, dateFuncs, cubeQ, scalarSubquery,
-    setOps, nestedTypes, asofJoin, asofNative, asofMulti, asofTolerance, cdcApply, ivmAgg,
+    setOps, nestedTypes, asofJoin, asofNative, asofMulti, asofTolerance, asofNearest, cdcApply, ivmAgg,
     ingestCast, partitionExtract, ingestReject, ingestValidate,
     unionSources, panelWindows, panelAsOf, weightedEvents, sessionize,
     audienceMetrics, incrementalMerge, upsertMergeQ, affectedRebuild, watermarkQ,

@@ -83,6 +83,52 @@ object AsOfJoin {
       .drop(rtCol)
   }
 
+  /** pandas `merge_asof(direction='nearest')`: the CLOSEST right row
+    * in either direction, ties toward the earlier (before) match —
+    * sensor alignment and event-to-snapshot matching where "latest
+    * prior" is wrong half the time. One union + TWO windows on the
+    * SAME (key, ts, side) ordering — Catalyst plans them on one
+    * exchange/sort, so the cost is [[nearestBefore]] plus a second
+    * window function, not a second shuffle. The matched timestamp
+    * rides each carry struct; `dist(leftTs, matchedTs)` supplies the
+    * orderable distance (datediff, abs epoch delta — caller's clock,
+    * operator stays type-agnostic). */
+  def nearestClosest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightCarry: Seq[String],
+      dist: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.Column): DataFrame = {
+    require(rightCarry.nonEmpty, "rightCarry must name at least one column")
+    require(!rightCarry.exists(left.columns.contains),
+      s"carry columns ${rightCarry.mkString(",")} collide with left columns")
+    val r0 = right.select(col(keyCol), col(tsCol),
+      struct(col(tsCol).as("__rt") +: rightCarry.map(col): _*).as("__carry"))
+      .withColumn("__side", lit(0))
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__carry", lit(null).cast(r0.schema("__carry").dataType))
+    val u = l.unionByName(r0, allowMissingColumns = true)
+    // right rows sort BEFORE left at an equal instant: an equal-ts
+    // match lands in the "before" window at distance 0 and wins any
+    // tie — merge_asof's own equal-timestamp rule
+    val ord = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wa = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u.withColumn("__b", last(col("__carry"), ignoreNulls = true).over(wb))
+      .withColumn("__a", first(col("__carry"), ignoreNulls = true).over(wa))
+      .filter(col("__side") === 1)
+      .withColumn("__pick",
+        when(col("__b").isNull, col("__a"))
+          .when(col("__a").isNull, col("__b"))
+          .when(dist(col(tsCol), col("__a.__rt")) <
+            dist(col(tsCol), col("__b.__rt")), col("__a"))
+          .otherwise(col("__b"))) // ties toward before
+      .select(left.columns.map(col) ++
+        rightCarry.map(c => col(s"__pick.$c").as(c)): _*)
+  }
+
   /** [[nearestBefore]] as the custom BROADCAST physical operator
     * ([[graft.plans.BroadcastAsOfJoin]]): same semantics, but the left
     * (fact) side is NEVER shuffled or sorted — each row probes a
