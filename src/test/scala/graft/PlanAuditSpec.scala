@@ -466,6 +466,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q_asof_nearest: both direction windows ride ONE key-only exchange") {
+    val p = plan("q_asof_nearest")
+    // one (k, t) exchange belongs to the right side's dedup pre-agg;
+    // the as-of itself gets exactly one key-only exchange shared by
+    // BOTH direction windows
+    assert("hashpartitioning\\(k#\\d+L, \\d+\\)".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_asof_tolerance keeps nearestBefore's single-shuffle shape") {
+    val p = plan("q_asof_tolerance")
+    assert("hashpartitioning\\(k#\\d+L, \\d+\\)".r.findAllIn(p).size == 1, p)
+  }
+
   test("q_geo_dbscan / q_geofence_events: no cartesian anywhere") {
     Seq("q_geo_dbscan", "q_geofence_events").foreach { q =>
       val p = plan(q)
