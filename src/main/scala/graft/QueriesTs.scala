@@ -493,6 +493,54 @@ curve AS (
 SELECT content_id, CAST(MAX(running) AS BIGINT) AS peak_concurrent
 FROM curve GROUP BY 1"""))
 
+  /** C105's sweep line carrying PANEL WEIGHTS — peak weighted
+    * concurrent audience, the number a TV panel actually reports
+    * ("X million (weighted) viewers at the peak minute"): each
+    * exposure contributes ±geo_weight instead of ±1, so the curve is
+    * the projected audience level, not the panelist count. Same
+    * deterministic sweep (ends before starts, tie permutations only
+    * within equal-increment runs — increments now vary, so ordering
+    * adds the weight as a final tiebreak to keep the multiset of
+    * running values engine-identical); weights broadcast onto the
+    * fold, integral so every partial sum is exact. */
+  private val peakWeighted = Q(
+    "q_peak_weighted",
+    (s, dir) => {
+      val weights = ViewingData.table(s, dir, "customer")
+        .select(col("c_custkey").cast("string").as("smba_id"),
+          floor(abs(col("c_acctbal"))).cast("long").as("w"))
+      val acr = ViewingData.acr(s, dir)
+        .select(col("smba_id"), col("content_id"),
+          col("exposure_start_ts"), col("exposure_end_ts"))
+        .join(broadcast(weights), "smba_id")
+      val deltas = acr
+        .select(col("content_id"), col("exposure_start_ts").as("ts"), col("w").as("d"))
+        .unionByName(acr.select(col("content_id"),
+          col("exposure_end_ts").as("ts"), (-col("w")).as("d")))
+      val wWin = Window.partitionBy("content_id").orderBy(col("ts"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("running", sum("d").over(wWin))
+        .groupBy("content_id")
+        .agg(max("running").as("peak_weighted_audience"))
+    },
+    Some(Queries.veCte + """,
+wacr AS (
+  SELECT a.content_id, a.exposure_start_ts, a.exposure_end_ts,
+         CAST(floor(abs(c.c_acctbal)) AS BIGINT) AS w
+  FROM acr a JOIN customer c ON CAST(c.c_custkey AS VARCHAR) = a.smba_id),
+deltas AS (
+  SELECT content_id, exposure_start_ts AS ts, w AS d FROM wacr
+  UNION ALL
+  SELECT content_id, exposure_end_ts AS ts, -w AS d FROM wacr),
+curve AS (
+  SELECT content_id,
+         SUM(d) OVER (PARTITION BY content_id ORDER BY ts, d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM deltas)
+SELECT content_id, CAST(MAX(running) AS BIGINT) AS peak_weighted_audience
+FROM curve GROUP BY 1"""))
+
   /** WEIGHTED median — the panel statistic plain percentiles get
     * wrong (each viewer counts by geo weight, not once): smallest
     * duration whose cumulative weight reaches half the total. The
@@ -579,5 +627,5 @@ FROM daily"""))
 
   val all: Seq[Q] = Seq(anomalyMad, winsorize, markov, xcorr, sessionPaths,
     daypartIndex, growthAccounting, forecastSnaive, interpolate,
-    peakConcurrency, weightedMedian, rollingMedian)
+    peakConcurrency, peakWeighted, weightedMedian, rollingMedian)
 }
