@@ -472,6 +472,46 @@ FROM events GROUP BY 1"""))
     * the shared-audience signal co-viewing panels sell. The Spark
     * side's candidate volume is bucket-bounded; the oracle runs the
     * content-keyed brute force (tractable at oracle SF). */
+  /** Cumulative REACH CURVE — "how the campaign's audience builds by
+    * day" (the planner's diminishing-returns readout, and the daily
+    * delta = INCREMENTAL reach, the number that decides when to stop
+    * buying): running OR of the same daily bitmap partials C55 slides
+    * — one events scan into |days| exact bitmaps, a day≤target
+    * triangle explode on the |days|-row fold (≈ days²/2 tiny buffer
+    * merges, never touching raw rows again), plus LAG for the daily
+    * increment. Exact, so DuckDB COUNT(DISTINCT ... WHERE day ≤ d)
+    * hash-checks every point on the curve. */
+  private val reachCurve = Q(
+    "q_reach_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.plans.GraftExtensions.register(s)
+      val daily = ViewingData.table(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("bitmap_agg(user_id)").as("bm"))
+        .localCheckpoint()
+      val targets = daily.select(col("day").as("as_of"))
+      val cum = targets
+        .join(daily, col("day") <= col("as_of"))
+        .groupBy("as_of")
+        .agg(expr("bitmap_or_count(bm)").as("cum_reach"))
+      cum
+        .withColumn("new_reach",
+          col("cum_reach") -
+            coalesce(lag("cum_reach", 1)
+              .over(Window.orderBy("as_of")), lit(0L)))
+        .select(col("as_of").cast("string").as("as_of"),
+          col("cum_reach"), col("new_reach"))
+    },
+    Some("""WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+cum AS (
+  SELECT d.day AS as_of, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS cum_reach
+  FROM days d JOIN events e ON CAST(e.ts AS DATE) <= d.day
+  GROUP BY 1)
+SELECT CAST(as_of AS VARCHAR) AS as_of, cum_reach,
+       cum_reach - COALESCE(LAG(cum_reach) OVER (ORDER BY as_of), 0) AS new_reach
+FROM cum"""))
+
   private val coviewing = Q(
     "q_coviewing",
     (s, dir) => {
@@ -515,5 +555,5 @@ FROM p GROUP BY 1"""))
   val all: Seq[Q] =
     Seq(rangeJoin, rangeJoinKeyed, topkAgg, heavyHitters, slidingReach,
       sampleReservoir, globalIndex, gapFill, matchRecognize, starJoin3,
-      starJoin6, windowDist, unionEvolve, pivotDynamic, coviewing)
+      starJoin6, windowDist, unionEvolve, pivotDynamic, coviewing, reachCurve)
 }
