@@ -871,12 +871,19 @@ FROM rk WHERE rk <= 5"""))
 
   private val chunkEmbed = Q(
     "q_chunk_embed",
+    // The embedding is emitted as a comma-joined fixed-format string
+    // (NOT array<double>): the check harness sorts result columns with
+    // pandas, which cannot hash/sort raw arrays. round-then-format is
+    // engine-stable; `+ 0.0` collapses any -0.0 the rounding produces
+    // so both engines print "0.000000". The raw array<double> form of
+    // the same embedding is what RagPipelineSpec feeds to Ivf.
     (s, dir) => chunkDocs(
         graft.Par.widen(
           ViewingData.table(s, dir, "documents").select("doc_id", "text")),
         window = 64, stride = 48)
       .select(col("doc_id"), col("chunk_idx"),
-        transform(hashEmbed(col("chunk_text"), 8), x => round(x, 6))
+        concat_ws(",", transform(hashEmbed(col("chunk_text"), 8),
+          x => format_string("%.6f", round(x, 6) + lit(0.0))))
           .as("embedding")),
     Some(s"""WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
@@ -896,8 +903,10 @@ r AS (
              / 16777216.0 * 2 - 1) AS raw
   FROM c)
 SELECT doc_id, chunk_idx,
-       list_transform(raw, x ->
-         round(x / sqrt(list_sum(list_transform(raw, y -> y*y))), 6))
+       array_to_string(list_transform(raw, x ->
+         printf('%.6f',
+           round(x / sqrt(list_sum(list_transform(raw, y -> y*y))), 6)
+             + 0.0)), ',')
          AS embedding
 FROM r"""))
 
