@@ -112,8 +112,19 @@ object AsOfJoin {
     val u = l.unionByName(r0, allowMissingColumns = true)
     // right rows sort BEFORE left at an equal instant: an equal-ts
     // match lands in the "before" window at distance 0 and wins any
-    // tie — merge_asof's own equal-timestamp rule
-    val ord = Window.partitionBy(keyCol).orderBy(col(tsCol), col("__side"))
+    // tie — merge_asof's own equal-timestamp rule. The carry struct
+    // itself is the THIRD ordering key (when its type is orderable):
+    // duplicate right rows at the same (key, ts) then resolve to the
+    // max-carry row on every run, instead of whichever the shuffle
+    // happened to deliver last. Null carries (left rows) sort first,
+    // so the side rule above is untouched.
+    val carryOrderable = org.apache.spark.sql.catalyst.expressions
+      .RowOrdering.isOrderable(r0.schema("__carry").dataType)
+    val ordCols =
+      if (carryOrderable)
+        Seq(col(tsCol), col("__side"), col("__carry").asc_nulls_first)
+      else Seq(col(tsCol), col("__side"))
+    val ord = Window.partitionBy(keyCol).orderBy(ordCols: _*)
     val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wa = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     u.withColumn("__b", last(col("__carry"), ignoreNulls = true).over(wb))

@@ -44,10 +44,19 @@ object GeoJoin {
     * STRICTLY larger than d/(111.195·cos φ); a linear bound here
     * silently dropped boundary pairs. Shared by the batch join and
     * the streaming geofence. */
-  def requireContract(radiusKm: Double, cellDeg: Double, maxAbsLat: Double): Unit = {
+  /** Longitude cell count 360/cellDeg, validated with an FP tolerance
+    * (an exact `==` on the quotient mis-judges widths like 0.1 whose
+    * quotient is not exactly representable) and ROUNDED — the rounded
+    * value is the wrap modulus every cell-key computation must share. */
+  def nLonCells(cellDeg: Double): Long = {
     val nLon = 360.0 / cellDeg
-    require(nLon == nLon.toLong,
+    require(math.abs(nLon - math.round(nLon)) < 1e-9,
       s"cellDeg=$cellDeg must divide 360 so longitude cells wrap cleanly")
+    math.round(nLon)
+  }
+
+  def requireContract(radiusKm: Double, cellDeg: Double, maxAbsLat: Double): Unit = {
+    val nLon = nLonCells(cellDeg)
     require(nLon >= 3,
       s"cellDeg=$cellDeg leaves fewer than 3 longitude cells — the 3×3 " +
         "neighbor keys would collide mod 360/cell and double-count pairs")
@@ -71,14 +80,14 @@ object GeoJoin {
     floor(col(lat) / cellDeg).cast("long")
   def cellX(lon: String, cellDeg: Double) =
     pmod(floor((col(lon) + 180.0) / cellDeg).cast("long"),
-      lit((360.0 / cellDeg).toLong))
+      lit(nLonCells(cellDeg)))
 
   /** Replicates each row to its 3×3 cell neighborhood (longitude
     * wraps mod 360/cell); emits the keys as (cyName, cxName). */
   def replicate9(
       df: DataFrame, lat: String, lon: String, cellDeg: Double,
       cyName: String, cxName: String): DataFrame = {
-    val nLon = (360.0 / cellDeg).toLong
+    val nLon = nLonCells(cellDeg)
     val offsets = for (dy <- -1 to 1; dx <- -1 to 1)
       yield struct(lit(dy).as("dy"), lit(dx).as("dx"))
     df.withColumn("_o", explode(array(offsets: _*)))

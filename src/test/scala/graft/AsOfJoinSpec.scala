@@ -52,4 +52,25 @@ class AsOfJoinSpec extends SparkTestBase {
       AsOfJoin.nearestBefore(left, right, "k", "t", Seq("ref"))
     }
   }
+
+  test("nearestClosest: duplicate right rows at one (key, ts) pick the max carry deterministically") {
+    // Contract says pre-aggregate, but the bare operator must not be
+    // shuffle-order-dependent: with an orderable carry the window adds
+    // the carry struct as a tiebreak, so the max-carry duplicate wins
+    // on every run (before side) / min-carry (after side).
+    val left = Seq((1L, "a", 100L), (2L, "a", 40L)).toDF("id", "k", "t")
+    val right = Seq(
+      ("a", 90L, "dupA"), ("a", 90L, "dupZ"), // both before t=100
+      ("a", 50L, "aftA"), ("a", 50L, "aftZ")) // both after  t=40
+    val dist = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      abs(a - b)
+    (1 to 3).foreach { i =>
+      val r = right.toDF("k", "t", "ref")
+        .repartition(i) // vary physical delivery order across runs
+      val out = AsOfJoin.nearestClosest(left, r, "k", "t", Seq("ref"), dist)
+        .select("id", "ref").as[(Long, String)].collect().toMap
+      assert(out(1L) == "dupZ", s"before-side dup must resolve to max carry (run $i)")
+      assert(out(2L) == "aftA", s"after-side dup must resolve to min carry (run $i)")
+    }
+  }
 }

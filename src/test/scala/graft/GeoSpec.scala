@@ -280,6 +280,17 @@ class GeoSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("nLonCells accepts FP-inexact divisors and rounds the modulus") {
+    // 360/0.1 is 3599.9999... in binary — an exact == check would
+    // reject a perfectly valid 0.1° grid.
+    assert(graft.operators.GeoJoin.nLonCells(0.1) == 3600L)
+    assert(graft.operators.GeoJoin.nLonCells(1.0) == 360L)
+    assert(graft.operators.GeoJoin.nLonCells(2.5) == 144L)
+    intercept[IllegalArgumentException] {
+      graft.operators.GeoJoin.nLonCells(0.7) // 360/0.7 is not integral
+    }
+  }
 }
 
 /** Tiny alias so specs read the same loader the registry uses. */
