@@ -264,6 +264,19 @@ object Sweep {
               one, "doc_id", "text")
             .write.format("noop").mode("overwrite").save()
         }
+      case "dedup_prefix_capped" =>
+        // the registry row's exact PPJoin with the maxDf stop-gram cap
+        // engaged — compare with dedup_prefix_filter at the same
+        // factor to read what the cap buys on a duplicate-densified
+        // corpus (params mirror the registry row; cap = the winnow
+        // path's df discipline)
+        val docs = sweepDocs(spark, work)
+        val sec = minOfTwo {
+          operators.PrefixFilter.pairs(docs, "doc_id", "text",
+              shingle = 3, tau = 0.5, maxDf = 64)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"SWEEP dedup_prefix_capped         x$factor%-3d $sec%8.3f s")
       case name =>
         val sec = minOfTwo {
           SparkEntry.queries(name)(spark, work)

@@ -45,18 +45,40 @@ object PrefixFilter {
 
   /** All pairs (id_a < id_b) with Jaccard(grams_a, grams_b) ≥ tau,
     * exactly. Output: (id_a, id_b, jaccard) with jaccard rounded to
-    * 6 dp (one integer-ratio division — the only FP in the chain). */
+    * 6 dp (one integer-ratio division — the only FP in the chain).
+    *
+    * `maxDf` is the degenerate-corpus defense (the stop-gram
+    * discipline of [[Winnow.candidatePairs]], here as code rather
+    * than a comment): grams present in more than `maxDf` documents
+    * are dropped from the CANDIDATE universe before prefixes are
+    * built, bounding every bucket's pairing work at maxDf²/2
+    * corpus-independently. Verification still computes exact Jaccard
+    * on the FULL gram sets and filters at the unrounded tau, so the
+    * capped output is always a SUBSET of the exact result — what the
+    * cap can miss is precisely a pair whose shared grams are ALL
+    * boilerplate (every one hotter than maxDf); a genuine near-dup
+    * cluster still pairs through its uncommon grams
+    * (PrefixFilterSpec pins both directions on a boilerplate-
+    * densified corpus). Default Int.MaxValue = exact PPJoin,
+    * plan-identical to the uncapped form. */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
-      shingle: Int, tau: Double): DataFrame = {
+      shingle: Int, tau: Double, maxDf: Int = Int.MaxValue): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau in (0, 1], got $tau")
+    require(maxDf >= 2, s"maxDf must allow at least one pair, got $maxDf")
     val sets = shingleSets(docs, idCol, textCol, shingle).localCheckpoint()
     val dfTab = sets.select(explode(col("grams")).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("df"))
     // per doc: elements sorted rarest-first, prefix = first
     // n - ceil(tau*n) + 1 (any pair at tau MUST collide on a prefix
-    // element of both sides — the scaladoc bound)
-    val ranked = sets.select(col(idCol), explode(col("grams")).as("gram"))
+    // element of both sides — the scaladoc bound). Under a cap the
+    // same arithmetic runs on the RETAINED (df <= maxDf) universe:
+    // PPJoin-exact over reduced sets, verified against full sets.
+    val universe = sets.select(col(idCol), explode(col("grams")).as("gram"))
       .join(broadcast(dfTab), "gram")
+    val retained =
+      if (maxDf == Int.MaxValue) universe
+      else universe.filter(col("df") <= maxDf)
+    val ranked = retained
       .groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("df"), col("gram"))))
         .as("ordered"))

@@ -56,6 +56,48 @@ class PrefixFilterSpec extends SparkTestBase {
     assert(got.nonEmpty, "corpus has planted near-dup pairs")
   }
 
+  test("maxDf cap: capped ⊆ exact; misses ONLY all-boilerplate pairs; clusters survive") {
+    // Degenerate corpus: 30 docs sharing an 11-word boilerplate block
+    // (10 bigrams, df=30 each) + unique 3-gram tails. Their pairwise
+    // J = 10/16 = 0.625 ≥ τ purely through boilerplate — the C(30,2)
+    // quadratic a production corpus must not pay. Plus one genuine
+    // near-dup pair overlapping on 8 UNCOMMON grams (df=2).
+    val boiler = "terms of service apply all rights reserved contact us for details"
+    val noise = (1L to 30L).map(i => i -> s"$boiler unique$i tail$i words$i")
+    val dupA = 101L -> "galactic survey results show anomalous readings near sector seven"
+    val dupB = 102L -> "galactic survey results show anomalous readings near sector nine"
+    val docs: Seq[(Long, String)] = noise ++ Seq(dupA, dupB)
+    val tau = 0.5
+    val exact = PrefixFilter.pairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", shingle = 2, tau = tau)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = PrefixFilter.pairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", shingle = 2, tau = tau, maxDf = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == brute(docs, tau), "uncapped stays the exact PPJoin")
+    assert(capped.subsetOf(exact), "the cap may only DROP pairs, never invent")
+    assert(capped.contains((101L, 102L)),
+      "near-dups pairing through uncommon grams must survive the cap")
+    // what the cap CAN miss, pinned: every dropped pair shares ONLY
+    // grams hotter than maxDf (pure boilerplate overlap)
+    val missed = exact -- capped
+    assert(missed.nonEmpty, "test corpus must exercise the miss case")
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+    val byId = docs.toMap
+    val dfTab = docs.flatMap { case (_, t) => grams(t) }
+      .groupBy(identity).map { case (g, occ) => g -> occ.size }
+    missed.foreach { case (a, b) =>
+      val shared = grams(byId(a)).intersect(grams(byId(b)))
+      assert(shared.forall(g => dfTab(g) > 8),
+        s"missed pair ($a,$b) shared a sub-cap gram — cap dropped signal")
+    }
+    intercept[IllegalArgumentException] {
+      PrefixFilter.pairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", shingle = 2, tau = tau, maxDf = 1)
+    }
+  }
+
   test("prefix explode is strictly smaller than the full element explode") {
     // the point of the filter: candidate generation touches only
     // n - ceil(tau*n) + 1 elements per doc — at tau=0.5, about half
