@@ -206,7 +206,9 @@ QUALIFY draw_rank <= 100"""))
       // symmetrize union in Components consumes them twice.
       val pairs = QueriesML.ngramJaccardPairs(s, dir)
         .select("id_a", "id_b").localCheckpoint()
-      Components.connectedComponents(pairs, "id_a", "id_b")
+      // probe-picked CC: shallow near-dup clusters keep min-propagation
+      // (the probe sees convergence before it ever considers star)
+      Components.connectedComponentsAuto(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
     },
     Some(s"""WITH RECURSIVE ${QueriesML.ngramPairsCte},

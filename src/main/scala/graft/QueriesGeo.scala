@@ -212,11 +212,13 @@ SELECT c_custkey, s_suppkey, dist_km FROM r WHERE rn = 1"""))
       val coreEdges = pairs
         .join(core.select(col("id").as("a_id")), "a_id")
         .join(core.select(col("id").as("b_id")), "b_id")
-      // alternating-star CC (O(log n) rounds): a density-replicated
-      // sweep percolates into one giant component with diameter ≈
-      // domain/eps, where min-propagation's superstep count explodes
-      // (measured 291 s → 45 s at ×10; identical labels, spec'd)
-      val comps = Components.connectedComponentsStar(coreEdges, "a_id", "b_id")
+      // PROBE-picked CC: min-propagation while the graph is shallow,
+      // alternating-star when the probe sees percolation (a
+      // density-replicated sweep's giant component has diameter ≈
+      // domain/eps, where min-propagation's superstep count explodes —
+      // measured 291 s → 45 s at ×10; identical labels either way,
+      // spec'd in ComponentsSpec's auto cases)
+      val comps = Components.connectedComponentsAuto(coreEdges, "a_id", "b_id")
       // isolated cores never reach the edge set — they cluster alone
       val coreClusters = core
         .join(comps.withColumnRenamed("id", "cid"), col("id") === col("cid"), "left")

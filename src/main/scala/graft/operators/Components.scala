@@ -90,11 +90,19 @@ object Components {
     val nodes = e.select(col("u").as("id"))
       .union(e.select(col("v").as("id"))).distinct().localCheckpoint()
 
-    def sig(df: DataFrame): (Long, Long, Long) = {
-      val r = df.agg(
-        count(lit(1)), coalesce(sum("u"), lit(0L)), coalesce(sum("v"), lit(0L))).head
-      (r.getLong(0), r.getLong(1), r.getLong(2))
-    }
+    // Order-independent fixpoint signature. (count, Σu, Σv) alone can
+    // collide across DIFFERENT edge sets ({(1,4),(2,3)} vs {(1,3),(2,4)}
+    // both give (2,3,7)) — a colliding-but-changed round would stop the
+    // loop early with wrong labels. Σ xxhash64(u,v) over the canonical
+    // (min,max) pairs breaks such collisions: any single-edge swap moves
+    // the hash sum except with negligible 2^-64-scale probability, and
+    // the aggregate stays O(1) rows. The hash sum accumulates in
+    // decimal(38,0) — a long sum of 64-bit hashes overflows (ANSI
+    // throws) after a handful of edges.
+    def sig(df: DataFrame): Seq[Any] = df.agg(
+      count(lit(1)), coalesce(sum("u"), lit(0L)), coalesce(sum("v"), lit(0L)),
+      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head.toSeq
     def phase(cur: DataFrame, large: Boolean): DataFrame = {
       val sym = cur.select(col("u"), col("v"))
         .union(cur.select(col("v").as("u"), col("u").as("v")))
@@ -131,4 +139,75 @@ object Components {
     nodes.join(sym.groupBy(col("u").as("id")).agg(min("v").as("mn")), Seq("id"), "left")
       .select(col("id"), least(col("id"), coalesce(col("mn"), col("id"))).as("comp"))
   }
+
+  /** [[connectedComponents]] with the algorithm picked by a CHEAP
+    * PROBE instead of the caller: run `probeRounds` min-propagation
+    * supersteps; if unconverged, measure the fraction of labels that
+    * still changed in the last probe round. Shallow near-dup graphs
+    * (clusters, diameter 2-4) have settled almost everywhere by then
+    * — keep min-propagation, whose per-round cost is lower than a
+    * star double-phase. A high changed fraction is a PERCOLATION
+    * signal (labels still walking a long diameter — a chain moves its
+    * frontier one hop per round, so the unsettled share stays large
+    * for ~diameter rounds): restart on the O(log n)-round alternating
+    * star. The probe costs the rounds min-propagation would have run
+    * anyway plus ONE O(1)-row changed-count aggregate; both engines
+    * emit comp = min reachable id, so the pick never changes labels
+    * (ComponentsSpec pins both shapes; the star path needs
+    * long-castable node ids).
+    *
+    * @return (labels, picked) — picked ∈ {"minprop", "star"} for
+    *         specs/telemetry; use [[connectedComponentsAuto]] when
+    *         only the labels matter. */
+  def connectedComponentsAutoWithChoice(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      probeRounds: Int = 3,
+      percolationThreshold: Double = 0.2): (DataFrame, String) = {
+    require(probeRounds >= 1, s"probeRounds must be >= 1, got $probeRounds")
+    val sym = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(min("dst").as("min_nbr"))
+      .select(col("id"), least(col("id"), col("min_nbr")).as("comp"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var rounds = 0
+    while (true) {
+      rounds += 1
+      val prop = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("comp"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      if (nextSum == prevSum) return (next, "minprop") // fixpoint
+      if (rounds == probeRounds) {
+        // one O(1)-row probe readout: how much of the graph is still
+        // moving? (labels only decrease, so changed = strictly less)
+        val r = next.join(labels.withColumnRenamed("comp", "__prev"), "id")
+          .agg(count(lit(1)),
+            sum(when(col("comp") < col("__prev"), 1L).otherwise(0L))).head
+        val total = r.getLong(0)
+        val changed = r.getLong(1)
+        if (total > 0 && changed.toDouble / total >= percolationThreshold)
+          return (connectedComponentsStar(edges, srcCol, dstCol), "star")
+      }
+      prevSum = nextSum
+      labels = next
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** [[connectedComponentsAutoWithChoice]] returning only the labels. */
+  def connectedComponentsAuto(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      probeRounds: Int = 3,
+      percolationThreshold: Double = 0.2): DataFrame =
+    connectedComponentsAutoWithChoice(
+      edges, srcCol, dstCol, probeRounds, percolationThreshold)._1
 }

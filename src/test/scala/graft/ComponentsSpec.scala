@@ -64,4 +64,53 @@ class ComponentsSpec extends SparkTestBase {
     val m = star(path)
     assert((0L to 200L).forall(m(_) == 0L))
   }
+
+  // ---- probe-picked auto variant ----
+
+  private def auto(edges: Seq[(Long, Long)]): (Map[Long, Long], String) = {
+    val (df, pick) = Components.connectedComponentsAutoWithChoice(
+      edges.toDF("a", "b"), "a", "b")
+    (df.as[(Long, Long)].collect().toMap, pick)
+  }
+
+  test("auto keeps min-propagation on a shallow near-dup cluster graph") {
+    // disjoint near-dup cliques (diameter 1-2) — the dedup workload:
+    // converged within the probe, star is never consulted
+    val cliques = (0L until 10L).flatMap { c =>
+      val ids = (0L until 4L).map(c * 100 + _)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }
+    val (m, pick) = auto(cliques)
+    assert(pick == "minprop", s"shallow graph must stay on min-propagation")
+    assert(m == comps(cliques), "labels identical to the plain operator")
+  }
+
+  test("auto switches to star on a percolated long-diameter graph, labels identical") {
+    // a 120-node path: after 3 probe rounds the label frontier has
+    // moved 3 hops — nearly every label is still changing, the
+    // percolation signal
+    val path = (0L until 120L).map(i => (i, i + 1))
+    val (m, pick) = auto(path)
+    assert(pick == "star", "long diameter must switch to alternating star")
+    assert((0L to 120L).forall(m(_) == 0L))
+    assert(m == comps(path), "labels identical to min-propagation")
+  }
+
+  test("auto on empty and tiny inputs: no crash, minprop pick") {
+    assert(auto(Seq.empty) == (Map.empty, "minprop"))
+    val (m, pick) = auto(Seq((9L, 2L)))
+    assert(pick == "minprop" && m == Map(2L -> 2L, 9L -> 2L))
+  }
+
+  test("star fixpoint signature is collision-proof: the ADVICE pair of edge sets") {
+    // {(1,4),(2,3)} and {(1,3),(2,4)} share (count, Σu, Σv) = (2,3,7);
+    // the hash-sum component must distinguish them so a
+    // changed-but-colliding round can't stop early. Both are valid
+    // 4-node inputs — star must label each correctly (one component
+    // via 2-3-...? no: each is two disjoint edges → two components).
+    val mA = star(Seq((1L, 4L), (2L, 3L)))
+    assert(mA == Map(1L -> 1L, 4L -> 1L, 2L -> 2L, 3L -> 2L), s"$mA")
+    val mB = star(Seq((1L, 3L), (2L, 4L)))
+    assert(mB == Map(1L -> 1L, 3L -> 1L, 2L -> 2L, 4L -> 2L), s"$mB")
+  }
 }
