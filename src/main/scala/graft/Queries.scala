@@ -1193,5 +1193,6 @@ FROM ev e ASOF LEFT JOIN r
     q1Agg, joinDims, joinFact, topkWindow, rollupQ, distinctQ, semiAnti,
     pivotCase, runningWindow) ++ QueriesML.all ++ QueriesExt.all ++
     QueriesLLM.all ++ QueriesScale.all ++ QueriesFns.all ++
-    QueriesTs.all ++ QueriesCurate.all ++ QueriesGraph.all ++ QueriesGeo.all
+    QueriesTs.all ++ QueriesCurate.all ++ QueriesGraph.all ++
+    QueriesGeo.all ++ QueriesTv.all
 }

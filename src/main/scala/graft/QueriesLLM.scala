@@ -632,16 +632,20 @@ FROM lbl"""))
     * end. Scale shape: one bucketed self-join (pairs), Pregel
     * supersteps on the tiny edge set, everything else scan-speed
     * projections, and the final pack windows per shard. */
-  private val corpusPrep = Q(
-    "corpus_prep_e2e",
-    (s, dir) => {
+  /** corpus_prep's chain AFTER pair generation — shared so Sweep's
+    * `corpus_prep_minhash` can drive the identical dedup→gate→scrub→
+    * pack stages with the LSH pair stage swapped in (the documented
+    * production form: blocked-exact pairs are the hash-checkable
+    * flavor, LSH pairs are the shape whose candidate volume tracks
+    * true near-dup density instead of bucket membership). */
+  private[graft] def corpusPrepFrom(s: org.apache.spark.sql.SparkSession,
+      dir: String, pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       // repartition at the head: gate trigrams and PII regexes are
       // the per-doc CPU cost, and the single-file scan would run them
       // on one task (pairs repartitions internally already)
       val docs = ViewingData.table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-      val pairs = QueriesML.ngramJaccardPairs(s, dir)
-        .select("id_a", "id_b").localCheckpoint()
       val dupes = Components.connectedComponents(pairs, "id_a", "id_b")
         .filter(col("id") =!= col("comp"))
         .select(col("id").as("doc_id"))
@@ -664,7 +668,13 @@ FROM lbl"""))
           md5(col("stext").cast("binary")).as("text_sig"),
           TextFunctions.wsTokenCount(col("stext")).as("n_tokens"))
       DocPack.packSharded(sized, "shard", "doc_id", "n_tokens", 2048)
-    },
+  }
+
+  private val corpusPrep = Q(
+    "corpus_prep_e2e",
+    (s, dir) => corpusPrepFrom(s, dir,
+      QueriesML.ngramJaccardPairs(s, dir)
+        .select("id_a", "id_b").localCheckpoint()),
     Some(s"""WITH RECURSIVE ${QueriesML.ngramPairsCte},
 edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
 reach(s, n) AS (SELECT s, s FROM edges UNION

@@ -163,37 +163,45 @@ pairs AS (
     (s, dir) => ngramJaccardPairs(s, dir),
     Some(s"WITH $ngramPairsCte\nSELECT id_a, id_b, jaccard FROM pairs"))
 
+  /** D3's MinHash-LSH near-dup pairs, shared by the registry row and
+    * Sweep's `corpus_prep_minhash` (the declared production swap for
+    * corpus_prep's blocked-exact pair stage — LSH candidate volume
+    * tracks TRUE near-dup density, not bucket-membership growth).
+    * MinHash(k=32) → 8 bands × 4 rows → bucket-local candidate join →
+    * signature-estimate ≥ 0.4. */
+  private[graft] def minhashPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // Single small file → 1 input partition; spread the shingle
+    // explode across the cluster before the codegen'd bulk MinHash.
+    // Bands are 4×8 (collision prob J^8): this corpus shares most of
+    // its vocabulary, so shorter bands flood the candidate join.
+    // Verification uses the O(k) signature estimate (matching
+    // components / k) — the exact-Jaccard pass over full shingle
+    // sets belongs to dedup_ngram_jaccard.
+    val base = ViewingData.table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"))
+    // The signature table is the LSH index: build it ONCE
+    // (localCheckpoint — the self-join would otherwise instantiate
+    // the 32-min aggregation per side, AQE's broadcast conversion
+    // defeating exchange reuse), then probe. Signatures ride through
+    // the bucket join as payload so verification needs no join-back.
+    val docs = HashFunctions.minhashSignaturesText(base, "doc_id", "text", 5, 32)
+      .withColumn("bands", HashFunctions.lshBands(col("sig"), 4, 8))
+      .localCheckpoint()
+    HashFunctions.bucketedPairs(docs, "doc_id", "bands", payload = Seq("sig"))
+      .select(col("id_a"), col("id_b"),
+        HashFunctions.signatureEstimate(col("sig_a"), col("sig_b"), 32)
+          .as("jaccard_est"))
+      .filter(col("jaccard_est") >= 0.4)
+      .distinct()
+  }
+
   private val dedupMinhash = Q(
     "dedup_minhash",
-    (s, dir) => {
-      // MinHash(k=32) → 8 bands × 4 rows → bucket-local candidate join →
-      // exact Jaccard verification. Not SQL-expressible (seeded
-      // xxhash64) → rows-only check; planted-dup behavior is spec-tested.
-      // Single small file → 1 input partition; spread the shingle
-      // explode across the cluster before the codegen'd bulk MinHash.
-      // Bands are 4×8 (collision prob J^8): this corpus shares most of
-      // its vocabulary, so shorter bands flood the candidate join.
-      // Verification uses the O(k) signature estimate (matching
-      // components / k) — the exact-Jaccard pass over full shingle
-      // sets belongs to dedup_ngram_jaccard.
-      val base = ViewingData.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("text"))
-      // The signature table is the LSH index: build it ONCE
-      // (localCheckpoint — the self-join would otherwise instantiate
-      // the 32-min aggregation per side, AQE's broadcast conversion
-      // defeating exchange reuse), then probe. Signatures ride through
-      // the bucket join as payload so verification needs no join-back.
-      val docs = HashFunctions.minhashSignaturesText(base, "doc_id", "text", 5, 32)
-        .withColumn("bands", HashFunctions.lshBands(col("sig"), 4, 8))
-        .localCheckpoint()
-      HashFunctions.bucketedPairs(docs, "doc_id", "bands", payload = Seq("sig"))
-        .select(col("id_a"), col("id_b"),
-          HashFunctions.signatureEstimate(col("sig_a"), col("sig_b"), 32)
-            .as("jaccard_est"))
-        .filter(col("jaccard_est") >= 0.4)
-        .distinct()
-    },
+    // Not SQL-expressible (seeded xxhash64) → rows-only check;
+    // planted-dup behavior is spec-tested (MinhashAccuracySpec).
+    (s, dir) => minhashPairs(s, dir),
     None)
 
   /** Incremental near-dup dedup ([[graft.operators.MinhashDelta]]):

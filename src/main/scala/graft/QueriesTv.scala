@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.ViewingData
+
+/** TV-measurement analytics beyond the reference's rollup — the
+  * metrics an audience-measurement customer derives FROM the
+  * reference's tables (reference: the v_audience_metrics readout
+  * family, etl-ddl-backfill.sql:188-218): binge runs, network
+  * rating/share, and viewer-concentration quintiles. All three are
+  * single-fact-exchange shapes with integral arithmetic up to one
+  * final division, so the DuckDB oracles hash-match exactly.
+  */
+object QueriesTv {
+
+  /** Binge-viewing runs (C113) — per (viewer, title): program
+    * exposures ordered by start, a new RUN whenever the gap from the
+    * previous exposure's END exceeds 4 h, runs of ≥ 3 exposures
+    * reported with span and total duration. The sessionize/islands
+    * gap-and-island pattern at binge granularity (sessions gap at
+    * 300 s within ONE sitting; binge gaps span sittings of the same
+    * title). Scale shape: ONE exchange on (smba_id, title) — the
+    * lag window, the run-id cumsum, and the run aggregate all ride
+    * it; ordering carries (start, end, event_id) so ties are total
+    * (the sessCte discipline). */
+  private val bingeSessions = Q(
+    "q_binge_sessions",
+    (s, dir) => {
+      val prog = ViewingData.acr(s, dir)
+        .filter(col("content_type") === "program")
+        .select(col("smba_id"), col("title"), col("event_id"),
+          col("exposure_start_ts"), col("exposure_end_ts"), col("duration"))
+      val ord = Window.partitionBy("smba_id", "title")
+        .orderBy(col("exposure_start_ts"), col("exposure_end_ts"), col("event_id"))
+      val runs = prog
+        .withColumn("gap",
+          col("exposure_start_ts") - lag("exposure_end_ts", 1).over(ord))
+        .withColumn("brk",
+          when(col("gap").isNull || col("gap") > 14400L, 1L).otherwise(0L))
+        .withColumn("run_id", sum("brk").over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      runs.groupBy("smba_id", "title", "run_id")
+        .agg(count(lit(1)).as("n_views"),
+          min("exposure_start_ts").as("binge_start_ts"),
+          max("exposure_end_ts").as("binge_end_ts"),
+          sum("duration").as("total_duration"))
+        .filter(col("n_views") >= 3)
+        .withColumnRenamed("run_id", "binge_id")
+    },
+    Some(Queries.veCte + """,
+prog AS (
+  SELECT smba_id, title, event_id, exposure_start_ts, exposure_end_ts, duration
+  FROM acr WHERE content_type = 'program'),
+g AS (
+  SELECT *, exposure_start_ts - LAG(exposure_end_ts) OVER w AS gap
+  FROM prog
+  WINDOW w AS (PARTITION BY smba_id, title
+               ORDER BY exposure_start_ts, exposure_end_ts, event_id)),
+r AS (
+  SELECT *, SUM(CASE WHEN gap IS NULL OR gap > 14400 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY smba_id, title
+                  ORDER BY exposure_start_ts, exposure_end_ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM g)
+SELECT smba_id, title, CAST(run_id AS BIGINT) AS binge_id,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(MIN(exposure_start_ts) AS BIGINT) AS binge_start_ts,
+       CAST(MAX(exposure_end_ts) AS BIGINT) AS binge_end_ts,
+       CAST(SUM(duration) AS BIGINT) AS total_duration
+FROM r GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3"""))
+
+  /** Network rating & share (C114) — the two numbers a ratings book
+    * prints per network: rating_pct = average weighted audience as a
+    * percentage of the weighted UNIVERSE (Σ dur·w over U·T, where U =
+    * total panel weight and T = the measured span), share_pct = this
+    * network's weighted viewing over ALL weighted viewing. Arithmetic
+    * is exact-integer until one final division each (durations and
+    * weights are integral — the ViewingData contract), so both
+    * engines hash-match at round 9. Scale shape: weights broadcast
+    * onto ONE program-event scan; the per-network fold is
+    * |networks|-sized; U and T are one-row frames cross-joined back —
+    * no second fact pass. */
+  private val ratingsShare = Q(
+    "q_ratings_share",
+    (s, dir) => {
+      val weights = ViewingData.table(s, dir, "customer")
+        .select(col("c_custkey").cast("string").as("smba_id"),
+          floor(abs(col("c_acctbal"))).cast("long").as("w"))
+      val prog = ViewingData.acr(s, dir)
+        .filter(col("content_type") === "program")
+        .select(col("smba_id"), col("network"),
+          col("duration"), col("exposure_start_ts"), col("exposure_end_ts"))
+        .join(broadcast(weights), "smba_id")
+        .localCheckpoint() // feeds the network fold AND the span frame
+      val byNet = prog.groupBy("network")
+        .agg(sum(col("duration") * col("w")).as("wdur"))
+      val universe = broadcast(
+        weights.agg(sum("w").as("u_weight")))
+      val span = broadcast(prog.agg(
+        (max("exposure_end_ts") - min("exposure_start_ts")).as("t_span")))
+      val total = broadcast(byNet.agg(sum("wdur").as("wdur_all")))
+      byNet.crossJoin(universe).crossJoin(span).crossJoin(total)
+        .select(col("network"), col("wdur").as("weighted_view_seconds"),
+          round(lit(100.0) * col("wdur") / (col("u_weight") * col("t_span")), 9)
+            .as("rating_pct"),
+          round(lit(100.0) * col("wdur") / col("wdur_all"), 9).as("share_pct"))
+    },
+    Some(Queries.veCte + """,
+w AS (SELECT CAST(c_custkey AS VARCHAR) AS smba_id,
+             CAST(floor(abs(c_acctbal)) AS BIGINT) AS wt
+      FROM customer),
+prog AS (
+  SELECT a.network, a.duration, a.exposure_start_ts, a.exposure_end_ts, w.wt
+  FROM acr a JOIN w ON w.smba_id = a.smba_id
+  WHERE a.content_type = 'program'),
+bynet AS (
+  SELECT network, CAST(SUM(duration * wt) AS BIGINT) AS wdur
+  FROM prog GROUP BY 1),
+u AS (SELECT CAST(SUM(wt) AS BIGINT) AS u_weight FROM w),
+t AS (SELECT CAST(MAX(exposure_end_ts) - MIN(exposure_start_ts) AS BIGINT) AS t_span
+      FROM prog),
+tot AS (SELECT CAST(SUM(wdur) AS BIGINT) AS wdur_all FROM bynet)
+SELECT network, wdur AS weighted_view_seconds,
+       round(100.0 * wdur / (u_weight * t_span), 9) AS rating_pct,
+       round(100.0 * wdur / wdur_all, 9) AS share_pct
+FROM bynet CROSS JOIN u CROSS JOIN t CROSS JOIN tot"""))
+
+  /** Viewer-concentration quintiles (C115) — "the heaviest 20% of
+    * viewers account for X% of viewing": fold total program seconds
+    * per viewer, NTILE(5) heaviest-first (ties broken by id for a
+    * total order), then per quintile the viewer count, seconds, and
+    * share of all viewing. The fold shrinks the fact table to
+    * |viewers| BEFORE any window touches it, so the ntile sorts the
+    * entity fold, never the corpus; sums stay integral to the one
+    * final share division. */
+  private val heavyViewers = Q(
+    "q_heavy_viewers",
+    (s, dir) => {
+      val perViewer = ViewingData.acr(s, dir)
+        .filter(col("content_type") === "program")
+        .groupBy("smba_id")
+        .agg(sum("duration").as("view_seconds"))
+      val ranked = perViewer.withColumn("quintile",
+        ntile(5).over(Window.orderBy(
+          col("view_seconds").desc, col("smba_id").asc)))
+      val byQ = ranked.groupBy("quintile")
+        .agg(count(lit(1)).as("n_viewers"),
+          sum("view_seconds").as("view_seconds"))
+      val total = broadcast(byQ.agg(sum("view_seconds").as("all_seconds")))
+      byQ.crossJoin(total)
+        .select(col("quintile"), col("n_viewers"), col("view_seconds"),
+          round(lit(100.0) * col("view_seconds") / col("all_seconds"), 9)
+            .as("share_pct"))
+    },
+    Some(Queries.veCte + """,
+pv AS (
+  SELECT smba_id, CAST(SUM(duration) AS BIGINT) AS view_seconds
+  FROM acr WHERE content_type = 'program' GROUP BY 1),
+rk AS (
+  SELECT *, NTILE(5) OVER (ORDER BY view_seconds DESC, smba_id ASC) AS quintile
+  FROM pv),
+byq AS (
+  SELECT quintile, CAST(COUNT(*) AS BIGINT) AS n_viewers,
+         CAST(SUM(view_seconds) AS BIGINT) AS view_seconds
+  FROM rk GROUP BY 1),
+tot AS (SELECT CAST(SUM(view_seconds) AS BIGINT) AS all_seconds FROM byq)
+SELECT CAST(quintile AS INTEGER) AS quintile, n_viewers, view_seconds,
+       round(100.0 * view_seconds / all_seconds, 9) AS share_pct
+FROM byq CROSS JOIN tot"""))
+
+  val all: Seq[Q] = Seq(bingeSessions, ratingsShare, heavyViewers)
+}

@@ -264,6 +264,35 @@ object Sweep {
               one, "doc_id", "text")
             .write.format("noop").mode("overwrite").save()
         }
+      case "corpus_prep_minhash" =>
+        // corpus_prep_e2e with the pair stage swapped to D3's
+        // minhash-LSH (the registry row keeps blocked-exact pairs for
+        // its oracle): candidate volume tracks TRUE near-dup density,
+        // so this is the curve a production corpus rides — compare
+        // with corpus_prep_e2e at the same factor
+        graft.plans.GraftExtensions.register(spark)
+        val sec = minOfTwo {
+          QueriesLLM.corpusPrepFrom(spark, work,
+              QueriesML.minhashPairs(spark, work)
+                .select("id_a", "id_b").localCheckpoint())
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"SWEEP corpus_prep_minhash        x$factor%-3d $sec%8.3f s")
+      case "pipeline_dag" =>
+        // the flagship DAG MATERIALIZED stage by stage (TaskDag over
+        // Pipeline.dailyDag — parquet between stages, the reference's
+        // nightly shape): catches cross-stage effects the fused
+        // q_audience_metrics row can't (checkpoint placement, stage
+        // output sizes, write amplification). Timed END TO END incl.
+        // the writes; fresh outDir per timing so overwrite cost is
+        // uniform.
+        val sec = minOfTwo {
+          val out = java.nio.file.Files.createTempDirectory("sweep-dag").toString
+          val res = operators.TaskDag.run(spark, Pipeline.dailyDag(work, out))
+          require(res.forall(_.error.isEmpty),
+            s"dag stage failed: ${res.filter(_.error.nonEmpty)}")
+        }
+        println(f"SWEEP pipeline_dag               x$factor%-3d $sec%8.3f s")
       case "dedup_prefix_capped" =>
         // the registry row's exact PPJoin with the maxDf stop-gram cap
         // engaged — compare with dedup_prefix_filter at the same

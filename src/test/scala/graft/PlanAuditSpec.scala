@@ -486,4 +486,25 @@ class PlanAuditSpec extends SparkTestBase {
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(1200)}")
     }
   }
+
+  test("q_binge_sessions: lag window, run cumsum, and run agg share ONE fact exchange") {
+    val p = plan("q_binge_sessions")
+    val factExchanges = "Exchange hashpartitioning\\(smba_id".r.findAllIn(p).size
+    assert(factExchanges == 1, s"expected ONE (smba_id, title) shuffle, got $factExchanges:\n$p")
+  }
+
+  test("q_ratings_share / q_heavy_viewers: fact folds first; stat frames broadcast back") {
+    val pr = plan("q_ratings_share")
+    // weights and the three one-row stat frames join as broadcasts —
+    // the fact never shuffles on a join key
+    assert(pr.contains("BroadcastHashJoin") || pr.contains("BroadcastNestedLoopJoin"), pr)
+    assert(!pr.contains("SortMergeJoin"), s"no shuffled join in ratings:\n$pr")
+    val ph = plan("q_heavy_viewers")
+    // the global ntile sorts the |viewers| entity fold, not the corpus:
+    // the single-partition exchange must sit ABOVE the per-viewer agg
+    assert(ph.contains("Exchange SinglePartition"), ph)
+    assert(ph.indexOf("Exchange SinglePartition") <
+      ph.indexOf("Exchange hashpartitioning(smba_id"),
+      s"ntile must ride the entity fold (agg below the single-partition sort):\n$ph")
+  }
 }
