@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** (ts, side[, carry]) window ordering: the carry struct joins as a
+    * deterministic tiebreak when its type is orderable (maps aren't);
+    * null carries (left rows) sort first so the right-before-left
+    * equal-ts rule is untouched. */
+  private def orderWithCarryTiebreak(
+      tsCol: String, carryType: org.apache.spark.sql.types.DataType): Seq[Column] =
+    if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(carryType))
+      Seq(col(tsCol), col("__side"), col("__carry").asc_nulls_first)
+    else Seq(col(tsCol), col("__side"))
+
   def nearestBefore(
       left: DataFrame,
       right: DataFrame,
@@ -46,8 +56,12 @@ object AsOfJoin {
       .withColumn("__carry", lit(null).cast(r0.schema("__carry").dataType))
     val u = l.unionByName(r0, allowMissingColumns = true)
 
+    // same discipline as nearestClosest: when the carry struct is
+    // orderable it joins the ordering, so right-side duplicates at one
+    // (key, ts) — a contract violation, but one that must not be
+    // shuffle-order-dependent — resolve to the max carry every run
     val w = Window.partitionBy(keyCol)
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(orderWithCarryTiebreak(tsCol, r0.schema("__carry").dataType): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__carry", last(col("__carry"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
