@@ -111,26 +111,55 @@ object Bench {
       val best = (t1.toSeq ++ t2.toSeq).minOption
       (n, best, t1.size + t2.size)
     }
+    // LOAD-BURST DEFENSE (driver-round-8 forensics: a VM burst minted
+    // a 15.4× vs_prev row for dedup_embedding that cost a round to
+    // disprove). Before a full run enters the committed history, any
+    // query whose min-of-two landed far above its previous-entry time
+    // gets ONE more pass — a transient burst loses to the retry, a
+    // real regression reproduces and keeps its number. Raw-seconds
+    // threshold (not calib-normalized): the calib bracket can't see a
+    // mid-run burst, which is exactly the failure mode this defends
+    // against. Capped at 15 retries: more suspects than that is a
+    // wholesale VM/code shift the retry pass can't fix (and vs_prev +
+    // calib_vs_prev already make it legible).
+    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench/history.jsonl")
+    val prevForGate =
+      if (only.isEmpty) BenchHistory.prevEntry(histPath, sfDir) else None
+    val retried = prevForGate match {
+      case Some((_, pSecs)) =>
+        var budgetLeft = 15
+        results.map { case r @ (n, best, p) =>
+          val suspect = best.exists(b =>
+            b > 0.3 && pSecs.get(n).exists(ps => ps > 0 && b / ps > 2.0))
+          if (suspect && budgetLeft > 0) {
+            budgetLeft -= 1
+            System.err.println(
+              f"[bench] re-measuring suspect $n (${best.get}%.3f s vs prev ${pSecs(n)}%.3f s)")
+            val t3 = exec(n)
+            (n, (best.toSeq ++ t3.toSeq).minOption, p + t3.size)
+          } else r
+        }
+      case None => results
+    }
     val calibAfter = calib()
     calibLine(calibBefore)
-    results.foreach { case (n, best, p) =>
+    retried.foreach { case (n, best, p) =>
       println(s"""{"query":"$n","sec":${best.map(_.toString).getOrElse("null")},"passes":$p}""")
     }
     calibLine(calibAfter)
-    val total = results.flatMap(_._2).sum
+    val total = retried.flatMap(_._2).sum
     // summary passes = weakest SUCCESSFUL query (failed queries print
     // sec:null on their own line; they must not zero the contract field)
-    val succeeded = results.filter(_._2.isDefined)
+    val succeeded = retried.filter(_._2.isDefined)
     val minPasses = if (succeeded.isEmpty) 0 else succeeded.map(_._3).min
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$minPasses,"n_queries":${results.size},"calib_sec":[$calibBefore,$calibAfter]}""")
-    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench/history.jsonl")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$minPasses,"n_queries":${retried.size},"calib_sec":[$calibBefore,$calibAfter]}""")
     // Narrowed iteration runs stay out of the committed history: a
     // 3-query line would become the next full run's vs_prev baseline
     // and blind the per-query deltas for everything it omits.
     if (only.isEmpty)
       BenchHistory.append(histPath,
-        BenchHistory.line(sfDir, calibBefore, calibAfter, total, results,
-          BenchHistory.prevEntry(histPath, sfDir)))
+        BenchHistory.line(sfDir, calibBefore, calibAfter, total, retried,
+          prevForGate))
     spark.stop()
   }
 }

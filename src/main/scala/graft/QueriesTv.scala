@@ -78,7 +78,13 @@ FROM r GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3"""))
     * network's weighted viewing over ALL weighted viewing. Arithmetic
     * is exact-integer until one final division each (durations and
     * weights are integral — the ViewingData contract), so both
-    * engines hash-match at round 9. Scale shape: weights broadcast
+    * engines hash-match at round 9. The one exception is the rating
+    * denominator u_weight·t_span: u_weight grows linearly with scale
+    * factor (~6.75e8 at SF1) and t_span is ~1e7-1e8 s, so the BIGINT
+    * product overflows (loudly, under ANSI/DuckDB) a few hundred ×
+    * up — it is computed in DOUBLE on BOTH engines (same IEEE
+    * product, still hash-matching) to keep the row alive at high
+    * scale factors. Scale shape: weights broadcast
     * onto ONE program-event scan; the per-network fold is
     * |networks|-sized; U and T are one-row frames cross-joined back —
     * no second fact pass. */
@@ -103,7 +109,8 @@ FROM r GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3"""))
       val total = broadcast(byNet.agg(sum("wdur").as("wdur_all")))
       byNet.crossJoin(universe).crossJoin(span).crossJoin(total)
         .select(col("network"), col("wdur").as("weighted_view_seconds"),
-          round(lit(100.0) * col("wdur") / (col("u_weight") * col("t_span")), 9)
+          round(lit(100.0) * col("wdur") /
+            (col("u_weight").cast("double") * col("t_span")), 9)
             .as("rating_pct"),
           round(lit(100.0) * col("wdur") / col("wdur_all"), 9).as("share_pct"))
     },
@@ -123,7 +130,7 @@ t AS (SELECT CAST(MAX(exposure_end_ts) - MIN(exposure_start_ts) AS BIGINT) AS t_
       FROM prog),
 tot AS (SELECT CAST(SUM(wdur) AS BIGINT) AS wdur_all FROM bynet)
 SELECT network, wdur AS weighted_view_seconds,
-       round(100.0 * wdur / (u_weight * t_span), 9) AS rating_pct,
+       round(100.0 * wdur / (CAST(u_weight AS DOUBLE) * t_span), 9) AS rating_pct,
        round(100.0 * wdur / wdur_all, 9) AS share_pct
 FROM bynet CROSS JOIN u CROSS JOIN t CROSS JOIN tot"""))
 

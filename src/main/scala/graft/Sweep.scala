@@ -285,13 +285,23 @@ object Sweep {
         // q_audience_metrics row can't (checkpoint placement, stage
         // output sizes, write amplification). Timed END TO END incl.
         // the writes; fresh outDir per timing so overwrite cost is
-        // uniform.
-        val sec = minOfTwo {
-          val out = java.nio.file.Files.createTempDirectory("sweep-dag").toString
-          val res = operators.TaskDag.run(spark, Pipeline.dailyDag(work, out))
-          require(res.forall(_.error.isEmpty),
-            s"dag stage failed: ${res.filter(_.error.nonEmpty)}")
-        }
+        // uniform — and each dir (full parquet materializations of
+        // every DAG stage) is deleted right after its timing, or
+        // repeated large-factor sweeps accumulate disk.
+        val made = scala.collection.mutable.ArrayBuffer.empty[String]
+        val sec =
+          try minOfTwo {
+            val out = java.nio.file.Files.createTempDirectory("sweep-dag").toString
+            made += out
+            val res = operators.TaskDag.run(spark, Pipeline.dailyDag(work, out))
+            require(res.forall(_.error.isEmpty),
+              s"dag stage failed: ${res.filter(_.error.nonEmpty)}")
+          } finally made.foreach { out =>
+            // cleanup OUTSIDE the timed body — the timing measures the
+            // DAG, not the teardown
+            val p = new org.apache.hadoop.fs.Path(out)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          }
         println(f"SWEEP pipeline_dag               x$factor%-3d $sec%8.3f s")
       case "dedup_prefix_capped" =>
         // the registry row's exact PPJoin with the maxDf stop-gram cap

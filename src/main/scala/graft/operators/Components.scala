@@ -21,6 +21,29 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** O(1)-row convergence signature over an (id, comp) labeling.
+    * Numeric label types use the exact monotone argument: labels only
+    * ever DECREASE (min of own and neighbors'), so the label sum
+    * strictly decreases until the fixpoint. Non-numeric orderable ids
+    * (string doc ids, …) can't be summed — the ADVICE review round
+    * found the old sum("comp") check threw CAST_INVALID_INPUT under
+    * ANSI on exactly that case — so they use the order-independent
+    * Σ xxhash64(id, comp) signature instead: any label change moves
+    * the hash sum except with negligible 2^-64-scale probability (the
+    * same barrier the star fixpoint uses), accumulated in
+    * decimal(38,0) because a long sum of 64-bit hashes overflows. */
+  private def labelSig(df: DataFrame): Any = {
+    import org.apache.spark.sql.types.NumericType
+    df.schema("comp").dataType match {
+      case _: NumericType =>
+        df.agg(coalesce(sum("comp"), lit(0L))).head.get(0)
+      case _ =>
+        df.agg(coalesce(
+          sum(xxhash64(col("id"), col("comp")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head.get(0)
+    }
+  }
+
   /** @return (id, comp) for every node appearing in `edges`, where
     *         comp = min node id reachable via undirected edges. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
@@ -36,12 +59,9 @@ object Components {
       .agg(min("dst").as("min_nbr"))
       .select(col("id"), least(col("id"), col("min_nbr")).as("comp"))
       .localCheckpoint()
-    // Labels only ever DECREASE (min of own and neighbors'), so the
-    // label sum strictly decreases until the fixpoint — an O(1)-row
-    // aggregate replaces the join+count convergence check.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0) // empty graph → 0
-    var prevSum = labelSum(labels)
+    // Type-aware O(1)-row convergence barrier (labelSig) replaces the
+    // join+count convergence check.
+    var prevSig = labelSig(labels)
     var converged = false
     while (!converged) {
       // neighbor labels flow along edges; keep the min of (own, theirs)
@@ -50,9 +70,9 @@ object Components {
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      val nextSig = labelSig(next)
+      converged = nextSig == prevSig
+      prevSig = nextSig
       labels = next
     }
     labels
@@ -79,7 +99,7 @@ object Components {
     * barrier the min-propagation loop uses. */
   def connectedComponentsStar(
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    var e = edges
+    val canon = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
@@ -87,8 +107,18 @@ object Components {
       .localCheckpoint()
     // remember every input node: star rounds may drop a node's edges
     // once it coincides with its component min
-    val nodes = e.select(col("u").as("id"))
-      .union(e.select(col("v").as("id"))).distinct().localCheckpoint()
+    val nodes = canon.select(col("u").as("id"))
+      .union(canon.select(col("v").as("id"))).distinct().localCheckpoint()
+    starFromCanonical(canon, nodes)
+  }
+
+  /** Star fixpoint over an edge frame ALREADY in canonical form —
+    * long-typed, u < v, distinct, checkpointed — with `nodes` the id
+    * set to label. Split out so [[connectedComponentsAutoWithChoice]]
+    * can hand over its probe's symmetrized/checkpointed work (as a
+    * label-contracted graph) instead of restarting from raw edges. */
+  private def starFromCanonical(canon: DataFrame, nodes: DataFrame): DataFrame = {
+    var e = canon
 
     // Order-independent fixpoint signature. (count, Σu, Σv) alone can
     // collide across DIFFERENT edge sets ({(1,4),(2,3)} vs {(1,3),(2,4)}
@@ -153,8 +183,24 @@ object Components {
     * star. The probe costs the rounds min-propagation would have run
     * anyway plus ONE O(1)-row changed-count aggregate; both engines
     * emit comp = min reachable id, so the pick never changes labels
-    * (ComponentsSpec pins both shapes; the star path needs
-    * long-castable node ids).
+    * (ComponentsSpec pins both shapes).
+    *
+    * The star restart does NOT start over: the probe's partial labels
+    * CONTRACT the graph first (edge (u,v) → (label(u), label(v)),
+    * self-loops dropped) — valid because every label is the min id
+    * reached so far, itself a member of the same component, so the
+    * contracted graph's component minima equal the original's; the
+    * final labels compose node → probe label → contracted comp.
+    * Settled regions collapse to single nodes, so the star runs on a
+    * fraction of the edges and the probe's supersteps are paid back
+    * instead of thrown away.
+    *
+    * The star engine needs integral node ids (its canonical form
+    * casts to long — under non-ANSI mode a non-castable id would
+    * silently null every edge). Non-integral id columns (string doc
+    * ids, decimals, …) therefore disable the star option at entry
+    * and the probe loop just runs min-propagation to its fixpoint,
+    * which handles any orderable id type.
     *
     * @return (labels, picked) — picked ∈ {"minprop", "star"} for
     *         specs/telemetry; use [[connectedComponentsAuto]] when
@@ -164,6 +210,13 @@ object Components {
       probeRounds: Int = 3,
       percolationThreshold: Double = 0.2): (DataFrame, String) = {
     require(probeRounds >= 1, s"probeRounds must be >= 1, got $probeRounds")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val starEligible = Seq(srcCol, dstCol).forall { c =>
+      edges.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
@@ -173,9 +226,7 @@ object Components {
       .agg(min("dst").as("min_nbr"))
       .select(col("id"), least(col("id"), col("min_nbr")).as("comp"))
       .localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("comp"), lit(0L))).head.getLong(0)
-    var prevSum = labelSum(labels)
+    var prevSig = labelSig(labels)
     var rounds = 0
     while (true) {
       rounds += 1
@@ -184,9 +235,9 @@ object Components {
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      val nextSum = labelSum(next)
-      if (nextSum == prevSum) return (next, "minprop") // fixpoint
-      if (rounds == probeRounds) {
+      val nextSig = labelSig(next)
+      if (nextSig == prevSig) return (next, "minprop") // fixpoint
+      if (rounds == probeRounds && starEligible) {
         // one O(1)-row probe readout: how much of the graph is still
         // moving? (labels only decrease, so changed = strictly less)
         val r = next.join(labels.withColumnRenamed("comp", "__prev"), "id")
@@ -194,10 +245,34 @@ object Components {
             sum(when(col("comp") < col("__prev"), 1L).otherwise(0L))).head
         val total = r.getLong(0)
         val changed = r.getLong(1)
-        if (total > 0 && changed.toDouble / total >= percolationThreshold)
-          return (connectedComponentsStar(edges, srcCol, dstCol), "star")
+        if (total > 0 && changed.toDouble / total >= percolationThreshold) {
+          // contract by the probe's partial labels (scaladoc argument),
+          // then run the star fixpoint on the collapsed graph and
+          // compose: node → probe label → contracted component min.
+          val partial = next.localCheckpoint()
+          val lu = partial.select(col("id").as("src"), col("comp").as("lu"))
+          val lv = partial.select(col("id").as("dst"), col("comp").as("lv"))
+          val contracted = sym.join(lu, "src").join(lv, "dst")
+            .select(col("lu").cast("long").as("u"), col("lv").cast("long").as("v"))
+            .filter(col("u") =!= col("v"))
+            .select(least(col("u"), col("v")).as("u"),
+              greatest(col("u"), col("v")).as("v"))
+            .distinct()
+            .localCheckpoint()
+          // label set = every distinct probe label: a fully-settled
+          // cluster's contracted edges vanish as self-loops, so its
+          // label must still appear as an isolated star center
+          val centers = partial.select(col("comp").cast("long").as("id"))
+            .distinct().localCheckpoint()
+          val starLabels = starFromCanonical(contracted, centers)
+          val out = partial
+            .join(starLabels.select(col("id").as("__l"), col("comp").as("__c")),
+              partial("comp").cast("long") === col("__l"))
+            .select(partial("id"), col("__c").as("comp"))
+          return (out, "star")
+        }
       }
-      prevSum = nextSum
+      prevSig = nextSig
       labels = next
     }
     throw new IllegalStateException("unreachable")

@@ -54,13 +54,23 @@ object PrefixFilter {
     * built, bounding every bucket's pairing work at maxDf²/2
     * corpus-independently. Verification still computes exact Jaccard
     * on the FULL gram sets and filters at the unrounded tau, so the
-    * capped output is always a SUBSET of the exact result — what the
-    * cap can miss is precisely a pair whose shared grams are ALL
-    * boilerplate (every one hotter than maxDf); a genuine near-dup
-    * cluster still pairs through its uncommon grams
-    * (PrefixFilterSpec pins both directions on a boilerplate-
-    * densified corpus). Default Int.MaxValue = exact PPJoin,
-    * plan-identical to the uncapped form. */
+    * capped output is always a SUBSET of the exact result. The
+    * retained prefix length is computed against the FULL set size
+    * (n_ret − ceil(τ·n_full) + 1, clamped at 0) and the AllPairs
+    * length filter runs on full sizes, which makes the recall
+    * contract provable: the standard prefix argument on the retained
+    * lists shows a pair is generated whenever its sub-cap shared
+    * grams ALONE number ≥ ceil(τ·max(n_full_a, n_full_b)) — the same
+    * count bound a qualifying pair must meet in total. Hence every
+    * qualifying pair whose shared grams are all sub-cap is caught,
+    * and a miss REQUIRES the qualifying overlap to lean on capped
+    * grams (retained overlap below the bound). A pair sharing one
+    * token sub-cap gram but qualifying mostly through boilerplate
+    * may still be dropped — that is the precise price of the cap,
+    * pinned by PrefixFilterSpec on a boilerplate-densified corpus
+    * including exactly that adversarial shape. Default Int.MaxValue
+    * = exact PPJoin (n_ret = n_full), plan-identical to the
+    * uncapped form. */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
       shingle: Int, tau: Double, maxDf: Int = Int.MaxValue): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau in (0, 1], got $tau")
@@ -68,25 +78,28 @@ object PrefixFilter {
     val sets = shingleSets(docs, idCol, textCol, shingle).localCheckpoint()
     val dfTab = sets.select(explode(col("grams")).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("df"))
-    // per doc: elements sorted rarest-first, prefix = first
-    // n - ceil(tau*n) + 1 (any pair at tau MUST collide on a prefix
-    // element of both sides — the scaladoc bound). Under a cap the
-    // same arithmetic runs on the RETAINED (df <= maxDf) universe:
-    // PPJoin-exact over reduced sets, verified against full sets.
+    // per doc: RETAINED (df <= maxDf) elements sorted rarest-first,
+    // prefix = first n_ret - ceil(tau*n_full) + 1 (clamped at 0 —
+    // a doc whose retained grams alone can't reach the count bound
+    // legitimately emits nothing). Anchoring the prefix arithmetic
+    // and the length filter on FULL sizes is what makes the capped
+    // recall contract provable (scaladoc): retained-overlap ≥
+    // ceil(tau*max(n_full)) ⇒ candidate generated. One shuffle: the
+    // full-vs-retained split happens inside the aggregated row, not
+    // via a second join.
     val universe = sets.select(col(idCol), explode(col("grams")).as("gram"))
       .join(broadcast(dfTab), "gram")
-    val retained =
-      if (maxDf == Int.MaxValue) universe
-      else universe.filter(col("df") <= maxDf)
-    val ranked = retained
+    val ranked = universe
       .groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("df"), col("gram"))))
-        .as("ordered"))
-      .select(col(idCol),
-        expr("transform(ordered, x -> x.gram)").as("sorted_grams"))
-      .withColumn("n", size(col("sorted_grams")))
+        .as("ordered"),
+        count(lit(1)).as("n"))
+      .select(col(idCol), col("n"),
+        expr(s"transform(filter(ordered, x -> x.df <= ${maxDf}L), x -> x.gram)")
+          .as("sorted_grams"))
       .withColumn("prefix", slice(col("sorted_grams"), lit(1),
-        (col("n") - ceil(col("n") * tau) + 1).cast("int")))
+        greatest(lit(0),
+          (size(col("sorted_grams")) - ceil(col("n") * tau) + 1).cast("int"))))
     val pref = ranked.select(col(idCol), col("n"),
       explode(col("prefix")).as("gram"))
     // LENGTH FILTER (AllPairs, exactness-preserving): J >= tau forces

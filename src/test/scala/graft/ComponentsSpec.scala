@@ -102,6 +102,51 @@ class ComponentsSpec extends SparkTestBase {
     assert(pick == "minprop" && m == Map(2L -> 2L, 9L -> 2L))
   }
 
+  test("percolation knee: mid-density mixes flip the pick exactly at the threshold") {
+    // The probe's decision variable after probeRounds=3 supersteps is
+    // changed/total vs threshold 0.2. A mix of settled cliques (zero
+    // changed labels after the init fold) and ONE path (whose frontier
+    // keeps ~(P-3) labels moving at the readout) lets the ratio be
+    // DIALED: path nodes 4..P still change on the readout round, so
+    // ratio = (P-3) / (4·cliques + P + 1). The two cases below sit
+    // just under and just over the knee — not the pure extremes the
+    // older cases pin — so a future change to probeRounds, the
+    // threshold, or the readout arithmetic moves at least one of them.
+    def mix(cliques: Int, pathLen: Int): Seq[(Long, Long)] = {
+      val cliqueEdges = (0 until cliques).flatMap { c =>
+        val ids = (0L until 4L).map(c * 1000L + 10000L + _)
+        for (a <- ids; b <- ids if a < b) yield (a, b)
+      }
+      cliqueEdges ++ (0L until pathLen.toLong).map(i => (i, i + 1))
+    }
+    // 35 cliques (140 nodes) + path P=30 (31 nodes): changed = 27,
+    // total = 171, ratio 0.158 < 0.2 → stays on min-propagation
+    val below = mix(35, 30)
+    val (mBelow, pickBelow) = auto(below)
+    assert(pickBelow == "minprop",
+      s"ratio ≈ 0.158 is under the 0.2 knee — must stay minprop")
+    assert(mBelow == comps(below))
+    // 25 cliques (100 nodes) + path P=40 (41 nodes): changed = 37,
+    // total = 141, ratio 0.262 ≥ 0.2 → star restart
+    val above = mix(25, 40)
+    val (mAbove, pickAbove) = auto(above)
+    assert(pickAbove == "star",
+      s"ratio ≈ 0.262 is over the 0.2 knee — must switch to star")
+    assert(mAbove == comps(above))
+  }
+
+  test("auto with non-integral (string) ids never routes to star and labels correctly") {
+    // the star engine casts ids to long; a string id would null every
+    // edge under non-ANSI mode — auto must detect the type at entry
+    // and stay on min-propagation even when the graph LOOKS percolated
+    val path = (0 until 60).map(i => (f"n$i%03d", f"n${i + 1}%03d"))
+    val (labels, pick) = Components.connectedComponentsAutoWithChoice(
+      path.toDF("a", "b"), "a", "b")
+    val m = labels.as[(String, String)].collect().toMap
+    assert(pick == "minprop", "string ids must disable the star option")
+    assert((0 to 60).forall(i => m(f"n$i%03d") == "n000"), s"$m")
+  }
+
   test("star fixpoint signature is collision-proof: the ADVICE pair of edge sets") {
     // {(1,4),(2,3)} and {(1,3),(2,4)} share (count, Σu, Σv) = (2,3,7);
     // the hash-sum component must distinguish them so a

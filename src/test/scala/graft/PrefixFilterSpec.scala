@@ -56,41 +56,63 @@ class PrefixFilterSpec extends SparkTestBase {
     assert(got.nonEmpty, "corpus has planted near-dup pairs")
   }
 
-  test("maxDf cap: capped ⊆ exact; misses ONLY all-boilerplate pairs; clusters survive") {
+  test("maxDf cap: capped ⊆ exact; retained-overlap contract; clusters survive") {
     // Degenerate corpus: 30 docs sharing an 11-word boilerplate block
-    // (10 bigrams, df=30 each) + unique 3-gram tails. Their pairwise
+    // (10 bigrams, df≥30 each) + unique 3-gram tails. Their pairwise
     // J = 10/16 = 0.625 ≥ τ purely through boilerplate — the C(30,2)
     // quadratic a production corpus must not pay. Plus one genuine
-    // near-dup pair overlapping on 8 UNCOMMON grams (df=2).
+    // near-dup pair overlapping on 8 UNCOMMON grams (df=2), and the
+    // ADVERSARIAL shape from the recall-contract review: a pair
+    // (201, 202) qualifying mostly through boilerplate but sharing
+    // exactly ONE sub-cap gram (the "details rarepair" bridge
+    // bigram, df=2). Its retained overlap (1) is far below
+    // ceil(τ·max(n_full)) (7), so the provable contract ALLOWS the
+    // cap to drop it — the old "misses only all-boilerplate pairs"
+    // claim was false on precisely this shape.
     val boiler = "terms of service apply all rights reserved contact us for details"
     val noise = (1L to 30L).map(i => i -> s"$boiler unique$i tail$i words$i")
     val dupA = 101L -> "galactic survey results show anomalous readings near sector seven"
     val dupB = 102L -> "galactic survey results show anomalous readings near sector nine"
-    val docs: Seq[(Long, String)] = noise ++ Seq(dupA, dupB)
+    val mixA = 201L -> s"$boiler rarepair alpha1 alpha2 alpha3"
+    val mixB = 202L -> s"$boiler rarepair beta1 beta2 beta3"
+    val docs: Seq[(Long, String)] = noise ++ Seq(dupA, dupB, mixA, mixB)
     val tau = 0.5
+    val cap = 8
     val exact = PrefixFilter.pairs(docs.toDF("doc_id", "text"),
         "doc_id", "text", shingle = 2, tau = tau)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val capped = PrefixFilter.pairs(docs.toDF("doc_id", "text"),
-        "doc_id", "text", shingle = 2, tau = tau, maxDf = 8)
+        "doc_id", "text", shingle = 2, tau = tau, maxDf = cap)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact == brute(docs, tau), "uncapped stays the exact PPJoin")
     assert(capped.subsetOf(exact), "the cap may only DROP pairs, never invent")
     assert(capped.contains((101L, 102L)),
       "near-dups pairing through uncommon grams must survive the cap")
-    // what the cap CAN miss, pinned: every dropped pair shares ONLY
-    // grams hotter than maxDf (pure boilerplate overlap)
-    val missed = exact -- capped
-    assert(missed.nonEmpty, "test corpus must exercise the miss case")
+    assert(exact.contains((201L, 202L)),
+      "adversarial pair must qualify on full sets (corpus shape check)")
     def grams(t: String): Set[String] =
       t.split(" ").sliding(2).map(_.mkString(" ")).toSet
     val byId = docs.toMap
     val dfTab = docs.flatMap { case (_, t) => grams(t) }
       .groupBy(identity).map { case (g, occ) => g -> occ.size }
-    missed.foreach { case (a, b) =>
-      val shared = grams(byId(a)).intersect(grams(byId(b)))
-      assert(shared.forall(g => dfTab(g) > 8),
-        s"missed pair ($a,$b) shared a sub-cap gram — cap dropped signal")
+    // THE CONTRACT, both directions, over every exact pair:
+    //   retained shared count ≥ ceil(τ·max(n_full)) ⇒ pair is caught;
+    //   pair missed ⇒ retained shared count below the bound (its
+    //   qualifying overlap leaned on capped grams).
+    val missed = exact -- capped
+    assert(missed.nonEmpty, "test corpus must exercise the miss case")
+    assert(missed.contains((201L, 202L)),
+      "the one-sub-cap-gram adversarial pair is the shape the cap may drop")
+    exact.foreach { case (a, b) =>
+      val ga = grams(byId(a)); val gb = grams(byId(b))
+      val retainedShared = ga.intersect(gb).count(g => dfTab(g) <= cap)
+      val bound = math.ceil(tau * math.max(ga.size, gb.size)).toInt
+      if (retainedShared >= bound)
+        assert(capped.contains((a, b)),
+          s"pair ($a,$b) meets the retained-overlap bound ($retainedShared >= $bound) but was dropped")
+      if (missed.contains((a, b)))
+        assert(retainedShared < bound,
+          s"missed pair ($a,$b) had retained overlap $retainedShared >= bound $bound — contract broken")
     }
     intercept[IllegalArgumentException] {
       PrefixFilter.pairs(docs.toDF("doc_id", "text"),
