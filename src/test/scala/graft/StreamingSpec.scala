@@ -332,4 +332,80 @@ class StreamingSpec extends SparkTestBase {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streaming binge runs match the batch C113 row across a mid-run micro-batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.StreamBinge
+    import graft.streaming.StreamBinge.{BingeExposure, BingeRun}
+    import org.apache.spark.sql.expressions.Window
+    // the REAL corpus, not a toy: every program exposure at this SF
+    val events = graft.sources.ViewingData.acr(spark, Sf)
+      .filter(col("content_type") === "program")
+      .select(col("smba_id"), col("title"), col("event_id").cast("long"),
+        col("exposure_start_ts").cast("long"),
+        col("exposure_end_ts").cast("long"), col("duration").cast("long"))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map { case (sm, t, id, st, en, d) => BingeExposure.at(sm, t, id, st, en, d) }
+      .sortBy(e => (e.startTs, e.endTs, e.eventId))
+    // the batch row's exact computation (q_binge_sessions, C113).
+    // sf0.001 is too sparse to form 4 h-gap runs, so the GAP is
+    // widened to 30 days on BOTH engines — parity tests the
+    // cross-batch stitching and numbering, not the constant
+    val testGap = 2592000L
+    val w = Window.partitionBy("smbaId", "title")
+      .orderBy(col("startTs"), col("endTs"), col("eventId"))
+    val batch = events.toSeq.toDF()
+      .withColumn("gap", col("startTs") - lag("endTs", 1).over(w))
+      .withColumn("brk",
+        when(col("gap").isNull || col("gap") > testGap, 1L).otherwise(0L))
+      .withColumn("run_id", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("smbaId", "title", "run_id")
+      .agg(count(lit(1)).as("n"), min("startTs").as("bs"),
+        max("endTs").as("be"), sum("duration").as("dur"))
+      .filter(col("n") >= 3)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(batch.nonEmpty, "corpus must contain qualifying binge runs")
+    // split INSIDE the longest qualifying run: its exposures must be
+    // stitched across the micro-batch boundary by the state store
+    val big = batch.maxBy(_._4)
+    val runExps = events.filter(e => e.smbaId == big._1 && e.title == big._2 &&
+      e.startTs >= big._5 && e.endTs <= big._6)
+    assert(runExps.length >= 3)
+    val splitTs = runExps(1).startTs + 1 // after the run's 2nd exposure
+    val (b1, b2) = events.partition(_.startTs < splitTs)
+    assert(b1.exists(e => e.smbaId == big._1 && e.title == big._2) &&
+      b2.exists(e => e.smbaId == big._1 && e.title == big._2),
+      "the chosen run must actually straddle the split")
+    val maxEnd = events.map(_.endTs).max
+    withConfs("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      val input = MemoryStream[BingeExposure]
+      val q = StreamBinge.runs(input.toDS(), gapSeconds = testGap).writeStream
+        .format("memory").queryName("binge_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(b1: _*); q.processAllAvailable()
+        input.addData(b2: _*); q.processAllAvailable()
+        // two sentinel batches: the first advances the watermark past
+        // every open deadline (+20000 s > gap + delay), the second
+        // lets the timers registered under that watermark fire
+        input.addData(BingeExposure.at("zz", "zz", 0L,
+          maxEnd + testGap + 20000L, maxEnd + testGap + 20000L, 0L))
+        q.processAllAvailable()
+        input.addData(BingeExposure.at("zz", "zz", 1L,
+          maxEnd + 2 * testGap + 40000L, maxEnd + 2 * testGap + 40000L, 0L))
+        q.processAllAvailable()
+        val streamed = spark.table("binge_out").as[BingeRun].collect()
+          .filter(_.smba_id != "zz")
+          .map(r => (r.smba_id, r.title, r.binge_id, r.n_views,
+            r.binge_start_ts, r.binge_end_ts, r.total_duration)).toSet
+        val want = batch.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7)).toSet
+        assert(streamed == want,
+          s"streamed ${streamed.size} rows vs batch ${want.size}: " +
+            s"missing ${want -- streamed}, extra ${streamed -- want}")
+      } finally q.stop()
+    }
+  }
 }
