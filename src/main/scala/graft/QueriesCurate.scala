@@ -296,7 +296,67 @@ j AS (
   FROM g a JOIN g b ON a.doc_id < b.doc_id)
 SELECT id_a, id_b, round(jx, 6) AS jaccard FROM j WHERE jx >= 0.5"""))
 
+  /** Segment-level boilerplate removal (D17) — the CCNet/RefinedWeb
+    * "paragraph dedup" pass, adapted to the corpus's flat texts:
+    * split each document into consecutive NON-OVERLAPPING 10-word
+    * segments (the paragraph stand-in), hash-count each segment's
+    * document frequency across the WHOLE corpus, drop segments
+    * appearing in more than `maxSegDf` distinct documents (shared
+    * boilerplate — nav chrome, licence blocks, templated headers),
+    * and rebuild every document from its surviving segments in
+    * order. Output per doc: segment counts and the md5 of the
+    * rebuilt text (both engines' md5 agree byte-for-byte, so the
+    * reconstruction — order, joins, empty-doc edge — is fully
+    * hash-checked).
+    *
+    * Scale shape: one corpus scan explodes segments (positional);
+    * the df fold groups by segment hash (the winnow/PrefixFilter
+    * bucket discipline — never all-pairs); the df table is
+    * corpus-vocabulary-sized so it joins back by SEGMENT KEY (a
+    * shuffle join on both sides — at 100 TB this table does NOT
+    * broadcast, unlike the |networks|-sized TV dims); the rebuild is
+    * one per-doc fold over (idx, seg, drop) structs. */
+  private val textSegmentDedup = Q(
+    "text_segment_dedup",
+    (s, dir) => {
+      val maxSegDf = 2
+      val segs = ViewingData.table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), expr(
+          """transform(sequence(0, cast(ceil(size(ws) / 10.0) as int) - 1),
+             i -> array_join(slice(ws, i * 10 + 1, 10), ' '))""").as("segs"))
+        .select(col("doc_id"), posexplode(col("segs")).as(Seq("idx", "seg")))
+        .localCheckpoint() // feeds the df fold AND the rebuild join
+      val dfTab = segs.groupBy("seg")
+        .agg(countDistinct("doc_id").as("sdf"))
+      segs.join(dfTab, "seg")
+        .withColumn("dropf", col("sdf") > maxSegDf)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("dropf"), 1L).otherwise(0L)).as("n_dropped"),
+          sort_array(collect_list(struct(col("idx"), col("seg"), col("dropf"))))
+            .as("ordered"))
+        .select(col("doc_id"), col("n_segments"), col("n_dropped"),
+          md5(expr(
+            "array_join(transform(filter(ordered, x -> NOT x.dropf), x -> x.seg), ' ')"))
+            .as("clean_md5"))
+    },
+    Some("""WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+segs AS (
+  SELECT doc_id, i AS idx,
+         array_to_string(ws[(i * 10 + 1):(i * 10 + 10)], ' ') AS seg
+  FROM ws, UNNEST(range(0, CAST(ceil(len(ws) / 10.0) AS INT))) AS t(i)),
+dfs AS (SELECT seg, COUNT(DISTINCT doc_id) AS sdf FROM segs GROUP BY 1),
+j AS (SELECT s.doc_id, s.idx, s.seg, d.sdf > 2 AS dropf
+      FROM segs s JOIN dfs d ON d.seg = s.seg)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN dropf THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       md5(COALESCE(string_agg(CASE WHEN NOT dropf THEN seg END, ' '
+                               ORDER BY idx), '')) AS clean_md5
+FROM j GROUP BY 1"""))
+
   val all: Seq[Q] =
     Seq(dedupSubstring, dedupSubstringFast, dedupSubstringIncremental,
-      corpusDsir, corpusMixTemp, dedupPrefixFilter)
+      corpusDsir, corpusMixTemp, dedupPrefixFilter, textSegmentDedup)
 }

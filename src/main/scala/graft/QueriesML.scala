@@ -768,6 +768,50 @@ FROM top"""))
     },
     None)
 
+  /** Exact radius search via IVF cell pruning (E11) — every vector
+    * with cos ≥ τ of the query, served by [[operators.Ivf.rangeProbe]]:
+    * per-cell max-radius stats + the triangle bound decide which
+    * cells CANNOT hold a qualifying vector; surviving cells scan
+    * exactly. The result provably equals brute force REGARDLESS of
+    * what k-means did, which is why this ANN-family row is fully
+    * DuckDB-oracled (the brute-force radius query) rather than
+    * rows-only like its top-k siblings — the index only decides how
+    * much is READ, never what is returned. On THIS corpus (uniform
+    * high-dim, label-seeded cells) the bound prunes nothing — every
+    * cell radius ≈ the unit-sphere diameter — and the row documents
+    * that honestly; IvfRangeSpec pins the clustered regime where the
+    * same code prunes most cells, plus exactness in both. */
+  private val annRangeSearch = Q(
+    "ann_range_search",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("label"),
+          normalize(toDouble(col("embedding"))).as("e"))
+        .localCheckpoint()
+      val cents = operators.Ivf.centroids(v, "label", "e").localCheckpoint()
+      val index = operators.Ivf.assign(v, cents, "vec_id", "e", "label")
+        .localCheckpoint()
+      val query = v.filter(col("vec_id") === 0).select(col("e").as("q"))
+      operators.Ivf.rangeProbe(index.filter(col("vec_id") =!= 0), cents,
+        query, "vec_id", "e", "label", minCos = 0.2)
+    },
+    Some("""WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+scored AS (
+  SELECT v.vec_id,
+         list_sum(list_transform(generate_series(1, len(v.e)),
+                                 i -> v.e[i] * q.qe[i])) AS c
+  FROM v, q WHERE v.vec_id <> 0)
+SELECT vec_id, round(c, 6) AS cos_sim FROM scored WHERE c >= 0.2"""))
+
   /** Batch k-NN join — top-k neighbors for EVERY vector at once, the
     * offline shape retrieval indexing and embedding-dedup actually
     * run (the single-query probes above are the serving shape).
@@ -1653,7 +1697,8 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
     dedupIncremental, dedupMinhashOracle, dedupIncrementalOracle,
     dedupEmbeddingIncremental, dedupFuzzyNames,
     annBruteforce, annBucketed, annBucketedOracle, annIvf, annIvfOracle,
-    annIvfPq, annIvfPqOracle, annKnnJoin, annPqOracle, annQ8, annQ8Oracle,
+    annIvfPq, annIvfPqOracle, annKnnJoin, annRangeSearch,
+    annPqOracle, annQ8, annQ8Oracle,
     annDiversitySample, annPairMining, annClusterQuality,
     mmBinaryMeta, mmDecode, mmFrameSample, mmAudioEnergy, mmAudioSegments,
     streamBatchParity)

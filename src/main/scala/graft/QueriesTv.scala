@@ -177,5 +177,119 @@ SELECT CAST(quintile AS INTEGER) AS quintile, n_viewers, view_seconds,
        round(100.0 * view_seconds / all_seconds, 9) AS share_pct
 FROM byq CROSS JOIN tot"""))
 
-  val all: Seq[Q] = Seq(bingeSessions, ratingsShare, heavyViewers)
+  /** Audience duplication matrix (C116) — for every ordered network
+    * pair (a, b): the weighted audience watching BOTH, and what share
+    * of a's weighted audience that is ("X% of net-1's viewers also
+    * watch net-4" — the duplication table behind reach/frequency
+    * planning). Scale shape: the fact folds to DISTINCT
+    * (viewer, network) in one exchange, weights broadcast on, then
+    * the pair explode is VIEWER-LOCAL (a viewer watches ≤ |networks|
+    * nets, so ≤ |networks|² pairs each) — never a fact-scale
+    * self-join; the final fold is |networks|²-sized. Integral sums
+    * to one final division. */
+  private val audienceDuplication = Q(
+    "q_audience_duplication",
+    (s, dir) => {
+      val weights = ViewingData.table(s, dir, "customer")
+        .select(col("c_custkey").cast("string").as("smba_id"),
+          floor(abs(col("c_acctbal"))).cast("long").as("w"))
+      // ONE fact exchange: collect_set dedupes, so the per-viewer
+      // network-set fold subsumes the DISTINCT, and BOTH downstream
+      // folds (pair overlap and per-network totals) derive from the
+      // entity-sized sets frame — the fact is scanned once
+      val sets = ViewingData.acr(s, dir)
+        .filter(col("content_type") === "program")
+        .select(col("smba_id"), col("network"))
+        .join(broadcast(weights), "smba_id")
+        .groupBy("smba_id", "w").agg(collect_set("network").as("ns"))
+        .localCheckpoint()
+      val both = sets
+        .select(col("w"), explode(col("ns")).as("net_a"), col("ns"))
+        .select(col("w"), col("net_a"), explode(col("ns")).as("net_b"))
+        .filter(col("net_a") =!= col("net_b"))
+        .groupBy("net_a", "net_b").agg(sum("w").as("w_both"))
+      val per = sets.select(col("w"), explode(col("ns")).as("net_a"))
+        .groupBy("net_a").agg(sum("w").as("w_a"))
+      both.join(broadcast(per), "net_a")
+        .select(col("net_a"), col("net_b"), col("w_both"),
+          round(lit(100.0) * col("w_both") / col("w_a"), 9).as("dup_pct"))
+    },
+    Some(Queries.veCte + """,
+w AS (SELECT CAST(c_custkey AS VARCHAR) AS smba_id,
+             CAST(floor(abs(c_acctbal)) AS BIGINT) AS wt
+      FROM customer),
+nv AS (SELECT DISTINCT smba_id, network
+       FROM acr WHERE content_type = 'program'),
+nw AS (SELECT nv.smba_id, nv.network, w.wt
+       FROM nv JOIN w ON w.smba_id = nv.smba_id),
+dup AS (
+  SELECT x.network AS net_a, y.network AS net_b,
+         CAST(SUM(x.wt) AS BIGINT) AS w_both
+  FROM nw x JOIN nw y ON x.smba_id = y.smba_id AND x.network <> y.network
+  GROUP BY 1, 2),
+per AS (SELECT network AS net_a, CAST(SUM(wt) AS BIGINT) AS w_a
+        FROM nw GROUP BY 1)
+SELECT net_a, net_b, w_both,
+       round(100.0 * w_both / w_a, 9) AS dup_pct
+FROM dup JOIN per USING (net_a)"""))
+
+  /** Playback windows (C117) — live/+3/+7/older viewing mix: every
+    * program exposure's delay = days between its viewing date and the
+    * content's release date, bucketed into the measurement windows a
+    * ratings book reports (live, days 1-3, days 4-7, 8+), weighted
+    * seconds and within-network share per bucket. Scale shape: ONE
+    * fact scan with weights broadcast on; the delay/bucket columns
+    * are per-row expressions; two |networks·4|-sized folds. Integral
+    * sums to one final division. */
+  private val playbackWindows = Q(
+    "q_playback_windows",
+    (s, dir) => {
+      val weights = ViewingData.table(s, dir, "customer")
+        .select(col("c_custkey").cast("string").as("smba_id"),
+          floor(abs(col("c_acctbal"))).cast("long").as("w"))
+      val prog = ViewingData.acr(s, dir)
+        .filter(col("content_type") === "program")
+        .select(col("smba_id"), col("network"), col("duration"),
+          col("metadata_date"), col("release_date"))
+        .join(broadcast(weights), "smba_id")
+        .withColumn("delay", datediff(col("metadata_date"), col("release_date")))
+        .withColumn("pwindow",
+          when(col("delay") === 0, "live")
+            .when(col("delay") <= 3, "d1_3")
+            .when(col("delay") <= 7, "d4_7")
+            .otherwise("d8_plus"))
+      val byWin = prog.groupBy("network", "pwindow")
+        .agg(sum(col("duration") * col("w")).as("weighted_seconds"))
+      val byNet = byWin.groupBy(col("network"))
+        .agg(sum("weighted_seconds").as("net_seconds"))
+      byWin.join(broadcast(byNet), "network")
+        .select(col("network"), col("pwindow"), col("weighted_seconds"),
+          round(lit(100.0) * col("weighted_seconds") / col("net_seconds"), 9)
+            .as("window_share_pct"))
+    },
+    Some(Queries.veCte + """,
+w AS (SELECT CAST(c_custkey AS VARCHAR) AS smba_id,
+             CAST(floor(abs(c_acctbal)) AS BIGINT) AS wt
+      FROM customer),
+prog AS (
+  SELECT a.network, a.duration, w.wt,
+         date_diff('day', a.release_date, a.metadata_date) AS delay
+  FROM acr a JOIN w ON w.smba_id = a.smba_id
+  WHERE a.content_type = 'program'),
+bywin AS (
+  SELECT network,
+         CASE WHEN delay = 0 THEN 'live'
+              WHEN delay <= 3 THEN 'd1_3'
+              WHEN delay <= 7 THEN 'd4_7'
+              ELSE 'd8_plus' END AS pwindow,
+         CAST(SUM(duration * wt) AS BIGINT) AS weighted_seconds
+  FROM prog GROUP BY 1, 2),
+bynet AS (SELECT network, CAST(SUM(weighted_seconds) AS BIGINT) AS net_seconds
+          FROM bywin GROUP BY 1)
+SELECT b.network, b.pwindow, b.weighted_seconds,
+       round(100.0 * b.weighted_seconds / n.net_seconds, 9) AS window_share_pct
+FROM bywin b JOIN bynet n ON n.network = b.network"""))
+
+  val all: Seq[Q] = Seq(bingeSessions, ratingsShare, heavyViewers,
+    audienceDuplication, playbackWindows)
 }

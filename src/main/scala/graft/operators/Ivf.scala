@@ -277,6 +277,47 @@ object Ivf {
     * query vector lives in column `qCol` (default "q") — a multi-row
     * query would cross-join every row into the probe and interleave
     * the top-k. */
+  /** EXACT radius (range) search: every vector with
+    * cos(q, x) ≥ `minCos`, found by scanning only the cells the
+    * TRIANGLE BOUND cannot exclude — the IVF analogue of a range
+    * query. All vectors and [[centroids]] outputs are unit-norm, so
+    * every L2 distance is derivable from one dot product
+    * (d = √(2 − 2·cos)) and the bound is:
+    *
+    *   d(q, x) ≥ d(q, c) − d(x, c) ≥ d(q, c) − r_c
+    *
+    * with r_c = max_{x∈cell} d(x, c) (one index pass, stored with
+    * the cell in production). A cell with d(q, c) − r_c > √(2 − 2·minCos)
+    * can contain NO qualifying vector, so skipping it never loses a
+    * result — the output equals brute force exactly (DuckDB-oracled
+    * in the registry row; a 1e-9 slack absorbs FP rounding in the
+    * bound itself, never excluding a boundary cell). Effectiveness
+    * is data-dependent: high-dimensional uniform corpora have every
+    * cell radius ≈ the sphere diameter and prune nothing (measured,
+    * documented in the registry row), while clustered corpora — the
+    * shape a trained IVF is FOR — prune most cells (IvfRangeSpec
+    * pins both regimes). Probe cost: |cells| bound evaluations +
+    * the surviving cells' rows. */
+  def rangeProbe(index: DataFrame, cents: DataFrame, query: DataFrame,
+      idCol: String, vecCol: String, cellCol: String,
+      minCos: Double, qCol: String = "q"): DataFrame = {
+    val t = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCos))
+    def dist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * dotNative(a, b)))
+    val stats = index.join(broadcast(cents), cellCol)
+      .groupBy(cellCol)
+      .agg(max(dist(col(vecCol), col("centroid"))).as("__r"))
+    val qCells = cents.join(broadcast(stats), cellCol)
+      .crossJoin(broadcast(query))
+      .filter(dist(col("centroid"), col(qCol)) - col("__r") <= lit(t + 1e-9))
+      .select(col(cellCol))
+    index.join(broadcast(qCells), cellCol)
+      .crossJoin(broadcast(query))
+      .withColumn("__cos", dotNative(col(vecCol), col(qCol)))
+      .filter(col("__cos") >= minCos)
+      .select(col(idCol), round(col("__cos"), 6).as("cos_sim"))
+  }
+
   def probe(index: DataFrame, cents: DataFrame, query: DataFrame,
       idCol: String, vecCol: String, cellCol: String,
       nprobe: Int, k: Int, qCol: String = "q"): DataFrame = {
