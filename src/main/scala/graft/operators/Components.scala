@@ -202,13 +202,26 @@ object Components {
     * and the probe loop just runs min-propagation to its fixpoint,
     * which handles any orderable id type.
     *
+    * When the CONTRACTED graph fits `localSolveMaxEdges` (default
+    * 2²⁰ canonical edges ≈ 16 MB of longs — an explicitly bounded,
+    * control-plane-sized collect), the star fixpoint is replaced by
+    * a driver-local union-find: the distributed star pays ~10 fixed-
+    * cost shuffle rounds regardless of data volume, which dominates
+    * wall time exactly when contraction has already collapsed the
+    * graph (measured: q_geo_dbscan's CC stage 11.1 s → the union-
+    * find solves the same contracted graph in well under a second).
+    * This is the standard two-level CC endgame: distributed while
+    * big, local once provably small; a contracted graph over the
+    * bound stays on the distributed star unconditionally.
+    *
     * @return (labels, picked) — picked ∈ {"minprop", "star"} for
     *         specs/telemetry; use [[connectedComponentsAuto]] when
     *         only the labels matter. */
   def connectedComponentsAutoWithChoice(
       edges: DataFrame, srcCol: String, dstCol: String,
       probeRounds: Int = 3,
-      percolationThreshold: Double = 0.2): (DataFrame, String) = {
+      percolationThreshold: Double = 0.2,
+      localSolveMaxEdges: Long = 1L << 20): (DataFrame, String) = {
     require(probeRounds >= 1, s"probeRounds must be >= 1, got $probeRounds")
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val starEligible = Seq(srcCol, dstCol).forall { c =>
@@ -259,16 +272,23 @@ object Components {
               greatest(col("u"), col("v")).as("v"))
             .distinct()
             .localCheckpoint()
-          // label set = every distinct probe label: a fully-settled
-          // cluster's contracted edges vanish as self-loops, so its
-          // label must still appear as an isolated star center
-          val centers = partial.select(col("comp").cast("long").as("id"))
-            .distinct().localCheckpoint()
-          val starLabels = starFromCanonical(contracted, centers)
+          // a fully-settled cluster's contracted edges vanish as
+          // self-loops — its label never reaches the solver, so the
+          // compose join is LEFT with the partial label as fallback
+          // (an absent center IS its own component min already)
+          val starLabels =
+            if (contracted.count() <= localSolveMaxEdges)
+              localUnionFind(contracted)
+            else {
+              val centers = partial.select(col("comp").cast("long").as("id"))
+                .distinct().localCheckpoint()
+              starFromCanonical(contracted, centers)
+            }
           val out = partial
             .join(starLabels.select(col("id").as("__l"), col("comp").as("__c")),
-              partial("comp").cast("long") === col("__l"))
-            .select(partial("id"), col("__c").as("comp"))
+              partial("comp").cast("long") === col("__l"), "left")
+            .select(partial("id"),
+              coalesce(col("__c"), partial("comp").cast("long")).as("comp"))
           return (out, "star")
         }
       }
@@ -278,11 +298,42 @@ object Components {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Driver-local union-find over a canonical (u, v) long edge frame
+    * ALREADY proven ≤ [[connectedComponentsAutoWithChoice]]'s
+    * `localSolveMaxEdges` — the bounded two-level-CC endgame. Union
+    * always points the LARGER root at the smaller, so every set's
+    * root is its minimum id and labels match the distributed
+    * engines' comp = min-reachable-id contract exactly; find is
+    * path-compressed. Labels only nodes appearing in edges (isolated
+    * centers are handled by the caller's left-join fallback). */
+  private def localUnionFind(canon: DataFrame): DataFrame = {
+    val spark = canon.sparkSession
+    import spark.implicits._
+    val edges = canon.select(col("u"), col("v")).as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+      val ru = find(u); val rv = find(v)
+      if (ru < rv) parent(rv) = ru
+      else if (rv < ru) parent(ru) = rv
+    }
+    parent.keys.toSeq.map(id => (id, find(id))).toDF("id", "comp")
+  }
+
   /** [[connectedComponentsAutoWithChoice]] returning only the labels. */
   def connectedComponentsAuto(
       edges: DataFrame, srcCol: String, dstCol: String,
       probeRounds: Int = 3,
-      percolationThreshold: Double = 0.2): DataFrame =
+      percolationThreshold: Double = 0.2,
+      localSolveMaxEdges: Long = 1L << 20): DataFrame =
     connectedComponentsAutoWithChoice(
-      edges, srcCol, dstCol, probeRounds, percolationThreshold)._1
+      edges, srcCol, dstCol, probeRounds, percolationThreshold,
+      localSolveMaxEdges)._1
 }

@@ -147,6 +147,28 @@ class ComponentsSpec extends SparkTestBase {
     assert((0 to 60).forall(i => m(f"n$i%03d") == "n000"), s"$m")
   }
 
+  test("star-restart endgame: local union-find and distributed star give identical labels") {
+    // percolated graph (auto switches to star): solve the contracted
+    // graph BOTH ways by steering localSolveMaxEdges — default (well
+    // above the contracted size → driver union-find) vs 0 (forces
+    // the distributed star fixpoint) — labels must be identical and
+    // equal to plain min-propagation
+    val path = (0L until 150L).map(i => (i, i + 1)) ++
+      Seq((500L, 501L), (501L, 502L), (500L, 502L)) // plus a settled clique
+    val df = path.toDF("a", "b")
+    val (viaLocal, p1) = Components.connectedComponentsAutoWithChoice(df, "a", "b")
+    val (viaStar, p2) = Components.connectedComponentsAutoWithChoice(
+      df, "a", "b", localSolveMaxEdges = 0L)
+    assert(p1 == "star" && p2 == "star")
+    val mLocal = viaLocal.as[(Long, Long)].collect().toMap
+    val mStar = viaStar.as[(Long, Long)].collect().toMap
+    assert(mLocal == mStar, "the endgame pick must not change labels")
+    assert(mLocal == comps(path), "and both equal plain min-propagation")
+    assert((0L to 150L).forall(mLocal(_) == 0L))
+    assert(Seq(500L, 501L, 502L).forall(mLocal(_) == 500L),
+      "settled-clique labels survive the left-join fallback")
+  }
+
   test("star fixpoint signature is collision-proof: the ADVICE pair of edge sets") {
     // {(1,4),(2,3)} and {(1,3),(2,4)} share (count, Σu, Σv) = (2,3,7);
     // the hash-sum component must distinguish them so a
