@@ -290,6 +290,51 @@ SELECT b.network, b.pwindow, b.weighted_seconds,
        round(100.0 * b.weighted_seconds / n.net_seconds, 9) AS window_share_pct
 FROM bywin b JOIN bynet n ON n.network = b.network"""))
 
-  val all: Seq[Q] = Seq(bingeSessions, ratingsShare, heavyViewers,
+  /** Audience flow / lead-in retention (C118) — per (network, half-
+    * hour slot): how much of the slot's audience stays for the NEXT
+    * slot on the same network, the "lead-in" number schedulers plan
+    * against. Uses the scheduled half-hour grid the feed already
+    * carries (scheduled_program_start_ts). Scale shape: the fact
+    * folds to DISTINCT (network, slot, viewer) in one exchange, then
+    * a VIEWER-LOCAL pass (collect the viewer's slot set per network,
+    * ≤ a few hundred slots, check slot+1800 membership in-array) —
+    * no slot-grid self-join of the fact; the readout fold is
+    * |network × slots|-sized. Integral counts to one division. */
+  private val audienceFlow = Q(
+    "q_audience_flow",
+    (s, dir) => {
+      val slots = ViewingData.acr(s, dir)
+        .filter(col("content_type") === "program")
+        .select(col("network"), col("smba_id"),
+          col("scheduled_program_start_ts").as("slot"))
+        .groupBy("network", "smba_id")
+        .agg(collect_set("slot").as("ss"))
+      val perSlot = slots
+        .select(col("network"), explode(col("ss")).as("slot"),
+          col("ss"))
+        .withColumn("ret",
+          when(array_contains(col("ss"), col("slot") + 1800L), 1L)
+            .otherwise(0L))
+      perSlot.groupBy("network", "slot")
+        .agg(count(lit(1)).as("n_viewers"), sum("ret").as("n_retained"))
+        .select(col("network"), col("slot"), col("n_viewers"), col("n_retained"),
+          round(lit(100.0) * col("n_retained") / col("n_viewers"), 9)
+            .as("retention_pct"))
+    },
+    Some(Queries.veCte + """,
+vs AS (SELECT DISTINCT network, scheduled_program_start_ts AS slot, smba_id
+       FROM acr WHERE content_type = 'program'),
+nxt AS (
+  SELECT a.network, a.slot, a.smba_id,
+         CASE WHEN b.smba_id IS NOT NULL THEN 1 ELSE 0 END AS ret
+  FROM vs a LEFT JOIN vs b
+    ON b.network = a.network AND b.smba_id = a.smba_id
+   AND b.slot = a.slot + 1800)
+SELECT network, slot, CAST(COUNT(*) AS BIGINT) AS n_viewers,
+       CAST(SUM(ret) AS BIGINT) AS n_retained,
+       round(100.0 * SUM(ret) / COUNT(*), 9) AS retention_pct
+FROM nxt GROUP BY 1, 2"""))
+
+  val all: Seq[Q] = Seq(bingeSessions, ratingsShare, heavyViewers, audienceFlow,
     audienceDuplication, playbackWindows)
 }

@@ -208,6 +208,65 @@ object Ivf {
     spark.read.parquet(s"$path/cells")
       .groupBy(col("batch"), col(cellCol)).count()
 
+  /** Persist the per-cell max-radius stats [[rangeProbe]] needs,
+    * next to a [[writeIndex]] index (`cellstats/`): (cell, r,
+    * n_batches), where n_batches records how many `batch=` partitions
+    * the stats cover. One full index pass at build/refresh time —
+    * the production trade: radius queries then prune at FILE level
+    * forever after. MUST be re-run after [[appendToIndex]]: appended
+    * vectors can exceed a cell's stored radius, which would break
+    * the exactness bound — [[rangeProbeIndexed]] refuses stale stats
+    * by comparing batch counts rather than silently missing rows. */
+  def writeCellStats(spark: org.apache.spark.sql.SparkSession, path: String,
+      vecCol: String, cellCol: String): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val idx = spark.read.parquet(s"$path/cells")
+    val nBatches = idx.select("batch").distinct().count()
+    idx.join(broadcast(cents), cellCol)
+      .groupBy(cellCol)
+      .agg(max(sqrt(greatest(lit(0.0),
+        lit(2.0) - lit(2.0) * dotNative(col(vecCol), col("centroid"))))).as("r"))
+      .withColumn("n_batches", lit(nBatches))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cellstats")
+  }
+
+  /** [[rangeProbe]] against a persisted index: the surviving-cell set
+    * is decided from the tiny centroid+stats tables and collected
+    * driver-side (control-plane metadata, like any partition
+    * predicate), so the cells scan carries a LITERAL partition filter
+    * and the excluded cells' files are never listed — the file-level
+    * form of the triangle-bound guarantee, still returning EXACTLY
+    * the brute-force radius result. Throws if [[appendToIndex]] ran
+    * after the last [[writeCellStats]] (stale radii would silently
+    * lose appended rows — refusal is the only exact option). */
+  def rangeProbeIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, query: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, minCos: Double, qCol: String = "q"): DataFrame = {
+    val stats = spark.read.parquet(s"$path/cellstats")
+    val covered = stats.agg(max("n_batches")).head.getLong(0)
+    val present = spark.read.parquet(s"$path/cells")
+      .select("batch").distinct().count()
+    if (covered != present)
+      throw new IllegalStateException(
+        s"cellstats at $path cover $covered batches but the index has " +
+          s"$present — run writeCellStats after appendToIndex or the " +
+          "radius bound loses appended rows")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val t = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCos))
+    val surviving = cents.join(stats, cellCol)
+      .crossJoin(broadcast(query))
+      .filter(sqrt(greatest(lit(0.0),
+        lit(2.0) - lit(2.0) * dotNative(col("centroid"), col(qCol)))) -
+        col("r") <= lit(t + 1e-9))
+      .select(col(cellCol)).collect().map(_.get(0))
+    spark.read.parquet(s"$path/cells")
+      .filter(col(cellCol).isin(surviving.toIndexedSeq: _*))
+      .crossJoin(broadcast(query))
+      .withColumn("__cos", dotNative(col(vecCol), col(qCol)))
+      .filter(col("__cos") >= minCos)
+      .select(col(idCol), round(col("__cos"), 6).as("cos_sim"))
+  }
+
   /** Probe a [[writeIndex]]-persisted index. Centroid ranking runs on
     * the (tiny) centroid table and the winning `nprobe` cell ids are
     * collected driver-side — control-plane metadata, like any

@@ -49,6 +49,50 @@ class IvfRangeSpec extends SparkTestBase {
       "vec_id", "e", "label", minCos = 0.99).count() == 0)
   }
 
+  test("persisted index: file-pruned range probe is exact; stale stats after append refused") {
+    graft.plans.GraftExtensions.register(spark)
+    val v = ViewingData.table(spark, Sf, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("label"),
+        normalize(toDouble(col("embedding"))).as("e"))
+      .localCheckpoint()
+    val base = v.filter(col("vec_id") % 5 =!= 4)
+    val delta = v.filter(col("vec_id") % 5 === 4 && col("vec_id") =!= 0)
+    val cents = Ivf.centroids(base, "label", "e").localCheckpoint()
+    val index = Ivf.assign(base, cents, "vec_id", "e", "label").localCheckpoint()
+    val path = java.nio.file.Files.createTempDirectory("ivf-range").toString
+    Ivf.writeIndex(index, cents, "label", path)
+    Ivf.writeCellStats(spark, path, "e", "label")
+    val query = v.filter(col("vec_id") === 0).select(col("e").as("q"))
+    val got = Ivf.rangeProbeIndexed(spark, path, query,
+        "vec_id", "e", "label", minCos = 0.2)
+      .filter(col("vec_id") =!= 0)
+      .as[(Long, Double)].collect().toSet
+    val want = base.crossJoin(broadcast(query))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("c", dotNative(col("e"), col("q")))
+      .filter(col("c") >= 0.2)
+      .select(col("vec_id"), round(col("c"), 6).as("cos_sim"))
+      .as[(Long, Double)].collect().toSet
+    assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
+    // append invalidates the radii — an un-refreshed probe must
+    // REFUSE (silently missing appended rows is the failure mode)
+    Ivf.appendToIndex(spark, path, delta, "vec_id", "e", "label", 1L)
+    val e = intercept[IllegalStateException] {
+      Ivf.rangeProbeIndexed(spark, path, query, "vec_id", "e", "label", 0.2)
+    }
+    assert(e.getMessage.contains("writeCellStats"))
+    // refresh → exact again, appended rows included
+    Ivf.writeCellStats(spark, path, "e", "label")
+    val got2 = Ivf.rangeProbeIndexed(spark, path, query,
+        "vec_id", "e", "label", minCos = 0.2)
+      .filter(col("vec_id") =!= 0)
+      .as[(Long, Double)].collect().toSet
+    val want2 = brute(v, 0.2)
+    assert(got2 == want2, s"missing ${want2 -- got2}, extra ${got2 -- want2}")
+    assert((want2 -- want).nonEmpty || delta.count() == 0,
+      "appended rows must actually extend the result set (corpus shape)")
+  }
+
   test("clustered corpus: most cells pruned, result still exactly brute force") {
     graft.plans.GraftExtensions.register(spark)
     val dim = 16
