@@ -507,4 +507,40 @@ class PlanAuditSpec extends SparkTestBase {
       ph.indexOf("Exchange hashpartitioning(smba_id"),
       s"ntile must ride the entity fold (agg below the single-partition sort):\n$ph")
   }
+
+  test("q_audience_duplication folds the fact once; pair explode rides the entity frame") {
+    val p = plan("q_audience_duplication")
+    // ONE fact-side exchange: the (smba_id, w) set fold (collect_set
+    // subsumes the distinct). The pair/per folds group the exploded
+    // ENTITY frame (checkpointed), and the per-network total joins
+    // back broadcast — no second events scan, no fact self-join.
+    val factExchanges = "Exchange hashpartitioning\\(smba_id".r.findAllIn(p).size
+    assert(factExchanges <= 1, s"fact must fold once, got $factExchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_audience_flow checks lead-in membership viewer-locally — no slot self-join") {
+    val p = plan("q_audience_flow")
+    // the slot+1800 check is array_contains over the viewer's own
+    // slot set: exactly the (network, smba_id) set fold plus the
+    // |network x slots| readout fold — never a join of the slot grid
+    // against itself
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"no join may appear — membership is in-array:\n$p")
+    assert(p.contains("array_contains"), p)
+  }
+
+  test("text_segment_dedup: df joins by segment KEY; rebuild is one per-doc fold") {
+    // the df join is keyed on the segment (Catalyst broadcasts it
+    // only while it FITS — at corpus scale the vocabulary-sized
+    // table exceeds the threshold and the same plan degrades to a
+    // key shuffle join, which is the point of joining by key rather
+    // than forcing broadcast()); what IS shape-invariant: no
+    // cartesian anywhere, and the ordered rebuild groups by doc_id
+    // exactly once
+    val p = plan("text_segment_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    val docFolds = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
+    assert(docFolds == 1, s"rebuild must fold per doc exactly once, got $docFolds:\n$p")
+  }
 }
