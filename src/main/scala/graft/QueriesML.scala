@@ -163,6 +163,103 @@ pairs AS (
     (s, dir) => ngramJaccardPairs(s, dir),
     Some(s"WITH $ngramPairsCte\nSELECT id_a, id_b, jaccard FROM pairs"))
 
+  /** Exact weighted Jaccard over CANDIDATE pairs: tf folds once, the
+    * shared-min join is pair×shared-vocab bounded, and
+    * Σmax = T_a + T_b − Σmin keeps everything integer to one final
+    * division (no per-word max union needed). Shared by D18 (blocked
+    * candidates — the oracle flavor) and D19 (ICWS LSH candidates —
+    * the scale flavor). */
+  private[graft] def weightedJaccardVerify(
+      docs: org.apache.spark.sql.DataFrame, cand: org.apache.spark.sql.DataFrame,
+      tau: Double): org.apache.spark.sql.DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds the shared-min join twice + totals
+    val tot = tf.groupBy("doc_id").agg(sum("tf").as("t"))
+    val shared = cand
+      .join(tf.select(col("doc_id").as("id_a"), col("w"), col("tf").as("tfa")), "id_a")
+      .join(tf.select(col("doc_id").as("id_b"), col("w"), col("tf").as("tfb")),
+        Seq("id_b", "w"))
+      .groupBy("id_a", "id_b").agg(sum(least(col("tfa"), col("tfb"))).as("smin"))
+    shared
+      .join(tot.select(col("doc_id").as("id_a"), col("t").as("ta")), "id_a")
+      .join(tot.select(col("doc_id").as("id_b"), col("t").as("tb")), "id_b")
+      .withColumn("jw",
+        col("smin") / (col("ta") + col("tb") - col("smin")))
+      .filter(col("jw") >= tau)
+      .select(col("id_a"), col("id_b"),
+        round(col("jw"), 6).as("weighted_jaccard"))
+  }
+
+  /** D18 — EXACT tf-weighted Jaccard dedup (the D2 discipline with
+    * weights): word tf vectors, candidates blocked on
+    * (lang, n_chars), J_w = Σmin/Σmax ≥ 0.5. Repetition-heavy docs
+    * that set Jaccard conflates (same vocab, different emphasis)
+    * separate under the weighted form — the tf-weighted near-dup
+    * semantics a curation pipeline wants for templated text. Fully
+    * DuckDB-oracled (integer Σmin/totals to one division). */
+  private val dedupWeightedJaccard = Q(
+    "dedup_weighted_jaccard",
+    (s, dir) => {
+      val docs = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .localCheckpoint()
+      val cand = docs.as("a").join(docs.as("b"),
+          expr("a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      weightedJaccardVerify(docs, cand, 0.5)
+    },
+    Some("""WITH d AS (
+  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS ws FROM documents),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM d, UNNEST(ws) AS u(w) GROUP BY 1, 2),
+tot AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS t FROM tf GROUP BY 1),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+sh AS (
+  SELECT c.id_a, c.id_b, CAST(SUM(least(x.tf, y.tf)) AS BIGINT) AS smin
+  FROM cand c
+  JOIN tf x ON x.doc_id = c.id_a
+  JOIN tf y ON y.doc_id = c.id_b AND y.w = x.w
+  GROUP BY 1, 2),
+j AS (
+  SELECT sh.id_a, sh.id_b, CAST(smin AS DOUBLE) / (ta.t + tb.t - smin) AS jw
+  FROM sh JOIN tot ta ON ta.doc_id = sh.id_a
+          JOIN tot tb ON tb.doc_id = sh.id_b)
+SELECT id_a, id_b, round(jw, 6) AS weighted_jaccard FROM j WHERE jw >= 0.5"""))
+
+  /** D19 — the SCALE flavor of D18: ICWS weighted-MinHash signatures
+    * (operators/Icws.scala, Ioffe ICDM'10) banded 8×2 generate
+    * bucket-local candidates with collision probability J_w per
+    * sample, then [[weightedJaccardVerify]] re-checks exactly.
+    * UNLIKE D18 this flavor needs no blocking key — the LSH bands
+    * ARE the blocks — so its reference set is the UNBLOCKED exact
+    * result, which it under-reports only when all 8 bands miss
+    * (Pr ≈ (1 − J_w²)⁸ ≈ 0.004 at the 0.7 threshold). τ = 0.7, not
+    * D18's 0.5: without the (lang, n_chars) block, this small-vocab
+    * corpus has ~10% of ALL pairs above J_w 0.5 (similar tf
+    * profiles), and 0.7 is where genuine near-dups separate.
+    * Rows-only BY DESIGN: the ICWS draws go through ln/exp, where a
+    * last-ulp argmin tie could differ across engines; IcwsSpec pins
+    * the estimator (collision rate ≈ J_w), subset-of-unblocked-exact,
+    * and measured recall instead. */
+  private val dedupIcws = Q(
+    "dedup_icws",
+    (s, dir) => {
+      val docs = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint()
+      val sigs = operators.Icws.signatures(docs, "doc_id", "text", h = 16)
+        .localCheckpoint()
+      val cand = operators.Icws.candidates(sigs, "doc_id",
+        bands = 8, rowsPerBand = 2)
+      weightedJaccardVerify(docs, cand, 0.7)
+    },
+    None)
+
   /** D3's MinHash-LSH near-dup pairs, shared by the registry row and
     * Sweep's `corpus_prep_minhash` (the declared production swap for
     * corpus_prep's blocked-exact pair stage — LSH candidate volume
@@ -1692,7 +1789,8 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
   val all: Seq[Q] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
     bpeTrain, bpeSegment,
-    dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash,
+    dedupExact, dedupNgramJaccard, dedupWeightedJaccard, dedupIcws,
+    dedupMinhash, dedupSimhash,
     dedupSimhashOracle, dedupEmbedding,
     dedupIncremental, dedupMinhashOracle, dedupIncrementalOracle,
     dedupEmbeddingIncremental, dedupFuzzyNames,

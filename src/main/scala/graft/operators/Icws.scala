@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted MinHash by Improved Consistent Weighted Sampling — Ioffe,
+  * "Improved Consistent Sampling, Weighted Minhash and L1 Sketching"
+  * (ICDM 2010). Set MinHash (D3) treats a document as a SET of grams;
+  * tf-weighted near-dup semantics need the weighted Jaccard
+  *   J_w(a, b) = Σ_w min(a_w, b_w) / Σ_w max(a_w, b_w)
+  * whose unbiased sampler is ICWS: per hash i and element w with
+  * weight t, draw (r, c, β) consistently from the (i, w) hash alone
+  * (r, c ~ Gamma(2,1) as −ln(u·u′), β ~ U(0,1]), then
+  *   t_i = ⌊ln t / r + β⌋,   a = c · exp(−r·(t_i − β) − r)
+  * and sample_i = (argmin_w a, t_argmin) — the sample is the PAIR of
+  * the minimizing element and its quantized log-weight level t, not
+  * the element alone (two docs picking the same word at different
+  * weight levels must NOT collide, or the estimator biases high —
+  * measured +0.18 on a J_w=3/7 pair before the fix).
+  * Pr[sample_i(a) = sample_i(b)] = J_w — the collision property
+  * banding then exploits exactly like D3's unweighted LSH.
+  *
+  * Every draw derives from md5((i, k, w)) 24-bit fractions, so
+  * signatures are deterministic across runs; the transcendentals
+  * (ln/exp) keep this flavor rows-only in the registry (an argmin on
+  * a last-ulp tie could differ across ENGINES), with IcwsSpec
+  * pinning the estimator against the EXACT weighted-Jaccard row
+  * (D18) instead.
+  *
+  * Scale shape: one tf fold (doc × distinct word), one narrow
+  * (doc, hash) argmin exchange over h·Σ|vocab_doc| rows, band
+  * buckets bound all pairing work — the D3 economics with weights. */
+object Icws {
+
+  /** k-th uniform in (0, 1] for the current (i, w) row — salted md5
+    * 24-bit prefix, shifted off zero so ln stays finite. */
+  private def u(k: Int) = expr(
+    s"(conv(substring(md5(concat('icws:', cast(i as string), ':$k:', w)), 1, 6), 16, 10) + 1.0D) / 16777217.0D")
+
+  /** (idCol, sig) — sig = array of `h` ICWS samples (the argmin word
+    * per hash) over the doc's word tf vector. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+      h: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .groupBy(idCol, "w").agg(count(lit(1)).as("tf"))
+    val avals = tf
+      .select(col(idCol), col("w"), col("tf"),
+        explode(expr(s"sequence(0, ${h - 1})")).as("i"))
+      .withColumn("r", -(log(u(1)) + log(u(2))))
+      .withColumn("c", -(log(u(3)) + log(u(4))))
+      .withColumn("b", u(5))
+      .withColumn("t",
+        floor(log(col("tf").cast("double")) / col("r") + col("b")))
+      .withColumn("a",
+        col("c") * exp(-col("r") * (col("t") - col("b")) - col("r")))
+    // per (doc, hash): the minimizing (word, t) SAMPLE; (a, w) struct
+    // order makes the last-resort tie deterministic
+    val sig = avals.groupBy(idCol, "i")
+      .agg(min_by(concat(col("w"), lit(":"), col("t").cast("long")),
+        struct(col("a"), col("w"))).as("s"))
+    sig.groupBy(idCol)
+      .agg(expr("transform(sort_array(collect_list(struct(i, s))), x -> x.s)")
+        .as("sig"))
+  }
+
+  /** Banded LSH candidates over [[signatures]]: `bands` buckets of
+    * `rowsPerBand` samples each; a pair collides when any band's
+    * sample tuple matches — Pr ≈ 1 − (1 − J_w^rows)^bands. Pairing
+    * work is bucket-local (the D3/D16 discipline). */
+  def candidates(sigs: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(col(idCol), posexplode(expr(
+      s"""transform(sequence(0, ${bands - 1}),
+          b -> concat_ws('|', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"""))
+      .as(Seq("band", "key")))
+    banded.as("x").join(banded.as("y"),
+        expr(s"x.band = y.band AND x.key = y.key AND x.$idCol < y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Icws
+import graft.sources.ViewingData
+
+/** ICWS weighted MinHash (D19) — the properties the rows-only
+  * registry row rests on: the collision-rate estimator is J_w, the
+  * banded candidates recall the unblocked exact result, and the
+  * weighted semantics actually separate what set Jaccard conflates. */
+class IcwsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("collision rate across signatures estimates weighted Jaccard") {
+    // tf vectors {x:4, y:1} vs {x:2, y:3}: Σmin = 2+1 = 3,
+    // Σmax = 4+3 = 7 → J_w = 3/7 ≈ 0.4286. With h=256 samples the
+    // match-fraction std is √(p(1−p)/256) ≈ 0.031 — assert within 3σ.
+    val docs = Seq((1L, "x x x x y"), (2L, "x x y y y")).toDF("doc_id", "text")
+    val sigs = Icws.signatures(docs, "doc_id", "text", h = 256)
+      .as[(Long, Seq[String])].collect().toMap
+    val matches = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
+    val rate = matches / 256.0
+    assert(math.abs(rate - 3.0 / 7.0) < 0.095,
+      s"collision rate $rate should estimate J_w=${3.0 / 7.0}")
+  }
+
+  test("identical docs collide on every sample; disjoint docs on none") {
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"),
+      (2L, "alpha beta beta gamma"),
+      (3L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val sigs = Icws.signatures(docs, "doc_id", "text", h = 32)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sigs(1L) == sigs(2L), "J_w = 1 must collide everywhere")
+    assert(sigs(1L).zip(sigs(3L)).forall { case (a, b) => a != b },
+      "J_w = 0 (disjoint vocab) can never collide — samples are own-vocab words")
+  }
+
+  test("registry row ⊆ unblocked exact result at the same tau, with high recall") {
+    val docs = ViewingData.table(spark, Sf, "documents")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val allPairs = docs.select(col("doc_id").as("id_a")).crossJoin(
+        docs.select(col("doc_id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    val exact = QueriesML.weightedJaccardVerify(docs, allPairs, 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val got = SparkEntry.queries("dedup_icws")(spark, Sf)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact),
+      s"verification must keep the output inside exact: ${got -- exact}")
+    assert(exact.nonEmpty, "corpus must contain qualifying weighted pairs")
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.8,
+      s"8×2 bands at J_w≥0.7 predict ≈0.996 per-pair recall, measured $recall")
+  }
+
+  test("weighted semantics separate what set Jaccard conflates") {
+    // same vocabulary, opposite emphasis: set J = 1.0, J_w = 1/3
+    val docs = Seq((1L, "a a a b"), (2L, "a b b b")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val jw = QueriesML.weightedJaccardVerify(docs, cand, 0.0)
+      .select("weighted_jaccard").as[Double].head()
+    assert(math.abs(jw - 1.0 / 3.0) < 1e-6, s"J_w must be 1/3, got $jw")
+  }
+}
