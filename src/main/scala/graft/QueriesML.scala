@@ -234,29 +234,31 @@ SELECT id_a, id_b, round(jw, 6) AS weighted_jaccard FROM j WHERE jw >= 0.5"""))
     * (operators/Icws.scala, Ioffe ICDM'10) banded 8×2 generate
     * bucket-local candidates with collision probability J_w per
     * sample, then [[weightedJaccardVerify]] re-checks exactly.
-    * UNLIKE D18 this flavor needs no blocking key — the LSH bands
-    * ARE the blocks — so its reference set is the UNBLOCKED exact
-    * result, which it under-reports only when all 8 bands miss
-    * (Pr ≈ (1 − J_w²)⁸ ≈ 0.004 at the 0.7 threshold). τ = 0.7, not
-    * D18's 0.5: without the (lang, n_chars) block, this small-vocab
-    * corpus has ~10% of ALL pairs above J_w 0.5 (similar tf
-    * profiles), and 0.7 is where genuine near-dups separate.
-    * Rows-only BY DESIGN: the ICWS draws go through ln/exp, where a
-    * last-ulp argmin tie could differ across engines; IcwsSpec pins
-    * the estimator (collision rate ≈ J_w), subset-of-unblocked-exact,
-    * and measured recall instead. */
+    * The band key COMPOSES the (lang, n_chars) blocking keys (see
+    * Icws.candidates scaladoc: this corpus's ≈40-word vocabulary
+    * puts random pairs at J_w ≈ 0.5, and no rows-per-band setting
+    * separates that from τ = 0.7 without killing recall — measured
+    * 6.4M candidates unblocked at sf0.1, bucket-bounded with the
+    * blocks composed). τ = 0.55: the blocked-pair J_w ceiling on this
+    * corpus is ≈ 0.61–0.68, so 0.7 would return nothing; at 0.55 the
+    * per-pair all-bands-miss probability is (1 − J_w²)⁸ ≈ 0.058.
+    * Output ⊆ the blocked exact result at τ. Rows-only BY DESIGN: the
+    * ICWS draws go through ln/exp, where a last-ulp argmin tie could
+    * differ across engines; IcwsSpec pins the estimator (collision
+    * rate ≈ J_w), subset-of-exact, and measured recall instead. */
   private val dedupIcws = Q(
     "dedup_icws",
     (s, dir) => {
       val docs = ViewingData.table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
         .localCheckpoint()
       val sigs = operators.Icws.signatures(docs, "doc_id", "text", h = 16)
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
         .localCheckpoint()
       val cand = operators.Icws.candidates(sigs, "doc_id",
-        bands = 8, rowsPerBand = 2)
-      weightedJaccardVerify(docs, cand, 0.7)
+        bands = 8, rowsPerBand = 2, blockCols = Seq("lang", "n_chars"))
+      weightedJaccardVerify(docs, cand, 0.55)
     },
     None)
 

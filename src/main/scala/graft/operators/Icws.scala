@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   * Pr[sample_i(a) = sample_i(b)] = J_w — the collision property
   * banding then exploits exactly like D3's unweighted LSH.
   *
-  * Every draw derives from md5((i, k, w)) 24-bit fractions, so
+  * Every draw derives from xxhash64((i, w, k)) 24-bit fractions, so
   * signatures are deterministic across runs; the transcendentals
   * (ln/exp) keep this flavor rows-only in the registry (an argmin on
   * a last-ulp tie could differ across ENGINES), with IcwsSpec
@@ -32,10 +32,20 @@ import org.apache.spark.sql.functions._
   * buckets bound all pairing work — the D3 economics with weights. */
 object Icws {
 
-  /** k-th uniform in (0, 1] for the current (i, w) row — salted md5
-    * 24-bit prefix, shifted off zero so ln stays finite. */
-  private def u(k: Int) = expr(
-    s"(conv(substring(md5(concat('icws:', cast(i as string), ':$k:', w)), 1, 6), 16, 10) + 1.0D) / 16777217.0D")
+  /** One (t, a) draw per (i, w, tf) row, built for WHOLE-STAGE
+    * CODEGEN: uniforms come from xxhash64 (a native, codegen\'d long
+    * hash) rather than md5+conv+substring string plumbing, and the
+    * intermediates are PLAIN columns — CollapseProject inlines them
+    * (r appears 4\u00d7 across t and a), but recomputing a handful of
+    * hash+ln nodes in generated code costs far less than forcing a
+    * let-bound nested-`transform` form, which evaluates INTERPRETED
+    * (higher-order functions have no codegen): measured on the
+    * sf0.1 corpus\'s 1.9M (i, w) rows, the draw went 9.2 s
+    * (let-bound md5 HOFs) \u2192 ~1 s (this form). Uniforms shift off
+    * zero so ln stays finite. */
+  private def u(k: Int) =
+    (pmod(xxhash64(lit("icws"), col("i"), col("w"), lit(k)),
+      lit(1 << 24)).cast("double") + 1.0) / 16777217.0
 
   /** (idCol, sig) — sig = array of `h` ICWS samples (the argmin word
     * per hash) over the doc's word tf vector. */
@@ -51,13 +61,13 @@ object Icws {
       .withColumn("c", -(log(u(3)) + log(u(4))))
       .withColumn("b", u(5))
       .withColumn("t",
-        floor(log(col("tf").cast("double")) / col("r") + col("b")))
+        floor(log(col("tf").cast("double")) / col("r") + col("b")).cast("long"))
       .withColumn("a",
-        col("c") * exp(-col("r") * (col("t") - col("b")) - col("r")))
+        col("c") * exp(-col("r") * (col("t").cast("double") - col("b")) - col("r")))
     // per (doc, hash): the minimizing (word, t) SAMPLE; (a, w) struct
     // order makes the last-resort tie deterministic
     val sig = avals.groupBy(idCol, "i")
-      .agg(min_by(concat(col("w"), lit(":"), col("t").cast("long")),
+      .agg(min_by(concat(col("w"), lit(":"), col("t")),
         struct(col("a"), col("w"))).as("s"))
     sig.groupBy(idCol)
       .agg(expr("transform(sort_array(collect_list(struct(i, s))), x -> x.s)")
@@ -67,15 +77,29 @@ object Icws {
   /** Banded LSH candidates over [[signatures]]: `bands` buckets of
     * `rowsPerBand` samples each; a pair collides when any band's
     * sample tuple matches — Pr ≈ 1 − (1 − J_w^rows)^bands. Pairing
-    * work is bucket-local (the D3/D16 discipline). */
+    * work is bucket-local (the D3/D16 discipline).
+    *
+    * `blockCols` (columns that must ALSO match, carried on `sigs`)
+    * compose the domain's cheap blocking keys into the band key.
+    * This matters when the BACKGROUND similarity sits near the
+    * threshold: on the test corpus (≈40-word vocabulary, random
+    * pairs at J_w ≈ 0.5 vs τ = 0.7) pure 8×2 banding admitted 6.4M
+    * candidate pairs at sf0.1 — the S-curve cannot separate 0.5 from
+    * 0.7 cheaply, and no rows-per-band setting fixes that without
+    * killing recall. Composing (lang, n_chars) bounds every bucket
+    * by its block, the same defense D18 uses outright; corpora with
+    * genuinely low background similarity can pass Nil. */
   def candidates(sigs: DataFrame, idCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sigs.select(col(idCol), posexplode(expr(
-      s"""transform(sequence(0, ${bands - 1}),
-          b -> concat_ws('|', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"""))
-      .as(Seq("band", "key")))
+      bands: Int, rowsPerBand: Int,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    val banded = sigs.select(
+      col(idCol) +: blockCols.map(col) :+ posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+            b -> concat_ws('|', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"""))
+        .as(Seq("band", "key")): _*)
+    val blockEq = blockCols.map(c => s" AND x.$c = y.$c").mkString
     banded.as("x").join(banded.as("y"),
-        expr(s"x.band = y.band AND x.key = y.key AND x.$idCol < y.$idCol"))
+        expr(s"x.band = y.band AND x.key = y.key$blockEq AND x.$idCol < y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
   }

@@ -37,13 +37,21 @@ class IcwsSpec extends SparkTestBase {
       "J_w = 0 (disjoint vocab) can never collide — samples are own-vocab words")
   }
 
-  test("registry row ⊆ unblocked exact result at the same tau, with high recall") {
-    val docs = ViewingData.table(spark, Sf, "documents")
-      .select(col("doc_id"), col("text")).localCheckpoint()
-    val allPairs = docs.select(col("doc_id").as("id_a")).crossJoin(
-        docs.select(col("doc_id").as("id_b")))
-      .filter(col("id_a") < col("id_b"))
-    val exact = QueriesML.weightedJaccardVerify(docs, allPairs, 0.7)
+  test("registry row ⊆ blocked exact result at the same tau, with high recall") {
+    // the registry row composes the (lang, n_chars) blocks into the
+    // band key (Icws.candidates scaladoc: the corpus's background
+    // J_w ≈ 0.5 sits too close to the threshold for banding alone),
+    // so its reference set is the BLOCKED exact result — D18's
+    // candidate discipline at D19's τ = 0.55 (the blocked-pair J_w
+    // ceiling here is ≈ 0.61, so 0.7 would be vacuous)
+    val d = ViewingData.table(spark, Sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .localCheckpoint()
+    val docs = d.select("doc_id", "text")
+    val blocked = d.as("a").join(d.as("b"),
+        expr("a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val exact = QueriesML.weightedJaccardVerify(docs, blocked, 0.55)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val got = SparkEntry.queries("dedup_icws")(spark, Sf)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -51,8 +59,8 @@ class IcwsSpec extends SparkTestBase {
       s"verification must keep the output inside exact: ${got -- exact}")
     assert(exact.nonEmpty, "corpus must contain qualifying weighted pairs")
     val recall = got.size.toDouble / exact.size
-    assert(recall >= 0.8,
-      s"8×2 bands at J_w≥0.7 predict ≈0.996 per-pair recall, measured $recall")
+    assert(recall >= 0.7,
+      s"8×2 bands at J_w≥0.55 predict ≈0.94 per-pair recall, measured $recall")
   }
 
   test("weighted semantics separate what set Jaccard conflates") {
