@@ -267,6 +267,47 @@ object Ivf {
       .select(col(idCol), round(col("__cos"), 6).as("cos_sim"))
   }
 
+  /** Batch form of [[rangeProbeIndexed]]: every (query, id) pair with
+    * cos ≥ `minCos` for a whole query SET in one pass — the offline
+    * shape (labeling a corpus against a reference set, contamination
+    * radius scans) where per-query round-trips would dominate. Same
+    * exactness contract and stale-stats refusal as the single-query
+    * form; the cells scan runs ONCE with a literal partition filter
+    * over the UNION of every query's surviving cells (distinct cell
+    * ids collected driver-side — bounded by |cells|, not |queries|),
+    * then candidates join the (query, cell) pairs broadcast. Nothing
+    * scales with |queries|×|corpus| except the surviving-cell
+    * candidate set itself. */
+  def rangeProbeIndexedBatch(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, idCol: String, vecCol: String,
+      cellCol: String, minCos: Double, qIdCol: String = "query_id",
+      qCol: String = "q"): DataFrame = {
+    val stats = spark.read.parquet(s"$path/cellstats")
+    val covered = stats.agg(max("n_batches")).head.getLong(0)
+    val present = spark.read.parquet(s"$path/cells")
+      .select("batch").distinct().count()
+    if (covered != present)
+      throw new IllegalStateException(
+        s"cellstats at $path cover $covered batches but the index has " +
+          s"$present — run writeCellStats after appendToIndex or the " +
+          "radius bound loses appended rows")
+    val cents = spark.read.parquet(s"$path/centroids")
+    val t = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCos))
+    val qCells = queries.crossJoin(broadcast(cents.join(stats, cellCol)))
+      .filter(sqrt(greatest(lit(0.0),
+        lit(2.0) - lit(2.0) * dotNative(col("centroid"), col(qCol)))) -
+        col("r") <= lit(t + 1e-9))
+      .select(col(qIdCol), col(qCol), col(cellCol))
+      .localCheckpoint() // consumed twice: cell-id union + candidate join
+    val survivingCells = qCells.select(cellCol).distinct().collect().map(_.get(0))
+    spark.read.parquet(s"$path/cells")
+      .filter(col(cellCol).isin(survivingCells.toIndexedSeq: _*))
+      .join(broadcast(qCells), cellCol)
+      .withColumn("__cos", dotNative(col(vecCol), col(qCol)))
+      .filter(col("__cos") >= minCos)
+      .select(col(qIdCol), col(idCol), round(col("__cos"), 6).as("cos_sim"))
+  }
+
   /** Probe a [[writeIndex]]-persisted index. Centroid ranking runs on
     * the (tiny) centroid table and the winning `nprobe` cell ids are
     * collected driver-side — control-plane metadata, like any

@@ -93,6 +93,35 @@ class IvfRangeSpec extends SparkTestBase {
       "appended rows must actually extend the result set (corpus shape)")
   }
 
+  test("batch range probe equals per-query single probes (and shares their refusal)") {
+    graft.plans.GraftExtensions.register(spark)
+    val v = ViewingData.table(spark, Sf, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"), col("label"),
+        normalize(toDouble(col("embedding"))).as("e"))
+      .localCheckpoint()
+    val cents = Ivf.centroids(v, "label", "e").localCheckpoint()
+    val index = Ivf.assign(v, cents, "vec_id", "e", "label").localCheckpoint()
+    val path = java.nio.file.Files.createTempDirectory("ivf-range-b").toString
+    Ivf.writeIndex(index, cents, "label", path)
+    Ivf.writeCellStats(spark, path, "e", "label")
+    val qs = v.filter(col("vec_id").isin(0L, 7L, 42L))
+      .select(col("vec_id").as("query_id"), col("e").as("q"))
+      .localCheckpoint()
+    val got = Ivf.rangeProbeIndexedBatch(spark, path, qs,
+        "vec_id", "e", "label", minCos = 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val want = qs.as[(Long, Seq[Double])].collect().flatMap { case (qid, q) =>
+      val one = Seq(q).toDF("q")
+      Ivf.rangeProbeIndexed(spark, path, one, "vec_id", "e", "label", 0.2)
+        .as[(Long, Double)].collect().map { case (id, c) => (qid, id, c) }
+    }.toSet
+    assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
+    assert(got.nonEmpty)
+    // each query retrieves itself at cosine 1
+    assert(Seq(0L, 7L, 42L).forall(q => got.contains((q, q, 1.0))),
+      s"self-retrieval at cos=1 expected: $got")
+  }
+
   test("clustered corpus: most cells pruned, result still exactly brute force") {
     graft.plans.GraftExtensions.register(spark)
     val dim = 16
