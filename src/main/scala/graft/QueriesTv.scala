@@ -335,6 +335,59 @@ SELECT network, slot, CAST(COUNT(*) AS BIGINT) AS n_viewers,
        round(100.0 * SUM(ret) / COUNT(*), 9) AS retention_pct
 FROM nxt GROUP BY 1, 2"""))
 
-  val all: Seq[Q] = Seq(bingeSessions, ratingsShare, heavyViewers, audienceFlow,
+  /** Campaign GRPs (C119) — the ad-side readout of the weighted
+    * events the reference's DAG produces (etl-ddl-backfill.sql's
+    * weighted_events feed ads too): per ad content_id, weighted
+    * impressions over the panel universe as gross rating points
+    * (GRP = 100 · Σ w_impressions / U), weighted reach (Σ w over
+    * DISTINCT viewers), and average frequency (weighted impressions
+    * / weighted reach). Scale shape: weights broadcast onto ONE
+    * ad-filtered fact scan feeding both the impression fold and the
+    * distinct-viewer reach fold (the checkpoint shares the scan);
+    * U is a one-row cross join. Integral sums to the two final
+    * divisions. */
+  private val adGrp = Q(
+    "q_ad_grp",
+    (s, dir) => {
+      val weights = ViewingData.table(s, dir, "customer")
+        .select(col("c_custkey").cast("string").as("smba_id"),
+          floor(abs(col("c_acctbal"))).cast("long").as("w"))
+      val ads = ViewingData.acr(s, dir)
+        .filter(col("content_type") === "ad")
+        .select(col("smba_id"), col("content_id"))
+        .join(broadcast(weights), "smba_id")
+        .localCheckpoint() // impressions fold AND reach fold
+      val impressions = ads.groupBy("content_id")
+        .agg(count(lit(1)).as("impressions"), sum("w").as("w_impressions"))
+      val reach = ads.select("content_id", "smba_id", "w").distinct()
+        .groupBy("content_id").agg(sum("w").as("w_reach"))
+      val universe = broadcast(weights.agg(sum("w").as("u_weight")))
+      impressions.join(reach, "content_id").crossJoin(universe)
+        .select(col("content_id"), col("impressions"), col("w_reach"),
+          round(lit(100.0) * col("w_impressions") / col("u_weight"), 9).as("grp"),
+          round(col("w_impressions") / col("w_reach"), 9).as("avg_frequency"))
+    },
+    Some(Queries.veCte + """,
+w AS (SELECT CAST(c_custkey AS VARCHAR) AS smba_id,
+             CAST(floor(abs(c_acctbal)) AS BIGINT) AS wt
+      FROM customer),
+ads AS (
+  SELECT a.content_id, a.smba_id, w.wt
+  FROM acr a JOIN w ON w.smba_id = a.smba_id
+  WHERE a.content_type = 'ad'),
+imp AS (
+  SELECT content_id, CAST(COUNT(*) AS BIGINT) AS impressions,
+         CAST(SUM(wt) AS BIGINT) AS w_impressions
+  FROM ads GROUP BY 1),
+rch AS (
+  SELECT content_id, CAST(SUM(wt) AS BIGINT) AS w_reach
+  FROM (SELECT DISTINCT content_id, smba_id, wt FROM ads) GROUP BY 1),
+u AS (SELECT CAST(SUM(wt) AS BIGINT) AS u_weight FROM w)
+SELECT imp.content_id, impressions, w_reach,
+       round(100.0 * w_impressions / u_weight, 9) AS grp,
+       round(CAST(w_impressions AS DOUBLE) / w_reach, 9) AS avg_frequency
+FROM imp JOIN rch ON rch.content_id = imp.content_id CROSS JOIN u"""))
+
+  val all: Seq[Q] = Seq(bingeSessions, ratingsShare, heavyViewers, audienceFlow, adGrp,
     audienceDuplication, playbackWindows)
 }

@@ -63,6 +63,17 @@ class IcwsSpec extends SparkTestBase {
       s"8×2 bands at J_w≥0.55 predict ≈0.94 per-pair recall, measured $recall")
   }
 
+  test("the draw chain stays inside whole-stage codegen (strict, no fallback)") {
+    // the whole point of the xxhash64 plain-column formulation
+    // (PLANS.md round-9 forensics: the let-bound HOF form evaluated
+    // interpreted at 9.2 s / 1.9M rows) — regressions that knock the
+    // draw out of codegen must throw here, not silently cost 4×
+    withStrictCodegen {
+      val docs = Seq((1L, "alpha beta beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+      assert(Icws.signatures(docs, "doc_id", "text", h = 8).count() == 2)
+    }
+  }
+
   test("weighted semantics separate what set Jaccard conflates") {
     // same vocabulary, opposite emphasis: set J = 1.0, J_w = 1/3
     val docs = Seq((1L, "a a a b"), (2L, "a b b b")).toDF("doc_id", "text")
