@@ -33,9 +33,16 @@ object Components {
     * same barrier the star fixpoint uses), accumulated in
     * decimal(38,0) because a long sum of 64-bit hashes overflows. */
   private def labelSig(df: DataFrame): Any = {
-    import org.apache.spark.sql.types.NumericType
+    import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
     df.schema("comp").dataType match {
-      case _: NumericType =>
+      // EXACT sum types only: integral and decimal sums are
+      // associative-exact, so sum equality ⟺ no label moved. Float/
+      // double labels must NOT take this branch — a non-associative
+      // FP sum can absorb a real label decrease below the running
+      // sum's ulp and stop the loop early with wrong labels (silent,
+      // unlike the old getLong which at least threw) — they route to
+      // the hash signature with every other orderable type.
+      case ByteType | ShortType | IntegerType | LongType | _: DecimalType =>
         df.agg(coalesce(sum("comp"), lit(0L))).head.get(0)
       case _ =>
         df.agg(coalesce(

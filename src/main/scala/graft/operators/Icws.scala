@@ -92,6 +92,17 @@ object Icws {
   def candidates(sigs: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int,
       blockCols: Seq[String] = Nil): DataFrame = {
+    // geometry guard: bands × rowsPerBand must tile the signature
+    // exactly. Oversized products make every trailing band slice past
+    // the array → empty-string key for EVERY doc → a silent
+    // within-block quadratic pairing explosion; undersized silently
+    // ignores tail samples. One control-plane peek (first row) pins it
+    // against the data itself, not a parameter the caller repeats.
+    sigs.select(size(col("sig"))).head(1).foreach { r =>
+      require(bands * rowsPerBand == r.getInt(0),
+        s"bands ($bands) × rowsPerBand ($rowsPerBand) must equal the " +
+          s"signature length (${r.getInt(0)})")
+    }
     val banded = sigs.select(
       col(idCol) +: blockCols.map(col) :+ posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}),

@@ -101,6 +101,14 @@ object Ivf {
       .write.partitionBy("batch", cellCol).mode("overwrite")
       .parquet(s"$path/cells")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // a REBUILD invalidates any radius stats from the previous index
+    // generation, and the batch-count staleness check cannot see a
+    // rebuild (both generations may have one batch) — delete them so
+    // a range probe fails LOUDLY (missing cellstats) instead of
+    // silently pruning with the old generation's radii
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/cellstats")
+    statsPath.getFileSystem(index.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(statsPath, true)
   }
 
   /** Appends a delta of vectors to a persisted index WITHOUT
@@ -230,6 +238,32 @@ object Ivf {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cellstats")
   }
 
+  /** The shared stale-stats refusal of [[rangeProbeIndexed]] /
+    * [[rangeProbeIndexedBatch]]: returns the stats frame or throws.
+    * Catches [[appendToIndex]] without a stats refresh (batch counts
+    * diverge) and a [[writeIndex]] rebuild (which deletes the stats
+    * — the read fails loudly on the missing path). The one hole left
+    * by design: replaying an EXISTING batchId with DIFFERENT vectors
+    * — that violates appendToIndex's replay-idempotence contract
+    * itself, which stats cannot be expected to police. */
+  private def requireFreshStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val stats = spark.read.parquet(s"$path/cellstats")
+    val head = stats.agg(max("n_batches")).head
+    if (head.isNullAt(0))
+      throw new IllegalStateException(
+        s"cellstats at $path are empty — run writeCellStats")
+    val covered = head.getLong(0)
+    val present = spark.read.parquet(s"$path/cells")
+      .select("batch").distinct().count()
+    if (covered != present)
+      throw new IllegalStateException(
+        s"cellstats at $path cover $covered batches but the index has " +
+          s"$present — run writeCellStats after appendToIndex or the " +
+          "radius bound loses appended rows")
+    stats
+  }
+
   /** [[rangeProbe]] against a persisted index: the surviving-cell set
     * is decided from the tiny centroid+stats tables and collected
     * driver-side (control-plane metadata, like any partition
@@ -238,19 +272,17 @@ object Ivf {
     * form of the triangle-bound guarantee, still returning EXACTLY
     * the brute-force radius result. Throws if [[appendToIndex]] ran
     * after the last [[writeCellStats]] (stale radii would silently
-    * lose appended rows — refusal is the only exact option). */
+    * lose appended rows — refusal is the only exact option; a
+    * [[writeIndex]] rebuild deletes the stats, so a probe against a
+    * rebuilt-but-unrefreshed index fails loudly too). `query` must
+    * be a SINGLE-ROW DataFrame (the [[probe]] contract): a multi-row
+    * query cross-joins every row into the scan and duplicates
+    * results without attribution — use [[rangeProbeIndexedBatch]]
+    * for query sets. */
   def rangeProbeIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, query: DataFrame, idCol: String, vecCol: String,
       cellCol: String, minCos: Double, qCol: String = "q"): DataFrame = {
-    val stats = spark.read.parquet(s"$path/cellstats")
-    val covered = stats.agg(max("n_batches")).head.getLong(0)
-    val present = spark.read.parquet(s"$path/cells")
-      .select("batch").distinct().count()
-    if (covered != present)
-      throw new IllegalStateException(
-        s"cellstats at $path cover $covered batches but the index has " +
-          s"$present — run writeCellStats after appendToIndex or the " +
-          "radius bound loses appended rows")
+    val stats = requireFreshStats(spark, path)
     val cents = spark.read.parquet(s"$path/centroids")
     val t = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCos))
     val surviving = cents.join(stats, cellCol)
@@ -282,15 +314,7 @@ object Ivf {
       path: String, queries: DataFrame, idCol: String, vecCol: String,
       cellCol: String, minCos: Double, qIdCol: String = "query_id",
       qCol: String = "q"): DataFrame = {
-    val stats = spark.read.parquet(s"$path/cellstats")
-    val covered = stats.agg(max("n_batches")).head.getLong(0)
-    val present = spark.read.parquet(s"$path/cells")
-      .select("batch").distinct().count()
-    if (covered != present)
-      throw new IllegalStateException(
-        s"cellstats at $path cover $covered batches but the index has " +
-          s"$present — run writeCellStats after appendToIndex or the " +
-          "radius bound loses appended rows")
+    val stats = requireFreshStats(spark, path)
     val cents = spark.read.parquet(s"$path/centroids")
     val t = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCos))
     val qCells = queries.crossJoin(broadcast(cents.join(stats, cellCol)))
@@ -368,15 +392,6 @@ object Ivf {
       .filter(col("rank") <= k)
   }
 
-  /** Top-k by cosine for one query vector, searching only its
-    * `nprobe` nearest cells. `index` must carry (idCol, vecCol,
-    * cellCol) with unit-normalized vectors — build it once via
-    * [[centroids]] + [[assign]] and reuse across queries.
-    *
-    * `query` must be a SINGLE-ROW DataFrame whose unit-normalized
-    * query vector lives in column `qCol` (default "q") — a multi-row
-    * query would cross-join every row into the probe and interleave
-    * the top-k. */
   /** EXACT radius (range) search: every vector with
     * cos(q, x) ≥ `minCos`, found by scanning only the cells the
     * TRIANGLE BOUND cannot exclude — the IVF analogue of a range
@@ -397,7 +412,10 @@ object Ivf {
     * documented in the registry row), while clustered corpora — the
     * shape a trained IVF is FOR — prune most cells (IvfRangeSpec
     * pins both regimes). Probe cost: |cells| bound evaluations +
-    * the surviving cells' rows. */
+    * the surviving cells' rows. Like [[probe]], `query` must be a
+    * SINGLE-ROW DataFrame (column `qCol`): a multi-row query
+    * cross-joins every row into the scan and duplicates results
+    * without attribution. */
   def rangeProbe(index: DataFrame, cents: DataFrame, query: DataFrame,
       idCol: String, vecCol: String, cellCol: String,
       minCos: Double, qCol: String = "q"): DataFrame = {
@@ -418,6 +436,15 @@ object Ivf {
       .select(col(idCol), round(col("__cos"), 6).as("cos_sim"))
   }
 
+  /** Top-k by cosine for one query vector, searching only its
+    * `nprobe` nearest cells. `index` must carry (idCol, vecCol,
+    * cellCol) with unit-normalized vectors — build it once via
+    * [[centroids]] + [[assign]] and reuse across queries.
+    *
+    * `query` must be a SINGLE-ROW DataFrame whose unit-normalized
+    * query vector lives in column `qCol` (default "q") — a multi-row
+    * query would cross-join every row into the probe and interleave
+    * the top-k. */
   def probe(index: DataFrame, cents: DataFrame, query: DataFrame,
       idCol: String, vecCol: String, cellCol: String,
       nprobe: Int, k: Int, qCol: String = "q"): DataFrame = {

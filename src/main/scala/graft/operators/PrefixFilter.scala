@@ -89,14 +89,21 @@ object PrefixFilter {
     // via a second join.
     val universe = sets.select(col(idCol), explode(col("grams")).as("gram"))
       .join(broadcast(dfTab), "gram")
+    // uncapped fast path: skip the per-row filter() HOF entirely —
+    // higher-order functions evaluate interpreted (no whole-stage
+    // codegen), so the default path must not pay a no-op df check on
+    // every corpus row just to keep one code shape. This is also what
+    // keeps the scaladoc's "plan-identical to the uncapped form" true.
+    val retainExpr =
+      if (maxDf == Int.MaxValue) "transform(ordered, x -> x.gram)"
+      else s"transform(filter(ordered, x -> x.df <= ${maxDf}L), x -> x.gram)"
     val ranked = universe
       .groupBy(idCol)
       .agg(sort_array(collect_list(struct(col("df"), col("gram"))))
         .as("ordered"),
         count(lit(1)).as("n"))
       .select(col(idCol), col("n"),
-        expr(s"transform(filter(ordered, x -> x.df <= ${maxDf}L), x -> x.gram)")
-          .as("sorted_grams"))
+        expr(retainExpr).as("sorted_grams"))
       .withColumn("prefix", slice(col("sorted_grams"), lit(1),
         greatest(lit(0),
           (size(col("sorted_grams")) - ceil(col("n") * tau) + 1).cast("int"))))

@@ -26,7 +26,21 @@ import org.apache.spark.sql.streaming.{
   * Scale shape: state is one small fixed-size row per OPEN
   * (viewer, title) run in RocksDB, timers close runs as the watermark
   * passes prevEnd + gap, and output is append-only — the same
-  * economics as H1, keyed twice as finely. */
+  * economics as H1, keyed twice as finely.
+  *
+  * ORDERING CONTRACT (the H13/H17/H19 CDC-append discipline, shared
+  * with [[StreamSessionize]]): exposures may arrive in any order
+  * WITHIN a micro-batch (each batch is sorted into the batch row's
+  * (start, end, event_id) total order before folding), but must be
+  * non-decreasing in start time per (viewer, title) ACROSS
+  * micro-batches. A watermark-legal straggler that starts BEFORE the
+  * run's current prevEnd folds in at arrival position — batch SQL
+  * would have sorted it into place and taken its LAG there — so gap
+  * decisions downstream of it can diverge from the C113 row (e.g.
+  * prevEnd moving backwards re-opens break distances batch would
+  * have closed). Per-key ordered delivery (the Kafka partition-key
+  * guarantee) satisfies the contract; without it, widen the
+  * watermark and sessionize in batch instead. */
 object StreamBinge {
 
   /** One program exposure; eventTime = start (the watermark column). */

@@ -74,6 +74,22 @@ class IcwsSpec extends SparkTestBase {
     }
   }
 
+  test("band geometry that does not tile the signature is refused") {
+    // oversized bands×rows would slice past the array and give every
+    // doc the empty band key — a silent quadratic pairing explosion;
+    // undersized silently ignores tail samples. Both must throw.
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val sigs = Icws.signatures(docs, "doc_id", "text", h = 16).localCheckpoint()
+    intercept[IllegalArgumentException] {
+      Icws.candidates(sigs, "doc_id", bands = 8, rowsPerBand = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Icws.candidates(sigs, "doc_id", bands = 4, rowsPerBand = 2)
+    }
+    assert(Icws.candidates(sigs, "doc_id", bands = 8, rowsPerBand = 2)
+      .count() >= 0) // exact tiling passes
+  }
+
   test("weighted semantics separate what set Jaccard conflates") {
     // same vocabulary, opposite emphasis: set J = 1.0, J_w = 1/3
     val docs = Seq((1L, "a a a b"), (2L, "a b b b")).toDF("doc_id", "text")

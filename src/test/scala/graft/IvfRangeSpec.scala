@@ -91,6 +91,17 @@ class IvfRangeSpec extends SparkTestBase {
     assert(got2 == want2, s"missing ${want2 -- got2}, extra ${got2 -- want2}")
     assert((want2 -- want).nonEmpty || delta.count() == 0,
       "appended rows must actually extend the result set (corpus shape)")
+    // a REBUILD deletes the stats (the batch-count check cannot see a
+    // generation change — both generations may have one batch), so an
+    // un-refreshed probe against the rebuilt index fails LOUDLY on
+    // the missing cellstats instead of pruning with stale radii
+    Ivf.writeIndex(index, cents, "label", path)
+    intercept[Exception] {
+      Ivf.rangeProbeIndexed(spark, path, query, "vec_id", "e", "label", 0.2)
+    }
+    Ivf.writeCellStats(spark, path, "e", "label")
+    assert(Ivf.rangeProbeIndexed(spark, path, query, "vec_id", "e", "label", 0.2)
+      .count() > 0, "refresh after rebuild restores the probe")
   }
 
   test("batch range probe equals per-query single probes (and shares their refusal)") {
