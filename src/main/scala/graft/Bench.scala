@@ -31,6 +31,21 @@ import org.apache.spark.sql.SparkSession
   * whether calib moved with them (VM drift) or alone (real regression).
   */
 object Bench {
+  /** Suspect-retry trigger ratio. Round-9 forensics: all three of that
+    * round's unexplained drifts (largest: dedup_minhash_oracle at
+    * ~1.74×) sat in the old 1.5–2.0× blind band while the 15-retry
+    * budget went completely unused (0 retries fired) — so the gate was
+    * tightened from 2.0 to 1.5. A transient VM burst loses to the extra
+    * pass; a real regression reproduces and keeps its number. */
+  private[graft] val SuspectRatio = 1.5
+  /** True when this run's min-of-passes landed far above the previous
+    * same-SF history entry for the query. RAW seconds, not
+    * calib-normalized: the calib bracket cannot see a mid-run burst,
+    * which is exactly the failure mode this defends against. The 0.3 s
+    * floor keeps sub-second jitter from burning retries. */
+  private[graft] def isSuspect(best: Option[Double], prevSec: Option[Double]): Boolean =
+    best.exists(b => b > 0.3 && prevSec.exists(ps => ps > 0 && b / ps > SuspectRatio))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse(
@@ -129,8 +144,7 @@ object Bench {
       case Some((_, pSecs)) =>
         var budgetLeft = 15
         results.map { case r @ (n, best, p) =>
-          val suspect = best.exists(b =>
-            b > 0.3 && pSecs.get(n).exists(ps => ps > 0 && b / ps > 2.0))
+          val suspect = Bench.isSuspect(best, pSecs.get(n))
           if (suspect && budgetLeft > 0) {
             budgetLeft -= 1
             System.err.println(

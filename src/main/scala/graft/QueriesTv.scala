@@ -254,7 +254,12 @@ FROM dup JOIN per USING (net_a)"""))
         .join(broadcast(weights), "smba_id")
         .withColumn("delay", datediff(col("metadata_date"), col("release_date")))
         .withColumn("pwindow",
-          when(col("delay") === 0, "live")
+          // delay < 0 (metadata_date before release_date — data noise
+          // or pre-release exposure) gets its OWN bucket rather than
+          // silently landing in d1_3 via the <=3 fallthrough (r9
+          // advice): an anomaly share a ratings QA pass can see
+          when(col("delay") < 0, "pre_release")
+            .when(col("delay") === 0, "live")
             .when(col("delay") <= 3, "d1_3")
             .when(col("delay") <= 7, "d4_7")
             .otherwise("d8_plus"))
@@ -278,7 +283,8 @@ prog AS (
   WHERE a.content_type = 'program'),
 bywin AS (
   SELECT network,
-         CASE WHEN delay = 0 THEN 'live'
+         CASE WHEN delay < 0 THEN 'pre_release'
+              WHEN delay = 0 THEN 'live'
               WHEN delay <= 3 THEN 'd1_3'
               WHEN delay <= 7 THEN 'd4_7'
               ELSE 'd8_plus' END AS pwindow,
@@ -294,26 +300,30 @@ FROM bywin b JOIN bynet n ON n.network = b.network"""))
     * hour slot): how much of the slot's audience stays for the NEXT
     * slot on the same network, the "lead-in" number schedulers plan
     * against. Uses the scheduled half-hour grid the feed already
-    * carries (scheduled_program_start_ts). Scale shape: the fact
-    * folds to DISTINCT (network, slot, viewer) in one exchange, then
-    * a VIEWER-LOCAL pass (collect the viewer's slot set per network,
-    * ≤ a few hundred slots, check slot+1800 membership in-array) —
-    * no slot-grid self-join of the fact; the readout fold is
-    * |network × slots|-sized. Integral counts to one division. */
+    * carries (scheduled_program_start_ts). Scale shape: ONE
+    * (network, smba_id) exchange carries BOTH windows — a lag marks
+    * duplicate slots (subsuming the DISTINCT without a wider-keyed
+    * shuffle), and after the dup filter a lead on the SAME window
+    * spec (no re-exchange, no re-sort: slots are already unique and
+    * ascending within the partition) yields the retention flag as
+    * `lead(slot) = slot + 1800`. O(1) state per row — the previous
+    * collect_set form held the viewer's whole slot set in memory and
+    * replicated it ×|slots| through an explode, which stops being
+    * "a few hundred" on a multi-year feed (~17k half-hour slots per
+    * viewer-year); the readout fold stays |network × slots|-sized.
+    * Integral counts to one division. */
   private val audienceFlow = Q(
     "q_audience_flow",
     (s, dir) => {
-      val slots = ViewingData.acr(s, dir)
+      val win = Window.partitionBy("network", "smba_id").orderBy("slot")
+      val perSlot = ViewingData.acr(s, dir)
         .filter(col("content_type") === "program")
         .select(col("network"), col("smba_id"),
           col("scheduled_program_start_ts").as("slot"))
-        .groupBy("network", "smba_id")
-        .agg(collect_set("slot").as("ss"))
-      val perSlot = slots
-        .select(col("network"), explode(col("ss")).as("slot"),
-          col("ss"))
+        .withColumn("dup", lag("slot", 1).over(win) === col("slot"))
+        .filter(col("dup").isNull || !col("dup"))
         .withColumn("ret",
-          when(array_contains(col("ss"), col("slot") + 1800L), 1L)
+          when(lead("slot", 1).over(win) === col("slot") + 1800L, 1L)
             .otherwise(0L))
       perSlot.groupBy("network", "slot")
         .agg(count(lit(1)).as("n_viewers"), sum("ret").as("n_retained"))

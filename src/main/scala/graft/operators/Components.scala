@@ -45,9 +45,23 @@ object Components {
       case ByteType | ShortType | IntegerType | LongType | _: DecimalType =>
         df.agg(coalesce(sum("comp"), lit(0L))).head.get(0)
       case _ =>
-        df.agg(coalesce(
+        // The 0 fallback is for the EMPTY frame only (sum over no rows
+        // is null). A null sum over a NON-empty frame is a decimal
+        // overflow (non-ANSI mode nulls instead of throwing — needs
+        // ~1e19 rows, theoretical) and must fail LOUDLY: a blanket
+        // coalesce would read two consecutive overflowed rounds as
+        // 0 == 0 and falsely signal convergence with wrong labels
+        // (r9 advice).
+        val r = df.agg(
           sum(xxhash64(col("id"), col("comp")).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)"))).head.get(0)
+          count(lit(1))).head
+        if (r.getLong(1) == 0L) java.math.BigDecimal.ZERO
+        else {
+          require(!r.isNullAt(0),
+            "label-signature decimal sum overflowed (non-ANSI null) — " +
+              "convergence check cannot proceed")
+          r.get(0)
+        }
     }
   }
 

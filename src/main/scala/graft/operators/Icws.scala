@@ -64,10 +64,17 @@ object Icws {
         floor(log(col("tf").cast("double")) / col("r") + col("b")).cast("long"))
       .withColumn("a",
         col("c") * exp(-col("r") * (col("t").cast("double") - col("b")) - col("r")))
-    // per (doc, hash): the minimizing (word, t) SAMPLE; (a, w) struct
-    // order makes the last-resort tie deterministic
+    // per (doc, hash): the minimizing (word, t) SAMPLE as ONE hashed
+    // long — xxhash64 over the pair, not a delimited string concat,
+    // so a word containing ':' (or later '|' in the band key) cannot
+    // alias two distinct samples into one key (r9 advice: exactness
+    // survived via downstream verify, but candidate-volume/recall
+    // numbers could be distorted on such vocabularies; a 64-bit
+    // cross-pair hash collision is ~2⁻⁶⁴ — negligible vs the banding
+    // false-positive rate it feeds). (a, w) struct order makes the
+    // last-resort tie deterministic.
     val sig = avals.groupBy(idCol, "i")
-      .agg(min_by(concat(col("w"), lit(":"), col("t")),
+      .agg(min_by(xxhash64(lit("icws-sample"), col("w"), col("t")),
         struct(col("a"), col("w"))).as("s"))
     sig.groupBy(idCol)
       .agg(expr("transform(sort_array(collect_list(struct(i, s))), x -> x.s)")
@@ -92,17 +99,25 @@ object Icws {
   def candidates(sigs: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int,
       blockCols: Seq[String] = Nil): DataFrame = {
-    // geometry guard: bands × rowsPerBand must tile the signature
+    // geometry guard: bands × rowsPerBand must tile EVERY signature
     // exactly. Oversized products make every trailing band slice past
     // the array → empty-string key for EVERY doc → a silent
     // within-block quadratic pairing explosion; undersized silently
-    // ignores tail samples. One control-plane peek (first row) pins it
-    // against the data itself, not a parameter the caller repeats.
-    sigs.select(size(col("sig"))).head(1).foreach { r =>
-      require(bands * rowsPerBand == r.getInt(0),
-        s"bands ($bands) × rowsPerBand ($rowsPerBand) must equal the " +
-          s"signature length (${r.getInt(0)})")
-    }
+    // ignores tail samples. One control-plane aggregate pins min AND
+    // max length against the data itself (r9 advice: a first-row-only
+    // peek let a heterogeneous union — frames built with different h —
+    // slip through and silently slice wrong for the other rows, the
+    // exact failure the guard exists to prevent).
+    sigs.agg(min(size(col("sig"))), max(size(col("sig")))).head(1)
+      .filterNot(_.isNullAt(0)).foreach { r =>
+        val (lo, hi) = (r.getInt(0), r.getInt(1))
+        require(lo == hi,
+          s"heterogeneous signature lengths ($lo..$hi) — all rows must " +
+            s"come from one signatures() call with a single h")
+        require(bands * rowsPerBand == lo,
+          s"bands ($bands) × rowsPerBand ($rowsPerBand) must equal the " +
+            s"signature length ($lo)")
+      }
     val banded = sigs.select(
       col(idCol) +: blockCols.map(col) :+ posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}),

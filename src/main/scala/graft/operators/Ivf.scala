@@ -307,9 +307,12 @@ object Ivf {
     * form; the cells scan runs ONCE with a literal partition filter
     * over the UNION of every query's surviving cells (distinct cell
     * ids collected driver-side — bounded by |cells|, not |queries|),
-    * then candidates join the (query, cell) pairs broadcast. Nothing
-    * scales with |queries|×|corpus| except the surviving-cell
-    * candidate set itself. */
+    * then candidates join the (query, cell) pairs — auto-broadcast
+    * while the batch fits the threshold, a cell-keyed shuffle join
+    * when it doesn't (the pairs frame is |queries|×|surviving cells|
+    * rows of full vectors, so forcing broadcast would cap the batch
+    * size). Nothing scales with |queries|×|corpus| except the
+    * surviving-cell candidate set itself. */
   def rangeProbeIndexedBatch(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, idCol: String, vecCol: String,
       cellCol: String, minCos: Double, qIdCol: String = "query_id",
@@ -324,9 +327,16 @@ object Ivf {
       .select(col(qIdCol), col(qCol), col(cellCol))
       .localCheckpoint() // consumed twice: cell-id union + candidate join
     val survivingCells = qCells.select(cellCol).distinct().collect().map(_.get(0))
+    // No forced broadcast() on the candidate join: qCells holds up to
+    // |queries| × |surviving cells| rows EACH carrying the full query
+    // vector, so a large query set (or wide vectors) can blow past the
+    // 8 GB broadcast limit / driver heap (r9 advice). The checkpoint
+    // gives Catalyst/AQE exact size stats — a small batch still
+    // auto-broadcasts under the threshold; a huge one degrades to a
+    // cell-keyed shuffle join, which is the correct plan there.
     spark.read.parquet(s"$path/cells")
       .filter(col(cellCol).isin(survivingCells.toIndexedSeq: _*))
-      .join(broadcast(qCells), cellCol)
+      .join(qCells, cellCol)
       .withColumn("__cos", dotNative(col(vecCol), col(qCol)))
       .filter(col("__cos") >= minCos)
       .select(col(qIdCol), col(idCol), round(col("__cos"), 6).as("cos_sim"))
@@ -382,9 +392,12 @@ object Ivf {
       .select(col(qIdCol), col(qCol), col(cellCol))
       .localCheckpoint() // consumed twice: cell-id union + candidate join
     val probedCells = qCells.select(cellCol).distinct().collect().map(_.get(0))
+    // Same no-forced-broadcast reasoning as [[rangeProbeIndexedBatch]]:
+    // qCells is |queries| × nprobe rows of full query vectors — AQE
+    // broadcasts it while it fits and shuffles by cell when it doesn't.
     spark.read.parquet(s"$path/cells")
       .filter(col(cellCol).isin(probedCells.toIndexedSeq: _*))
-      .join(broadcast(qCells), cellCol)
+      .join(qCells, cellCol)
       .select(col(qIdCol), col(idCol), col(cellCol),
         round(dotNative(col(vecCol), col(qCol)), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(

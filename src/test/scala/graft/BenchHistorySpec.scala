@@ -73,6 +73,20 @@ class BenchHistorySpec extends SparkTestBase {
     assert(BenchHistory.prevEntry("/nonexistent/h.jsonl", "/sf/x").isEmpty)
   }
 
+  test("isSuspect: 1.5x raw-seconds trigger with a 0.3s floor") {
+    // r9 forensics: three unexplained drifts (largest 1.74x) sat in the
+    // old 1.5-2.0x blind band with the retry budget untouched. The gate
+    // now fires at >1.5x so that band gets adjudicated by a retry pass.
+    assert(Bench.isSuspect(Some(1.74), Some(1.0)), "1.74x must now retry")
+    assert(Bench.isSuspect(Some(0.76), Some(0.5)), "1.52x above floor fires")
+    assert(!Bench.isSuspect(Some(1.49), Some(1.0)), "<=1.5x stays quiet")
+    assert(!Bench.isSuspect(Some(0.29), Some(0.1)),
+      "sub-0.3s jitter never burns retries even at 2.9x")
+    assert(!Bench.isSuspect(None, Some(1.0)), "failed query is not a suspect")
+    assert(!Bench.isSuspect(Some(2.0), None), "new query has no baseline")
+    assert(!Bench.isSuspect(Some(2.0), Some(0.0)), "zero prev never divides")
+  }
+
   test("gitHead resolves this repo's HEAD to a 12-char sha") {
     val sha = BenchHistory.gitHead("/root/repo")
     assert(sha.length == 12 && sha.forall(c => c.isDigit || ('a' to 'f').contains(c)),

@@ -18,7 +18,7 @@ class IcwsSpec extends SparkTestBase {
     // match-fraction std is √(p(1−p)/256) ≈ 0.031 — assert within 3σ.
     val docs = Seq((1L, "x x x x y"), (2L, "x x y y y")).toDF("doc_id", "text")
     val sigs = Icws.signatures(docs, "doc_id", "text", h = 256)
-      .as[(Long, Seq[String])].collect().toMap
+      .as[(Long, Seq[Long])].collect().toMap
     val matches = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b }
     val rate = matches / 256.0
     assert(math.abs(rate - 3.0 / 7.0) < 0.095,
@@ -31,7 +31,7 @@ class IcwsSpec extends SparkTestBase {
       (2L, "alpha beta beta gamma"),
       (3L, "delta epsilon zeta")).toDF("doc_id", "text")
     val sigs = Icws.signatures(docs, "doc_id", "text", h = 32)
-      .as[(Long, Seq[String])].collect().toMap
+      .as[(Long, Seq[Long])].collect().toMap
     assert(sigs(1L) == sigs(2L), "J_w = 1 must collide everywhere")
     assert(sigs(1L).zip(sigs(3L)).forall { case (a, b) => a != b },
       "J_w = 0 (disjoint vocab) can never collide — samples are own-vocab words")

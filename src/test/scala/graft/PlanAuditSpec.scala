@@ -519,15 +519,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_audience_flow checks lead-in membership viewer-locally — no slot self-join") {
+  test("q_audience_flow checks lead-in viewer-locally — no slot self-join, one viewer exchange") {
     val p = plan("q_audience_flow")
-    // the slot+1800 check is array_contains over the viewer's own
-    // slot set: exactly the (network, smba_id) set fold plus the
-    // |network x slots| readout fold — never a join of the slot grid
-    // against itself
+    // the slot+1800 check is lead(slot) over (network, smba_id): the
+    // dup-marking lag and the retention lead ride ONE viewer exchange
+    // (same window spec, filter in between preserves partitioning and
+    // ordering), plus the |network x slots| readout fold — never a
+    // join of the slot grid against itself, and O(1) state per row
+    // (the r9 verdict flagged the prior collect_set form as
+    // span-proportional per-viewer state)
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-      s"no join may appear — membership is in-array:\n$p")
-    assert(p.contains("array_contains"), p)
+      s"no join may appear — retention is a window lead:\n$p")
+    val viewerExchanges =
+      "Exchange hashpartitioning\\(network[^)]*smba_id".r.findAllIn(p).size
+    assert(viewerExchanges == 1,
+      s"both windows must share ONE (network, smba_id) exchange, got $viewerExchanges:\n$p")
+    assert(p.contains("lead(slot"), p)
   }
 
   test("text_segment_dedup: df joins by segment KEY; rebuild is one per-doc fold") {
