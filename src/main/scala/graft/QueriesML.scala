@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -259,6 +260,46 @@ SELECT id_a, id_b, round(jw, 6) AS weighted_jaccard FROM j WHERE jw >= 0.5"""))
       val cand = operators.Icws.candidates(sigs, "doc_id",
         bands = 8, rowsPerBand = 2, blockCols = Seq("lang", "n_chars"))
       weightedJaccardVerify(docs, cand, 0.55)
+    },
+    None)
+
+  /** D19's incremental form ([[graft.operators.IcwsDelta]]) — the
+    * probe-persisted-index flavor every other dedup family member
+    * already had (D3→D8/D10, D5→D11, D13→D13c; r9 directive #1): the
+    * corpus (3/4 of documents) is a pre-built ICWS band index probed
+    * by the delta (1/4) — corpus text is never re-tokenized, the
+    * h·Σ|vocab| draw chain runs over the delta alone, the index scan
+    * column-prunes to (doc_id, lsh_key), and the exact verify is
+    * restricted to candidate-touching docs. The index PERSISTS at a
+    * source-stamped tmp path (build-if-missing, the ann_ivfpq
+    * discipline) so the row measures what a standing increment
+    * actually pays — delta draws + probe + verify — not a per-run
+    * corpus re-index (measured 4.9 s with the in-row index build vs
+    * 3.2 s probing the standing one at sf0.1 — the residual over the
+    * sweep's 2.3 s probe is the row's own docs checkpoint; the full
+    * dedup_icws recompute is 3.8 s). Rows-only like dedup_icws (ln/exp argmin
+    * has no DuckDB twin); IcwsDeltaSpec pins exact parity with the
+    * full dedup_icws recompute restricted to delta-touching pairs,
+    * replay idempotence, and pruned-probe equality. */
+  private val dedupIcwsIncremental = Q(
+    "dedup_icws_incremental",
+    (s, dir) => {
+      import graft.operators.IcwsDelta
+      val docs = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .localCheckpoint()
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_icwsidx_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+        tableStamp(s, dir, "documents")
+      val done = new org.apache.hadoop.fs.Path(s"$path/batch=0/_SUCCESS")
+      if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
+        IcwsDelta.writeBatch(
+          docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", path, 0L)
+      val cand = IcwsDelta.incrementalCandidates(
+        docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+        IcwsDelta.readIndex(s, path))
+      IcwsDelta.verifyExact(docs, cand, IcwsDelta.Tau)
     },
     None)
 
@@ -835,6 +876,43 @@ FROM top"""))
     },
     None)
 
+  /** The normalized embeddings frame every persisted-index ANN row
+    * starts from. */
+  private def embCorpus(s: SparkSession, dir: String) =
+    ViewingData.table(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"),
+        normalize(toDouble(col("embedding"))).as("e"))
+      .localCheckpoint()
+
+  /** Control-plane fingerprint of a source parquet file (mtime +
+    * length — no data scan) baked into a persisted index's path: a
+    * testdata regeneration changes the stamp, so a probe can never
+    * silently serve an index built from a PREVIOUS corpus. */
+  private def tableStamp(s: SparkSession, dir: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
+    s"${st.getModificationTime}_${st.getLen}"
+  }
+  private def embStamp(s: SparkSession, dir: String): String =
+    tableStamp(s, dir, "embeddings")
+
+  /** Build-if-missing for the persisted IVF-PQ index the ann_ivfpq
+    * serving row probes: the index lives at a path keyed by (sf dir,
+    * source stamp) and is built ONCE — errstats is the last artifact
+    * [[operators.IvfPq.writeIndex]] lands, so its _SUCCESS is the
+    * build-complete marker. Returns the index path. */
+  private def ensureIvfPqIndex(s: SparkSession, dir: String,
+      v: DataFrame): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + embStamp(s, dir)
+    val done = new org.apache.hadoop.fs.Path(s"$path/errstats/_SUCCESS")
+    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
+      operators.IvfPq.writeIndex(v, "vec_id", "e", "label", path,
+        m = 16, k = 16, ivfRounds = 1, pqRounds = 2)
+    path
+  }
+
   private val annIvfPq = Q(
     "ann_ivfpq",
     (s, dir) => {
@@ -844,26 +922,45 @@ FROM top"""))
       // shortlist ids only. Rows-only (seeded k-means + quantization
       // have no DuckDB twin); IvfPqSpec pins ≥0.9 recall@10 vs brute
       // force plus the pruned-read layout.
+      //
+      // PROBES A PRE-BUILT INDEX (r9 directive): for three rounds this
+      // row's bench number was dominated by rebuilding the index every
+      // run — a cost production amortizes build-once/probe-many. The
+      // index now persists at a source-stamped path and only builds
+      // when absent (first run on a fresh VM / after a testdata
+      // regen); ann_ivfpq_build is the explicit build-cost row.
       graft.plans.GraftExtensions.register(s)
       import s.implicits._
-      val v = ViewingData.table(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"), col("label"),
-          normalize(toDouble(col("embedding"))).as("e"))
-        .localCheckpoint()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
-      // one Lloyd round per quantizer here: the bench rebuilds the
-      // index every run, and build cost is amortized build-once/
-      // probe-many in production; IvfPqSpec pins recall at the full
-      // default rounds
-      operators.IvfPq.writeIndex(v, "vec_id", "e", "label", path,
-        m = 16, k = 16, ivfRounds = 1, pqRounds = 2)
+      val v = embCorpus(s, dir)
+      val path = ensureIvfPqIndex(s, dir, v)
       val q = v.filter(col("vec_id") === 0).select("e").as[Seq[Double]].head()
       operators.IvfPq.probe(s, path, v.filter(col("vec_id") =!= 0), q,
           "vec_id", "e", "label", nprobe = 8, k = 10)
         .withColumn("rank",
           row_number().over(Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+    },
+    None)
+
+  private val annIvfPqBuild = Q(
+    "ann_ivfpq_build",
+    (s, dir) => {
+      // The build side of the split: a FULL index rebuild (IVF train +
+      // assign + PQ residual codebooks + cell-partitioned write),
+      // timed explicitly so the bench history carries the true
+      // build-once cost next to ann_ivfpq's probe cost instead of
+      // mixing them in one number. One Lloyd round per quantizer (the
+      // amortized-build economics; IvfPqSpec pins recall at the full
+      // default rounds). Returns the per-(batch, cell) fill — the
+      // retrain-signal readout — so the row has checkable output;
+      // rows-only (seeded k-means has no DuckDB twin).
+      graft.plans.GraftExtensions.register(s)
+      val v = embCorpus(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + embStamp(s, dir)
+      operators.IvfPq.writeIndex(v, "vec_id", "e", "label", path,
+        m = 16, k = 16, ivfRounds = 1, pqRounds = 2)
+      operators.Ivf.cellFill(s, path, "label")
+        .orderBy("batch", "label")
     },
     None)
 
@@ -910,6 +1007,57 @@ scored AS (
                                  i -> v.e[i] * q.qe[i])) AS c
   FROM v, q WHERE v.vec_id <> 0)
 SELECT vec_id, round(c, 6) AS cos_sim FROM scored WHERE c >= 0.2"""))
+
+  /** Batch radius search over the persisted index (E11's batch form,
+    * r9 directive) — every (query, vector) pair with cos ≥ τ for a
+    * whole query SET in one pass, the offline contamination-radius-
+    * scan shape. Served by [[operators.Ivf.rangeProbeIndexedBatch]]:
+    * index + per-cell radius stats persist at a source-stamped path
+    * (build-if-missing — the probe is what a standing scan pays), the
+    * cells scan carries one literal partition filter over the union
+    * of every query's surviving cells, and candidates join the
+    * (query, cell) pairs without a forced broadcast. Fully
+    * DuckDB-oracled like its single-query sibling: the triangle bound
+    * decides only what is READ, never what is returned, so exactness
+    * is index-independent even though the index is k-means-built. */
+  private val annRangeSearchBatch = Q(
+    "ann_range_search_batch",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val v = embCorpus(s, dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfrange_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + embStamp(s, dir)
+      // writeCellStats lands last → its _SUCCESS marks a complete
+      // (index + stats) build; writeIndex deletes stale stats first,
+      // so a half-built path can never pass this check
+      val done = new org.apache.hadoop.fs.Path(s"$path/cellstats/_SUCCESS")
+      if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done)) {
+        val cents = operators.Ivf.centroids(v, "label", "e").localCheckpoint()
+        operators.Ivf.writeIndex(
+          operators.Ivf.assign(v, cents, "vec_id", "e", "label"),
+          cents, "label", path)
+        operators.Ivf.writeCellStats(s, path, "e", "label")
+      }
+      val queries = v.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("e").as("q"))
+      operators.Ivf.rangeProbeIndexedBatch(s, path, queries,
+          "vec_id", "e", "label", minCos = 0.2)
+        .filter(col("vec_id") =!= col("query_id"))
+    },
+    Some("""WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         list_sum(list_transform(generate_series(1, len(v.e)),
+                                 i -> v.e[i] * q.qe[i])) AS c
+  FROM v, q WHERE v.vec_id <> q.query_id)
+SELECT query_id, vec_id, round(c, 6) AS cos_sim FROM scored WHERE c >= 0.2"""))
 
   /** Batch k-NN join — top-k neighbors for EVERY vector at once, the
     * offline shape retrieval indexing and embedding-dedup actually
@@ -1792,12 +1940,13 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
     bpeTrain, bpeSegment,
     dedupExact, dedupNgramJaccard, dedupWeightedJaccard, dedupIcws,
-    dedupMinhash, dedupSimhash,
+    dedupIcwsIncremental, dedupMinhash, dedupSimhash,
     dedupSimhashOracle, dedupEmbedding,
     dedupIncremental, dedupMinhashOracle, dedupIncrementalOracle,
     dedupEmbeddingIncremental, dedupFuzzyNames,
     annBruteforce, annBucketed, annBucketedOracle, annIvf, annIvfOracle,
-    annIvfPq, annIvfPqOracle, annKnnJoin, annRangeSearch,
+    annIvfPq, annIvfPqBuild, annIvfPqOracle, annKnnJoin,
+    annRangeSearch, annRangeSearchBatch,
     annPqOracle, annQ8, annQ8Oracle,
     annDiversitySample, annPairMining, annClusterQuality,
     mmBinaryMeta, mmDecode, mmFrameSample, mmAudioEnergy, mmAudioSegments,

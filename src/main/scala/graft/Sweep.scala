@@ -179,6 +179,34 @@ object Sweep {
             "vec_id", "e", "label", nprobe = 8, k = 10)
             .write.format("noop").mode("overwrite").save()
         }
+      case "ann_range_batch_probe" =>
+        // production shape of ann_range_search_batch: the IVF index +
+        // per-cell radius stats EXIST (built once, untimed); measured
+        // = the batch radius probe only — surviving-cell union,
+        // file-pruned scan, candidate join, exact filter
+        graft.plans.GraftExtensions.register(spark)
+        val v = graft.sources.ViewingData.table(spark, work, "embeddings")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("vec_id"), col("label"),
+            graft.functions.VectorFunctions.normalize(
+              graft.functions.VectorFunctions.toDouble(col("embedding"))).as("e"))
+          .localCheckpoint()
+        val path = s"$work/ivfrange_index"
+        val queries = v.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("e").as("q"))
+          .localCheckpoint()
+        probeCase(spark, "ann_range_batch_probe", factor, path) {
+          val cents = operators.Ivf.centroids(v, "label", "e").localCheckpoint()
+          operators.Ivf.writeIndex(
+            operators.Ivf.assign(v, cents, "vec_id", "e", "label"),
+            cents, "label", path)
+          operators.Ivf.writeCellStats(spark, path, "e", "label")
+        } {
+          operators.Ivf.rangeProbeIndexedBatch(spark, path, queries,
+              "vec_id", "e", "label", minCos = 0.2)
+            .filter(col("vec_id") =!= col("query_id"))
+            .write.format("noop").mode("overwrite").save()
+        }
       case "dedup_incremental_probe" =>
         // production shape: the corpus index EXISTS (built once,
         // untimed, persisted); only the delta's band build + the
@@ -208,6 +236,28 @@ object Sweep {
           operators.MinhashDelta.incrementalPairsPruned(spark,
               compactIndexPath(work),
               docs.filter(col("doc_id") % 4 === 0), "doc_id", "text")
+            .write.format("noop").mode("overwrite").save()
+        }
+      case "dedup_icws_probe" =>
+        // production increment for the WEIGHTED family: the standing
+        // ICWS band index EXISTS (built once, untimed, persisted);
+        // measured = delta draw chain + index probe + exact verify
+        // restricted to candidate docs — the registry row re-draws
+        // the corpus signatures too, which a real increment never pays
+        val docs = graft.sources.ViewingData.table(spark, work, "documents")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+          .localCheckpoint()
+        val path = s"$work/icws_index"
+        probeCase(spark, "dedup_icws_probe", factor, path) {
+          operators.IcwsDelta.writeBatch(
+            docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", path, 0L)
+        } {
+          operators.IcwsDelta.verifyExact(docs,
+              operators.IcwsDelta.incrementalCandidates(
+                docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+                operators.IcwsDelta.readIndex(spark, path)),
+              operators.IcwsDelta.Tau)
             .write.format("noop").mode("overwrite").save()
         }
       case "dedup_substring_probe" =>

@@ -81,10 +81,52 @@ object Icws {
         .as("sig"))
   }
 
-  /** Banded LSH candidates over [[signatures]]: `bands` buckets of
-    * `rowsPerBand` samples each; a pair collides when any band's
-    * sample tuple matches — Pr ≈ 1 − (1 − J_w^rows)^bands. Pairing
-    * work is bucket-local (the D3/D16 discipline).
+  /** One row per (doc, band) over [[signatures]]: `bands` buckets of
+    * `rowsPerBand` samples, each rendered as ONE xxhash64 over the
+    * band's samples AND the doc's `blockCols` values — the composed
+    * band key. (Samples are already hashed longs, so the band-slice
+    * concat has no delimiter ambiguity to defend against; hashing the
+    * block values in keeps the key a fixed-width long whatever the
+    * blocking columns are.) Returns (idCol, band, key, sig) — the
+    * persistable LSH index unit ([[IcwsDelta]] lands exactly this,
+    * keyed as MinhashDelta's lsh_key struct).
+    *
+    * Geometry guard: bands × rowsPerBand must tile EVERY signature
+    * exactly. Oversized products make every trailing band slice past
+    * the array → empty key for EVERY doc → a silent within-block
+    * quadratic pairing explosion; undersized silently ignores tail
+    * samples. One control-plane aggregate pins min AND max length
+    * against the data itself (r9 advice: a first-row-only peek let a
+    * heterogeneous union — frames built with different h — slip
+    * through and silently slice wrong for the other rows, the exact
+    * failure the guard exists to prevent). */
+  def bandRows(sigs: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int,
+      blockCols: Seq[String] = Nil): DataFrame = {
+    sigs.agg(min(size(col("sig"))), max(size(col("sig")))).head(1)
+      .filterNot(_.isNullAt(0)).foreach { r =>
+        val (lo, hi) = (r.getInt(0), r.getInt(1))
+        require(lo == hi,
+          s"heterogeneous signature lengths ($lo..$hi) — all rows must " +
+            s"come from one signatures() call with a single h")
+        require(bands * rowsPerBand == lo,
+          s"bands ($bands) × rowsPerBand ($rowsPerBand) must equal the " +
+            s"signature length ($lo)")
+      }
+    val blockIn = blockCols.map(c => s", x.$c").mkString
+    sigs.as("x").select(
+      col(idCol),
+      posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+            b -> xxhash64(concat_ws('|',
+                   slice(sig, b * $rowsPerBand + 1, $rowsPerBand))$blockIn))"""))
+        .as(Seq("band", "key")),
+      col("sig"))
+  }
+
+  /** Banded LSH candidates over [[signatures]]: a pair collides when
+    * any band's composed key matches — Pr ≈ 1 − (1 − J_w^rows)^bands.
+    * Pairing work is bucket-local (the D3/D16 discipline).
     *
     * `blockCols` (columns that must ALSO match, carried on `sigs`)
     * compose the domain's cheap blocking keys into the band key.
@@ -99,33 +141,10 @@ object Icws {
   def candidates(sigs: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int,
       blockCols: Seq[String] = Nil): DataFrame = {
-    // geometry guard: bands × rowsPerBand must tile EVERY signature
-    // exactly. Oversized products make every trailing band slice past
-    // the array → empty-string key for EVERY doc → a silent
-    // within-block quadratic pairing explosion; undersized silently
-    // ignores tail samples. One control-plane aggregate pins min AND
-    // max length against the data itself (r9 advice: a first-row-only
-    // peek let a heterogeneous union — frames built with different h —
-    // slip through and silently slice wrong for the other rows, the
-    // exact failure the guard exists to prevent).
-    sigs.agg(min(size(col("sig"))), max(size(col("sig")))).head(1)
-      .filterNot(_.isNullAt(0)).foreach { r =>
-        val (lo, hi) = (r.getInt(0), r.getInt(1))
-        require(lo == hi,
-          s"heterogeneous signature lengths ($lo..$hi) — all rows must " +
-            s"come from one signatures() call with a single h")
-        require(bands * rowsPerBand == lo,
-          s"bands ($bands) × rowsPerBand ($rowsPerBand) must equal the " +
-            s"signature length ($lo)")
-      }
-    val banded = sigs.select(
-      col(idCol) +: blockCols.map(col) :+ posexplode(expr(
-        s"""transform(sequence(0, ${bands - 1}),
-            b -> concat_ws('|', slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))"""))
-        .as(Seq("band", "key")): _*)
-    val blockEq = blockCols.map(c => s" AND x.$c = y.$c").mkString
+    val banded = bandRows(sigs, idCol, bands, rowsPerBand, blockCols)
+      .drop("sig")
     banded.as("x").join(banded.as("y"),
-        expr(s"x.band = y.band AND x.key = y.key$blockEq AND x.$idCol < y.$idCol"))
+        expr(s"x.band = y.band AND x.key = y.key AND x.$idCol < y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
   }

@@ -127,7 +127,7 @@ object MinhashDelta {
   // Index maintenance: compaction + probe-time file skipping
   // ---------------------------------------------------------------------
 
-  private def statsPath(path: String) = s"$path/_mh_stats"
+  private[operators] def statsPath(path: String) = s"$path/_mh_stats"
 
   /** Compacts every `batch=N` dir into ONE range-laid batch sorted by
     * the band hash, and writes a per-file `[hash_min, hash_max]`
@@ -204,7 +204,7 @@ object MinhashDelta {
     * list AND the batch dirs the manifest covers (the probe needs the
     * latter to spot post-compaction appends — a second parquet read
     * for it would double the probe's fixed driver cost). */
-  private def pruneWithCovered(spark: SparkSession, path: String,
+  private[operators] def pruneWithCovered(spark: SparkSession, path: String,
       hashes: Array[Long]): (Seq[String], Int, Set[String]) = {
     val stats = spark.read.parquet(statsPath(path))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

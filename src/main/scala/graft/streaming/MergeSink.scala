@@ -222,6 +222,51 @@ object MergeSink {
     graft.sources.LakeWriter.publish(spark, staged, bitmapPath)
   }
 
+  /** Streaming audience-duplication maintenance (C116 kept current
+    * under ingest, r9 directive #5): per-batch (network, weight)
+    * viewer-bitmap deltas OR-merge into the stored state — literally
+    * [[bitmapReachParquet]] grouped by (network, weight), so the
+    * replay/exactly-once story is H11's verbatim (OR is idempotent;
+    * a replayed batch converges with NO dedup state). The weight
+    * rides in the GROUP key: a viewer's weight is functionally
+    * determined by the viewer (the panel contract — same constraint
+    * as [[upsertPartitionedParquet]]'s partition column), so the
+    * viewer's bit lives in exactly one (network, w) cell per network
+    * and the weighted pair fold is exact. State is
+    * |networks|·|distinct weights| bitmaps — entity-scale, never the
+    * fact; the fact is read once, by the stream itself.
+    * `idCol` must be non-negative BIGINT (the bitmap contract). */
+  def audienceDuplicationSink(bitmapPath: String, netCol: String,
+      wCol: String, idCol: String)(batch: DataFrame, batchId: Long): Unit =
+    bitmapReachParquet(bitmapPath, Seq(netCol, wCol), idCol)(batch, batchId)
+
+  /** The C116 duplication matrix from [[audienceDuplicationSink]]
+    * state alone — no fact re-scan: for every ordered network pair,
+    * w_both = Σ_w w · |bm(a,w) ∩ bm(b,w)| (cells only intersect at
+    * equal weight because a viewer has one weight), w_a from each
+    * cell's own cardinality, dup_pct = 100·w_both/w_a — the same
+    * integral-sums-to-one-division arithmetic as the batch row, so
+    * parity is exact (MergeSinkSpec pins streamed == batch). The pair
+    * join is |networks|·|weights| against itself on the weight key —
+    * state-sized, bounded by the network and weight domains. */
+  def duplicationFromBitmaps(spark: SparkSession, bitmapPath: String,
+      netCol: String = "network", wCol: String = "w"): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions.{broadcast, col, expr, lit, round, sum}
+    val bm = spark.read.parquet(bitmapPath)
+    val per = bm.select(col(netCol).as("net_a"),
+        (col(wCol) * expr("bitmap_and_count(bm, bm)")).as("wn"))
+      .groupBy("net_a").agg(sum("wn").as("w_a"))
+    val both = bm.as("a").join(bm.as("b"),
+        expr(s"a.$wCol = b.$wCol AND a.$netCol <> b.$netCol"))
+      .select(col(s"a.$netCol").as("net_a"), col(s"b.$netCol").as("net_b"),
+        (col(s"a.$wCol") * expr("bitmap_and_count(a.bm, b.bm)")).as("wb"))
+      .groupBy("net_a", "net_b").agg(sum("wb").as("w_both"))
+    both.join(broadcast(per), "net_a")
+      .select(col("net_a"), col("net_b"), col("w_both"),
+        round(lit(100.0) * col("w_both") / col("w_a"), 9).as("dup_pct"))
+  }
+
   /** Streaming heavy-hitter maintenance: each micro-batch folds its
     * rows into ONE frequent-items sketch per group
     * (`approx_top_k_accumulate` — the same DataSketches summary as

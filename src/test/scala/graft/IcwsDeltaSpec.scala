@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IcwsDelta, MinhashDelta}
+import graft.sources.ViewingData
+
+/** Incremental ICWS weighted dedup (D19's persisted-index form) — the
+  * D10 discipline: the incremental result must EQUAL the full
+  * dedup_icws recompute restricted to delta-touching pairs, the
+  * persisted batch layout must be replay-idempotent, and the pruned
+  * probe must match the unpruned one. */
+class IcwsDeltaSpec extends SparkTestBase {
+
+  private def docs = ViewingData.table(spark, Sf, "documents")
+    .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+
+  private def corpus = docs.filter(col("doc_id") % 4 =!= 0)
+  private def delta = docs.filter(col("doc_id") % 4 === 0)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("incremental == full dedup_icws recompute restricted to delta-touching pairs") {
+    // full pipeline: the dedup_icws registry shape over ALL docs
+    val full = SparkEntry.queries("dedup_icws")(spark, Sf)
+    val deltaIds = delta.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = pairSet(full).filter { case (a, b) => deltaIds(a) || deltaIds(b) }
+    val got = pairSet(IcwsDelta.verifyExact(docs,
+      IcwsDelta.incrementalCandidates(delta, "doc_id", "text",
+        IcwsDelta.bandRows(corpus, "doc_id", "text")), IcwsDelta.Tau))
+    assert(got.nonEmpty, "the shape must actually find weighted near-dups")
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // the bulk-backfill path (no broadcast hint) is pair-identical
+    val bulk = pairSet(IcwsDelta.verifyExact(docs,
+      IcwsDelta.incrementalCandidates(delta, "doc_id", "text",
+        IcwsDelta.bandRows(corpus, "doc_id", "text"),
+        broadcastDelta = false), IcwsDelta.Tau))
+    assert(bulk == expected, "hint-free bulk path must match")
+  }
+
+  test("restricted verify == full-frame verify (the semi-join loses nothing)") {
+    val cand = IcwsDelta.incrementalCandidates(delta, "doc_id", "text",
+      IcwsDelta.bandRows(corpus, "doc_id", "text")).localCheckpoint()
+    val restricted = pairSet(IcwsDelta.verifyExact(docs, cand, IcwsDelta.Tau))
+    val fullFrame = pairSet(QueriesML.weightedJaccardVerify(docs, cand, IcwsDelta.Tau))
+    assert(restricted == fullFrame,
+      "verify only reads tf rows of candidate ids — restriction must be invisible")
+  }
+
+  test("persisted index: batch layout round-trips; a replayed batch is a no-op") {
+    val path = java.nio.file.Files.createTempDirectory("icwsidx").toString + "/idx"
+    IcwsDelta.writeBatch(corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text", path, 0L)
+    IcwsDelta.writeBatch(corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", path, 1L)
+    val viaDisk = pairSet(IcwsDelta.incrementalCandidates(delta, "doc_id", "text",
+      IcwsDelta.readIndex(spark, path)))
+    val viaMemory = pairSet(IcwsDelta.incrementalCandidates(delta, "doc_id", "text",
+      IcwsDelta.bandRows(corpus, "doc_id", "text")))
+    assert(viaDisk == viaMemory, "disk index must probe identically")
+    // replay batch 1 (at-least-once delivery): same rows, not doubled
+    val before = IcwsDelta.readIndex(spark, path).count()
+    IcwsDelta.writeBatch(corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", path, 1L)
+    assert(IcwsDelta.readIndex(spark, path).count() == before,
+      "replayed batch must overwrite its own partition, not append")
+    intercept[IllegalArgumentException] {
+      IcwsDelta.writeBatch(delta, "doc_id", "text", path, -1L)
+    }
+  }
+
+  test("compacted + pruned probe == unpruned probe; appended batch read whole") {
+    val path = java.nio.file.Files.createTempDirectory("icwsidx").toString + "/idx"
+    IcwsDelta.writeBatch(corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text", path, 0L)
+    IcwsDelta.writeBatch(corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", path, 1L)
+    val unpruned = pairSet(IcwsDelta.incrementalCandidates(delta, "doc_id", "text",
+      IcwsDelta.readIndex(spark, path)))
+    IcwsDelta.compactIndex(spark, path, numFiles = 4)
+    val pruned = pairSet(IcwsDelta.incrementalCandidatesPruned(
+      spark, path, delta, "doc_id", "text"))
+    assert(pruned == unpruned, "file pruning must never change the candidate set")
+    // the shared MinhashDelta maintenance surface sees ONE folded batch
+    assert(spark.read.parquet(path).select("batch").distinct().count() == 1)
+    // a post-compaction append is outside the manifest → read whole
+    val extraDocs = delta.limit(0) // empty append exercises the path union
+    IcwsDelta.writeBatch(extraDocs, "doc_id", "text", path, 7L)
+    val prunedAfter = pairSet(IcwsDelta.incrementalCandidatesPruned(
+      spark, path, delta, "doc_id", "text"))
+    assert(prunedAfter == unpruned)
+    // compactIfNeeded is shared verbatim: 1 user batch <= max -> no-op
+    assert(!MinhashDelta.compactIfNeeded(spark, path, maxBatches = 16))
+  }
+}

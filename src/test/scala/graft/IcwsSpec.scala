@@ -90,6 +90,43 @@ class IcwsSpec extends SparkTestBase {
       .count() >= 0) // exact tiling passes
   }
 
+  test("Nil blocking prunes on bands alone when the background is genuinely dissimilar") {
+    // the registry row composes (lang, n_chars) blocks because THIS
+    // corpus's background J_w ≈ 0.5 sits next to the threshold; the
+    // candidates scaladoc documents blockCols = Nil as safe on corpora
+    // with low background similarity — pin that claim on a synthetic
+    // CLUSTERED corpus: 3 clusters × 10 docs, disjoint vocabularies
+    // across clusters (background J_w = 0), high within-cluster J_w.
+    val docs = (for {
+      c <- 0 until 3
+      j <- 0 until 10
+    } yield {
+      val words = (0 until 8).map(k => s"c${c}w$k")
+      // tf vector shared across the cluster, one word's count varying
+      // mildly per doc: J_w within a cluster stays >= ~0.85
+      val text = words.zipWithIndex.flatMap { case (w, k) =>
+        Seq.fill(3 + (if (k == j % 8) 1 else 0))(w)
+      }.mkString(" ")
+      (c * 100L + j, text)
+    }).toDF("doc_id", "text")
+    val sigs = Icws.signatures(docs, "doc_id", "text", h = 16).localCheckpoint()
+    val cand = Icws.candidates(sigs, "doc_id", bands = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // candidate volume: bounded by within-cluster pairs — banding alone
+    // must prune every cross-cluster pair (disjoint vocab can never
+    // collide on a sample, so a band key match is impossible)
+    assert(cand.forall { case (a, b) => a / 100 == b / 100 },
+      s"cross-cluster candidates must be pruned: ${cand.filterNot { case (a, b) => a / 100 == b / 100 }.take(5)}")
+    assert(cand.size <= 3 * 45, s"candidate volume ${cand.size} must stay within-cluster")
+    // recall: within-cluster pairs sit at J_w >= ~0.85; 8x2 bands give
+    // per-pair all-miss probability (1 - J_w^2)^8 <= ~1e-4 — demand 0.9
+    val within = (for {
+      c <- 0 until 3; i <- 0 until 10; j <- (i + 1) until 10
+    } yield (c * 100L + i, c * 100L + j)).toSet
+    val recall = cand.intersect(within).size.toDouble / within.size
+    assert(recall >= 0.9, s"banding alone must recall clustered near-dups, got $recall")
+  }
+
   test("weighted semantics separate what set Jaccard conflates") {
     // same vocabulary, opposite emphasis: set J = 1.0, J_w = 1/3
     val docs = Seq((1L, "a a a b"), (2L, "a b b b")).toDF("doc_id", "text")

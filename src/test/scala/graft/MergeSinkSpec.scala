@@ -354,6 +354,48 @@ class MergeSinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("audience-duplication sink: streamed == batch q_audience_duplication; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftExtensions.register(spark)
+    val target = Files.createTempDirectory("dupbm").toString + "/t"
+    // the SAME weighted program rows the batch row folds (C116)
+    val weights = graft.sources.ViewingData.table(spark, Sf, "customer")
+      .select(col("c_custkey").cast("string").as("smba_id"),
+        floor(abs(col("c_acctbal"))).cast("long").as("w"))
+    val rows = graft.sources.ViewingData.acr(spark, Sf)
+      .filter(col("content_type") === "program")
+      .select(col("smba_id"), col("network"))
+      .join(broadcast(weights), "smba_id")
+      .select(col("network"), col("w"), col("smba_id").cast("long").as("uid"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val (b1, b2) = rows.partition(_._3 % 2 == 0)
+    val input = MemoryStream[(String, Long, Long)]
+    val q = input.toDF().toDF("network", "w", "uid").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(MergeSink.audienceDuplicationSink(target, "network", "w", "uid") _)
+      .start()
+    try {
+      input.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      def matrix() = MergeSink.duplicationFromBitmaps(spark, target)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val streamed = matrix()
+      // REPLAY batch 1 in full: OR-idempotence must make it a no-op
+      input.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      assert(matrix() == streamed, "replayed batch must be a no-op")
+      val batchRow = SparkEntry.queries("q_audience_duplication")(spark, Sf)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batchRow,
+        s"missing=${(batchRow -- streamed).take(3)} extra=${(streamed -- batchRow).take(3)}")
+    } finally q.stop()
+  }
+
   test("streamed daily bitmaps answer SLIDING reach without re-reading events") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
