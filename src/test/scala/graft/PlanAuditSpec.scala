@@ -537,6 +537,62 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("lead(slot"), p)
   }
 
+  test("dedup_icws_incremental: index scan prunes sig; delta broadcasts into the probe") {
+    // the economics of the persisted-index probe (r10): the candidate
+    // join never reads the stored signatures — the index scan's
+    // required schema is (doc_id, lsh_key) only — and the delta side
+    // broadcasts (daily-increment contract), so the index is streamed,
+    // shuffled never. Pinned on the OPERATOR's candidate frame: the
+    // registry row checkpoints candidates before the verify, so the
+    // returned plan no longer carries the index scan.
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.ViewingData.table(spark, Sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    val path = java.nio.file.Files.createTempDirectory("icwsplan").toString + "/idx"
+    graft.operators.IcwsDelta.writeBatch(
+      docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", path, 0L)
+    val cand = graft.operators.IcwsDelta.incrementalCandidates(
+      docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+      graft.operators.IcwsDelta.readIndex(spark, path))
+    val idxScans = cand.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("icwsplan")) => s
+    }
+    assert(idxScans.nonEmpty, "the probe must read the persisted index")
+    idxScans.foreach { s =>
+      assert(!s.requiredSchema.fieldNames.contains("sig"),
+        s"index scan must column-prune the signatures:\n${s.requiredSchema.treeString}")
+    }
+    assert(cand.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "the delta band rows must broadcast into the index probe")
+  }
+
+  test("ann_range_search_batch: cells scan carries a literal partition filter") {
+    // the file-level triangle-bound guarantee: excluded cells' files
+    // are never listed — the scan of the persisted index must carry
+    // PartitionFilters on the cell column, and nothing may cartesian
+    val df = SparkEntry.queries("ann_range_search_batch")(spark, Sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivfrange")) => s
+    }
+    assert(scans.nonEmpty, "the probe must read the persisted index cells")
+    assert(scans.exists(_.metadata.get("PartitionFilters").exists(_.contains("label"))),
+      scans.map(_.metadata.getOrElse("PartitionFilters", "?")).mkString("\n"))
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("ann_ivfpq probes the pre-built index with partition-pruned cell reads") {
+    val df = SparkEntry.queries("ann_ivfpq")(spark, Sf)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivfpq")) => s
+    }
+    assert(scans.nonEmpty, "the probe must read the persisted index")
+    assert(scans.exists(_.metadata.get("PartitionFilters").exists(_.contains("label"))),
+      scans.map(_.metadata.getOrElse("PartitionFilters", "?")).mkString("\n"))
+  }
+
   test("text_segment_dedup: df joins by segment KEY; rebuild is one per-doc fold") {
     // the df join is keyed on the segment (Catalyst broadcasts it
     // only while it FITS — at corpus scale the vocabulary-sized
