@@ -289,9 +289,8 @@ SELECT id_a, id_b, round(jw, 6) AS weighted_jaccard FROM j WHERE jw >= 0.5"""))
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
         .localCheckpoint()
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_icwsidx_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
-        tableStamp(s, dir, "documents")
+      val path = stampedIndexPath(s, dir, "documents",
+        s"icwsidx_h${IcwsDelta.H}b${IcwsDelta.Bands}r${IcwsDelta.RowsPerBand}v1")
       val done = new org.apache.hadoop.fs.Path(s"$path/batch=0/_SUCCESS")
       if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
         IcwsDelta.writeBatch(
@@ -894,8 +893,25 @@ FROM top"""))
     val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
     s"${st.getModificationTime}_${st.getLen}"
   }
-  private def embStamp(s: SparkSession, dir: String): String =
-    tableStamp(s, dir, "embeddings")
+
+  /** The ONE path constructor for every persisted probe index (review
+    * finding: hand-repeated path strings let a build row and its probe
+    * row silently drift to different paths, un-splitting the
+    * build/probe economics). `scheme` must encode every build
+    * parameter and key-scheme version the stored layout depends on
+    * (bands, m/k, hashing scheme …) — the source stamp only protects
+    * against DATA changes; a code change to the scheme must change
+    * this token or a stale /tmp index from the previous code would be
+    * probed with incompatible keys (zero collisions, silently empty
+    * candidates). */
+  private def stampedIndexPath(s: SparkSession, dir: String,
+      table: String, scheme: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${scheme}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + tableStamp(s, dir, table)
+
+  /** IVF-PQ scheme token: m=16, k=16, ivfRounds=1, pqRounds=2 (the
+    * writeIndex call below) — keep in lockstep. */
+  private val IvfPqScheme = "ivfpq_m16k16i1p2"
 
   /** Build-if-missing for the persisted IVF-PQ index the ann_ivfpq
     * serving row probes: the index lives at a path keyed by (sf dir,
@@ -904,8 +920,7 @@ FROM top"""))
     * build-complete marker. Returns the index path. */
   private def ensureIvfPqIndex(s: SparkSession, dir: String,
       v: DataFrame): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + embStamp(s, dir)
+    val path = stampedIndexPath(s, dir, "embeddings", IvfPqScheme)
     val done = new org.apache.hadoop.fs.Path(s"$path/errstats/_SUCCESS")
     if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
       operators.IvfPq.writeIndex(v, "vec_id", "e", "label", path,
@@ -955,8 +970,7 @@ FROM top"""))
       // rows-only (seeded k-means has no DuckDB twin).
       graft.plans.GraftExtensions.register(s)
       val v = embCorpus(s, dir)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + embStamp(s, dir)
+      val path = stampedIndexPath(s, dir, "embeddings", IvfPqScheme)
       operators.IvfPq.writeIndex(v, "vec_id", "e", "label", path,
         m = 16, k = 16, ivfRounds = 1, pqRounds = 2)
       operators.Ivf.cellFill(s, path, "label")
@@ -1025,8 +1039,8 @@ SELECT vec_id, round(c, 6) AS cos_sim FROM scored WHERE c >= 0.2"""))
     (s, dir) => {
       graft.plans.GraftExtensions.register(s)
       val v = embCorpus(s, dir)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfrange_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + embStamp(s, dir)
+      // label-seeded cells, no trained quantizer: v1 covers the layout
+      val path = stampedIndexPath(s, dir, "embeddings", "ivfrange_v1")
       // writeCellStats lands last → its _SUCCESS marks a complete
       // (index + stats) build; writeIndex deletes stale stats first,
       // so a half-built path can never pass this check

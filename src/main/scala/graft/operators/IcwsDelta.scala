@@ -101,6 +101,14 @@ object IcwsDelta {
       bandRows(delta, idCol, textCol).localCheckpoint(), index,
       broadcastDelta)
 
+  /** [[incrementalCandidates]] over PREBUILT delta band rows — the
+    * streaming loop ([[graft.streaming.StreamWeightedDedup]]) computes
+    * the delta's draws once and reuses them for the probe AND the
+    * index append. */
+  def candidatesFromBands(d: DataFrame, index: DataFrame,
+      broadcastDelta: Boolean = true): DataFrame =
+    candFromBands(d, index, broadcastDelta)
+
   private def candFromBands(d: DataFrame, index: DataFrame,
       broadcastDelta: Boolean): DataFrame = {
     val probeSide = if (broadcastDelta) broadcast(d) else d
@@ -125,22 +133,8 @@ object IcwsDelta {
       delta: DataFrame, idCol: String, textCol: String,
       broadcastDelta: Boolean = true): DataFrame = {
     val d = bandRows(delta, idCol, textCol).localCheckpoint()
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(MinhashDelta.statsPath(path))))
-      return candFromBands(d, readIndex(spark, path), broadcastDelta)
-    val hashes = d.select(col("lsh_key.band_hash")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    val (files, _, covered) = MinhashDelta.pruneWithCovered(spark, path, hashes)
-    val appended = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
-      .map(_.getPath.toString)
-      .filterNot(p => covered.contains(p.split("/").last))
-    val paths = files ++ appended
-    val index =
-      if (paths.isEmpty) readIndex(spark, path).filter(lit(false))
-      else spark.read.option("basePath", path).parquet(paths: _*).drop("batch")
-    candFromBands(d, index, broadcastDelta)
+    candFromBands(d, MinhashDelta.prunedIndexFrame(spark, path, d),
+      broadcastDelta)
   }
 
   /** Exact weighted-Jaccard verification over candidate pairs,
@@ -149,7 +143,13 @@ object IcwsDelta {
     * ∝ |candidates|·shared-vocab, never a corpus text scan — the
     * production economics the incremental probe exists for. Results
     * are identical to verifying against the full docs frame because
-    * the verify only ever reads tf rows of candidate ids. */
+    * the verify only ever reads tf rows of candidate ids.
+    *
+    * COLUMN CONTRACT (unlike the idCol-parameterized entry points):
+    * `docs` must carry `doc_id`/`text` and `cand` must carry
+    * `id_a`/`id_b` — the names [[graft.QueriesML.weightedJaccardVerify]]
+    * itself hardcodes. Rename before calling from a differently-keyed
+    * pipeline. */
   def verifyExact(docs: DataFrame, cand: DataFrame, tau: Double): DataFrame = {
     val c = cand.localCheckpoint() // feeds the id restriction + verify
     val ids = c.select(col("id_a").as("doc_id"))

@@ -91,6 +91,18 @@ object Ivf {
     * cell filter. */
   def writeIndex(index: DataFrame, cents: DataFrame, cellCol: String,
       path: String): Unit = {
+    // a REBUILD invalidates any radius stats from the previous index
+    // generation, and the batch-count staleness check cannot see a
+    // rebuild (both generations may have one batch) — delete them so
+    // a range probe fails LOUDLY (missing cellstats) instead of
+    // silently pruning with the old generation's radii. Deleted FIRST
+    // (review finding): stats double as the build-complete marker for
+    // build-if-missing callers, so a rebuild that crashes mid-cells
+    // overwrite must not leave the old generation's marker pointing
+    // at torn cells.
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/cellstats")
+    statsPath.getFileSystem(index.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(statsPath, true)
     // repartition by cell so writer tasks line up with cell
     // directories — few large files per cell instead of tasks×cells
     // small ones (the small-files problem at index-build scale).
@@ -101,14 +113,6 @@ object Ivf {
       .write.partitionBy("batch", cellCol).mode("overwrite")
       .parquet(s"$path/cells")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    // a REBUILD invalidates any radius stats from the previous index
-    // generation, and the batch-count staleness check cannot see a
-    // rebuild (both generations may have one batch) — delete them so
-    // a range probe fails LOUDLY (missing cellstats) instead of
-    // silently pruning with the old generation's radii
-    val statsPath = new org.apache.hadoop.fs.Path(s"$path/cellstats")
-    statsPath.getFileSystem(index.sparkSession.sparkContext.hadoopConfiguration)
-      .delete(statsPath, true)
   }
 
   /** Appends a delta of vectors to a persisted index WITHOUT

@@ -151,6 +151,15 @@ object IvfPq {
     val encoded = Pq.encode(resid, books, idCol, "resid", m,
       carry = Seq(cellCol, "resid")).localCheckpoint()
     try {
+      // invalidate the PREVIOUS build's completion marker BEFORE the
+      // first overwrite: errstats lands last and build-if-missing
+      // callers treat its _SUCCESS as "index complete", so a rebuild
+      // crashing mid-cells-write must not leave the old marker
+      // pointing at torn cells (review finding — the Ivf.writeIndex
+      // cellstats discipline applied here)
+      val errP = new org.apache.hadoop.fs.Path(s"$path/errstats")
+      errP.getFileSystem(encoded.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(errP, true)
       encoded.drop("resid")
         .withColumn("batch", lit(0L))
         .repartition(col(cellCol))

@@ -231,24 +231,34 @@ object MinhashDelta {
       delta: DataFrame, idCol: String, textCol: String,
       broadcastDelta: Boolean = true): DataFrame = {
     val d = bandRows(delta, idCol, textCol).localCheckpoint()
+    pairsFromBands(d, prunedIndexFrame(spark, path, d), broadcastDelta)
+  }
+
+  /** The pruned index frame behind [[incrementalPairsPruned]] AND
+    * [[IcwsDelta.incrementalCandidatesPruned]] (one definition —
+    * review finding: the file-pruning protocol must not live twice):
+    * given MATERIALIZED delta band rows, returns the index restricted
+    * to the manifest files whose band-hash range intersects the
+    * delta's hashes, plus any post-compaction `batch=` dirs read
+    * whole (the manifest covers exactly the batch dirs it has rows
+    * under; later appends must be read in full — pruning is a pure
+    * optimization, never a correctness knob). Falls back to the full
+    * index when no manifest exists (un-compacted). */
+  private[operators] def prunedIndexFrame(spark: SparkSession,
+      path: String, d: DataFrame): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(statsPath(path))))
-      return pairsFromBands(d, readIndex(spark, path), broadcastDelta)
+      return readIndex(spark, path)
     val hashes = d.select(col("lsh_key.band_hash")).distinct()
       .collect().map(_.getLong(0)).sorted
     val (files, _, covered) = pruneWithCovered(spark, path, hashes)
-    // the manifest covers exactly the batch dirs it has rows under
-    // (the compacted one); any other batch=* dir landed after the
-    // compaction and must be read whole
     val appended = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
       .map(_.getPath.toString)
       .filterNot(p => covered.contains(p.split("/").last))
     val paths = files ++ appended
-    val index =
-      if (paths.isEmpty) readIndex(spark, path).filter(lit(false))
-      else spark.read.option("basePath", path).parquet(paths: _*).drop("batch")
-    pairsFromBands(d, index, broadcastDelta)
+    if (paths.isEmpty) readIndex(spark, path).filter(lit(false))
+    else spark.read.option("basePath", path).parquet(paths: _*).drop("batch")
   }
 }

@@ -104,9 +104,20 @@ object PrefixFilter {
         count(lit(1)).as("n"))
       .select(col(idCol), col("n"),
         expr(retainExpr).as("sorted_grams"))
+      // FP-safe ⌈τ·n⌉: ceil over the rounded product can overshoot by
+      // one when τ·n rounds up across an integer (τ = 0.4, n = 5), and
+      // an overshoot SHORTENS the prefix — a completeness break, the
+      // only unsafe direction. floor(τ·n) then one ratio test (k/n >= τ,
+      // a single correctly-rounded division, which never under-accepts)
+      // picks the true ceiling or errs one LOW — a longer prefix, more
+      // candidates, never a missed pair.
+      .withColumn("__k0", floor(col("n") * tau))
+      .withColumn("__minov",
+        when(col("__k0") / col("n") >= tau, col("__k0"))
+          .otherwise(col("__k0") + 1))
       .withColumn("prefix", slice(col("sorted_grams"), lit(1),
         greatest(lit(0),
-          (size(col("sorted_grams")) - ceil(col("n") * tau) + 1).cast("int"))))
+          (size(col("sorted_grams")) - col("__minov") + 1).cast("int"))))
     val pref = ranked.select(col(idCol), col("n"),
       posexplode(col("prefix")).as(Seq("pos", "gram")))
     // LENGTH FILTER (AllPairs, exactness-preserving): J >= tau forces
@@ -127,18 +138,33 @@ object PrefixFilter {
     // 5.2 → 2.2 s). Under the maxDf cap,
     // retained-list positions understate full positions, which only
     // LOOSENS the bound — the cap's recall contract is untouched.
-    val alpha = ceil((col("na") + col("nb")) * lit(tau / (1.0 + tau)))
+    //
+    // The keep test is the RATIO form b/(na+nb−b) >= τ, not a
+    // pre-computed ceil(τ(na+nb)/(1+τ)) threshold: x/(s−x) is
+    // increasing in x, so o <= b gives b/(s−b) >= o/(s−o) >= τ for
+    // every qualifying pair, and one correctly-rounded division
+    // compared >= τ can never under-accept (a real value >= τ rounds
+    // to >= τ) — whereas ceil over the FP product τ/(1+τ)·s overshoots
+    // by 1 for taus like 0.4 whose quotient rounds UP in binary,
+    // silently dropping qualifying pairs (review finding, spec'd at
+    // τ=0.4 in PrefixFilterSpec). Same exactness argument as the
+    // final verify filter below.
     val cand = pref.select(col("gram"), col(idCol).as("id_a"),
         col("n").as("na"), col("pos").as("pa"))
       .join(pref.select(col("gram"), col(idCol).as("id_b"),
         col("n").as("nb"), col("pos").as("pb")), "gram")
+      // the length filter in ratio form for the same FP reason:
+      // ceil(na·τ) can overshoot when the product rounds up across an
+      // integer; nb/na >= τ under one correctly-rounded division
+      // never under-accepts
       .filter(col("id_a") < col("id_b") &&
-        col("nb") >= ceil(col("na") * tau) &&
-        col("na") >= ceil(col("nb") * tau))
+        col("nb") / col("na") >= tau &&
+        col("na") / col("nb") >= tau)
       .groupBy("id_a", "id_b")
       .agg(min("pa").as("pa"), min("pb").as("pb"),
         min("na").as("na"), min("nb").as("nb"))
-      .filter(least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
+      .withColumn("bound", least(col("na") - col("pa"), col("nb") - col("pb")))
+      .filter(col("bound") / (col("na") + col("nb") - col("bound")) >= tau)
       .select("id_a", "id_b")
     val a = sets.select(col(idCol).as("id_a"), col("grams").as("ga"))
     val b = sets.select(col(idCol).as("id_b"), col("grams").as("gb"))

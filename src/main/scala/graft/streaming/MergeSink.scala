@@ -260,8 +260,17 @@ object MergeSink {
     val both = bm.as("a").join(bm.as("b"),
         expr(s"a.$wCol = b.$wCol AND a.$netCol <> b.$netCol"))
       .select(col(s"a.$netCol").as("net_a"), col(s"b.$netCol").as("net_b"),
+        expr("bitmap_and_count(a.bm, b.bm)").as("nb"),
         (col(s"a.$wCol") * expr("bitmap_and_count(a.bm, b.bm)")).as("wb"))
-      .groupBy("net_a", "net_b").agg(sum("wb").as("w_both"))
+      .groupBy("net_a", "net_b")
+      .agg(sum("wb").as("w_both"), sum("nb").as("n_both"))
+      // a pair whose weight cells merely COEXIST (equal w on both
+      // sides, zero shared viewers) must emit NO row — the batch row
+      // derives pairs from each viewer's own network set, so no shared
+      // viewer → no row. Filtering on w_both would be wrong the other
+      // way: shared viewers whose weight is 0 legitimately emit a
+      // w_both = 0 row in both forms (review finding).
+      .filter(col("n_both") > 0)
     both.join(broadcast(per), "net_a")
       .select(col("net_a"), col("net_b"), col("w_both"),
         round(lit(100.0) * col("w_both") / col("w_a"), 9).as("dup_pct"))

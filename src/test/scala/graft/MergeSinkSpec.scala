@@ -396,6 +396,36 @@ class MergeSinkSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("duplication readout: coexisting weight cells with no shared viewer emit NO row; shared w=0 viewers emit w_both=0") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val target = Files.createTempDirectory("dupbm0").toString + "/t"
+    val input = MemoryStream[(String, Long, Long)]
+    val q = input.toDF().toDF("network", "w", "uid").writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch(MergeSink.audienceDuplicationSink(target, "network", "w", "uid") _)
+      .start()
+    try {
+      // nets a and b both have weight-7 viewers but share NONE; nets
+      // c and d share ONLY viewer 30, whose weight is 0 (each also has
+      // a weighted solo viewer so w_a > 0 — an all-zero-weight network
+      // divides 0/0 in the BATCH form too, identically)
+      input.addData(
+        ("a", 7L, 1L), ("b", 7L, 2L),
+        ("c", 0L, 30L), ("d", 0L, 30L), ("c", 5L, 31L), ("d", 5L, 32L))
+      q.processAllAvailable()
+      val rows = MergeSink.duplicationFromBitmaps(spark, target)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      assert(!rows.contains(("a", "b")) && !rows.contains(("b", "a")),
+        s"no shared viewer → no row (batch semantics), got $rows")
+      assert(rows.get(("c", "d")).contains((0L, 0.0)),
+        s"shared zero-weight viewer → w_both=0 row, got $rows")
+      assert(rows.get(("d", "c")).contains((0L, 0.0)), rows.toString)
+    } finally q.stop()
+  }
+
   test("streamed daily bitmaps answer SLIDING reach without re-reading events") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -46,6 +46,37 @@ class PrefixFilterSpec extends SparkTestBase {
     }
   }
 
+  test("FP-hostile taus stay complete (0.4 / 0.25 / 0.2 — quotients that round UP)") {
+    // review finding: ceil over the FP product τ/(1+τ)·(na+nb) (and
+    // ceil(τ·n) in the prefix length / length filter) overshoots by 1
+    // for taus whose binary rounding lands above the rational value —
+    // τ=0.4 with na=3, nb=4: true α = ceil(7·2/7) = 2 but
+    // fl(7·0.28571428571428575) = 2.0000000000000004 → ceil 3, dropping
+    // a qualifying o=2 pair. The ratio-form filters must keep it.
+    // Docs engineered so the adversarial (na=3, nb=4, o=2) shape exists:
+    // bigram sets {ab, bc, cd} and {ab, bc, ce, ef} share exactly 2.
+    val docs: Seq[(Long, String)] = Seq(
+      1L -> "a b c d",      // bigrams: ab, bc, cd  (na=3)
+      2L -> "a b c e f",    // bigrams: ab, bc, ce, ef  (nb=4), o=2, J=2/5=0.4
+      3L -> "x y z w",      // unrelated
+      4L -> "x y z q r",    // o=2 with 3 at J=2/5
+      5L -> "a b c d",      // exact dup of 1
+      6L -> "p q",          // single bigram
+      7L -> "p q s t u v w x y z a" // low-J partner for 6
+    )
+    for (tau <- Seq(0.4, 0.25, 0.2, 1.0 / 3.0)) {
+      val got = PrefixFilter.pairs(docs.toDF("doc_id", "text"),
+          "doc_id", "text", shingle = 2, tau = tau)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == brute(docs, tau), s"tau=$tau: $got vs ${brute(docs, tau)}")
+    }
+    // the J=0.4 pair specifically must survive at τ=0.4
+    val at04 = PrefixFilter.pairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", shingle = 2, tau = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(at04.contains((1L, 2L)), "the boundary o=2 pair must not be dropped")
+  }
+
   test("registry row equals the unrestricted brute force on the real corpus") {
     val docs = ViewingData.table(spark, Sf, "documents")
       .select(col("doc_id").cast("long"), col("text"))
