@@ -140,15 +140,24 @@ object Bench {
     val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench/history.jsonl")
     val prevForGate =
       if (only.isEmpty) BenchHistory.prevEntry(histPath, sfDir) else None
+    // The gate's baseline is the per-query MIN over the last few
+    // entries, not the single last entry: a junk entry measured under
+    // a VM load burst (calib 2-4× normal — two such landed in r10)
+    // would otherwise blind the gate for the NEXT run, since every
+    // query looks fast against inflated numbers. vs_prev in the
+    // history line still compares the last entry (continuity).
+    val gateBaseline =
+      if (only.isEmpty) BenchHistory.minOverRecent(histPath, sfDir, 3)
+      else Map.empty[String, Double]
     val retried = prevForGate match {
-      case Some((_, pSecs)) =>
+      case Some(_) =>
         var budgetLeft = 15
         results.map { case r @ (n, best, p) =>
-          val suspect = Bench.isSuspect(best, pSecs.get(n))
+          val suspect = Bench.isSuspect(best, gateBaseline.get(n))
           if (suspect && budgetLeft > 0) {
             budgetLeft -= 1
             System.err.println(
-              f"[bench] re-measuring suspect $n (${best.get}%.3f s vs prev ${pSecs(n)}%.3f s)")
+              f"[bench] re-measuring suspect $n (${best.get}%.3f s vs baseline ${gateBaseline(n)}%.3f s)")
             val t3 = exec(n)
             (n, (best.toSeq ++ t3.toSeq).minOption, p + t3.size)
           } else r
@@ -249,6 +258,30 @@ object BenchHistory {
         }
       }
     } catch { case _: Exception => None }
+
+  /** Per-query MIN seconds over the last `k` same-SF history entries —
+    * the suspect-gate baseline. Min-of-recent is robust to a junk
+    * entry measured under a VM load burst (r10 minted two with calib
+    * 2–4× normal): against an inflated last entry every query looks
+    * fast and the gate goes blind for a round; against the min of a
+    * few entries only a genuinely slower query fires it. Queries not
+    * present in any of the k entries are absent (new rows have no
+    * baseline). */
+  def minOverRecent(path: String, sfDir: String, k: Int): Map[String, Double] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val needle = s""""sf":"$sfDir""""
+        val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+        val lastK = try src.getLines().filter(_.contains(needle))
+          .foldLeft(List.empty[String])((acc, l) => (l :: acc).take(k))
+          finally src.close()
+        lastK.flatMap { l =>
+          QuerySecRe.findAllMatchIn(l).map(q => q.group(1) -> q.group(2).toDouble)
+        }.groupMapReduce(_._1)(_._2)(math.min)
+      }
+    } catch { case _: Exception => Map.empty }
 
   /** Append (create parents on first run). Best-effort by design: a
     * read-only checkout must not fail the bench — stdout is still the

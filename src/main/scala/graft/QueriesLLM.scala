@@ -639,13 +639,20 @@ FROM lbl"""))
     * flavor, LSH pairs are the shape whose candidate volume tracks
     * true near-dup density instead of bucket membership). */
   private[graft] def corpusPrepFrom(s: org.apache.spark.sql.SparkSession,
-      dir: String, pairs: org.apache.spark.sql.DataFrame)
+      dir: String, pairs: org.apache.spark.sql.DataFrame,
+      scope: org.apache.spark.sql.Column = lit(true))
       : org.apache.spark.sql.DataFrame = {
       // repartition at the head: gate trigrams and PII regexes are
       // the per-doc CPU cost, and the single-file scan would run them
-      // on one task (pairs repartitions internally already)
+      // on one task (pairs repartitions internally already).
+      // `scope` restricts which docs are PREPPED (the incremental form
+      // preps the delta only); pairs/dupes may reference out-of-scope
+      // ids — the anti-join just never matches them. Default lit(true)
+      // optimizes away (PruneFilters), keeping the one-shot plan
+      // identical.
       val docs = ViewingData.table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
+        .filter(scope)
       val dupes = Components.connectedComponents(pairs, "id_a", "id_b")
         .filter(col("id") =!= col("comp"))
         .select(col("id").as("doc_id"))
@@ -682,6 +689,85 @@ reach(s, n) AS (SELECT s, s FROM edges UNION
 comp AS (SELECT s AS doc_id, MIN(n) AS canonical_id FROM reach GROUP BY s),
 dupes AS (SELECT doc_id FROM comp WHERE doc_id <> canonical_id),
 kept AS (SELECT d.doc_id, d.text FROM documents d ANTI JOIN dupes USING (doc_id)),
+${gateSigSql("kept")},
+gated AS (SELECT doc_id FROM lbl
+          WHERE n_tokens >= 10 AND n_tokens <= 5000 AND dup_ratio <= 0.2
+            AND lang = 'en' AND quality >= 0.3),
+scr AS (SELECT k.doc_id, k.doc_id % 8 AS shard,
+               ${piiScrubSql("k.text")} AS stext
+        FROM kept k JOIN gated USING (doc_id)),
+sized AS (SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                 md5(stext) AS text_sig,
+                 CAST(len(regexp_split_to_array(trim(lower(stext)), '\\s+')) AS BIGINT) AS n_tokens
+          FROM scr)
+SELECT doc_id, shard, text_sig, n_tokens,
+       CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       CAST(floor((SUM(n_tokens) OVER w - n_tokens) / 2048) AS BIGINT) AS pack_id
+FROM sized
+WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""))
+
+  /** corpus_prep's CONTINUOUS-INGESTION form (F14b, r10): the standing
+    * corpus (3/4 of documents) is already prepped; a delta (1/4)
+    * lands, and the output is the prep of the DELTA ALONE — dedup
+    * edges restricted to delta-touching pairs (delta×standing via the
+    * same (lang, n_chars) buckets the one-shot uses, plus
+    * delta×delta), connected components over that edge set, then the
+    * identical gate → scrub → pack chain scoped to surviving delta
+    * docs. The gram build runs ONCE over one scan; the pair join's
+    * probe side is the DELTA (bucket-local — the standing side is
+    * only ever compared against delta buckets, never itself: the
+    * standing×standing quadratic was paid at initial prep and never
+    * again, the etl-dag.sql watermark discipline applied to curation).
+    * Contract: the standing corpus is dedup-clean (its own dups were
+    * collapsed when IT was the delta), so delta docs can only chain
+    * through ONE standing hop — which the delta-touching edge set
+    * captures. Fully DuckDB-oracled: the oracle restates the
+    * delta-restricted pairs, the recursive CC, and the shared
+    * gate/scrub/pack fragments verbatim. */
+  private val corpusPrepIncremental = Q(
+    "corpus_prep_incremental",
+    (s, dir) => {
+      val grams = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          graft.functions.TextFunctions.shingles("text", 3).as("grams"))
+        .localCheckpoint()
+      val deltaG = grams.filter(col("doc_id") % 4 === 0)
+      val pairs = grams.as("a").join(deltaG.as("b"),
+          expr("a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id <> b.doc_id"))
+        .select(
+          least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
+          round(
+            size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+              size(array_union(col("a.grams"), col("b.grams"))).cast("double"),
+            6).as("jaccard"))
+        .filter(col("jaccard") >= 0.3)
+        .select("id_a", "id_b").distinct() // delta×delta matches twice
+        .localCheckpoint()
+      corpusPrepFrom(s, dir, pairs, scope = col("doc_id") % 4 === 0)
+    },
+    Some(s"""WITH RECURSIVE g AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(list_transform(generate_series(1, greatest(1, length(text) - 2)),
+                                      i -> substring(text, i, 3))) AS grams
+  FROM documents),
+pairs AS (
+  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                  greatest(a.doc_id, b.doc_id) AS id_b
+  FROM g a JOIN g b ON a.lang = b.lang AND a.n_chars = b.n_chars
+                   AND a.doc_id <> b.doc_id
+  WHERE b.doc_id % 4 = 0
+    AND round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= 0.3),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(s, n) AS (SELECT s, s FROM edges UNION
+                SELECT r.s, e.d FROM reach r JOIN edges e ON r.n = e.s),
+comp AS (SELECT s AS doc_id, MIN(n) AS canonical_id FROM reach GROUP BY s),
+dupes AS (SELECT doc_id FROM comp WHERE doc_id <> canonical_id),
+kept AS (SELECT d.doc_id, d.text FROM documents d ANTI JOIN dupes USING (doc_id)
+         WHERE d.doc_id % 4 = 0),
 ${gateSigSql("kept")},
 gated AS (SELECT doc_id FROM lbl
           WHERE n_tokens >= 10 AND n_tokens <= 5000 AND dup_ratio <= 0.2
@@ -1116,5 +1202,6 @@ FROM fused QUALIFY rank <= 10"""))
     Seq(textRepetition, textDecontaminate, textDecontaminateBloom, piiScrubQ, corpusShuffle,
       corpusMix, sampleWeighted, textUnigramLogprob, textBigramLogprob, qualityModel,
       qualityModelTrained, qualityModelEval, mmHeaderParse, qualityGate, corpusPrep,
+      corpusPrepIncremental,
       docChunk, textTfidf, sampleWeightedK, chunkEmbed, textBm25, hybridSearch)
 }

@@ -87,6 +87,26 @@ class BenchHistorySpec extends SparkTestBase {
     assert(!Bench.isSuspect(Some(2.0), Some(0.0)), "zero prev never divides")
   }
 
+  test("minOverRecent: per-query min across the last k same-sf entries") {
+    // a junk entry (VM load burst) inflates the last entry's numbers;
+    // the gate baseline must still see the honest minimum
+    val dir = java.nio.file.Files.createTempDirectory("bench-hist")
+    val p = dir.resolve("history.jsonl").toString
+    BenchHistory.append(p, BenchHistory.line("/sf/x", 0.5, 0.5, 3.0,
+      Seq(("q_a", Some(1.0), 2), ("q_old", Some(2.0), 2))))
+    BenchHistory.append(p, BenchHistory.line("/sf/x", 2.4, 2.4, 9.0,
+      Seq(("q_a", Some(4.0), 1))))                       // the junk entry
+    BenchHistory.append(p, BenchHistory.line("/sf/other", 0.5, 0.5, 1.0,
+      Seq(("q_a", Some(0.1), 2))))                       // other sf: ignored
+    val base = BenchHistory.minOverRecent(p, "/sf/x", 3)
+    assert(base("q_a") == 1.0, s"min over entries, not the last one: $base")
+    assert(base("q_old") == 2.0, "queries absent from later entries still baseline")
+    val base1 = BenchHistory.minOverRecent(p, "/sf/x", 1)
+    assert(base1("q_a") == 4.0 && !base1.contains("q_old"),
+      s"k=1 degenerates to the last entry: $base1")
+    assert(BenchHistory.minOverRecent("/nonexistent/h.jsonl", "/sf/x", 3).isEmpty)
+  }
+
   test("gitHead resolves this repo's HEAD to a 12-char sha") {
     val sha = BenchHistory.gitHead("/root/repo")
     assert(sha.length == 12 && sha.forall(c => c.isDigit || ('a' to 'f').contains(c)),
