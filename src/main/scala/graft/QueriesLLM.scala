@@ -650,12 +650,23 @@ FROM lbl"""))
       // ids — the anti-join just never matches them. Default lit(true)
       // optimizes away (PruneFilters), keeping the one-shot plan
       // identical.
+      corpusPrepFromDupes(s, dir,
+        Components.connectedComponents(pairs, "id_a", "id_b")
+          .filter(col("id") =!= col("comp"))
+          .select(col("id").as("doc_id")),
+        scope)
+  }
+
+  /** [[corpusPrepFrom]] with the duplicate set supplied directly —
+    * the incremental row needs survivorship semantics the one-shot's
+    * min-id rule cannot express (standing docs always win). */
+  private[graft] def corpusPrepFromDupes(s: org.apache.spark.sql.SparkSession,
+      dir: String, dupes: org.apache.spark.sql.DataFrame,
+      scope: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
       val docs = ViewingData.table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .filter(scope)
-      val dupes = Components.connectedComponents(pairs, "id_a", "id_b")
-        .filter(col("id") =!= col("comp"))
-        .select(col("id").as("doc_id"))
       val kept = docs.join(dupes, Seq("doc_id"), "left_anti")
       // gate → filter → scrub in ONE pass over kept: signals carry the
       // text, so no join back to the source and no second anti-join.
@@ -719,39 +730,42 @@ WINDOW w AS (PARTITION BY shard ORDER BY doc_id
     * only ever compared against delta buckets, never itself: the
     * standing×standing quadratic was paid at initial prep and never
     * again, the etl-dag.sql watermark discipline applied to curation).
-    * Contract: the standing corpus is dedup-clean (its own dups were
-    * collapsed when IT was the delta), so delta docs can only chain
-    * through ONE standing hop — which the delta-touching edge set
-    * captures. Fully DuckDB-oracled: the oracle restates the
-    * delta-restricted pairs, the recursive CC, and the shared
-    * gate/scrub/pack fragments verbatim. */
+    *
+    * Survivorship is FIRST-ARRIVAL-WINS, not the one-shot's min-id
+    * rule: a delta doc duplicating ANYTHING standing is dropped
+    * regardless of id order (the standing copy is already published —
+    * evicting it would leave the combined corpus carrying both
+    * near-dups and break the very invariant the next increment relies
+    * on), and among delta-only components the min delta id survives.
+    * That invariant — the standing corpus is dedup-clean, because
+    * every standing doc survived this same rule when IT was the
+    * delta — is also what lets the delta-touching edge set suffice
+    * (delta docs chain through at most one standing hop). Fully
+    * DuckDB-oracled: delta-restricted pairs, recursive CC,
+    * first-arrival survivorship, and the shared gate/scrub/pack
+    * fragments. */
   private val corpusPrepIncremental = Q(
     "corpus_prep_incremental",
     (s, dir) => {
-      val grams = ViewingData.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("lang"), col("n_chars"),
-          graft.functions.TextFunctions.shingles("text", 3).as("grams"))
+      val pairs = QueriesML.ngramJaccardPairsTouching(
+          s, dir, col("doc_id") % 4 === 0)
         .localCheckpoint()
-      val deltaG = grams.filter(col("doc_id") % 4 === 0)
-      val pairs = grams.as("a").join(deltaG.as("b"),
-          expr("a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id <> b.doc_id"))
-        .select(
-          least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
-          greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"),
-          round(
-            size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-              size(array_union(col("a.grams"), col("b.grams"))).cast("double"),
-            6).as("jaccard"))
-        .filter(col("jaccard") >= 0.3)
-        .select("id_a", "id_b").distinct() // delta×delta matches twice
-        .localCheckpoint()
-      corpusPrepFrom(s, dir, pairs, scope = col("doc_id") % 4 === 0)
+      val cc = Components.connectedComponents(pairs, "id_a", "id_b")
+      // per component: does it touch the standing corpus, and which
+      // delta member arrived first (min id — the intra-delta tie rule)
+      val flags = cc.groupBy("comp").agg(
+        max(when(col("id") % 4 =!= 0, 1L).otherwise(0L)).as("has_standing"),
+        min(when(col("id") % 4 === 0, col("id"))).as("min_delta"))
+      val dupes = cc.filter(col("id") % 4 === 0)
+        .join(flags, "comp")
+        .filter(col("has_standing") === 1L || col("id") =!= col("min_delta"))
+        .select(col("id").as("doc_id"))
+      corpusPrepFromDupes(s, dir, dupes, scope = col("doc_id") % 4 === 0)
     },
     Some(s"""WITH RECURSIVE g AS (
   SELECT doc_id, lang, n_chars,
-         list_distinct(list_transform(generate_series(1, greatest(1, length(text) - 2)),
-                                      i -> substring(text, i, 3))) AS grams
+         list_distinct(list_transform(generate_series(1, greatest(1, length(text) - ${QueriesML.NgramShingle - 1})),
+                                      i -> substring(text, i, ${QueriesML.NgramShingle}))) AS grams
   FROM documents),
 pairs AS (
   SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
@@ -760,12 +774,18 @@ pairs AS (
                    AND a.doc_id <> b.doc_id
   WHERE b.doc_id % 4 = 0
     AND round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-              CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= 0.3),
+              CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= ${QueriesML.NgramTau}),
 edges AS (SELECT id_a AS s, id_b AS d FROM pairs UNION SELECT id_b, id_a FROM pairs),
 reach(s, n) AS (SELECT s, s FROM edges UNION
                 SELECT r.s, e.d FROM reach r JOIN edges e ON r.n = e.s),
 comp AS (SELECT s AS doc_id, MIN(n) AS canonical_id FROM reach GROUP BY s),
-dupes AS (SELECT doc_id FROM comp WHERE doc_id <> canonical_id),
+flags AS (SELECT canonical_id,
+                 max(CASE WHEN doc_id % 4 <> 0 THEN 1 ELSE 0 END) AS has_standing,
+                 MIN(CASE WHEN doc_id % 4 = 0 THEN doc_id END) AS min_delta
+          FROM comp GROUP BY 1),
+dupes AS (SELECT c.doc_id FROM comp c JOIN flags f USING (canonical_id)
+          WHERE c.doc_id % 4 = 0
+            AND (f.has_standing = 1 OR c.doc_id <> f.min_delta)),
 kept AS (SELECT d.doc_id, d.text FROM documents d ANTI JOIN dupes USING (doc_id)
          WHERE d.doc_id % 4 = 0),
 ${gateSigSql("kept")},

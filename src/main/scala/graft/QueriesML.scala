@@ -122,19 +122,29 @@ GROUP BY md5(text)"""))
     * on both — then exact 3-gram Jaccard within buckets, rounded to
     * 6dp, threshold 0.3. Kept in ONE place so the pairs → components
     * story can't drift. */
-  private[graft] def ngramJaccardPairs(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  /** The ngram pair stage's single tuning point (shared by the
+    * one-shot self-join, the delta-touching probe join, and both
+    * DuckDB CTEs — the constants must not drift apart). */
+  private[graft] val NgramShingle = 3
+  private[graft] val NgramTau = 0.3
+
+  /** The shared gram frame + scored bucket join both pair flavors
+    * compose. */
+  private def ngramGrams(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     // build-once idiom (same as dedup_minhash): without the barrier the
-    // self-join instantiates the interpreted shingle transform per side
+    // join instantiates the interpreted shingle transform per side
     // — two full gram builds before the bucket-local pair loop
-    val docs = ViewingData.table(s, dir, "documents")
+    ViewingData.table(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"), col("n_chars"),
-        TextFunctions.shingles("text", 3).as("grams"))
+        TextFunctions.shingles("text", NgramShingle).as("grams"))
       .localCheckpoint()
-    val a = docs.as("a")
-    val b = docs.as("b")
-    a.join(b, expr("a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id"))
+
+  private def scoredPairs(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, cond: String): org.apache.spark.sql.DataFrame =
+    a.as("a").join(b.as("b"),
+        expr(s"a.lang = b.lang AND a.n_chars = b.n_chars AND $cond"))
       .select(
         col("a.doc_id").as("id_a"),
         col("b.doc_id").as("id_b"),
@@ -142,7 +152,31 @@ GROUP BY md5(text)"""))
           size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
             size(array_union(col("a.grams"), col("b.grams"))).cast("double"),
           6).as("jaccard"))
-      .filter(col("jaccard") >= 0.3)
+      .filter(col("jaccard") >= NgramTau)
+
+  private[graft] def ngramJaccardPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = ngramGrams(s, dir)
+    scoredPairs(docs, docs, "a.doc_id < b.doc_id")
+  }
+
+  /** [[ngramJaccardPairs]] restricted to pairs TOUCHING the docs
+    * matching `probe` — the incremental probe join
+    * (corpus_prep_incremental): grams build once over one scan, the
+    * probe side joins against the FULL frame bucket-locally, and the
+    * standing side is never self-joined. Same shingle/τ/blocks
+    * definition as the one-shot — one tuning point, per the
+    * pairs-story-in-one-place rule above. Output is (id_a < id_b)
+    * normalized and distinct (probe×probe pairs match twice). */
+  private[graft] def ngramJaccardPairsTouching(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      probe: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val docs = ngramGrams(s, dir)
+    scoredPairs(docs, docs.filter(probe), "a.doc_id <> b.doc_id")
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
   }
 
   /** DuckDB twin of [[ngramJaccardPairs]] as a CTE body (`g`, `pairs`). */
@@ -909,9 +943,17 @@ FROM top"""))
     s"${System.getProperty("java.io.tmpdir")}/graft_${scheme}_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + tableStamp(s, dir, table)
 
-  /** IVF-PQ scheme token: m=16, k=16, ivfRounds=1, pqRounds=2 (the
-    * writeIndex call below) — keep in lockstep. */
-  private val IvfPqScheme = "ivfpq_m16k16i1p2"
+  /** IVF-PQ build parameters — ONE definition driving BOTH writeIndex
+    * call sites and the scheme token (review finding: hand-duplicated
+    * literals with a "keep in lockstep" comment recreate exactly the
+    * drift the token exists to kill — a tuning that missed one site
+    * would build incompatible indexes at the same path). */
+  private val IvfPqM = 16
+  private val IvfPqK = 16
+  private val IvfPqIvfRounds = 1
+  private val IvfPqPqRounds = 2
+  private val IvfPqScheme =
+    s"ivfpq_m${IvfPqM}k${IvfPqK}i${IvfPqIvfRounds}p$IvfPqPqRounds"
 
   /** Build-if-missing for the persisted IVF-PQ index the ann_ivfpq
     * serving row probes: the index lives at a path keyed by (sf dir,
@@ -924,7 +966,7 @@ FROM top"""))
     val done = new org.apache.hadoop.fs.Path(s"$path/errstats/_SUCCESS")
     if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
       operators.IvfPq.writeIndex(v, "vec_id", "e", "label", path,
-        m = 16, k = 16, ivfRounds = 1, pqRounds = 2)
+        m = IvfPqM, k = IvfPqK, ivfRounds = IvfPqIvfRounds, pqRounds = IvfPqPqRounds)
     path
   }
 
@@ -972,7 +1014,7 @@ FROM top"""))
       val v = embCorpus(s, dir)
       val path = stampedIndexPath(s, dir, "embeddings", IvfPqScheme)
       operators.IvfPq.writeIndex(v, "vec_id", "e", "label", path,
-        m = 16, k = 16, ivfRounds = 1, pqRounds = 2)
+        m = IvfPqM, k = IvfPqK, ivfRounds = IvfPqIvfRounds, pqRounds = IvfPqPqRounds)
       operators.Ivf.cellFill(s, path, "label")
         .orderBy("batch", "label")
     },

@@ -74,6 +74,34 @@ object IcwsDelta {
       .write.mode("overwrite").parquet(s"$path/batch=$batchId")
   }
 
+  /** Stream batch ids live strictly BELOW this; seeds live at or
+    * above it. Splitting the id space structurally is what stops a
+    * foreachBatch stream (whose ids start at 0) from silently
+    * OVERWRITING the standing corpus it probes — a seed landed at
+    * batch 0 would be replaced by the stream's first micro-batch and
+    * every subsequent probe would miss all delta-vs-standing pairs
+    * with no error (review finding). */
+  val SeedBatchId = 1000000L
+
+  /** Seeds the standing corpus for a [[graft.streaming.StreamWeightedDedup]]
+    * loop — [[writeBatch]] constrained to the seed id space. */
+  def seedBatch(docs: DataFrame, idCol: String, textCol: String,
+      path: String, seedId: Long = SeedBatchId): Unit = {
+    require(seedId >= SeedBatchId,
+      s"seed ids must be >= $SeedBatchId (stream micro-batch ids own 0..${SeedBatchId - 1}), got $seedId")
+    writeBatch(docs, idCol, textCol, path, seedId)
+  }
+
+  /** Lands PREBUILT band rows under a STREAM micro-batch id — the
+    * append side of the streaming loop. Refuses the seed space and
+    * the compaction slot, so no foreachBatch id can ever collide with
+    * a seed. */
+  def writeBandRows(d: DataFrame, path: String, batchId: Long): Unit = {
+    require(batchId >= 0L && batchId < SeedBatchId,
+      s"stream batch ids must be in [0, $SeedBatchId), got $batchId")
+    d.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+  }
+
   /** The full index (all batches; `batch` dropped — probes are
     * batch-agnostic). */
   def readIndex(spark: SparkSession, path: String): DataFrame =

@@ -33,9 +33,11 @@ object StreamWeightedDedup {
   /** Returns a (batchDF, batchId) function for
     * `writeStream.foreachBatch`. `batch` must carry `idCol`, `textCol`
     * and [[IcwsDelta.BlockCols]]. Seed the standing corpus with
-    * [[IcwsDelta.writeBatch]] under an id clear of the stream's 0..N
-    * (e.g. 1000000) — stream batch ids start at 0 and must own their
-    * own directories for replay idempotence. */
+    * [[IcwsDelta.seedBatch]] — seeds live at ids ≥
+    * [[IcwsDelta.SeedBatchId]], structurally disjoint from the
+    * stream's 0..N, and the append below refuses to write into the
+    * seed space, so a mis-seeded index fails LOUDLY instead of being
+    * silently overwritten by micro-batch 0. */
   def probeThenAppendParquet(indexPath: String, pairsPath: String,
       idCol: String = "doc_id", textCol: String = "text")(
       batch: DataFrame, batchId: Long): Unit = {
@@ -44,7 +46,7 @@ object StreamWeightedDedup {
     try {
       IcwsDelta.candidatesFromBands(d, IcwsDelta.readIndex(spark, indexPath))
         .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
-      d.write.mode("overwrite").parquet(s"$indexPath/batch=$batchId")
+      IcwsDelta.writeBandRows(d, indexPath, batchId)
     } finally d.unpersist(blocking = false)
   }
 }

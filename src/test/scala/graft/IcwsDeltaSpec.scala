@@ -76,8 +76,18 @@ class IcwsDeltaSpec extends SparkTestBase {
     import org.apache.spark.sql.streaming.OutputMode
     val dirRoot = java.nio.file.Files.createTempDirectory("icwsstream").toString
     val (indexPath, pairsPath) = (s"$dirRoot/idx", s"$dirRoot/pairs")
-    // seed the standing corpus OUTSIDE the stream's batch-id space
-    IcwsDelta.writeBatch(corpus, "doc_id", "text", indexPath, 1000000L)
+    // seed the standing corpus OUTSIDE the stream's batch-id space —
+    // structurally enforced: seeds must sit >= SeedBatchId, stream
+    // appends must sit below it, so micro-batch 0 can never overwrite
+    // the standing corpus (review finding)
+    IcwsDelta.seedBatch(corpus, "doc_id", "text", indexPath)
+    intercept[IllegalArgumentException] {
+      IcwsDelta.seedBatch(corpus, "doc_id", "text", indexPath, seedId = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      IcwsDelta.writeBandRows(
+        IcwsDelta.readIndex(spark, indexPath), indexPath, IcwsDelta.SeedBatchId)
+    }
     val rows = delta.select("doc_id", "lang", "n_chars", "text")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
     val (b1, b2) = rows.partition(_._1 % 8 == 0)

@@ -118,4 +118,44 @@ class LlmOpsSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scan-speed inference must not shuffle:\n$plan")
   }
+
+  test("corpus_prep_incremental: first-arrival survivorship — standing always wins") {
+    // the ONE semantic the DuckDB parity can never catch (both sides
+    // share it): a delta doc duplicating a STANDING doc must be
+    // dropped even when its id is SMALLER — min-id canonical would
+    // evict the already-published standing copy, leaving the combined
+    // corpus carrying both near-dups and breaking the dedup-clean
+    // invariant the next increment relies on (review finding).
+    val passText = "the quick brown fox and the lazy dog ran to the " +
+      "old barn in a field with many birds on it near the river"
+    def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("prepinc").toString
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // doc 0 (delta, SMALLER id) exactly duplicates doc 1 (standing):
+    // same text, same (lang, n_chars) block -> Jaccard 1.0
+    val dirWithStanding = writeDocs(Seq(
+      (0L, passText, "en", "web", 100L),
+      (1L, passText, "en", "web", 100L)))
+    val out1 = SparkEntry.queries("corpus_prep_incremental")(spark, dirWithStanding)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!out1.contains(0L),
+      "delta doc duplicating standing must be dropped despite the smaller id")
+    // vacuity guard: without the standing dup, the SAME doc 0 passes
+    // the gate and ships — proving the first assertion tested the
+    // survivorship rule, not a gate rejection
+    val dirAlone = writeDocs(Seq((0L, passText, "en", "web", 100L)))
+    val out2 = SparkEntry.queries("corpus_prep_incremental")(spark, dirAlone)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 == Set(0L), s"doc 0 must pass the gate solo, got $out2")
+    // intra-delta tie rule unchanged: two delta-only dups keep min id
+    val dirDeltaOnly = writeDocs(Seq(
+      (4L, passText, "en", "web", 100L),
+      (8L, passText, "en", "web", 100L)))
+    val out3 = SparkEntry.queries("corpus_prep_incremental")(spark, dirDeltaOnly)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out3 == Set(4L), s"min delta id survives delta-only components, got $out3")
+  }
 }
