@@ -293,6 +293,12 @@ SELECT id_a, id_b, round(jw, 6) AS weighted_jaccard FROM j WHERE jw >= 0.5"""))
         .localCheckpoint()
       val cand = operators.Icws.candidates(sigs, "doc_id",
         bands = 8, rowsPerBand = 2, blockCols = Seq("lang", "n_chars"))
+      // full-frame verify, DELIBERATELY: the restricted form
+      // (IcwsDelta.verifyExact) must materialize the candidate frame
+      // for its id semi-join, and at registry scale that checkpoint
+      // costs more than the corpus tf fold it saves (measured 3.8 s →
+      // 5.1 s when tried in r10); the restriction pays off only when
+      // the corpus text scan dominates — the incremental row's regime
       weightedJaccardVerify(docs, cand, 0.55)
     },
     None)
