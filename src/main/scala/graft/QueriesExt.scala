@@ -204,8 +204,7 @@ QUALIFY draw_rank <= 100"""))
     (s, dir) => {
       // Exactly D2's pairs (shared helper), materialized once — the
       // symmetrize union in Components consumes them twice.
-      val pairs = QueriesML.ngramJaccardPairs(s, dir)
-        .select("id_a", "id_b").localCheckpoint()
+      val pairs = QueriesML.ngramJaccardPairsCached(s, dir).localCheckpoint()
       // probe-picked CC: shallow near-dup clusters keep min-propagation
       // (the probe sees convergence before it ever considers star)
       Components.connectedComponentsAuto(pairs, "id_a", "id_b")
@@ -226,8 +225,7 @@ SELECT s AS doc_id, MIN(n) AS canonical_id FROM reach GROUP BY s"""))
   private val dedupKeepCanonical = Q(
     "dedup_keep_canonical",
     (s, dir) => {
-      val pairs = QueriesML.ngramJaccardPairs(s, dir)
-        .select("id_a", "id_b").localCheckpoint()
+      val pairs = QueriesML.ngramJaccardPairsCached(s, dir).localCheckpoint()
       val dupes = Components.connectedComponents(pairs, "id_a", "id_b")
         .filter(col("id") =!= col("comp"))
         .select(col("id").as("doc_id"))
@@ -255,8 +253,7 @@ FROM documents d ANTI JOIN dupes USING (doc_id)"""))
   private val dedupClusterStats = Q(
     "dedup_cluster_stats",
     (s, dir) => {
-      val pairs = QueriesML.ngramJaccardPairs(s, dir)
-        .select("id_a", "id_b").localCheckpoint()
+      val pairs = QueriesML.ngramJaccardPairsCached(s, dir).localCheckpoint()
       val sizes = Components.connectedComponents(pairs, "id_a", "id_b")
         .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
       val total = ViewingData.table(s, dir, "documents")
@@ -296,8 +293,7 @@ FROM hist"""))
   private val dedupSurvivorship = Q(
     "dedup_survivorship",
     (s, dir) => {
-      val pairs = QueriesML.ngramJaccardPairs(s, dir)
-        .select("id_a", "id_b").localCheckpoint()
+      val pairs = QueriesML.ngramJaccardPairsCached(s, dir).localCheckpoint()
       val comp = Components.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("comp").as("canonical_id"))
       val members = comp.join(

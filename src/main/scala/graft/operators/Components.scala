@@ -65,14 +65,62 @@ object Components {
     }
   }
 
+  /** Driver-local fast path shared by [[connectedComponents]] and
+    * [[connectedComponentsAutoWithChoice]]: when the deduped,
+    * symmetrized edge set is small enough to union-find on the driver
+    * (≤ `maxEdges` canonical edges), the whole distributed fixpoint
+    * collapses to ONE collect plus a broadcastable label table. At
+    * bench scale this replaces 2–3 rounds of join+aggregate+signature
+    * ACTIONS (fixed per-action cost dominates tiny frames); at 100 TB
+    * the count() probe is one cheap aggregate on the
+    * already-checkpointed sym frame and the path simply never
+    * triggers. The UPFRONT bound is 2^16, deliberately far below the
+    * star ENDGAME's 2^20: the endgame collects a graph ALREADY
+    * collapsed by probe+contraction, while this path would collect
+    * the raw graph — measured on q_geo_dbscan ×10 (≈1M raw edges,
+    * percolated), upfront-local at 2^20 cost 32 s where
+    * probe→contract→local runs 22 s, so big-but-collectable raw
+    * graphs must still take the contraction route. Integral id types
+    * only (the collect needs longs); labels return in the INPUT id
+    * type so downstream joins/oracles see the exact schema the loop
+    * would produce. */
+  private def tryLocalSolve(sym: DataFrame,
+      srcType: org.apache.spark.sql.types.DataType,
+      maxEdges: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = srcType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!integral || maxEdges <= 0L) return None
+    // canonical half of the symmetrized frame: each undirected edge
+    // once (no checkpoint — sym already is one, and a too-big graph
+    // must not materialize anything extra on its way to the loop)
+    val canon = sym.filter(col("src") < col("dst"))
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+    if (canon.count() > maxEdges) return None
+    val lbl = localUnionFind(canon)
+    // self-loop-only nodes never enter canon — the left-join fallback
+    // labels them with themselves (they ARE their own component)
+    val nodes = sym.select(col("src")).distinct()
+    Some(nodes.join(
+        broadcast(lbl).select(col("id").as("__i"), col("comp").as("__c")),
+        nodes("src").cast("long") === col("__i"), "left")
+      .select(nodes("src").cast(srcType).as("id"),
+        coalesce(col("__c"), nodes("src").cast("long")).cast(srcType).as("comp")))
+  }
+
   /** @return (id, comp) for every node appearing in `edges`, where
     *         comp = min node id reachable via undirected edges. */
-  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      localSolveMaxEdges: Long = 1L << 16): DataFrame = {
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .localCheckpoint()
+    tryLocalSolve(sym, edges.schema(srcCol).dataType, localSolveMaxEdges)
+      .foreach(out => return out)
     // Seed with the first propagation fused into init: comp(x) =
     // min(x, min neighbor) — one aggregate instead of an identity
     // round plus a join round.
@@ -242,7 +290,8 @@ object Components {
       edges: DataFrame, srcCol: String, dstCol: String,
       probeRounds: Int = 3,
       percolationThreshold: Double = 0.2,
-      localSolveMaxEdges: Long = 1L << 20): (DataFrame, String) = {
+      localSolveMaxEdges: Long = 1L << 20,
+      upfrontLocalMaxEdges: Long = 1L << 16): (DataFrame, String) = {
     require(probeRounds >= 1, s"probeRounds must be >= 1, got $probeRounds")
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val starEligible = Seq(srcCol, dstCol).forall { c =>
@@ -256,6 +305,12 @@ object Components {
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .localCheckpoint()
+    // bounded driver-local fast path first (its own bound, distinct
+    // from the star ENDGAME's localSolveMaxEdges so probe-semantics
+    // specs can disable one without the other): a graph this small
+    // never needs the probe at all
+    tryLocalSolve(sym, edges.schema(srcCol).dataType, upfrontLocalMaxEdges)
+      .foreach(out => return (out, "local"))
     var labels = sym.groupBy(col("src").as("id"))
       .agg(min("dst").as("min_nbr"))
       .select(col("id"), least(col("id"), col("min_nbr")).as("comp"))
@@ -353,8 +408,9 @@ object Components {
       edges: DataFrame, srcCol: String, dstCol: String,
       probeRounds: Int = 3,
       percolationThreshold: Double = 0.2,
-      localSolveMaxEdges: Long = 1L << 20): DataFrame =
+      localSolveMaxEdges: Long = 1L << 20,
+      upfrontLocalMaxEdges: Long = 1L << 16): DataFrame =
     connectedComponentsAutoWithChoice(
       edges, srcCol, dstCol, probeRounds, percolationThreshold,
-      localSolveMaxEdges)._1
+      localSolveMaxEdges, upfrontLocalMaxEdges)._1
 }

@@ -97,6 +97,24 @@ object HashedLinearModel {
     Model(w, b, dims)
   }
 
+  /** Persists a trained model as a one-row parquet artifact — the
+    * classifier analogue of [[BpeTrain.saveMerges]]: train once per
+    * model release, score everywhere. Control-plane-sized (the weight
+    * vector is `dims` doubles). */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+      path: String): Unit = {
+    import spark.implicits._
+    Seq((model.weights.toSeq, model.bias, model.dims))
+      .toDF("weights", "bias", "dims")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Loads a [[save]] artifact. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val r = spark.read.parquet(path).select("weights", "bias", "dims").head
+    Model(r.getSeq[Double](0).toArray, r.getDouble(1), r.getInt(2))
+  }
+
   /** σ(bias + Σ w[bucket(tok)] / n) over `textCol` — the weights are
     * LITERALS in the plan (control-plane metadata, like a partition
     * predicate), so this column is a pure scan-speed projection. */

@@ -40,6 +40,11 @@ class ComponentsPropertySpec extends SparkTestBase {
       val got = Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
         .as[(Long, Long)].collect().toMap
       assert(got == naive(edges), s"graph $i with ${edges.length} edges")
+      // and the distributed loop (upfront local solve disabled) agrees
+      val loop = Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
+          localSolveMaxEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(loop == naive(edges), s"loop path, graph $i")
     }
   }
 }

@@ -9,6 +9,30 @@ class ComponentsSpec extends SparkTestBase {
     Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
       .as[(Long, Long)].collect().toMap
 
+  /** The distributed min-propagation loop, upfront local solve off. */
+  private def compsLoop(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        localSolveMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+
+  test("upfront local solve == the distributed loop on every small shape") {
+    // the r10 fast path: graphs under the endgame bound are solved by
+    // one driver union-find — labels must be indistinguishable from
+    // the loop's, including the empty graph and reversed/duplicate
+    // edges
+    val cases = Seq(
+      Seq.empty[(Long, Long)],
+      (0L until 20L).map(i => (i, i + 1)),
+      Seq((5L, 1L), (1L, 9L)),
+      Seq((3L, 1L), (1L, 3L), (3L, 1L)),
+      (0L until 10L).flatMap { c =>
+        val ids = (0L until 4L).map(c * 100 + _)
+        for (a <- ids; b <- ids if a < b) yield (a, b) })
+    cases.foreach { c =>
+      assert(comps(c) == compsLoop(c), s"fast path must match the loop: $c")
+    }
+  }
+
   test("chain, triangle, and singleton pair resolve to min-id components") {
     val m = comps(Seq((1L, 2L), (2L, 3L), (3L, 4L), // chain: tests propagation depth
       (10L, 11L), (11L, 12L), (10L, 12L),           // triangle
@@ -19,8 +43,9 @@ class ComponentsSpec extends SparkTestBase {
   }
 
   test("long chain needs multiple supersteps and still converges") {
+    // loop path explicitly: the default would solve this locally
     val chain = (0L until 20L).map(i => (i, i + 1))
-    val m = comps(chain)
+    val m = compsLoop(chain)
     assert((0L to 20L).forall(m(_) == 0L), s"got $m")
   }
 
@@ -68,9 +93,22 @@ class ComponentsSpec extends SparkTestBase {
   // ---- probe-picked auto variant ----
 
   private def auto(edges: Seq[(Long, Long)]): (Map[Long, Long], String) = {
+    // upfront local solve OFF: these cases pin the PROBE semantics
+    // (minprop-vs-star picks), which the fast path would short-circuit
     val (df, pick) = Components.connectedComponentsAutoWithChoice(
-      edges.toDF("a", "b"), "a", "b")
+      edges.toDF("a", "b"), "a", "b", upfrontLocalMaxEdges = 0L)
     (df.as[(Long, Long)].collect().toMap, pick)
+  }
+
+  test("auto defaults to the upfront local solve under the bound, labels identical") {
+    val cliques = (0L until 6L).flatMap { c =>
+      val ids = (0L until 4L).map(c * 100 + _)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }
+    val (df, pick) = Components.connectedComponentsAutoWithChoice(
+      cliques.toDF("a", "b"), "a", "b")
+    assert(pick == "local", "under the bound the driver union-find answers")
+    assert(df.as[(Long, Long)].collect().toMap == comps(cliques))
   }
 
   test("auto keeps min-propagation on a shallow near-dup cluster graph") {
@@ -143,7 +181,8 @@ class ComponentsSpec extends SparkTestBase {
     val (labels, pick) = Components.connectedComponentsAutoWithChoice(
       path.toDF("a", "b"), "a", "b")
     val m = labels.as[(String, String)].collect().toMap
-    assert(pick == "minprop", "string ids must disable the star option")
+    assert(pick == "minprop",
+      "string ids must disable the star option AND the local fast path")
     assert((0 to 60).forall(i => m(f"n$i%03d") == "n000"), s"$m")
   }
 
@@ -156,9 +195,10 @@ class ComponentsSpec extends SparkTestBase {
     val path = (0L until 150L).map(i => (i, i + 1)) ++
       Seq((500L, 501L), (501L, 502L), (500L, 502L)) // plus a settled clique
     val df = path.toDF("a", "b")
-    val (viaLocal, p1) = Components.connectedComponentsAutoWithChoice(df, "a", "b")
+    val (viaLocal, p1) = Components.connectedComponentsAutoWithChoice(df, "a", "b",
+      upfrontLocalMaxEdges = 0L)
     val (viaStar, p2) = Components.connectedComponentsAutoWithChoice(
-      df, "a", "b", localSolveMaxEdges = 0L)
+      df, "a", "b", localSolveMaxEdges = 0L, upfrontLocalMaxEdges = 0L)
     assert(p1 == "star" && p2 == "star")
     val mLocal = viaLocal.as[(Long, Long)].collect().toMap
     val mStar = viaStar.as[(Long, Long)].collect().toMap

@@ -76,4 +76,22 @@ class HashedLinearModelSpec extends SparkTestBase {
     assert(verdicts == Set("keep", "drop"), s"got $verdicts")
     assert(plan.nonEmpty)
   }
+
+  test("save/load round-trips the model artifact bit-for-bit") {
+    // the persisted-tokenizer discipline applied to the classifier:
+    // text_quality_model_eval scores a loaded artifact, so the
+    // round-trip must preserve weights/bias/dims exactly (training is
+    // deterministic, so loaded == retrained too)
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.ViewingData.table(spark, Sf, "documents")
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") % 2 === 0).as("keep"))
+    val m = HashedLinearModel.train(docs, "doc_id", "text", "keep")
+    val path = java.nio.file.Files.createTempDirectory("qmodel").toString + "/m"
+    HashedLinearModel.save(spark, m, path)
+    val loaded = HashedLinearModel.load(spark, path)
+    assert(loaded.bias == m.bias && loaded.dims == m.dims)
+    assert(java.util.Arrays.equals(loaded.weights, m.weights),
+      "weight vector must round-trip exactly")
+  }
 }
