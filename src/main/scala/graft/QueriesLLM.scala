@@ -508,7 +508,13 @@ GROUP BY p.doc_id"""))
       // everywhere. Train-if-missing at a source-stamped path;
       // text_quality_model_trained remains the explicit training row.
       // Measured 3.4 s → 0.9 s at sf0.1.
-      val path = QueriesML.stampedIndexPath(s, dir, "documents", "qmodel_gate_v1")
+      // scheme encodes the training hyperparameters (the
+      // stampedIndexPath contract — a dims/iters/lr tuning must change
+      // the path or the stale artifact keeps serving; scoreCol reads
+      // dims from the artifact, so nothing would fail loudly) and the
+      // %4 split
+      val path = QueriesML.stampedIndexPath(s, dir, "documents",
+        "qmodel_gate_d512i1500lr30s4v1")
       val done = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
       val model =
         if (done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))

@@ -202,10 +202,10 @@ GROUP BY md5(text)"""))
   }
 
   /** DuckDB twin of [[ngramJaccardPairs]] as a CTE body (`g`, `pairs`). */
-  private[graft] val ngramPairsCte: String = """g AS (
+  private[graft] val ngramPairsCte: String = s"""g AS (
   SELECT doc_id, lang, n_chars,
-         list_distinct(list_transform(generate_series(1, greatest(1, length(text) - 2)),
-                                      i -> substring(text, i, 3))) AS grams
+         list_distinct(list_transform(generate_series(1, greatest(1, length(text) - ${NgramShingle - 1})),
+                                      i -> substring(text, i, $NgramShingle))) AS grams
   FROM documents),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -213,7 +213,7 @@ pairs AS (
                CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
   FROM g a JOIN g b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
   WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-              CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= 0.3)"""
+              CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) >= $NgramTau)"""
 
   private val dedupNgramJaccard = Q(
     "dedup_ngram_jaccard",
@@ -733,11 +733,21 @@ WHERE round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * 
       // corpus join, the true serving cost).
       val path = stampedIndexPath(s, dir, "documents", "bpemerges_n20v1")
       val done = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
-      if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
-        operators.BpeTrain.saveMerges(s,
-          operators.BpeTrain.train(docs, "text", 20), path)
-      val segs = operators.BpeTrain.segmentVocabulary(docs, "text",
-        operators.BpeTrain.loadMerges(s, path))
+      // cold path uses trainAndSegment's OWN final vocabulary (the
+      // training fold ends holding the segmentation — replaying all 20
+      // merges through segmentVocabulary would double the miss cost,
+      // review finding); the warm path replays them over the vocab
+      // from the loaded artifact, which BpeTrainSpec pins equal
+      val segs =
+        if (done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
+          operators.BpeTrain.segmentVocabulary(docs, "text",
+            operators.BpeTrain.loadMerges(s, path))
+        else {
+          val (merges, trained) =
+            operators.BpeTrain.trainAndSegment(docs, "text", 20)
+          operators.BpeTrain.saveMerges(s, merges, path)
+          trained
+        }
       docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
         .join(broadcast(segs), "w")
         .groupBy("doc_id")

@@ -86,13 +86,20 @@ object Components {
     * would produce. */
   private def tryLocalSolve(sym: DataFrame,
       srcType: org.apache.spark.sql.types.DataType,
+      dstType: org.apache.spark.sql.types.DataType,
       maxEdges: Long): Option[DataFrame] = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val integral = srcType match {
+    def integral(t: org.apache.spark.sql.types.DataType) = t match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
-    if (!integral || maxEdges <= 0L) return None
+    // BOTH endpoint types must be integral AND equal: the final cast
+    // back to srcType would otherwise narrow ids that only fit the
+    // wider column (review finding: src Int + dst Long with an id >
+    // Int.MaxValue truncates under non-ANSI, throws under ANSI —
+    // mixed-width graphs take the loop, whose labels keep the union's
+    // widened type)
+    if (!integral(srcType) || srcType != dstType || maxEdges <= 0L) return None
     // canonical half of the symmetrized frame: each undirected edge
     // once (no checkpoint — sym already is one, and a too-big graph
     // must not materialize anything extra on its way to the loop)
@@ -113,13 +120,14 @@ object Components {
   /** @return (id, comp) for every node appearing in `edges`, where
     *         comp = min node id reachable via undirected edges. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      localSolveMaxEdges: Long = 1L << 16): DataFrame = {
+      upfrontLocalMaxEdges: Long = 1L << 16): DataFrame = {
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .localCheckpoint()
-    tryLocalSolve(sym, edges.schema(srcCol).dataType, localSolveMaxEdges)
+    tryLocalSolve(sym, edges.schema(srcCol).dataType,
+        edges.schema(dstCol).dataType, upfrontLocalMaxEdges)
       .foreach(out => return out)
     // Seed with the first propagation fused into init: comp(x) =
     // min(x, min neighbor) — one aggregate instead of an identity
@@ -309,7 +317,8 @@ object Components {
     // from the star ENDGAME's localSolveMaxEdges so probe-semantics
     // specs can disable one without the other): a graph this small
     // never needs the probe at all
-    tryLocalSolve(sym, edges.schema(srcCol).dataType, upfrontLocalMaxEdges)
+    tryLocalSolve(sym, edges.schema(srcCol).dataType,
+        edges.schema(dstCol).dataType, upfrontLocalMaxEdges)
       .foreach(out => return (out, "local"))
     var labels = sym.groupBy(col("src").as("id"))
       .agg(min("dst").as("min_nbr"))

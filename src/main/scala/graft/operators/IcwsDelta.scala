@@ -80,8 +80,13 @@ object IcwsDelta {
     * OVERWRITING the standing corpus it probes — a seed landed at
     * batch 0 would be replaced by the stream's first micro-batch and
     * every subsequent probe would miss all delta-vs-standing pairs
-    * with no error (review finding). */
-  val SeedBatchId = 1000000L
+    * with no error (review finding). The split point sits at
+    * Long.MaxValue/2, NOT some human-scale round number: micro-batch
+    * ids are monotone across restarts (they persist in the stream
+    * checkpoint), so a low cap like 10⁶ would give a 1-second-trigger
+    * pipeline a built-in crash after ~12 days (second review
+    * finding); no stream reaches 2⁶² batches. */
+  val SeedBatchId = Long.MaxValue / 2
 
   /** Seeds the standing corpus for a [[graft.streaming.StreamWeightedDedup]]
     * loop — [[writeBatch]] constrained to the seed id space. */

@@ -42,7 +42,7 @@ class ComponentsPropertySpec extends SparkTestBase {
       assert(got == naive(edges), s"graph $i with ${edges.length} edges")
       // and the distributed loop (upfront local solve disabled) agrees
       val loop = Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
-          localSolveMaxEdges = 0L)
+          upfrontLocalMaxEdges = 0L)
         .as[(Long, Long)].collect().toMap
       assert(loop == naive(edges), s"loop path, graph $i")
     }

@@ -12,7 +12,7 @@ class ComponentsSpec extends SparkTestBase {
   /** The distributed min-propagation loop, upfront local solve off. */
   private def compsLoop(edges: Seq[(Long, Long)]): Map[Long, Long] =
     Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
-        localSolveMaxEdges = 0L)
+        upfrontLocalMaxEdges = 0L)
       .as[(Long, Long)].collect().toMap
 
   test("upfront local solve == the distributed loop on every small shape") {
