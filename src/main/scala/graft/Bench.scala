@@ -46,6 +46,38 @@ object Bench {
   private[graft] def isSuspect(best: Option[Double], prevSec: Option[Double]): Boolean =
     best.exists(b => b > 0.3 && prevSec.exists(ps => ps > 0 && b / ps > SuspectRatio))
 
+  /** Which queries get a suspect-retry pass, in retry ORDER. Pure so
+    * the policy is spec-testable (BenchHistorySpec).
+    *
+    * Round-10 forensics drove the shape: the final entry's burst slowed
+    * the suite past the pass-2 soft deadline, the alphabetically-late
+    * text_* rows ran passes:1 (no min-of-two noise protection), and the
+    * first-come retry loop had already spent its budget on earlier,
+    * smaller drifts — the least-measured numbers got the least
+    * re-measurement. So: (a) suspects are ordered by normalized drift,
+    * LARGEST first, so the cap covers the worst offenders; (b) a
+    * passes:1 suspect is ALWAYS granted a retry even past the cap — a
+    * single-pass number is precisely the least trustworthy one in the
+    * run; (c) when `wholeRunDrift` (the calib bracket itself exceeded
+    * SuspectRatio vs the previous entry — the VM is slow, not the code)
+    * the cap damps to 3: most suspects are machine noise a retry can't
+    * fix, and 15 retries on a slow VM roughly double wall time while
+    * calib_vs_prev already explains the entry. */
+  private[graft] def retryPlan(
+      results: Seq[(String, Option[Double], Int)],
+      baseline: Map[String, Double],
+      wholeRunDrift: Boolean,
+      cap: Int = 15): Seq[String] = {
+    val suspects = results
+      .collect { case (n, best, p) if isSuspect(best, baseline.get(n)) =>
+        (n, best.get / baseline(n), p) }
+      .sortBy { case (_, drift, _) => -drift }
+    val budget = if (wholeRunDrift) math.min(cap, 3) else cap
+    val inBudget = suspects.take(budget).map(_._1)
+    val singlePass = suspects.collect { case (n, _, 1) => n }
+    (inBudget ++ singlePass).distinct
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse(
@@ -99,8 +131,14 @@ object Bench {
       println(s"""{"query":"__calib__","sec":$sec,"passes":1}""")
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+    // Per-run random EXECUTION order (r10 forensics: the pass-2 soft
+    // deadline always truncated the same alphabetical tail — text_* —
+    // so one query family was systematically the least-measured in
+    // every long run). The history line still sorts by name; only the
+    // run order varies.
+    val names = new scala.util.Random().shuffle(
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => only.forall(_.contains(n))))
     // Warm-up: touch every table (first-scan I/O + footer caching) and
     // run two queries (codegen/JIT) so measured runs reflect compute.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -150,17 +188,29 @@ object Bench {
       if (only.isEmpty) BenchHistory.minOverRecent(histPath, sfDir, 3)
       else Map.empty[String, Double]
     val retried = prevForGate match {
-      case Some(_) =>
-        var budgetLeft = 15
+      case Some((prevCalib, _)) =>
+        // Whole-run drift check (r10 advice): a calib probe right
+        // before the retry phase, so a burst that started mid-run is
+        // seen too. When the bracket itself exceeds SuspectRatio the
+        // VM is slow — damp the budget instead of burning 15 retries
+        // re-measuring machine noise (calib_vs_prev already marks the
+        // entry as drifted).
+        val calibMid = calib()
+        val wholeRunDrift = prevCalib > 0 &&
+          math.max(calibBefore, calibMid) / prevCalib > SuspectRatio
+        if (wholeRunDrift) System.err.println(
+          f"[bench] whole-run VM drift (calib ${math.max(calibBefore, calibMid)}%.3f vs prev $prevCalib%.3f) — damping retry budget")
+        val plan = retryPlan(results, gateBaseline, wholeRunDrift)
+        val extra = plan.map { n =>
+          System.err.println(
+            f"[bench] re-measuring suspect $n (baseline ${gateBaseline(n)}%.3f s)")
+          n -> exec(n)
+        }.toMap
         results.map { case r @ (n, best, p) =>
-          val suspect = Bench.isSuspect(best, gateBaseline.get(n))
-          if (suspect && budgetLeft > 0) {
-            budgetLeft -= 1
-            System.err.println(
-              f"[bench] re-measuring suspect $n (${best.get}%.3f s vs baseline ${gateBaseline(n)}%.3f s)")
-            val t3 = exec(n)
-            (n, (best.toSeq ++ t3.toSeq).minOption, p + t3.size)
-          } else r
+          extra.get(n) match {
+            case Some(t3) => (n, (best.toSeq ++ t3.toSeq).minOption, p + t3.size)
+            case None => r
+          }
         }
       case None => results
     }

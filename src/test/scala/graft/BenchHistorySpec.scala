@@ -87,6 +87,40 @@ class BenchHistorySpec extends SparkTestBase {
     assert(!Bench.isSuspect(Some(2.0), Some(0.0)), "zero prev never divides")
   }
 
+  test("retryPlan: drift-ordered, passes:1 always granted, damped on whole-run drift") {
+    val baseline = Map("q_small" -> 1.0, "q_big" -> 1.0, "q_one" -> 1.0,
+      "q_quiet" -> 1.0)
+    val rs = Seq(
+      ("q_small", Some(1.6), 2), // suspect, drift 1.6
+      ("q_big", Some(3.0), 2),   // suspect, drift 3.0
+      ("q_one", Some(1.7), 1),   // suspect, single-pass (deadline-starved)
+      ("q_quiet", Some(1.2), 2), // under the trigger
+      ("q_new", Some(9.9), 2),   // no baseline -> never a suspect
+      ("q_fail", None, 1))       // failed -> never a suspect
+    // r10 forensics: first-come order let early small drifts burn the
+    // budget while the worst offender at the tail went unretried.
+    assert(Bench.retryPlan(rs, baseline, wholeRunDrift = false) ==
+      Seq("q_big", "q_one", "q_small"), "largest normalized drift first")
+    // cap of 1 covers only the largest drift — but the passes:1 row is
+    // granted anyway: a single-pass number has no min-of-two protection,
+    // so it is the least trustworthy measurement in the run.
+    assert(Bench.retryPlan(rs, baseline, wholeRunDrift = false, cap = 1) ==
+      Seq("q_big", "q_one"), "passes:1 suspect granted past the cap")
+    // whole-run drift (calib bracket itself >1.5x prev): the VM is slow,
+    // not the code — damp to 3 so retries don't double a slow run's
+    // wall time re-measuring machine noise.
+    val many = (1 to 10).map(i => (s"q_$i", Some(2.0 + i * 0.1), 2)) :+
+      ("q_one", Some(1.7), 1)
+    val manyBase = many.map(_._1 -> 1.0).toMap
+    val damped = Bench.retryPlan(many, manyBase, wholeRunDrift = true)
+    assert(damped.size == 4 && damped.take(3) == Seq("q_10", "q_9", "q_8") &&
+      damped.contains("q_one"),
+      s"damped to 3 largest drifts + the passes:1 grant, got $damped")
+    // no double-retry when the passes:1 row is already in budget
+    assert(Bench.retryPlan(rs, baseline, wholeRunDrift = false, cap = 3)
+      .count(_ == "q_one") == 1, "grant list deduplicates")
+  }
+
   test("minOverRecent: per-query min across the last k same-sf entries") {
     // a junk entry (VM load burst) inflates the last entry's numbers;
     // the gate baseline must still see the honest minimum
