@@ -141,7 +141,15 @@ GROUP BY md5(text)"""))
         TextFunctions.shingles("text", NgramShingle).as("grams"))
       .localCheckpoint()
 
-  private def scoredPairs(a: org.apache.spark.sql.DataFrame,
+  /** (doc_id, lang, n_chars, grams) over an explicit docs frame — the
+    * gram rows [[scoredPairs]] consumes; also the unit the streaming
+    * corpus-prep index persists ([[graft.streaming.StreamCorpusPrep]]). */
+  private[graft] def gramRowsOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      TextFunctions.shingles("text", NgramShingle).as("grams"))
+
+  private[graft] def scoredPairs(a: org.apache.spark.sql.DataFrame,
       b: org.apache.spark.sql.DataFrame, cond: String): org.apache.spark.sql.DataFrame =
     a.as("a").join(b.as("b"),
         expr(s"a.lang = b.lang AND a.n_chars = b.n_chars AND $cond"))
@@ -175,10 +183,10 @@ GROUP BY md5(text)"""))
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val path = stampedIndexPath(s, dir, "documents",
       s"ngrampairs_s${NgramShingle}t${(NgramTau * 100).toInt}v1")
-    val done = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
-    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
+    ensureArtifact(s, path, "_SUCCESS") { staged =>
       ngramJaccardPairs(s, dir).select("id_a", "id_b")
-        .write.mode("overwrite").parquet(path)
+        .write.parquet(staged)
+    }
     s.read.parquet(path)
   }
 
@@ -353,10 +361,10 @@ SELECT id_a, id_b, round(jw, 6) AS weighted_jaccard FROM j WHERE jw >= 0.5"""))
         .localCheckpoint()
       val path = stampedIndexPath(s, dir, "documents",
         s"icwsidx_h${IcwsDelta.H}b${IcwsDelta.Bands}r${IcwsDelta.RowsPerBand}v1")
-      val done = new org.apache.hadoop.fs.Path(s"$path/batch=0/_SUCCESS")
-      if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
+      ensureArtifact(s, path, "batch=0/_SUCCESS") { staged =>
         IcwsDelta.writeBatch(
-          docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", path, 0L)
+          docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", staged, 0L)
+      }
       val cand = IcwsDelta.incrementalCandidates(
         docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
         IcwsDelta.readIndex(s, path))
@@ -745,7 +753,8 @@ WHERE round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * 
         else {
           val (merges, trained) =
             operators.BpeTrain.trainAndSegment(docs, "text", 20)
-          operators.BpeTrain.saveMerges(s, merges, path)
+          ensureArtifact(s, path, "_SUCCESS")(
+            operators.BpeTrain.saveMerges(s, merges, _))
           trained
         }
       docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
@@ -968,14 +977,34 @@ FROM top"""))
         normalize(toDouble(col("embedding"))).as("e"))
       .localCheckpoint()
 
-  /** Control-plane fingerprint of a source parquet file (mtime +
-    * length — no data scan) baked into a persisted index's path: a
-    * testdata regeneration changes the stamp, so a probe can never
-    * silently serve an index built from a PREVIOUS corpus. */
+  /** Control-plane fingerprint of a source parquet table (no data
+    * scan) baked into a persisted index's path: a testdata
+    * regeneration changes the stamp, so a probe can never silently
+    * serve an index built from a PREVIOUS corpus. A single file
+    * stamps as mtime+length; a DIRECTORY hashes its recursive
+    * leaf-file listing (names + lengths + mtimes) — directory length
+    * is ~0/constant on most filesystems and directory mtime only
+    * tracks direct-child renames, so the old status-of-the-dir stamp
+    * was effectively mtime alone (r10 advice: a regen that preserved
+    * the dir mtime would have served a stale artifact). */
   private def tableStamp(s: SparkSession, dir: String, table: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
-    val st = p.getFileSystem(s.sparkContext.hadoopConfiguration).getFileStatus(p)
-    s"${st.getModificationTime}_${st.getLen}"
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    if (st.isFile) s"${st.getModificationTime}_${st.getLen}"
+    else {
+      val leaves = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        leaves += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+      }
+      // sorted: listing order is filesystem-dependent and must not
+      // mint a new stamp for an unchanged table
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(leaves.sorted.mkString("|").getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString
+    }
   }
 
   /** The ONE path constructor for every persisted probe index (review
@@ -992,6 +1021,45 @@ FROM top"""))
       table: String, scheme: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${scheme}_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + tableStamp(s, dir, table)
+
+  /** Staged publish for every build-if-missing artifact writer (r10
+    * advice: the old check-then-overwrite-in-place writers let two
+    * concurrent graft JVMs — e.g. bench and the correctness harness —
+    * race, and `mode("overwrite")` deleted files out from under the
+    * loser's reader). `build` writes the COMPLETE artifact into a
+    * unique staging dir; it is renamed into place only when done, so
+    * at no instant does a reader see a partial artifact at `path`.
+    * `marker` is the build-complete file relative to `path`
+    * (parquet's _SUCCESS of the LAST artifact written). The loser of
+    * a publish race drops its staged copy and reads the winner's. */
+  private[graft] def ensureArtifact(s: SparkSession, path: String,
+      marker: String)(build: String => Unit): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(s"$path/$marker")
+    if (fs.exists(done)) return
+    val staged = new org.apache.hadoop.fs.Path(
+      s"$path.__stage_${java.util.UUID.randomUUID()}__")
+    build(staged.toString)
+    // re-check before publishing: a concurrent JVM may have won
+    if (fs.exists(done)) { fs.delete(staged, true); return }
+    // a target without its marker is a torn leftover (crashed
+    // in-place build from the pre-staging layout) — clear it so the
+    // rename lands AT path instead of nesting inside it
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(staged, target)) fs.delete(staged, true)
+  }
+
+  /** Unconditional-REBUILD flavor for the explicit build-cost rows
+    * (ann_ivfpq_build): stage the fresh index, then swap it live via
+    * [[sources.LakeWriter.publish]] — a concurrent probe of the old
+    * copy keeps its open file handles; the swap is rename-atomic. */
+  private[graft] def rebuildArtifact(s: SparkSession, path: String)(
+      build: String => Unit): Unit = {
+    val staged = s"$path.__stage_${java.util.UUID.randomUUID()}__"
+    build(staged)
+    sources.LakeWriter.publish(s, staged, path)
+  }
 
   /** IVF-PQ build parameters — ONE definition driving BOTH writeIndex
     * call sites and the scheme token (review finding: hand-duplicated
@@ -1013,10 +1081,10 @@ FROM top"""))
   private def ensureIvfPqIndex(s: SparkSession, dir: String,
       v: DataFrame): String = {
     val path = stampedIndexPath(s, dir, "embeddings", IvfPqScheme)
-    val done = new org.apache.hadoop.fs.Path(s"$path/errstats/_SUCCESS")
-    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done))
-      operators.IvfPq.writeIndex(v, "vec_id", "e", "label", path,
+    ensureArtifact(s, path, "errstats/_SUCCESS") { staged =>
+      operators.IvfPq.writeIndex(v, "vec_id", "e", "label", staged,
         m = IvfPqM, k = IvfPqK, ivfRounds = IvfPqIvfRounds, pqRounds = IvfPqPqRounds)
+    }
     path
   }
 
@@ -1063,8 +1131,10 @@ FROM top"""))
       graft.plans.GraftExtensions.register(s)
       val v = embCorpus(s, dir)
       val path = stampedIndexPath(s, dir, "embeddings", IvfPqScheme)
-      operators.IvfPq.writeIndex(v, "vec_id", "e", "label", path,
-        m = IvfPqM, k = IvfPqK, ivfRounds = IvfPqIvfRounds, pqRounds = IvfPqPqRounds)
+      rebuildArtifact(s, path) { staged =>
+        operators.IvfPq.writeIndex(v, "vec_id", "e", "label", staged,
+          m = IvfPqM, k = IvfPqK, ivfRounds = IvfPqIvfRounds, pqRounds = IvfPqPqRounds)
+      }
       operators.Ivf.cellFill(s, path, "label")
         .orderBy("batch", "label")
     },
@@ -1134,15 +1204,14 @@ SELECT vec_id, round(c, 6) AS cos_sim FROM scored WHERE c >= 0.2"""))
       // label-seeded cells, no trained quantizer: v1 covers the layout
       val path = stampedIndexPath(s, dir, "embeddings", "ivfrange_v1")
       // writeCellStats lands last → its _SUCCESS marks a complete
-      // (index + stats) build; writeIndex deletes stale stats first,
-      // so a half-built path can never pass this check
-      val done = new org.apache.hadoop.fs.Path(s"$path/cellstats/_SUCCESS")
-      if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done)) {
+      // (index + stats) build; the staged publish means a reader can
+      // never see the index without its stats
+      ensureArtifact(s, path, "cellstats/_SUCCESS") { staged =>
         val cents = operators.Ivf.centroids(v, "label", "e").localCheckpoint()
         operators.Ivf.writeIndex(
           operators.Ivf.assign(v, cents, "vec_id", "e", "label"),
-          cents, "label", path)
-        operators.Ivf.writeCellStats(s, path, "e", "label")
+          cents, "label", staged)
+        operators.Ivf.writeCellStats(s, staged, "e", "label")
       }
       val queries = v.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("e").as("q"))

@@ -103,7 +103,17 @@ object Icws {
   def bandRows(sigs: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int,
       blockCols: Seq[String] = Nil): DataFrame = {
-    sigs.agg(min(size(col("sig"))), max(size(col("sig")))).head(1)
+    // The guard below is an AGGREGATE ACTION: on an unmaterialized
+    // frame it would evaluate the whole ICWS draw chain once for the
+    // guard and AGAIN for the banding (r10 advice: a silent 2-3×
+    // regression for any caller that forgot to checkpoint).
+    // Materialize here unless the frame already sits on computed RDD
+    // blocks (every leaf a LogicalRDD — a prior localCheckpoint).
+    val sigsM =
+      if (sigs.queryExecution.analyzed.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])) sigs
+      else sigs.localCheckpoint()
+    sigsM.agg(min(size(col("sig"))), max(size(col("sig")))).head(1)
       .filterNot(_.isNullAt(0)).foreach { r =>
         val (lo, hi) = (r.getInt(0), r.getInt(1))
         require(lo == hi,
@@ -114,7 +124,7 @@ object Icws {
             s"signature length ($lo)")
       }
     val blockIn = blockCols.map(c => s", x.$c").mkString
-    sigs.as("x").select(
+    sigsM.as("x").select(
       col(idCol),
       posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}),

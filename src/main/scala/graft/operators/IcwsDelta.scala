@@ -119,17 +119,30 @@ object IcwsDelta {
       numFiles: Int = 32): Unit =
     MinhashDelta.compactIndex(spark, path, numFiles)
 
+  /** Shares [[MinhashDelta.compactIfNeeded]] — the streaming loop's
+    * maintenance hook, with the same preserve-the-in-flight-batch
+    * replay contract. */
+  def compactIfNeeded(spark: SparkSession, path: String,
+      maxBatches: Int = 16, numFiles: Int = 32,
+      preserveBatchIds: Set[Long] = Set.empty): Boolean =
+    MinhashDelta.compactIfNeeded(spark, path, maxBatches, numFiles,
+      preserveBatchIds)
+
   /** Candidate pairs involving the delta: delta×corpus (via the index)
     * plus delta×delta, both bucket-local on lsh_key. The index is
-    * STREAMED — delta band rows broadcast by default (daily-increment
-    * contract; bulk backfills pass broadcastDelta=false for an
-    * ordinary shuffled equi-join) — and column-prunes to
-    * (doc_id, lsh_key): the stored sigs are never read on this path.
-    * Pairs are (id_a < id_b); `distinct` collapses multi-band
-    * collisions. Contract: delta ids disjoint from indexed ids. */
+    * STREAMED and column-prunes to (doc_id, lsh_key): the stored sigs
+    * are never read on this path. No forced broadcast by default (r10
+    * advice, mirroring the Ivf.rangeProbeIndexedBatch fix): the delta
+    * band rows are localCheckpointed, so AQE broadcasts a genuinely
+    * small delta from its exact size stats, while a bulk backfill
+    * degrades to a shuffled equi-join instead of hitting the
+    * broadcast ceiling; broadcastDelta=true remains the opt-in hint
+    * for the tiny daily-increment case. Pairs are (id_a < id_b);
+    * `distinct` collapses multi-band collisions. Contract: delta ids
+    * disjoint from indexed ids. */
   def incrementalCandidates(delta: DataFrame, idCol: String,
       textCol: String, index: DataFrame,
-      broadcastDelta: Boolean = true): DataFrame =
+      broadcastDelta: Boolean = false): DataFrame =
     candFromBands(
       bandRows(delta, idCol, textCol).localCheckpoint(), index,
       broadcastDelta)
@@ -139,7 +152,7 @@ object IcwsDelta {
     * the delta's draws once and reuses them for the probe AND the
     * index append. */
   def candidatesFromBands(d: DataFrame, index: DataFrame,
-      broadcastDelta: Boolean = true): DataFrame =
+      broadcastDelta: Boolean = false): DataFrame =
     candFromBands(d, index, broadcastDelta)
 
   private def candFromBands(d: DataFrame, index: DataFrame,
@@ -164,7 +177,7 @@ object IcwsDelta {
     * (pruning is a pure optimization, never a correctness knob). */
   def incrementalCandidatesPruned(spark: SparkSession, path: String,
       delta: DataFrame, idCol: String, textCol: String,
-      broadcastDelta: Boolean = true): DataFrame = {
+      broadcastDelta: Boolean = false): DataFrame = {
     val d = bandRows(delta, idCol, textCol).localCheckpoint()
     candFromBands(d, MinhashDelta.prunedIndexFrame(spark, path, d),
       broadcastDelta)

@@ -88,7 +88,7 @@ object MinhashDelta {
     * belongs in the index via its batch overwrite, not the delta). */
   def incrementalPairs(
       delta: DataFrame, idCol: String, textCol: String,
-      index: DataFrame, broadcastDelta: Boolean = true): DataFrame =
+      index: DataFrame, broadcastDelta: Boolean = false): DataFrame =
     pairsFromBands(
       bandRows(delta, idCol, textCol).localCheckpoint(),
       index, broadcastDelta)
@@ -98,11 +98,15 @@ object MinhashDelta {
     * cannot drift. */
   private def pairsFromBands(
       d: DataFrame, index: DataFrame, broadcastDelta: Boolean): DataFrame = {
-    // daily-increment contract: delta ≪ corpus, so broadcast it and
-    // stream the index. A BULK backfill (delta too big to broadcast)
-    // passes broadcastDelta=false and the probe becomes an ordinary
-    // shuffled equi-join on lsh_key — the same micro-batch/bulk split
-    // as IncrementalMerge's upsert (B7b)
+    // No FORCED broadcast by default (r10 advice — the same ceiling
+    // the r9 fix removed from Ivf.rangeProbeIndexedBatch): the delta
+    // band rows are localCheckpointed by every caller, so AQE has
+    // exact size stats and broadcasts a genuinely small delta on its
+    // own, while a bulk backfill degrades gracefully to a shuffled
+    // equi-join on lsh_key instead of OOMing the driver.
+    // broadcastDelta=true stays as an opt-in HINT for the tiny
+    // daily-increment case where the caller knows better than stats
+    // (e.g. a micro-batch probed before stats propagate).
     val probeSide = if (broadcastDelta) broadcast(d) else d
     val oldNew = index.as("i")
       .join(probeSide.as("d"),
@@ -145,10 +149,27 @@ object MinhashDelta {
     * collapses duplicate candidates; the next compaction absorbs
     * them). A compacted slot named after a USER batch id would
     * instead be silently REPLACED by that batch's replay, losing
-    * every other folded batch and orphaning the manifest. */
+    * every other folded batch and orphaning the manifest.
+    *
+    * `preserveBatchIds` names batch dirs carried into the compacted
+    * index UNFOLDED (copied verbatim, outside the manifest — read
+    * whole like any post-compaction append). The streaming loops pass
+    * the batch id currently in flight: committed batches never replay
+    * (Structured Streaming commits in order), but the in-flight one
+    * can — and a replay of a FOLDED batch would recreate its
+    * `batch=N` dir beside the compacted rows, duplicating every one
+    * of its index rows. MinHash probes survive that (`distinct`
+    * collapses candidates) but [[Winnow]]'s n_shared COUNTS rows, so
+    * the loop-safe contract is uniform: never fold a batch that can
+    * still replay; its replay then overwrites its own preserved dir,
+    * byte-for-byte idempotent. */
   def compactIndex(spark: SparkSession, path: String,
-      numFiles: Int = 32): Unit = {
-    val flat = readIndex(spark, path)
+      numFiles: Int = 32, preserveBatchIds: Set[Long] = Set.empty): Unit = {
+    val flat =
+      if (preserveBatchIds.isEmpty) readIndex(spark, path)
+      else spark.read.parquet(path)
+        .filter(!col("batch").isin(preserveBatchIds.toSeq: _*))
+        .drop("batch")
     val staged = graft.sources.LakeWriter.stagingPath(path)
     flat.repartitionByRange(numFiles, col("lsh_key.band_hash"))
       .sortWithinPartitions(col("lsh_key.band_hash"))
@@ -165,6 +186,18 @@ object MinhashDelta {
         max(col("lsh_key.band_hash")).as("hash_max"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$staged/_mh_stats")
+    // carry preserved dirs into the staged copy — COPY, not move: the
+    // live index must stay intact until the publish swap
+    if (preserveBatchIds.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      preserveBatchIds.foreach { id =>
+        val src = new org.apache.hadoop.fs.Path(s"$path/batch=$id")
+        if (fs.exists(src))
+          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+            new org.apache.hadoop.fs.Path(s"$staged/batch=$id"), false, conf)
+      }
+    }
     graft.sources.LakeWriter.publish(spark, staged, path)
   }
 
@@ -176,7 +209,8 @@ object MinhashDelta {
     * threshold (it IS the compaction product). Returns whether a
     * compaction ran. */
   def compactIfNeeded(spark: SparkSession, path: String,
-      maxBatches: Int = 16, numFiles: Int = 32): Boolean = {
+      maxBatches: Int = 16, numFiles: Int = 32,
+      preserveBatchIds: Set[Long] = Set.empty): Boolean = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return false
@@ -185,7 +219,7 @@ object MinhashDelta {
       n.startsWith("batch=") && n != "batch=-1"
     })
     val due = batches > maxBatches
-    if (due) compactIndex(spark, path, numFiles)
+    if (due) compactIndex(spark, path, numFiles, preserveBatchIds)
     due
   }
 
@@ -229,7 +263,7 @@ object MinhashDelta {
     * the handful of files a daily delta can actually collide with. */
   def incrementalPairsPruned(spark: SparkSession, path: String,
       delta: DataFrame, idCol: String, textCol: String,
-      broadcastDelta: Boolean = true): DataFrame = {
+      broadcastDelta: Boolean = false): DataFrame = {
     val d = bandRows(delta, idCol, textCol).localCheckpoint()
     pairsFromBands(d, prunedIndexFrame(spark, path, d), broadcastDelta)
   }
