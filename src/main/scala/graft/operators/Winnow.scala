@@ -166,6 +166,65 @@ object Winnow {
       path: String): DataFrame =
     spark.read.parquet(path).drop("batch")
 
+  /** Folds every `batch=N` dir into ONE range-laid `batch=-1` slot
+    * sorted by fingerprint — [[MinhashDelta.compactIndex]]'s
+    * discipline on the winnowing layout (staged + published swap, the
+    * RESERVED negative slot [[writeBatch]] rejects, so no replayed
+    * user batch can ever overwrite the folded data). Unlike the
+    * MinHash index there is no range manifest: [[incrementalPairs]]
+    * buckets on `fp` over the whole standing side, so what compaction
+    * buys here is bounded file/dir counts (a 1 s-trigger stream is
+    * ~86k dirs/day otherwise) — probe listing cost stays flat.
+    *
+    * `preserveBatchIds` carries the named dirs UNFOLDED (copied
+    * verbatim): the loop passes its in-flight batch id, because a
+    * replay of a FOLDED batch would duplicate its (id, fp) rows and
+    * Winnow's n_shared COUNTS rows — a duplicated fingerprint would
+    * double-count into the threshold. Preserved, the replay just
+    * overwrites its own dir. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      numFiles: Int = 32, preserveBatchIds: Set[Long] = Set.empty): Unit = {
+    val flat =
+      if (preserveBatchIds.isEmpty) readIndex(spark, path)
+      else spark.read.parquet(path)
+        .filter(!col("batch").isin(preserveBatchIds.toSeq: _*))
+        .drop("batch")
+    val staged = graft.sources.LakeWriter.stagingPath(path)
+    flat.repartitionByRange(numFiles, col("fp"))
+      .sortWithinPartitions(col("fp"))
+      .write.mode("overwrite").parquet(s"$staged/batch=-1")
+    if (preserveBatchIds.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      preserveBatchIds.foreach { id =>
+        val src = new org.apache.hadoop.fs.Path(s"$path/batch=$id")
+        if (fs.exists(src))
+          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+            new org.apache.hadoop.fs.Path(s"$staged/batch=$id"), false, conf)
+      }
+    }
+    graft.sources.LakeWriter.publish(spark, staged, path)
+  }
+
+  /** Compacts when the accumulated batch count crosses `maxBatches` —
+    * the [[graft.streaming.StreamSubstringDedup]] maintenance hook;
+    * the compacted `batch=-1` slot does not count. Returns whether a
+    * compaction ran. */
+  def compactIfNeeded(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxBatches: Int = 16, numFiles: Int = 32,
+      preserveBatchIds: Set[Long] = Set.empty): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    val batches = fs.listStatus(root).count(s => s.isDirectory && {
+      val n = s.getPath.getName
+      n.startsWith("batch=") && n != "batch=-1"
+    })
+    val due = batches > maxBatches
+    if (due) compactIndex(spark, path, numFiles, preserveBatchIds)
+    due
+  }
+
   /** Candidate pairs (a < b) sharing at least `minShared`
     * fingerprints, with the shared count — the verification-ready
     * output (a downstream exact pass confirms/locates the spans).

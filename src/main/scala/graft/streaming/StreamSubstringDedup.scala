@@ -30,7 +30,8 @@ object StreamSubstringDedup {
       indexPath: String, pairsPath: String,
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 16, w: Int = 8,
-      minShared: Int = 2, maxDf: Int = 64)(
+      minShared: Int = 2, maxDf: Int = 64,
+      compactEvery: Int = 16)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val fd = Winnow.fingerprintsFast(batch, idCol, textCol, k, w)
@@ -40,6 +41,13 @@ object StreamSubstringDedup {
           Winnow.readIndex(spark, indexPath), fd, idCol, minShared, maxDf)
         .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
       Winnow.writeBatch(fd, indexPath, batchId)
+      // In-loop maintenance; the just-appended (uncommitted, hence
+      // replayable) batch is preserved unfolded — for THIS family
+      // that is a correctness requirement, not just hygiene: a folded
+      // batch's replay would duplicate its (id, fp) rows and
+      // n_shared counts rows (see Winnow.compactIndex).
+      Winnow.compactIfNeeded(spark, indexPath,
+        maxBatches = compactEvery, preserveBatchIds = Set(batchId))
     } finally fd.unpersist(blocking = false)
   }
 }

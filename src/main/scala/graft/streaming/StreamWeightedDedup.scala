@@ -39,7 +39,8 @@ object StreamWeightedDedup {
     * seed space, so a mis-seeded index fails LOUDLY instead of being
     * silently overwritten by micro-batch 0. */
   def probeThenAppendParquet(indexPath: String, pairsPath: String,
-      idCol: String = "doc_id", textCol: String = "text")(
+      idCol: String = "doc_id", textCol: String = "text",
+      compactEvery: Int = 16)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val d = IcwsDelta.bandRows(batch, idCol, textCol).localCheckpoint()
@@ -47,6 +48,15 @@ object StreamWeightedDedup {
       IcwsDelta.candidatesFromBands(d, IcwsDelta.readIndex(spark, indexPath))
         .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
       IcwsDelta.writeBandRows(d, indexPath, batchId)
+      // In-loop maintenance (r10 verdict: without it a 1 s-trigger
+      // stream accretes ~86k batch dirs/day and probe listing creeps).
+      // The batch just appended is PRESERVED unfolded: it has not
+      // committed yet, so it is the only batch that can still replay —
+      // folded, its replay would recreate batch=N beside the compacted
+      // rows and duplicate its index rows; preserved, the replay
+      // overwrites its own dir, byte-for-byte idempotent.
+      IcwsDelta.compactIfNeeded(spark, indexPath,
+        maxBatches = compactEvery, preserveBatchIds = Set(batchId))
     } finally d.unpersist(blocking = false)
   }
 }

@@ -142,4 +142,38 @@ class IcwsDeltaSpec extends SparkTestBase {
     // compactIfNeeded is shared verbatim: 1 user batch <= max -> no-op
     assert(!MinhashDelta.compactIfNeeded(spark, path, maxBatches = 16))
   }
+
+  test("in-loop compaction: probe parity, replay across the crash window, bounded dirs") {
+    val dirRoot = java.nio.file.Files.createTempDirectory("icwsloop").toString
+    val (indexPath, pairsPath) = (s"$dirRoot/idx", s"$dirRoot/pairs")
+    IcwsDelta.seedBatch(corpus, "doc_id", "text", indexPath)
+    // compactEvery=1 makes the hook fire after EVERY append, so each
+    // micro-batch exercises fold-the-previously-preserved-batch
+    val sink = graft.streaming.StreamWeightedDedup
+      .probeThenAppendParquet(indexPath, pairsPath, compactEvery = 1) _
+    val parts = (0 until 4).map(i => delta.filter(col("doc_id") % 16 === i * 4))
+    parts.zipWithIndex.foreach { case (p, i) => sink(p, i.toLong) }
+    def streamed() = spark.read.parquet(pairsPath)
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = pairSet(IcwsDelta.incrementalCandidates(
+      delta, "doc_id", "text", IcwsDelta.bandRows(corpus, "doc_id", "text")))
+    assert(streamed() == expected,
+      "compaction between micro-batches must not change the candidate stream")
+    // the CRASH WINDOW the preserve contract exists for: batch 3's
+    // append AND the compaction both ran, the streaming commit never
+    // landed, the batch replays. Preserved unfolded, the replay just
+    // overwrites its own dir — pairs converge, no index row duplicates.
+    sink(parts(3), 3L)
+    assert(streamed() == expected, "replay across a compaction must converge")
+    val idx = IcwsDelta.readIndex(spark, indexPath).localCheckpoint()
+    assert(idx.count() == idx.distinct().count(),
+      "a replayed batch must not duplicate index rows")
+    // probe-listing cost stays flat: the compacted slot + the one
+    // preserved in-flight batch, however many batches have streamed
+    val dirs = new java.io.File(indexPath).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(dirs.size <= 2, s"dir count must stay bounded, got $dirs")
+    assert(dirs.contains("batch=-1"), s"compaction must have folded: $dirs")
+  }
 }

@@ -224,6 +224,49 @@ class WinnowSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("in-loop compaction keeps n_shared exact across the replay crash window") {
+    graft.plans.GraftExtensions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("winloop").toString
+    val (idxPath, pairsPath) = (s"$base/idx", s"$base/pairs")
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    Winnow.writeBatch(
+      Winnow.fingerprintsFast(corpus, "doc_id", "text", K, W),
+      idxPath, 1000000L)
+    val sink = graft.streaming.StreamSubstringDedup.probeThenAppendParquet(
+      idxPath, pairsPath, k = K, w = W, minShared = 2, maxDf = 64,
+      compactEvery = 1) _
+    val deltaDf = docs.filter(col("doc_id") % 4 === 0)
+    val parts = (0 until 2).map(i => deltaDf.filter(col("doc_id") % 8 === i * 4))
+    parts.zipWithIndex.foreach { case (p, i) => sink(p, i.toLong) }
+    def streamed() = spark.read.parquet(pairsPath)
+      .select("doc_a", "doc_b", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    val oneShot = Winnow.candidatePairs(
+        Winnow.fingerprintsFast(docs, "doc_id", "text", K, W), "doc_id", 2,
+        maxDf = 64)
+      .filter(col("doc_a") % 4 === 0 || col("doc_b") % 4 === 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed() == oneShot,
+      "compaction between micro-batches must not change pairs or counts")
+    // THE failure mode the preserve contract kills for this family: a
+    // batch folded into batch=-1 that then replays would duplicate its
+    // (id, fp) rows, and n_shared COUNTS rows — every shared count for
+    // its pairs would double. Preserved, the replay overwrites its own
+    // dir and every n_shared value stays exact.
+    sink(parts(1), 1L)
+    assert(streamed() == oneShot,
+      "replay across a compaction must leave n_shared values exact")
+    val idx = Winnow.readIndex(spark, idxPath).localCheckpoint()
+    assert(idx.count() == idx.distinct().count(),
+      "a replayed batch must not duplicate (id, fp) rows")
+    val dirs = new java.io.File(idxPath).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(dirs.size <= 2 && dirs.contains("batch=-1"),
+      s"dir count must stay bounded, got $dirs")
+  }
+
   test("a replayed batch (docs already standing) reproduces its original pairs") {
     // at-least-once crash shape: the batch's fingerprints landed in the
     // standing index, the stream restarts, the batch re-probes — its
