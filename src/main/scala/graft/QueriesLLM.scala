@@ -522,7 +522,8 @@ GROUP BY p.doc_id"""))
         else {
           val m = operators.HashedLinearModel.train(
             labeled.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", "keep")
-          operators.HashedLinearModel.save(s, m, path)
+          QueriesML.ensureArtifact(s, path, "_SUCCESS")(
+            operators.HashedLinearModel.save(s, m, _))
           m
         }
       labeled.filter(col("doc_id") % 4 === 0)
@@ -688,25 +689,34 @@ FROM lbl"""))
       val docs = ViewingData.table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .filter(scope)
-      val kept = docs.join(dupes, Seq("doc_id"), "left_anti")
-      // gate → filter → scrub in ONE pass over kept: signals carry the
-      // text, so no join back to the source and no second anti-join.
-      // The checkpoint is a PUSHDOWN BARRIER, not just caching:
-      // without it, predicate pushdown substitutes every signal alias
-      // into one Filter (CodegenFallback lambdas get no subexpression
-      // elimination), re-running split() ~30x per row — measured 14s
-      // vs 4s at sf0.1. A production pipeline materializes the signal
-      // table between stages anyway.
-      val sized = gateSignals(kept).localCheckpoint()
-        .filter(col("n_tokens") >= 10 && col("n_tokens") <= 5000 &&
-          col("dup_ratio") <= 0.2 && col("lang") === "en" && col("quality") >= 0.3)
-        .select(col("doc_id"),
-          pmod(col("doc_id"), lit(8)).as("shard"),
-          TextFunctions.piiScrub(col("text")).as("stext"))
-        .select(col("doc_id"), col("shard"),
-          md5(col("stext").cast("binary")).as("text_sig"),
-          TextFunctions.wsTokenCount(col("stext")).as("n_tokens"))
-      DocPack.packSharded(sized, "shard", "doc_id", "n_tokens", 2048)
+      prepKept(docs.join(dupes, Seq("doc_id"), "left_anti"))
+  }
+
+  /** The prep chain AFTER survivorship — gate → filter → scrub → pack
+    * over an explicit kept-docs frame (needs doc_id, text). Shared by
+    * the one-shot/incremental registry rows and the streaming loop
+    * ([[graft.streaming.StreamCorpusPrep]]), so the stages cannot
+    * drift between the batch and streamed forms. */
+  private[graft] def prepKept(
+      kept: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // gate → filter → scrub in ONE pass over kept: signals carry the
+    // text, so no join back to the source and no second anti-join.
+    // The checkpoint is a PUSHDOWN BARRIER, not just caching:
+    // without it, predicate pushdown substitutes every signal alias
+    // into one Filter (CodegenFallback lambdas get no subexpression
+    // elimination), re-running split() ~30x per row — measured 14s
+    // vs 4s at sf0.1. A production pipeline materializes the signal
+    // table between stages anyway.
+    val sized = gateSignals(kept).localCheckpoint()
+      .filter(col("n_tokens") >= 10 && col("n_tokens") <= 5000 &&
+        col("dup_ratio") <= 0.2 && col("lang") === "en" && col("quality") >= 0.3)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(8)).as("shard"),
+        TextFunctions.piiScrub(col("text")).as("stext"))
+      .select(col("doc_id"), col("shard"),
+        md5(col("stext").cast("binary")).as("text_sig"),
+        TextFunctions.wsTokenCount(col("stext")).as("n_tokens"))
+    DocPack.packSharded(sized, "shard", "doc_id", "n_tokens", 2048)
   }
 
   private val corpusPrep = Q(
@@ -1155,58 +1165,72 @@ r AS (SELECT doc_id, score,
 SELECT doc_id, round(score, 6) AS score, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 20"""))
 
+  // --- hybrid retrieval shared pieces (q_hybrid_search + _indexed) ---
+
+  private def vdot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (p, q) => p + q)
+  private def vss(a: org.apache.spark.sql.Column) =
+    aggregate(transform(a, x => x * x), lit(0.0), (p, q) => p + q)
+  private def hybridQv = hashEmbedRaw(lit(QueryText), 8)
+
+  /** BM25 top-20 with ranks — distributed TakeOrderedAndProject; the
+    * rank window runs on the 20 survivors (control plane). */
+  private def hybridLexTop(docs: org.apache.spark.sql.DataFrame) = {
+    val wLex = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id").asc)
+    bm25(docs, QueryTerms)
+      .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      .withColumn("lex_rank", row_number().over(wLex))
+      .select("doc_id", "lex_rank")
+  }
+
+  /** (doc_id, cos) against the hybrid query — cosine divides by both
+    * norms AT the dot so both engines run the identical FP sequence
+    * (the oracle's arithmetic; also the _indexed row's re-rank). */
+  private def hybridDenseCos(docs: org.apache.spark.sql.DataFrame) =
+    docs
+      .select(col("doc_id"), hashEmbedRaw(col("text"), 8).as("d"))
+      .select(col("doc_id"),
+        (vdot(col("d"), hybridQv) / (sqrt(vss(col("d"))) * sqrt(vss(hybridQv))))
+          .as("cos"))
+
+  /** Reciprocal-rank fusion Σ 1/(60 + rank) of the two 20-row lists —
+    * everything here is control-plane-sized. `dense20` carries
+    * (doc_id, cos) sorted-and-limited by the caller. */
+  private def hybridFuse(lex: org.apache.spark.sql.DataFrame,
+      dense20: org.apache.spark.sql.DataFrame) = {
+    val wDen = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    val dense = dense20
+      .withColumn("dense_rank", row_number().over(wDen))
+      .select("doc_id", "dense_rank")
+    val wRrf = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(wRrf))
+      .filter(col("rank") <= 10)
+      .select(col("doc_id"),
+        col("lex_rank").cast("long").as("lex_rank"),
+        col("dense_rank").cast("long").as("dense_rank"),
+        round(col("rrf"), 6).as("rrf"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** HYBRID retrieval — the serving shape of a RAG stack: lexical
     * BM25 top-20 and dense cosine top-20 (query + docs embedded by
     * the same deterministic hash embedder, so the WHOLE chain is
     * oracle-checkable) fused by reciprocal-rank fusion
-    * Σ 1/(60 + rank). Cosine divides by both norms AT the dot
-    * (hashEmbedRaw) so both engines run the identical FP sequence.
-    * The fused frame is two 20-row lists — everything after the two
-    * top-k selections is control-plane-sized. */
-  private val hybridSearch = Q(
-    "q_hybrid_search",
-    (s, dir) => {
-      val docs = ViewingData.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select("doc_id", "text")
-      // both top-20 selections are distributed TakeOrderedAndProject;
-      // ranks derive on the 20 survivors (single-partition over 20
-      // rows IS control plane)
-      val wLex = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score").desc, col("doc_id").asc)
-      val lex = bm25(docs, QueryTerms)
-        .orderBy(col("score").desc, col("doc_id").asc).limit(20)
-        .withColumn("lex_rank", row_number().over(wLex))
-        .select("doc_id", "lex_rank")
-      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (p, q) => p + q)
-      def ss(a: org.apache.spark.sql.Column) =
-        aggregate(transform(a, x => x * x), lit(0.0), (p, q) => p + q)
-      val qv = hashEmbedRaw(lit(QueryText), 8)
-      val wDen = org.apache.spark.sql.expressions.Window
-        .orderBy(col("cos").desc, col("doc_id").asc)
-      val dense = docs
-        .select(col("doc_id"), hashEmbedRaw(col("text"), 8).as("d"))
-        .select(col("doc_id"),
-          (dot(col("d"), qv) / (sqrt(ss(col("d"))) * sqrt(ss(qv)))).as("cos"))
-        .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
-        .withColumn("dense_rank", row_number().over(wDen))
-        .select("doc_id", "dense_rank")
-      val wRrf = org.apache.spark.sql.expressions.Window
-        .orderBy(col("rrf").desc, col("doc_id").asc)
-      lex.join(dense, Seq("doc_id"), "full_outer")
-        .withColumn("rrf",
-          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)))
-        .withColumn("rank", row_number().over(wRrf))
-        .filter(col("rank") <= 10)
-        .select(col("doc_id"),
-          col("lex_rank").cast("long").as("lex_rank"),
-          col("dense_rank").cast("long").as("dense_rank"),
-          round(col("rrf"), 6).as("rrf"),
-          col("rank").cast("long").as("rank"))
-    },
-    Some(s"""WITH ${bm25Cte(QueryTerms)},
+    * Σ 1/(60 + rank). The dense side here is the documented
+    * brute-force BASELINE — every doc embedded per query batch;
+    * [[hybridSearchIndexed]] is the 100-TB serving path. */
+  /** The ONE oracle both hybrid rows share: global BM25 top-20 ×
+    * global dense top-20 × RRF. The _indexed row may legitimately
+    * claim it because its index decides only what is READ, never
+    * what is returned. */
+  private val hybridOracleSql = s"""WITH ${bm25Cte(QueryTerms)},
 lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
          FROM bm QUALIFY lex_rank <= 20),
 emb AS (
@@ -1237,12 +1261,98 @@ fused AS (
   FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.doc_id)
 SELECT doc_id, lex_rank, dense_rank, round(rrf, 6) AS rrf,
        CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank
-FROM fused QUALIFY rank <= 10"""))
+FROM fused QUALIFY rank <= 10"""
+
+  private val hybridSearch = Q(
+    "q_hybrid_search",
+    (s, dir) => {
+      val docs = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select("doc_id", "text")
+      hybridFuse(
+        hybridLexTop(docs),
+        hybridDenseCos(docs)
+          .orderBy(col("cos").desc, col("doc_id").asc).limit(20))
+    },
+    Some(hybridOracleSql))
+
+  /** F28b — q_hybrid_search with the dense side served by a PERSISTED
+    * IVF index (r10 verdict directive #4): the brute-force baseline
+    * embeds the ENTIRE corpus per query batch (md5-chain per doc — the
+    * ×10 sweep's 5.63 s was ~all embedding), which at 100 TB scales
+    * with |corpus|×|queries|. Here the embeddings are computed ONCE
+    * into a source-stamped IVF index (orthant-seeded cells over the
+    * normalized 8-dim hash embeddings; build-if-missing via the staged
+    * publish); the dense top-20 is served by an EXACT radius probe
+    * ([[operators.Ivf.rangeProbeIndexed]], triangle bound — decides
+    * what is READ, never what is returned) followed by an exact
+    * re-rank of the candidate ids under the ORACLE's FP sequence
+    * (raw dot / norm product, [[hybridDenseCos]]), so the row claims
+    * the full q_hybrid_search oracle.
+    *
+    * Exactness guarantee, checked at runtime: the probe returns EVERY
+    * doc with cos ≥ τ, so when 20 candidates clear τ with an FP+
+    * rounding margin the global top-20 is provably inside the
+    * candidate set. If the corpus ever fails the check (fewer than 20
+    * docs within τ of the query), the row falls back to the
+    * brute-force scan — exactness is never a function of index
+    * quality. The probe+re-rank cost is |candidates|, not |corpus|:
+    * only candidate docs are re-embedded. */
+  private val hybridSearchIndexed = Q(
+    "q_hybrid_search_indexed",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      import graft.functions.VectorFunctions.normalize
+      val Tau = 0.2
+      val docs = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select("doc_id", "text")
+      val path = QueriesML.stampedIndexPath(s, dir, "documents", "hybivf_d8c16v1")
+      QueriesML.ensureArtifact(s, path, "cellstats/_SUCCESS") { staged =>
+        // cells seeded by the sign orthant of the first 4 components
+        // (content-derived, so same-orthant vectors are genuinely
+        // close); Ivf.assign then snaps members to nearest centroid.
+        // Exactness never depends on this choice — only pruning does.
+        val v = docs
+          .select(col("doc_id"),
+            normalize(hashEmbedRaw(col("text"), 8)).as("e"))
+          .withColumn("cell",
+            (when(element_at(col("e"), 1) >= 0, 8).otherwise(0) +
+              when(element_at(col("e"), 2) >= 0, 4).otherwise(0) +
+              when(element_at(col("e"), 3) >= 0, 2).otherwise(0) +
+              when(element_at(col("e"), 4) >= 0, 1).otherwise(0)).cast("int"))
+          .localCheckpoint()
+        val cents = operators.Ivf.centroids(v, "cell", "e").localCheckpoint()
+        operators.Ivf.writeIndex(
+          operators.Ivf.assign(v, cents, "doc_id", "e", "cell"),
+          cents, "cell", staged)
+        operators.Ivf.writeCellStats(s, staged, "e", "cell")
+      }
+      val candIds = operators.Ivf.rangeProbeIndexed(s, path,
+          s.range(1).select(normalize(hybridQv).as("q")),
+          "doc_id", "e", "cell", minCos = Tau)
+        .select("doc_id")
+      // exact re-rank of candidate ids only, oracle FP sequence
+      val rerank = hybridDenseCos(
+          docs.join(candIds, Seq("doc_id"), "left_semi"))
+        .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
+        .localCheckpoint() // 20 rows: guarantee check + fusion
+      val top = rerank.collect()
+      val exact = top.length == 20 &&
+        top.map(_.getDouble(1)).min >= Tau + 1e-5
+      val dense20 =
+        if (exact) rerank
+        else hybridDenseCos(docs)
+          .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
+      hybridFuse(hybridLexTop(docs), dense20)
+    },
+    Some(hybridOracleSql))
 
   val all: Seq[Q] =
     Seq(textRepetition, textDecontaminate, textDecontaminateBloom, piiScrubQ, corpusShuffle,
       corpusMix, sampleWeighted, textUnigramLogprob, textBigramLogprob, qualityModel,
       qualityModelTrained, qualityModelEval, mmHeaderParse, qualityGate, corpusPrep,
       corpusPrepIncremental,
-      docChunk, textTfidf, sampleWeightedK, chunkEmbed, textBm25, hybridSearch)
+      docChunk, textTfidf, sampleWeightedK, chunkEmbed, textBm25, hybridSearch,
+      hybridSearchIndexed)
 }

@@ -22,6 +22,26 @@ class RagPipelineSpec extends SparkTestBase {
       .select(col("chunk_id"), col("chunk_text"),
         QueriesLLM.hashEmbed(col("chunk_text"), dim).as("e"))
 
+  test("q_hybrid_search_indexed: the exact probe path engages and matches the brute row") {
+    graft.plans.GraftExtensions.register(spark)
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, Sf).collect().map(_.toString).sorted.toSeq
+    // engine-side equality with the brute-force row (both claim the
+    // SAME DuckDB oracle; this pins it directly, tie-breaks included)
+    assert(rows("q_hybrid_search_indexed") == rows("q_hybrid_search"))
+    // the runtime exactness guarantee ENGAGES on this corpus — the row
+    // would still be correct through the brute fallback, but the
+    // 100-TB story is the probe: >= 20 candidates clear tau + margin,
+    // so the global dense top-20 is provably inside the candidate set
+    val path = QueriesML.stampedIndexPath(spark, Sf, "documents", "hybivf_d8c16v1")
+    val cand = graft.operators.Ivf.rangeProbeIndexed(spark, path,
+      spark.range(1).select(graft.functions.VectorFunctions.normalize(
+        QueriesLLM.hashEmbedRaw(lit("table stream merge"), 8)).as("q")),
+      "doc_id", "e", "cell", minCos = 0.2)
+    assert(cand.filter(col("cos_sim") >= 0.2 + 1e-5).count() >= 20,
+      "the exact probe path must engage on the test corpus")
+  }
+
   test("chunk → embed → IVF index → probe: every unique chunk self-retrieves; appended docs retrievable without retrain") {
     graft.plans.GraftExtensions.register(spark)
     val path = java.nio.file.Files.createTempDirectory("rag-ivf").toString
