@@ -1,0 +1,170 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, IcwsDelta}
+import graft.{QueriesLLM, QueriesML}
+
+/** Always-on corpus prep — F14b (`corpus_prep_incremental`) as a
+  * foreachBatch loop under the H16/H22 probe-then-append discipline:
+  * each micro-batch of new documents probes the persisted GRAM index
+  * of the standing (already published) corpus for near-dups, applies
+  * FIRST-ARRIVAL-WINS survivorship, runs the shared gate→scrub→pack
+  * chain over its survivors, writes the packed prep rows, then
+  * appends the survivors' gram rows to the index.
+  *
+  * The survivorship invariant is INDUCTIVE, which is what makes the
+  * micro-batch loop correct: the standing corpus is dedup-clean
+  * because every standing doc survived this same rule when IT was the
+  * delta — so delta docs chain through at most one standing hop, the
+  * delta-touching edge set suffices, and appending SURVIVORS ONLY
+  * keeps the invariant for the next batch (a dropped dup must never
+  * become standing: it is not in the published corpus).
+  *
+  * Replay contract (at-least-once foreachBatch): the probe drops the
+  * batch's own ids from the standing side before pairing (the
+  * [[graft.operators.Winnow.incrementalPairs]] absorb discipline), so
+  * a replayed batch recomputes the SAME dupes/survivors and both
+  * writes overwrite their own `batch=N` dirs — byte-for-byte
+  * convergent, pinned in StreamCorpusPrepSpec.
+  */
+object StreamCorpusPrep {
+
+  /** Stream batch ids own [0, SeedBatchId); seeds live at or above it
+    * — the [[IcwsDelta.SeedBatchId]] structural split, so micro-batch
+    * 0 can never overwrite the standing corpus. */
+  val SeedBatchId: Long = IcwsDelta.SeedBatchId
+
+  /** Gram rows (doc_id, lang, n_chars, grams) — the index unit; the
+    * SAME shingle/blocking definition as the F14b registry row (one
+    * tuning point). */
+  def gramRows(docs: DataFrame): DataFrame = QueriesML.gramRowsOf(docs)
+
+  /** Seeds the standing corpus's gram rows outside the stream's
+    * id space. */
+  def seedBatch(docs: DataFrame, path: String,
+      seedId: Long = SeedBatchId): Unit = {
+    require(seedId >= SeedBatchId,
+      s"seed ids must be >= $SeedBatchId (stream ids own 0..${SeedBatchId - 1}), got $seedId")
+    gramRows(docs).write.mode("overwrite").parquet(s"$path/batch=$seedId")
+  }
+
+  /** Lands prebuilt gram rows under a stream micro-batch id —
+    * overwrite-by-batch-dir, replay-idempotent. */
+  def writeBatch(g: DataFrame, path: String, batchId: Long): Unit = {
+    require(batchId >= 0L && batchId < SeedBatchId,
+      s"stream batch ids must be in [0, $SeedBatchId), got $batchId")
+    g.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+  }
+
+  /** The standing gram index (all batches, batch-agnostic). */
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("batch")
+
+  /** Folds batch dirs into the reserved `batch=-1` slot, clustered by
+    * the (lang, n_chars) blocking keys the probe joins on — the
+    * [[graft.operators.Winnow.compactIndex]] discipline on the gram
+    * layout (no manifest: the probe is a blocked equi-join, so
+    * compaction buys bounded file/dir counts, not range pruning).
+    * `preserveBatchIds` carries the in-flight batch unfolded — its
+    * replay then overwrites its own dir instead of duplicating rows
+    * beside the folded copy. */
+  def compactIndex(spark: SparkSession, path: String,
+      numFiles: Int = 32, preserveBatchIds: Set[Long] = Set.empty): Unit = {
+    val flat =
+      if (preserveBatchIds.isEmpty) readIndex(spark, path)
+      else spark.read.parquet(path)
+        .filter(!col("batch").isin(preserveBatchIds.toSeq: _*))
+        .drop("batch")
+    val staged = graft.sources.LakeWriter.stagingPath(path)
+    flat.repartitionByRange(numFiles, col("lang"), col("n_chars"))
+      .sortWithinPartitions(col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$staged/batch=-1")
+    if (preserveBatchIds.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+      preserveBatchIds.foreach { id =>
+        val src = new org.apache.hadoop.fs.Path(s"$path/batch=$id")
+        if (fs.exists(src))
+          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+            new org.apache.hadoop.fs.Path(s"$staged/batch=$id"), false, conf)
+      }
+    }
+    graft.sources.LakeWriter.publish(spark, staged, path)
+  }
+
+  /** Compacts when the batch count crosses `maxBatches`; the
+    * `batch=-1` slot does not count. */
+  def compactIfNeeded(spark: SparkSession, path: String,
+      maxBatches: Int = 16, numFiles: Int = 32,
+      preserveBatchIds: Set[Long] = Set.empty): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    val batches = fs.listStatus(root).count(s => s.isDirectory && {
+      val n = s.getPath.getName
+      n.startsWith("batch=") && n != "batch=-1"
+    })
+    val due = batches > maxBatches
+    if (due) compactIndex(spark, path, numFiles, preserveBatchIds)
+    due
+  }
+
+  /** THE F14b decision kernel on explicit frames: delta doc ids to
+    * DROP under FIRST-ARRIVAL-WINS. Edges are delta×standing +
+    * delta×delta, blocked on (lang, n_chars) with exact gram Jaccard
+    * ≥ τ (the registry row's arithmetic — [[QueriesML.scoredPairs]]);
+    * a delta doc drops when its component touches ANY standing doc,
+    * or it is not the min-id among a delta-only component. The spec's
+    * iterated-batch yardstick calls this directly, so the streamed
+    * loop and the yardstick cannot drift. */
+  def dupeIds(standing: DataFrame, deltaGrams: DataFrame): DataFrame = {
+    val oldNew = QueriesML.scoredPairs(standing, deltaGrams,
+      "a.doc_id <> b.doc_id")
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val selfP = QueriesML.scoredPairs(deltaGrams, deltaGrams,
+      "a.doc_id < b.doc_id").select("id_a", "id_b")
+    val pairs = oldNew.unionByName(selfP).distinct().localCheckpoint()
+    val cc = Components.connectedComponents(pairs, "id_a", "id_b")
+    val dset = deltaGrams.select(col("doc_id").as("id"), lit(true).as("__d"))
+    val tagged = cc.join(broadcast(dset), Seq("id"), "left")
+      .withColumn("__d", coalesce(col("__d"), lit(false)))
+    val flags = tagged.groupBy("comp").agg(
+      max(when(!col("__d"), 1L).otherwise(0L)).as("has_standing"),
+      min(when(col("__d"), col("id"))).as("min_delta"))
+    tagged.filter(col("__d")).join(flags, "comp")
+      .filter(col("has_standing") === 1L || col("id") =!= col("min_delta"))
+      .select(col("id").as("doc_id"))
+  }
+
+  /** Returns a (batchDF, batchId) function for
+    * `writeStream.foreachBatch`. `batch` must carry (doc_id, lang,
+    * n_chars, text). Prep rows for the batch's SURVIVORS land at
+    * `outPath/batch=N` (the packed-shard schema of the F14b row);
+    * survivors' gram rows append to `indexPath/batch=N`. Seed the
+    * standing corpus with [[seedBatch]]. */
+  def probeThenAppendParquet(indexPath: String, outPath: String,
+      compactEvery: Int = 16)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val g = gramRows(batch).localCheckpoint()
+    try {
+      // absorb replays: the batch's own rows may already stand (its
+      // first delivery appended, the commit never landed)
+      val standing = readIndex(spark, indexPath)
+        .join(broadcast(g.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
+      val dupes = dupeIds(standing, g).localCheckpoint()
+      QueriesLLM.prepKept(batch.join(dupes, Seq("doc_id"), "left_anti"))
+        .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+      // SURVIVORS ONLY join the standing set — a dropped dup is not in
+      // the published corpus, and indexing it would break the
+      // dedup-clean induction the one-hop edge set relies on
+      writeBatch(g.join(dupes, Seq("doc_id"), "left_anti"),
+        indexPath, batchId)
+      compactIfNeeded(spark, indexPath,
+        maxBatches = compactEvery, preserveBatchIds = Set(batchId))
+    } finally g.unpersist(blocking = false)
+  }
+}
