@@ -161,24 +161,67 @@ class IvfPqSpec extends SparkTestBase {
     assert(drifted >= 1.25, s"drifted appends must raise weighted p99: $drifted")
     assert(IvfPq.needsRetrain(spark, path))
 
-    // the maintenance loop CLOSES: re-train on the full corpus
-    // (base ∪ both appends) in place — writeIndex's overwrite drops
-    // the old batch dirs — the trigger resets, and a probe for the
-    // once-drifted data now finds it
+    // ---- recall RECOVERY (r10 directive #7): quantify what the
+    // retrain buys for queries in the drifted region, before vs after
     val full = clustered(0 until 400)
       .unionByName(clustered(1000 until 1200))
       .unionByName(spikes.withColumn("label",
         (col("vec_id") % 8).cast("int")).select("vec_id", "label", "e"))
       .localCheckpoint()
+    val vecs = full.select("vec_id", "e")
+      .as[(Long, Seq[Double])].collect()
+    // recall@10 with ties: hits among the probe's 10 against the set
+    // of ids at or above the 10th-best exact cosine
+    def recallAt10(q: Seq[Double]): Double = {
+      val cos = vecs.map { case (id, e) =>
+        (id, e.zip(q).map { case (a, b) => a * b }.sum) }
+      val kth = cos.map(_._2).sorted(Ordering[Double].reverse)(9)
+      val trueSet = cos.collect { case (id, c) if c >= kth - 1e-9 => id }.toSet
+      val got = IvfPq.probe(spark, path, full, q, "vec_id", "e", "label",
+          nprobe = 4, k = 10)
+        .select("vec_id").as[Long].collect()
+      got.count(trueSet).toDouble / 10.0
+    }
+    val spikeQs = Seq(32, 40, 50).map(d =>
+      Seq.tabulate(64)(dd => if (dd == d) 1.0 else 0.0))
+    val recallBefore = spikeQs.map(recallAt10).sum / spikeQs.size
+    // the drifted mass's stored reconstruction error BEFORE the
+    // retrain — the quantity that silently decays ADC quality (and
+    // the one the trigger thresholds)
+    val spikeErrBefore = spark.read.parquet(s"$path/errstats")
+      .filter(col("batch").cast("long") === 2L)
+      .agg(max(col("p99_err"))).head().getDouble(0)
+
+    // the maintenance loop CLOSES: re-train on the full corpus
+    // (base ∪ both appends) in place — writeIndex's overwrite drops
+    // the old batch dirs — the trigger resets, and probe recall for
+    // the once-drifted region RECOVERS
     IvfPq.writeIndex(full, "vec_id", "e", "label", path, m = 16, k = 16)
     assert(IvfPq.quantizerDrift(spark, path).isNaN, "fresh base, no appends")
     assert(!IvfPq.needsRetrain(spark, path))
+    val recallAfter = spikeQs.map(recallAt10).sum / spikeQs.size
+    assert(recallAfter >= 0.9,
+      s"retrained index must serve the once-drifted region: recall $recallAfter")
+    assert(recallAfter >= recallBefore,
+      s"retrain must not lose recall: $recallBefore -> $recallAfter")
+    // reconstruction RECOVERY: the retrained codebooks span the spike
+    // dims, so the worst per-cell p99 across the WHOLE retrained index
+    // must sit well under the drifted batch's pre-retrain p99. (On
+    // this fixture recall itself never dips — identical spike vectors
+    // co-assign and the exact re-rank forgives blurred ADC scores —
+    // which is honest: drift degrades the ESTIMATE first; the error
+    // stats are the leading indicator the trigger exists for.)
+    val errAfter = spark.read.parquet(s"$path/errstats")
+      .agg(max(col("p99_err"))).head().getDouble(0)
+    assert(errAfter < spikeErrBefore / 1.25,
+      s"retrain must recover reconstruction: $spikeErrBefore -> $errAfter")
     val q = Seq.tabulate(64)(d => if (d == 32) 1.0 else 0.0)
     val top = IvfPq.probe(spark, path, full, q, "vec_id", "e", "label",
         nprobe = 4, k = 5)
       .select("vec_id").as[Long].collect().toSet
     assert(top.exists(_ >= 200000L),
       s"retrained index must serve the once-drifted region: $top")
+    info(f"drift retrain loop: recall@10 $recallBefore%.2f -> $recallAfter%.2f")
   }
 
   test("probeIndexedBatch: per-query parity with the single-query probe, one pruned scan") {
