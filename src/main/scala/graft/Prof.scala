@@ -44,6 +44,44 @@ object Prof {
           println(f"$name%-40s ${math.min(once, once)}%8.3f s")
         }
         args.drop(1).foreach(n => time(n)(SparkEntry.queries(n)(spark, dir)))
+      case "compactsweep" =>
+        // Probe cost vs batch-dir fragmentation (r11: the streaming
+        // loops' in-loop compaction claim) — seed an ICWS band index,
+        // append N tiny batches, time the incremental probe on the
+        // fragmented layout, compact, time again on the folded one.
+        import graft.operators.IcwsDelta
+        import org.apache.spark.sql.functions.col
+        val n = args.lift(1).map(_.toInt).getOrElse(40)
+        val base = java.nio.file.Files.createTempDirectory("compactsweep").toString
+        val idx = s"$base/idx"
+        val docs = graft.sources.ViewingData.table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+          .localCheckpoint()
+        val standing = docs.filter(col("doc_id") % 4 =!= 0)
+        val delta = docs.filter(col("doc_id") % 4 === 0).localCheckpoint()
+        IcwsDelta.seedBatch(standing, "doc_id", "text", idx)
+        // fragment: n slivers of the standing corpus re-appended as
+        // micro-batches (content irrelevant — dir/file count is the
+        // variable under test)
+        (0 until n).foreach { i =>
+          IcwsDelta.writeBatch(
+            standing.filter(col("doc_id") % (4L * n) === 4L * i + 1),
+            "doc_id", "text", idx, i.toLong)
+        }
+        def probeSec(): Double = {
+          val t0 = System.nanoTime()
+          IcwsDelta.incrementalCandidates(delta, "doc_id", "text",
+              IcwsDelta.readIndex(spark, idx))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        probeSec() // warm
+        val frag = (1 to 3).map(_ => probeSec()).min
+        val dirsBefore = new java.io.File(idx).listFiles().count(_.isDirectory)
+        IcwsDelta.compactIndex(spark, idx)
+        val compacted = (1 to 3).map(_ => probeSec()).min
+        val dirsAfter = new java.io.File(idx).listFiles().count(_.isDirectory)
+        println(f"COMPACTSWEEP icws: $dirsBefore%d dirs ${frag}%.2f s -> $dirsAfter%d dirs ${compacted}%.2f s")
     }
     spark.stop()
   }

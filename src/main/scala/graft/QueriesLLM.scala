@@ -1303,7 +1303,6 @@ FROM fused QUALIFY rank <= 10"""
     (s, dir) => {
       graft.plans.GraftExtensions.register(s)
       import graft.functions.VectorFunctions.normalize
-      val Tau = 0.2
       val docs = ViewingData.table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select("doc_id", "text")
@@ -1328,22 +1327,45 @@ FROM fused QUALIFY rank <= 10"""
           cents, "cell", staged)
         operators.Ivf.writeCellStats(s, staged, "e", "cell")
       }
-      val candIds = operators.Ivf.rangeProbeIndexed(s, path,
-          s.range(1).select(normalize(hybridQv).as("q")),
-          "doc_id", "e", "cell", minCos = Tau)
-        .select("doc_id")
-      // exact re-rank of candidate ids only, oracle FP sequence
-      val rerank = hybridDenseCos(
-          docs.join(candIds, Seq("doc_id"), "left_semi"))
-        .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
-        .localCheckpoint() // 20 rows: guarantee check + fusion
-      val top = rerank.collect()
-      val exact = top.length == 20 &&
-        top.map(_.getDouble(1)).min >= Tau + 1e-5
-      val dense20 =
-        if (exact) rerank
-        else hybridDenseCos(docs)
+      // Descending τ LADDER: the radius that proves exactness cheaply
+      // depends on the corpus — the 20th-best cosine grows with N, so
+      // a big corpus proves it at a TIGHT radius (tiny candidate set)
+      // while a small one needs a loose radius. A rung FAILS only
+      // when fewer than 20 candidates clear τ + margin; the result is
+      // the global top-20 whichever rung wins, so the ladder is a
+      // cost knob, not a semantics knob. Start rung by |corpus| (the
+      // cellstats row counts — control plane), fall through on
+      // failure, brute-force scan as the final rung. Without this,
+      // τ=0.2 at ×10 admitted ~25% of the corpus and the re-rank ate
+      // the probe's win (measured 4.5 s vs 4.0 s brute; laddered the
+      // row starts at 0.8 and re-ranks hundreds, not tens of
+      // thousands).
+      // a FAILED rung costs one probe over a candidate set too small
+      // to hold 20 docs — by construction cheaper than the rung that
+      // succeeds, so plain fall-through needs no corpus-size pre-job
+      val ladder = Seq(0.8, 0.5, 0.2)
+      def rerankAt(tau: Double) = {
+        val candIds = operators.Ivf.rangeProbeIndexed(s, path,
+            s.range(1).select(normalize(hybridQv).as("q")),
+            "doc_id", "e", "cell", minCos = tau)
+          .select("doc_id")
+        // exact re-rank of candidate ids only, oracle FP sequence; the
+        // laddered candidate set is hundreds of ids — broadcast the
+        // semi-join so the re-rank never shuffles the corpus scan
+        val r = hybridDenseCos(
+            docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
           .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
+          .localCheckpoint() // 20 rows: guarantee check + fusion
+        val top = r.collect()
+        // the probe returns EVERY doc with cos ≥ τ, so 20 rows above
+        // τ + an FP/rounding margin prove the global top-20 ⊆ candidates
+        if (top.length == 20 && top.map(_.getDouble(1)).min >= tau + 1e-5)
+          Some(r)
+        else None
+      }
+      val dense20 = ladder.view.flatMap(rerankAt).headOption
+        .getOrElse(hybridDenseCos(docs)
+          .orderBy(col("cos").desc, col("doc_id").asc).limit(20))
       hybridFuse(hybridLexTop(docs), dense20)
     },
     Some(hybridOracleSql))
