@@ -74,7 +74,13 @@ object Bench {
       .sortBy { case (_, drift, _) => -drift }
     val budget = if (wholeRunDrift) math.min(cap, 3) else cap
     val inBudget = suspects.take(budget).map(_._1)
-    val singlePass = suspects.collect { case (n, _, 1) => n }
+    // passes:1 grants do NOT bypass the whole-run-drift damper (r11
+    // review): on a drifted VM that also blew the pass-2 deadline,
+    // nearly every query is a single-pass suspect and uncapped grants
+    // would re-run most of the suite — the exact cost the damper
+    // exists to avoid. calib_vs_prev already marks the entry.
+    val singlePass =
+      if (wholeRunDrift) Nil else suspects.collect { case (n, _, 1) => n }
     (inBudget ++ singlePass).distinct
   }
 

@@ -75,12 +75,14 @@ object Prof {
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
+        def batchDirs() = new java.io.File(idx).listFiles()
+          .count(f => f.isDirectory && f.getName.startsWith("batch="))
         probeSec() // warm
         val frag = (1 to 3).map(_ => probeSec()).min
-        val dirsBefore = new java.io.File(idx).listFiles().count(_.isDirectory)
+        val dirsBefore = batchDirs()
         IcwsDelta.compactIndex(spark, idx)
         val compacted = (1 to 3).map(_ => probeSec()).min
-        val dirsAfter = new java.io.File(idx).listFiles().count(_.isDirectory)
+        val dirsAfter = batchDirs()
         println(f"COMPACTSWEEP icws: $dirsBefore%d dirs ${frag}%.2f s -> $dirsAfter%d dirs ${compacted}%.2f s")
     }
     spark.stop()

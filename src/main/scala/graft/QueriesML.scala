@@ -416,11 +416,14 @@ SELECT id_a, id_b, round(jw, 6) AS weighted_jaccard FROM j WHERE jw >= 0.5"""))
   /** Incremental near-dup dedup ([[graft.operators.MinhashDelta]]):
     * the corpus (3/4 of documents) is a pre-built band index; the
     * delta (1/4) probes it and self-joins — corpus text is never
-    * re-shingled, the index never shuffles (delta band rows
-    * broadcast). Rows-only like dedup_minhash (seeded xxhash64 isn't
-    * SQL-expressible); MinhashDeltaSpec pins exact parity with the
-    * full recompute restricted to delta-touching pairs, the persisted
-    * batch=N layout's replay idempotence, and the probe plan shape. */
+    * re-shingled, and the delta's checkpointed band rows give AQE
+    * exact size stats so a small delta broadcasts (the index streams)
+    * while a bulk one degrades to a shuffled equi-join (r10 advice:
+    * no forced broadcast). Rows-only like dedup_minhash (seeded
+    * xxhash64 isn't SQL-expressible); MinhashDeltaSpec pins exact
+    * parity with the full recompute restricted to delta-touching
+    * pairs, the persisted batch=N layout's replay idempotence, and
+    * the probe plan shape under the daily-increment hint. */
   private val dedupIncremental = Q(
     "dedup_incremental",
     (s, dir) => {
@@ -993,11 +996,16 @@ FROM top"""))
     val st = fs.getFileStatus(p)
     if (st.isFile) s"${st.getModificationTime}_${st.getLen}"
     else {
+      // ROOT-RELATIVE paths, not bare names (r11 review: a file moved
+      // between partition subdirs preserving name/len/mtime would
+      // otherwise keep the stamp while changing the data)
+      val rootStr = fs.getFileStatus(p).getPath.toString
       val leaves = scala.collection.mutable.ArrayBuffer.empty[String]
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
         val f = it.next()
-        leaves += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+        leaves +=
+          s"${f.getPath.toString.stripPrefix(rootStr)}:${f.getLen}:${f.getModificationTime}"
       }
       // sorted: listing order is filesystem-dependent and must not
       // mint a new stamp for an unchanged table
@@ -1040,14 +1048,28 @@ FROM top"""))
     if (fs.exists(done)) return
     val staged = new org.apache.hadoop.fs.Path(
       s"$path.__stage_${java.util.UUID.randomUUID()}__")
-    build(staged.toString)
-    // re-check before publishing: a concurrent JVM may have won
-    if (fs.exists(done)) { fs.delete(staged, true); return }
-    // a target without its marker is a torn leftover (crashed
-    // in-place build from the pre-staging layout) — clear it so the
-    // rename lands AT path instead of nesting inside it
-    if (fs.exists(target)) fs.delete(target, true)
-    if (!fs.rename(staged, target)) fs.delete(staged, true)
+    var published = false
+    try {
+      build(staged.toString)
+      // Publish invariant: a staged artifact is COMPLETE — its marker
+      // sits INSIDE the staged dir — and rename is atomic, so at
+      // every instant `path` either doesn't exist or holds a complete
+      // artifact WITH its marker. A concurrent winner is therefore
+      // detected by the marker re-check and its artifact is NEVER
+      // deleted (r11 review: the old unconditional delete-then-rename
+      // could drop a winner's fresh artifact under a reader). A
+      // marker-less target can only be a torn leftover of a crashed
+      // pre-staging in-place build: clear it so the rename lands AT
+      // path instead of nesting inside it (local-fs rename has mv
+      // semantics). The residual window is the done-check → delete
+      // microseconds, and only against torn-leftover targets that
+      // the staging discipline no longer produces.
+      if (fs.exists(done)) return
+      if (fs.exists(target)) fs.delete(target, true)
+      // rename failure = a concurrent winner landed in the gap;
+      // theirs is complete, ours is redundant
+      published = fs.rename(staged, target)
+    } finally if (!published) fs.delete(staged, true)
   }
 
   /** Unconditional-REBUILD flavor for the explicit build-cost rows

@@ -107,11 +107,15 @@ object Icws {
     // frame it would evaluate the whole ICWS draw chain once for the
     // guard and AGAIN for the banding (r10 advice: a silent 2-3×
     // regression for any caller that forgot to checkpoint).
-    // Materialize here unless the frame already sits on computed RDD
-    // blocks (every leaf a LogicalRDD — a prior localCheckpoint).
+    // Materialize unless the frame ITSELF is a checkpoint (root is a
+    // LogicalRDD) — a leaves-only test would misread signatures built
+    // ON TOP of a checkpointed source as already computed (r11
+    // review) and skip the checkpoint for exactly the caller the
+    // guard defends. The false-negative direction (re-checkpointing
+    // a projection over a checkpoint) only costs a cheap copy.
     val sigsM =
-      if (sigs.queryExecution.analyzed.collectLeaves().forall(
-        _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])) sigs
+      if (sigs.queryExecution.analyzed
+        .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) sigs
       else sigs.localCheckpoint()
     sigsM.agg(min(size(col("sig"))), max(size(col("sig")))).head(1)
       .filterNot(_.isNullAt(0)).foreach { r =>

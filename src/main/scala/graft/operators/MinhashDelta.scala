@@ -164,42 +164,27 @@ object MinhashDelta {
     * still replay; its replay then overwrites its own preserved dir,
     * byte-for-byte idempotent. */
   def compactIndex(spark: SparkSession, path: String,
-      numFiles: Int = 32, preserveBatchIds: Set[Long] = Set.empty): Unit = {
-    val flat =
-      if (preserveBatchIds.isEmpty) readIndex(spark, path)
-      else spark.read.parquet(path)
-        .filter(!col("batch").isin(preserveBatchIds.toSeq: _*))
-        .drop("batch")
-    val staged = graft.sources.LakeWriter.stagingPath(path)
-    flat.repartitionByRange(numFiles, col("lsh_key.band_hash"))
-      .sortWithinPartitions(col("lsh_key.band_hash"))
-      .write.mode("overwrite").parquet(s"$staged/batch=-1")
-    // per-file range stats, grouped by _metadata.file_path — the same
-    // one-scan build as sources.StatsIndex (which can't index a struct
-    // field by name, hence the local manifest)
+      numFiles: Int = 32, preserveBatchIds: Set[Long] = Set.empty): Unit =
+    // fold/preserve/publish protocol shared via BatchIndex (incl. the
+    // stale-staging clear); only the cluster key and the range
+    // manifest are this index's own
+    BatchIndex.compact(spark, path, numFiles, Seq("lsh_key.band_hash"),
+      preserveBatchIds, writeManifest(spark))
+
+  /** Per-file range stats over the staged fold, grouped by
+    * _metadata.file_path — the same one-scan build as
+    * sources.StatsIndex (which can't index a struct field by name,
+    * hence the local manifest). ROOT-RELATIVE file paths: the
+    * manifest is written in the staging dir, so an absolute path
+    * would die at publish. */
+  private def writeManifest(spark: SparkSession)(staged: String): Unit =
     spark.read.parquet(s"$staged/batch=-1")
-      // ROOT-RELATIVE file paths: the manifest is written in the
-      // staging dir, so an absolute path would die at publish
       .groupBy(substring_index(col("_metadata.file_path"),
         ".__staging__/", -1).as("file"))
       .agg(min(col("lsh_key.band_hash")).as("hash_min"),
         max(col("lsh_key.band_hash")).as("hash_max"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$staged/_mh_stats")
-    // carry preserved dirs into the staged copy — COPY, not move: the
-    // live index must stay intact until the publish swap
-    if (preserveBatchIds.nonEmpty) {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-      preserveBatchIds.foreach { id =>
-        val src = new org.apache.hadoop.fs.Path(s"$path/batch=$id")
-        if (fs.exists(src))
-          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-            new org.apache.hadoop.fs.Path(s"$staged/batch=$id"), false, conf)
-      }
-    }
-    graft.sources.LakeWriter.publish(spark, staged, path)
-  }
 
   /** Compacts when the accumulated batch count crosses `maxBatches` —
     * the streaming loop's maintenance hook (call after each
@@ -210,18 +195,9 @@ object MinhashDelta {
     * compaction ran. */
   def compactIfNeeded(spark: SparkSession, path: String,
       maxBatches: Int = 16, numFiles: Int = 32,
-      preserveBatchIds: Set[Long] = Set.empty): Boolean = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return false
-    val batches = fs.listStatus(root).count(s => s.isDirectory && {
-      val n = s.getPath.getName
-      n.startsWith("batch=") && n != "batch=-1"
-    })
-    val due = batches > maxBatches
-    if (due) compactIndex(spark, path, numFiles, preserveBatchIds)
-    due
-  }
+      preserveBatchIds: Set[Long] = Set.empty): Boolean =
+    BatchIndex.compactIfNeeded(spark, path, maxBatches, numFiles,
+      Seq("lsh_key.band_hash"), preserveBatchIds, writeManifest(spark))
 
   /** Index files that can share a band hash with `hashes` (sorted
     * search per file range) and the total file count. Driver-side

@@ -183,28 +183,8 @@ object Winnow {
     * double-count into the threshold. Preserved, the replay just
     * overwrites its own dir. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      numFiles: Int = 32, preserveBatchIds: Set[Long] = Set.empty): Unit = {
-    val flat =
-      if (preserveBatchIds.isEmpty) readIndex(spark, path)
-      else spark.read.parquet(path)
-        .filter(!col("batch").isin(preserveBatchIds.toSeq: _*))
-        .drop("batch")
-    val staged = graft.sources.LakeWriter.stagingPath(path)
-    flat.repartitionByRange(numFiles, col("fp"))
-      .sortWithinPartitions(col("fp"))
-      .write.mode("overwrite").parquet(s"$staged/batch=-1")
-    if (preserveBatchIds.nonEmpty) {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-      preserveBatchIds.foreach { id =>
-        val src = new org.apache.hadoop.fs.Path(s"$path/batch=$id")
-        if (fs.exists(src))
-          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-            new org.apache.hadoop.fs.Path(s"$staged/batch=$id"), false, conf)
-      }
-    }
-    graft.sources.LakeWriter.publish(spark, staged, path)
-  }
+      numFiles: Int = 32, preserveBatchIds: Set[Long] = Set.empty): Unit =
+    BatchIndex.compact(spark, path, numFiles, Seq("fp"), preserveBatchIds)
 
   /** Compacts when the accumulated batch count crosses `maxBatches` —
     * the [[graft.streaming.StreamSubstringDedup]] maintenance hook;
@@ -212,18 +192,9 @@ object Winnow {
     * compaction ran. */
   def compactIfNeeded(spark: org.apache.spark.sql.SparkSession,
       path: String, maxBatches: Int = 16, numFiles: Int = 32,
-      preserveBatchIds: Set[Long] = Set.empty): Boolean = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return false
-    val batches = fs.listStatus(root).count(s => s.isDirectory && {
-      val n = s.getPath.getName
-      n.startsWith("batch=") && n != "batch=-1"
-    })
-    val due = batches > maxBatches
-    if (due) compactIndex(spark, path, numFiles, preserveBatchIds)
-    due
-  }
+      preserveBatchIds: Set[Long] = Set.empty): Boolean =
+    BatchIndex.compactIfNeeded(spark, path, maxBatches, numFiles,
+      Seq("fp"), preserveBatchIds)
 
   /** Candidate pairs (a < b) sharing at least `minShared`
     * fingerprints, with the shared count — the verification-ready

@@ -71,45 +71,17 @@ object StreamCorpusPrep {
     * replay then overwrites its own dir instead of duplicating rows
     * beside the folded copy. */
   def compactIndex(spark: SparkSession, path: String,
-      numFiles: Int = 32, preserveBatchIds: Set[Long] = Set.empty): Unit = {
-    val flat =
-      if (preserveBatchIds.isEmpty) readIndex(spark, path)
-      else spark.read.parquet(path)
-        .filter(!col("batch").isin(preserveBatchIds.toSeq: _*))
-        .drop("batch")
-    val staged = graft.sources.LakeWriter.stagingPath(path)
-    flat.repartitionByRange(numFiles, col("lang"), col("n_chars"))
-      .sortWithinPartitions(col("lang"), col("n_chars"))
-      .write.mode("overwrite").parquet(s"$staged/batch=-1")
-    if (preserveBatchIds.nonEmpty) {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-      preserveBatchIds.foreach { id =>
-        val src = new org.apache.hadoop.fs.Path(s"$path/batch=$id")
-        if (fs.exists(src))
-          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
-            new org.apache.hadoop.fs.Path(s"$staged/batch=$id"), false, conf)
-      }
-    }
-    graft.sources.LakeWriter.publish(spark, staged, path)
-  }
+      numFiles: Int = 32, preserveBatchIds: Set[Long] = Set.empty): Unit =
+    graft.operators.BatchIndex.compact(spark, path, numFiles,
+      Seq("lang", "n_chars"), preserveBatchIds)
 
   /** Compacts when the batch count crosses `maxBatches`; the
     * `batch=-1` slot does not count. */
   def compactIfNeeded(spark: SparkSession, path: String,
       maxBatches: Int = 16, numFiles: Int = 32,
-      preserveBatchIds: Set[Long] = Set.empty): Boolean = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return false
-    val batches = fs.listStatus(root).count(s => s.isDirectory && {
-      val n = s.getPath.getName
-      n.startsWith("batch=") && n != "batch=-1"
-    })
-    val due = batches > maxBatches
-    if (due) compactIndex(spark, path, numFiles, preserveBatchIds)
-    due
-  }
+      preserveBatchIds: Set[Long] = Set.empty): Boolean =
+    graft.operators.BatchIndex.compactIfNeeded(spark, path, maxBatches,
+      numFiles, Seq("lang", "n_chars"), preserveBatchIds)
 
   /** THE F14b decision kernel on explicit frames: delta doc ids to
     * DROP under FIRST-ARRIVAL-WINS. Edges are delta×standing +

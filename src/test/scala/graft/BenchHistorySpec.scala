@@ -108,14 +108,16 @@ class BenchHistorySpec extends SparkTestBase {
       Seq("q_big", "q_one"), "passes:1 suspect granted past the cap")
     // whole-run drift (calib bracket itself >1.5x prev): the VM is slow,
     // not the code — damp to 3 so retries don't double a slow run's
-    // wall time re-measuring machine noise.
+    // wall time re-measuring machine noise. passes:1 grants do NOT
+    // bypass the damper: on a drifted VM past the deadline nearly
+    // every query is a single-pass suspect, and uncapped grants would
+    // re-run most of the suite.
     val many = (1 to 10).map(i => (s"q_$i", Some(2.0 + i * 0.1), 2)) :+
       ("q_one", Some(1.7), 1)
     val manyBase = many.map(_._1 -> 1.0).toMap
     val damped = Bench.retryPlan(many, manyBase, wholeRunDrift = true)
-    assert(damped.size == 4 && damped.take(3) == Seq("q_10", "q_9", "q_8") &&
-      damped.contains("q_one"),
-      s"damped to 3 largest drifts + the passes:1 grant, got $damped")
+    assert(damped == Seq("q_10", "q_9", "q_8"),
+      s"damped to the 3 largest drifts, no grant bypass, got $damped")
     // no double-retry when the passes:1 row is already in budget
     assert(Bench.retryPlan(rs, baseline, wholeRunDrift = false, cap = 3)
       .count(_ == "q_one") == 1, "grant list deduplicates")

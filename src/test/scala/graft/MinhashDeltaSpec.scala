@@ -203,11 +203,75 @@ class MinhashDeltaSpec extends SparkTestBase {
       "the batch=-1 product must not count toward the threshold")
   }
 
+  test("compaction clears stale staging leftovers from a crashed prior run") {
+    // r11 review: the staging dir is a FIXED sibling path, so a
+    // compaction that crashed between staging and publish leaves its
+    // dirs behind; the next successful compaction must not publish
+    // them (a stale batch=N copy beside the fold would duplicate its
+    // rows — and a FileUtil.copy into an existing preserved dir
+    // NESTS, breaking partition discovery).
+    val path = java.nio.file.Files.createTempDirectory("mhstale").toString + "/idx"
+    MinhashDelta.writeBatch(corpus, "doc_id", "text", path, 0L)
+    def probePairs() = MinhashDelta.incrementalPairs(delta, "doc_id", "text",
+        MinhashDelta.readIndex(spark, path))
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = probePairs()
+    // simulate the crash leftover: a rogue batch dir in the staging path
+    val staged = graft.sources.LakeWriter.stagingPath(path)
+    MinhashDelta.bandRows(delta, "doc_id", "text")
+      .write.parquet(s"$staged/batch=7")
+    MinhashDelta.compactIndex(spark, path, numFiles = 4,
+      preserveBatchIds = Set(0L))
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).toSet
+    assert(dirs == Set("batch=-1", "batch=0"),
+      s"stale staged batch must not ride the publish: $dirs")
+    // the preserved dir must be a clean copy, not a nested one
+    assert(!new java.io.File(s"$path/batch=0/batch=0").exists(),
+      "preserve copy must never nest into a stale destination")
+    assert(probePairs() == before,
+      "stale leftovers must not change probe results")
+  }
+
+  test("ensureArtifact: staged dir cleaned on build failure; a winner is never deleted") {
+    val base = java.nio.file.Files.createTempDirectory("artifact").toString
+    val path = s"$base/art"
+    def stageDirs() = new java.io.File(base).listFiles()
+      .map(_.getName).count(_.contains("__stage_"))
+    // build failure: the staged dir must not leak
+    intercept[RuntimeException] {
+      QueriesML.ensureArtifact(spark, path, "_SUCCESS") { st =>
+        spark.range(1).write.parquet(st)
+        throw new RuntimeException("build died")
+      }
+    }
+    assert(stageDirs() == 0, "failed build must clean its staging dir")
+    assert(!new java.io.File(path).exists())
+    // a concurrent winner publishing mid-build: the loser must keep
+    // the winner's artifact and drop its own staged copy
+    QueriesML.ensureArtifact(spark, path, "_SUCCESS") { st =>
+      spark.range(5).toDF("winner").write.parquet(path) // the winner lands
+      spark.range(9).toDF("loser").write.parquet(st)
+    }
+    assert(spark.read.parquet(path).columns.toSeq == Seq("winner"),
+      "the concurrent winner's complete artifact must survive")
+    assert(stageDirs() == 0, "the loser's staged copy must be dropped")
+    // idempotent fast path: marker present -> build not invoked
+    QueriesML.ensureArtifact(spark, path, "_SUCCESS") { _ =>
+      fail("build must not run when the marker exists")
+    }
+  }
+
   test("probe plan: corpus text never re-read, index never shuffled") {
     val path = java.nio.file.Files.createTempDirectory("mhidx2").toString + "/idx"
     MinhashDelta.writeBatch(corpus, "doc_id", "text", path, 0L)
+    // the plan-shape pin tests the daily-increment HINT explicitly
+    // (broadcastDelta defaults to false since r11 — the default path
+    // lets AQE decide from the checkpoint's size stats, which the
+    // static sparkPlan below cannot see)
     val probe = MinhashDelta.incrementalPairs(delta, "doc_id", "text",
-      MinhashDelta.readIndex(spark, path))
+      MinhashDelta.readIndex(spark, path), broadcastDelta = true)
     // sparkPlan, not executedPlan: AQE wraps the tree and hides leaves
     val plan = probe.queryExecution.sparkPlan
     val scans = plan.collect {
