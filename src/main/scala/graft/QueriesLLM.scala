@@ -118,6 +118,69 @@ SELECT g.doc_id,
 FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
 WHERE g.doc_id % 97 <> 0"""
 
+  /** F36 — the EVAL-INTEGRITY readout complementing F10: per
+    * TEST-set document, what fraction of its distinct 5-grams leaks
+    * in the training corpus (the contamination report benchmark
+    * maintainers publish — GPT-3 App. C / PaLM-style n-gram overlap
+    * audits — where F10 answers the training-side question "which
+    * train docs must I drop"). Scale shape: ONE pass over the train
+    * grams probing the broadcast test-gram set (the F10 join
+    * reversed) yields the matched-gram set, which is ⊆ the test
+    * grams and therefore broadcast-sized — the per-test-doc fold
+    * then never touches train data again. Severity buckets at 0 /
+    * <50% / ≥50% leaked. */
+  private val contaminationReport = Q(
+    "text_contamination_report",
+    (s, dir) => {
+      val grams = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), TextFunctions.wordNgrams(col("toks"), 5).as("grams"))
+        .localCheckpoint()
+      val testG = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), explode(array_distinct(col("grams"))).as("gram"))
+        .localCheckpoint() // consumed twice: probe set + per-doc fold
+      val testSet = testG.select("gram").distinct()
+      // one train pass, broadcast probe; output ⊆ test grams (small)
+      val matched = grams.filter(col("doc_id") % 97 =!= 0)
+        .select(explode(col("grams")).as("gram"))
+        .join(broadcast(testSet), "gram")
+        .distinct()
+      val leaked = testG.join(broadcast(matched), Seq("gram"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("leaked_grams"))
+      testG.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_grams"))
+        .join(leaked, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("leaked_grams"), lit(0L)).as("leaked_grams"),
+          round(coalesce(col("leaked_grams"), lit(0L)) /
+            col("n_grams").cast("double"), 6).as("leak_pct"))
+        .withColumn("severity",
+          when(col("leaked_grams") === 0, lit("clean"))
+            .when(col("leaked_grams") * 2 < col("n_grams"), lit("partial"))
+            .otherwise(lit("leaked")))
+    },
+    Some("""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id, CASE WHEN len(toks) < 5 THEN []
+           ELSE list_transform(range(1, len(toks)-3),
+                i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]) END AS grams
+  FROM t),
+testg AS (
+  SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g WHERE doc_id % 97 = 0),
+train AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0),
+leaked AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS leaked_grams
+  FROM testg JOIN train USING (gram) GROUP BY doc_id),
+base AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM testg GROUP BY doc_id)
+SELECT b.doc_id, b.n_grams,
+       CAST(coalesce(l.leaked_grams, 0) AS BIGINT) AS leaked_grams,
+       round(coalesce(l.leaked_grams, 0) / CAST(b.n_grams AS DOUBLE), 6) AS leak_pct,
+       CASE WHEN coalesce(l.leaked_grams, 0) = 0 THEN 'clean'
+            WHEN coalesce(l.leaked_grams, 0) * 2 < b.n_grams THEN 'partial'
+            ELSE 'leaked' END AS severity
+FROM base b LEFT JOIN leaked l ON b.doc_id = l.doc_id"""))
+
   /** Train/test decontamination: any training doc sharing a 5-gram
     * with the held-out set (doc_id % 97 = 0 here; any id predicate
     * works) is flagged. The test set's distinct 5-grams are tiny
@@ -432,6 +495,74 @@ FROM s"""))
     * AQE broadcasts them, at 100-TB vocabulary it shuffles — F16's
     * documented posture. Transitions come from the token ARRAY
     * (zip_with of adjacent slices), so no window sort per doc. */
+  /** F35 — CCNet-style LM-quality bucketing (Wenzek et al. 2020:
+    * documents are split head/middle/tail by language-model
+    * perplexity tertiles and training mixes upsample the head). The
+    * per-doc signal is F16's unigram logprob (higher = more fluent =
+    * lower perplexity); tertile THRESHOLDS come from a DETERMINISTIC
+    * calibration sample (doc_id % 10 — production caps the sample, so
+    * threshold selection is control-plane regardless of corpus size)
+    * selected BY RANK over the 6-dp-rounded logprob, which both
+    * engines order identically; the full corpus is then bucketed by a
+    * scan-speed comparison against the two literal thresholds — no
+    * global sort or window ever touches the serving path, the CCNet
+    * shape at 100 TB. */
+  private val corpusPplBuckets = Q(
+    "corpus_ppl_buckets",
+    (s, dir) => {
+      val toks = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .localCheckpoint()
+      val freq = toks.groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
+      val total = freq.agg(sum("c").as("n"))
+      val lp = toks.join(freq, "tok").crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(round(avg(log(col("c") / col("n"))), 6).as("logprob"),
+          count(lit(1)).cast("long").as("n_tokens"))
+        .localCheckpoint() // consumed twice: threshold sample + bucketing
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("logprob"), col("doc_id"))
+      // the rank window runs over the SAMPLE only (bounded by the
+      // calibration-rate contract above)
+      val samp = lp.filter(col("doc_id") % 10 === 0)
+        .select(col("logprob"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .localCheckpoint()
+      val cnt = samp.count()
+      val (k1, k2) = (math.max(1L, cnt / 3), math.max(1L, 2 * cnt / 3))
+      val th = samp.filter(col("rn") === k1 || col("rn") === k2)
+        .orderBy("rn").select("logprob").collect().map(_.getDouble(0))
+      val (t1, t2) = (th.head, th.last)
+      lp.select(col("doc_id"), col("logprob"), col("n_tokens"),
+        when(col("logprob") <= t1, lit("tail"))
+          .when(col("logprob") <= t2, lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+    },
+    Some("""WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+f AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM t GROUP BY tok),
+n AS (SELECT SUM(c) AS n FROM f),
+lp AS (
+  SELECT doc_id, round(avg(ln(c / n)), 6) AS logprob,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM t JOIN f USING (tok) CROSS JOIN n
+  GROUP BY doc_id),
+samp AS (
+  SELECT logprob, row_number() OVER (ORDER BY logprob, doc_id) AS rn,
+         COUNT(*) OVER () AS cnt
+  FROM lp WHERE doc_id % 10 = 0),
+th AS (
+  SELECT max(CASE WHEN rn = greatest(1, cnt // 3) THEN logprob END) AS t1,
+         max(CASE WHEN rn = greatest(1, (2 * cnt) // 3) THEN logprob END) AS t2
+  FROM samp)
+SELECT doc_id, logprob, n_tokens,
+       CASE WHEN logprob <= t1 THEN 'tail'
+            WHEN logprob <= t2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM lp CROSS JOIN th"""))
+
   private val textBigramLogprob = Q(
     "text_bigram_logprob",
     (s, dir) => {
@@ -1376,5 +1507,5 @@ FROM fused QUALIFY rank <= 10"""
       qualityModelTrained, qualityModelEval, mmHeaderParse, qualityGate, corpusPrep,
       corpusPrepIncremental,
       docChunk, textTfidf, sampleWeightedK, chunkEmbed, textBm25, hybridSearch,
-      hybridSearchIndexed)
+      hybridSearchIndexed, corpusPplBuckets, contaminationReport)
 }
