@@ -56,13 +56,17 @@ object Bench {
     * smaller drifts — the least-measured numbers got the least
     * re-measurement. So: (a) suspects are ordered by normalized drift,
     * LARGEST first, so the cap covers the worst offenders; (b) a
-    * passes:1 suspect is ALWAYS granted a retry even past the cap — a
+    * passes:1 suspect is granted a retry even past the cap — a
     * single-pass number is precisely the least trustworthy one in the
-    * run; (c) when `wholeRunDrift` (the calib bracket itself exceeded
-    * SuspectRatio vs the previous entry — the VM is slow, not the code)
-    * the cap damps to 3: most suspects are machine noise a retry can't
-    * fix, and 15 retries on a slow VM roughly double wall time while
-    * calib_vs_prev already explains the entry. */
+    * run — EXCEPT under whole-run drift, where the grant is suppressed
+    * along with the cap (a drifted VM that also blew the deadline
+    * makes nearly every query a single-pass suspect, and uncapped
+    * grants would re-run most of the suite); (c) when `wholeRunDrift`
+    * (the calib bracket itself exceeded SuspectRatio vs the previous
+    * entry — the VM is slow, not the code) the cap damps to 3: most
+    * suspects are machine noise a retry can't fix, and 15 retries on
+    * a slow VM roughly double wall time while calib_vs_prev already
+    * explains the entry. */
   private[graft] def retryPlan(
       results: Seq[(String, Option[Double], Int)],
       baseline: Map[String, Double],

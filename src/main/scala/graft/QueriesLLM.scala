@@ -97,6 +97,22 @@ SELECT doc_id, CAST(len(tris) AS BIGINT) AS n_tri,
        END AS dup_ratio
 FROM tg"""))
 
+  /** The repartition→tokenize→5-gram→checkpoint gram table shared by
+    * the three contamination-family rows (r11 review: it lived three
+    * times, with the rationale documented at only one copy).
+    * Repartition BEFORE the gram build — the interpreted n-gram
+    * transform is the dominant per-doc cost and a single-file scan
+    * would run it on one task; the checkpoint exists because every
+    * consumer reads the gram table more than once (the build-once
+    * idiom of the minhash signature table). */
+  private def gramTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    ViewingData.table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextFunctions.wordNgrams(col("toks"), 5).as("grams"))
+      .localCheckpoint()
+
   /** One oracle for both decontamination implementations: the bloom
     * prefilter is false-positive-only and the exact join re-verifies,
     * so results are bit-identical by construction. */
@@ -132,11 +148,7 @@ WHERE g.doc_id % 97 <> 0"""
   private val contaminationReport = Q(
     "text_contamination_report",
     (s, dir) => {
-      val grams = ViewingData.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), TextFunctions.wordNgrams(col("toks"), 5).as("grams"))
-        .localCheckpoint()
+      val grams = gramTable(s, dir)
       val testG = grams.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id"), explode(array_distinct(col("grams"))).as("gram"))
         .localCheckpoint() // consumed twice: probe set + per-doc fold
@@ -146,14 +158,18 @@ WHERE g.doc_id % 97 <> 0"""
         .select(explode(col("grams")).as("gram"))
         .join(broadcast(testSet), "gram")
         .distinct()
-      val leaked = testG.join(broadcast(matched), Seq("gram"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("leaked_grams"))
-      testG.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_grams"))
-        .join(leaked, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_grams"),
-          coalesce(col("leaked_grams"), lit(0L)).as("leaked_grams"),
-          round(coalesce(col("leaked_grams"), lit(0L)) /
-            col("n_grams").cast("double"), 6).as("leak_pct"))
+      // ONE pass over testG: a broadcast left join against the matched
+      // set computes total and leaked counts in the same fold (r11
+      // review: a semi-join aggregate + a second aggregate + a doc_id
+      // join spent three shuffles on what one does)
+      testG.join(broadcast(matched.withColumn("hit", lit(1))),
+          Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          count(col("hit")).as("leaked_grams"))
+        .select(col("doc_id"), col("n_grams"), col("leaked_grams"),
+          round(col("leaked_grams") / col("n_grams").cast("double"), 6)
+            .as("leak_pct"))
         .withColumn("severity",
           when(col("leaked_grams") === 0, lit("clean"))
             .when(col("leaked_grams") * 2 < col("n_grams"), lit("partial"))
@@ -190,17 +206,7 @@ FROM base b LEFT JOIN leaked l ON b.doc_id = l.doc_id"""))
   private val textDecontaminate = Q(
     "text_decontaminate",
     (s, dir) => {
-      // repartition BEFORE the gram build (the interpreted n-gram
-      // transform is the dominant per-doc cost and a single-file scan
-      // would run it on one task), then checkpoint: three consumers
-      // (test set, train explode, train width) read the gram table,
-      // and without the materialization each re-runs the transform —
-      // the same build-once idiom as the minhash signature table.
-      val grams = ViewingData.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), TextFunctions.wordNgrams(col("toks"), 5).as("grams"))
-        .localCheckpoint()
+      val grams = gramTable(s, dir)
       val test = grams.filter(col("doc_id") % 97 === 0)
         .select(explode(col("grams")).as("gram")).distinct()
       val train = grams.filter(col("doc_id") % 97 =!= 0)
@@ -234,12 +240,7 @@ FROM base b LEFT JOIN leaked l ON b.doc_id = l.doc_id"""))
     "text_decontaminate_bloom",
     (s, dir) => {
       graft.plans.GraftExtensions.register(s)
-      val grams = ViewingData.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), TextFunctions.wordNgrams(col("toks"), 5).as("grams"))
-        .localCheckpoint()
-      grams.createOrReplaceTempView("decon_grams_bloom")
+      gramTable(s, dir).createOrReplaceTempView("decon_grams_bloom")
       // might_contain demands its bloom be a constant or SCALAR
       // SUBQUERY (same contract Spark's InjectRuntimeFilter plans) —
       // hence SQL: the sketch stays a one-row plan node, never a
@@ -379,37 +380,48 @@ FROM thresholded WHERE samp_key < keep_below"""))
   /** Unigram language-model scoring (the CCNet/quality-filter signal
     * a real LM perplexity approximates): corpus-wide unigram
     * frequencies, then each doc scored by its tokens' mean log
-    * probability. Two aggregations: token frequencies (one |vocab|
-    * shuffle, map-side combined) and per-doc means (one |docs|
-    * shuffle). The token→frequency join carries no hint: vocab ≪
-    * corpus, so AQE broadcasts it while it fits and shuffles when a
-    * 100-TB vocabulary wouldn't. The token table is built ONCE
-    * (checkpoint) for both consumers. */
-  private val textUnigramLogprob = Q(
-    "text_unigram_logprob",
-    (s, dir) => {
-      val toks = ViewingData.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-        .localCheckpoint()
-      val freq = toks.groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
-      val total = freq.agg(sum("c").as("n"))
-      toks.join(freq, "tok").crossJoin(broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-          round(avg(log(col("c") / col("n"))), 6).as("logprob"),
-          count(lit(1)).cast("long").as("n_tokens"))
-    },
-    Some("""WITH t AS (
+    * probability — per-doc logprob (6 dp) + token count, shared by
+    * the F16 registry row and F35's bucketing (r11 review: the chain
+    * lived twice in Spark and twice in SQL; a smoothing or
+    * token-filter change would have had to land in four places).
+    * Two aggregations: token frequencies (one |vocab| shuffle,
+    * map-side combined) and per-doc means (one |docs| shuffle). The
+    * token→frequency join carries no hint: vocab ≪ corpus, so AQE
+    * broadcasts it while it fits and shuffles when a 100-TB
+    * vocabulary wouldn't. The token table is built ONCE (checkpoint)
+    * for both consumers. */
+  private def unigramLogprobPerDoc(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = ViewingData.table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .localCheckpoint()
+    val freq = toks.groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
+    val total = freq.agg(sum("c").as("n"))
+    toks.join(freq, "tok").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        round(avg(log(col("c") / col("n"))), 6).as("logprob"),
+        count(lit(1)).cast("long").as("n_tokens"))
+  }
+
+  /** The matching DuckDB CTE chain, ending in
+    * `lp(doc_id, logprob, n_tokens)`. */
+  private val unigramLpCte = """t AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
   FROM documents),
 f AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM t GROUP BY tok),
-n AS (SELECT SUM(c) AS n FROM f)
-SELECT doc_id,
-       round(avg(ln(c / n)), 6) AS logprob,
-       CAST(COUNT(*) AS BIGINT) AS n_tokens
-FROM t JOIN f USING (tok) CROSS JOIN n
-GROUP BY doc_id"""))
+n AS (SELECT SUM(c) AS n FROM f),
+lp AS (
+  SELECT doc_id, round(avg(ln(c / n)), 6) AS logprob,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM t JOIN f USING (tok) CROSS JOIN n
+  GROUP BY doc_id)"""
+
+  private val textUnigramLogprob = Q(
+    "text_unigram_logprob",
+    (s, dir) => unigramLogprobPerDoc(s, dir),
+    Some(s"WITH $unigramLpCte\nSELECT doc_id, logprob, n_tokens FROM lp"))
 
   /** Model-based quality scoring as SCAN-SPEED inference: a linear
     * classifier over feature-hashed bag-of-words (the fastText /
@@ -486,15 +498,6 @@ FROM s"""))
     },
     None)
 
-  /** Bigram-LM quality scoring with stupid backoff (Brants et al.
-    * 2007) — F16's unigram signal upgraded to the transition level:
-    * S(w|prev) = count(prev w)/count(prev) when the bigram was seen,
-    * else 0.4 · count(w)/N. Two count aggregates (bigram one |V²|-
-    * bounded shuffle, unigram one |V|), then per-doc mean log score
-    * over transitions. Both count joins stay hint-free: at this SF
-    * AQE broadcasts them, at 100-TB vocabulary it shuffles — F16's
-    * documented posture. Transitions come from the token ARRAY
-    * (zip_with of adjacent slices), so no window sort per doc. */
   /** F35 — CCNet-style LM-quality bucketing (Wenzek et al. 2020:
     * documents are split head/middle/tail by language-model
     * perplexity tertiles and training mixes upsample the head). The
@@ -510,16 +513,7 @@ FROM s"""))
   private val corpusPplBuckets = Q(
     "corpus_ppl_buckets",
     (s, dir) => {
-      val toks = ViewingData.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-        .localCheckpoint()
-      val freq = toks.groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
-      val total = freq.agg(sum("c").as("n"))
-      val lp = toks.join(freq, "tok").crossJoin(broadcast(total))
-        .groupBy("doc_id")
-        .agg(round(avg(log(col("c") / col("n"))), 6).as("logprob"),
-          count(lit(1)).cast("long").as("n_tokens"))
+      val lp = unigramLogprobPerDoc(s, dir)
         .localCheckpoint() // consumed twice: threshold sample + bucketing
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("logprob"), col("doc_id"))
@@ -533,22 +527,22 @@ FROM s"""))
       val (k1, k2) = (math.max(1L, cnt / 3), math.max(1L, 2 * cnt / 3))
       val th = samp.filter(col("rn") === k1 || col("rn") === k2)
         .orderBy("rn").select("logprob").collect().map(_.getDouble(0))
-      val (t1, t2) = (th.head, th.last)
+      val bucket =
+        if (th.isEmpty)
+          // empty calibration sample: the oracle's thresholds are NULL
+          // and `logprob <= NULL` is never true, so everything lands
+          // 'head' — mirror that exactly instead of crashing (r11
+          // review: th.head threw on a corpus with no doc_id % 10 docs
+          // while DuckDB silently bucketed all-head)
+          lit("head")
+        else
+          when(col("logprob") <= th.head, lit("tail"))
+            .when(col("logprob") <= th.last, lit("middle"))
+            .otherwise(lit("head"))
       lp.select(col("doc_id"), col("logprob"), col("n_tokens"),
-        when(col("logprob") <= t1, lit("tail"))
-          .when(col("logprob") <= t2, lit("middle"))
-          .otherwise(lit("head")).as("bucket"))
+        bucket.as("bucket"))
     },
-    Some("""WITH t AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
-  FROM documents),
-f AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM t GROUP BY tok),
-n AS (SELECT SUM(c) AS n FROM f),
-lp AS (
-  SELECT doc_id, round(avg(ln(c / n)), 6) AS logprob,
-         CAST(COUNT(*) AS BIGINT) AS n_tokens
-  FROM t JOIN f USING (tok) CROSS JOIN n
-  GROUP BY doc_id),
+    Some(s"""WITH $unigramLpCte,
 samp AS (
   SELECT logprob, row_number() OVER (ORDER BY logprob, doc_id) AS rn,
          COUNT(*) OVER () AS cnt
@@ -563,6 +557,15 @@ SELECT doc_id, logprob, n_tokens,
             ELSE 'head' END AS bucket
 FROM lp CROSS JOIN th"""))
 
+  /** Bigram-LM quality scoring with stupid backoff (Brants et al.
+    * 2007) — F16's unigram signal upgraded to the transition level:
+    * S(w|prev) = count(prev w)/count(prev) when the bigram was seen,
+    * else 0.4 · count(w)/N. Two count aggregates (bigram one |V²|-
+    * bounded shuffle, unigram one |V|), then per-doc mean log score
+    * over transitions. Both count joins stay hint-free: at this SF
+    * AQE broadcasts them, at 100-TB vocabulary it shuffles — F16's
+    * documented posture. Transitions come from the token ARRAY
+    * (zip_with of adjacent slices), so no window sort per doc. */
   private val textBigramLogprob = Q(
     "text_bigram_logprob",
     (s, dir) => {
@@ -1464,16 +1467,19 @@ FROM fused QUALIFY rank <= 10"""
       // while a small one needs a loose radius. A rung FAILS only
       // when fewer than 20 candidates clear τ + margin; the result is
       // the global top-20 whichever rung wins, so the ladder is a
-      // cost knob, not a semantics knob. Start rung by |corpus| (the
-      // cellstats row counts — control plane), fall through on
-      // failure, brute-force scan as the final rung. Without this,
-      // τ=0.2 at ×10 admitted ~25% of the corpus and the re-rank ate
-      // the probe's win (measured 4.5 s vs 4.0 s brute; laddered the
-      // row starts at 0.8 and re-ranks hundreds, not tens of
-      // thousands).
-      // a FAILED rung costs one probe over a candidate set too small
-      // to hold 20 docs — by construction cheaper than the rung that
-      // succeeds, so plain fall-through needs no corpus-size pre-job
+      // cost knob, not a semantics knob. Tightest radius first, fall
+      // through on failure, brute-force scan as the final rung.
+      // Without the ladder, a fixed τ=0.2 at ×10 admitted ~25% of the
+      // corpus and the re-rank ate the probe's win (measured 4.5 s vs
+      // 4.0 s brute; laddered, a big corpus wins at 0.8 and re-ranks
+      // hundreds, not tens of thousands).
+      // A rung usually
+      // fails because its candidate set is too small to hold 20 docs
+      // (cheap probe); the edge where it fails WITH a large set — 20
+      // rows collected but the 20th sits inside the FP margin
+      // [τ, τ+1e-5) — pays one full probe, which the next rung's
+      // superset probe would have paid anyway, so the ladder never
+      // worse than doubles the winning rung's cost
       val ladder = Seq(0.8, 0.5, 0.2)
       def rerankAt(tau: Double) = {
         val candIds = operators.Ivf.rangeProbeIndexed(s, path,

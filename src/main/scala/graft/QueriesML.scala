@@ -999,7 +999,7 @@ FROM top"""))
       // ROOT-RELATIVE paths, not bare names (r11 review: a file moved
       // between partition subdirs preserving name/len/mtime would
       // otherwise keep the stamp while changing the data)
-      val rootStr = fs.getFileStatus(p).getPath.toString
+      val rootStr = st.getPath.toString
       val leaves = scala.collection.mutable.ArrayBuffer.empty[String]
       val it = fs.listFiles(p, true)
       while (it.hasNext) {
@@ -1048,28 +1048,44 @@ FROM top"""))
     if (fs.exists(done)) return
     val staged = new org.apache.hadoop.fs.Path(
       s"$path.__stage_${java.util.UUID.randomUUID()}__")
-    var published = false
     try {
       build(staged.toString)
       // Publish invariant: a staged artifact is COMPLETE — its marker
       // sits INSIDE the staged dir — and rename is atomic, so at
       // every instant `path` either doesn't exist or holds a complete
-      // artifact WITH its marker. A concurrent winner is therefore
-      // detected by the marker re-check and its artifact is NEVER
-      // deleted (r11 review: the old unconditional delete-then-rename
-      // could drop a winner's fresh artifact under a reader). A
-      // marker-less target can only be a torn leftover of a crashed
-      // pre-staging in-place build: clear it so the rename lands AT
-      // path instead of nesting inside it (local-fs rename has mv
-      // semantics). The residual window is the done-check → delete
-      // microseconds, and only against torn-leftover targets that
-      // the staging discipline no longer produces.
+      // artifact WITH its marker. Race handling never DELETES a
+      // target that might be a winner (r11 review, twice): a
+      // marker-less target is moved ASIDE atomically and inspected —
+      // if it turns out to be a winner that landed in the
+      // check-to-rename gap, it is moved straight back; only a
+      // confirmed torn leftover (a crashed pre-staging in-place
+      // build) is dropped. And because local-fs rename has mv
+      // semantics (renaming onto an existing dir NESTS the source
+      // inside it), a publish that nested into a fresh winner is
+      // detected and the nested copy removed — the winner stands
+      // untouched in every interleaving.
       if (fs.exists(done)) return
-      if (fs.exists(target)) fs.delete(target, true)
-      // rename failure = a concurrent winner landed in the gap;
-      // theirs is complete, ours is redundant
-      published = fs.rename(staged, target)
-    } finally if (!published) fs.delete(staged, true)
+      if (fs.exists(target)) {
+        val aside = new org.apache.hadoop.fs.Path(
+          s"$path.__torn_${java.util.UUID.randomUUID()}__")
+        if (fs.rename(target, aside)) {
+          if (fs.exists(new org.apache.hadoop.fs.Path(s"$aside/$marker"))) {
+            // we grabbed a concurrent winner — restore it, drop ours
+            fs.rename(aside, target)
+            return
+          }
+          fs.delete(aside, true) // confirmed torn leftover
+        }
+      }
+      fs.rename(staged, target)
+      // mv semantics: if a winner landed between the check and the
+      // rename, our staged dir nested INSIDE it — remove the nested
+      // copy; the winner is complete and stands
+      val nested = new org.apache.hadoop.fs.Path(target, staged.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+    } finally
+      // failed build, lost race, or leftover: never leak staging dirs
+      if (fs.exists(staged)) fs.delete(staged, true)
   }
 
   /** Unconditional-REBUILD flavor for the explicit build-cost rows

@@ -87,7 +87,7 @@ class BenchHistorySpec extends SparkTestBase {
     assert(!Bench.isSuspect(Some(2.0), Some(0.0)), "zero prev never divides")
   }
 
-  test("retryPlan: drift-ordered, passes:1 always granted, damped on whole-run drift") {
+  test("retryPlan: drift-ordered; passes:1 granted except under whole-run drift") {
     val baseline = Map("q_small" -> 1.0, "q_big" -> 1.0, "q_one" -> 1.0,
       "q_quiet" -> 1.0)
     val rs = Seq(
