@@ -105,12 +105,31 @@ FROM tg"""))
     * would run it on one task; the checkpoint exists because every
     * consumer reads the gram table more than once (the build-once
     * idiom of the minhash signature table). */
+  /** leak_pct + severity readout over (doc_id, n_grams,
+    * leaked_grams) — shared by F36 and the streaming monitor so the
+    * report schema and the severity thresholds cannot drift. */
+  private[graft] def contaminationReadout(
+      counts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    counts.select(col("doc_id"), col("n_grams"), col("leaked_grams"),
+        round(col("leaked_grams") / col("n_grams").cast("double"), 6)
+          .as("leak_pct"))
+      .withColumn("severity",
+        when(col("leaked_grams") === 0, lit("clean"))
+          .when(col("leaked_grams") * 2 < col("n_grams"), lit("partial"))
+          .otherwise(lit("leaked")))
+
+  /** (doc_id, grams) word-5-gram rows over an explicit docs frame —
+    * the contamination family's gram unit, shared with the streaming
+    * monitor ([[graft.streaming.StreamContamination]]). */
+  private[graft] def wordGramRows(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextFunctions.wordNgrams(col("toks"), 5).as("grams"))
+
   private def gramTable(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    ViewingData.table(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), TextFunctions.wordNgrams(col("toks"), 5).as("grams"))
+    wordGramRows(ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism))
       .localCheckpoint()
 
   /** One oracle for both decontamination implementations: the bloom
@@ -162,18 +181,12 @@ WHERE g.doc_id % 97 <> 0"""
       // set computes total and leaked counts in the same fold (r11
       // review: a semi-join aggregate + a second aggregate + a doc_id
       // join spent three shuffles on what one does)
-      testG.join(broadcast(matched.withColumn("hit", lit(1))),
-          Seq("gram"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("long").as("n_grams"),
-          count(col("hit")).as("leaked_grams"))
-        .select(col("doc_id"), col("n_grams"), col("leaked_grams"),
-          round(col("leaked_grams") / col("n_grams").cast("double"), 6)
-            .as("leak_pct"))
-        .withColumn("severity",
-          when(col("leaked_grams") === 0, lit("clean"))
-            .when(col("leaked_grams") * 2 < col("n_grams"), lit("partial"))
-            .otherwise(lit("leaked")))
+      contaminationReadout(
+        testG.join(broadcast(matched.withColumn("hit", lit(1))),
+            Seq("gram"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_grams"),
+            count(col("hit")).as("leaked_grams")))
     },
     Some("""WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
