@@ -27,6 +27,31 @@ class PlanAuditSpec extends SparkTestBase {
       scans.head.requiredSchema.treeString)
   }
 
+  test("corpus_ppl_buckets serves WINDOWLESS — thresholds are literals") {
+    // the CCNet bucketing's scale claim: the rank window runs only
+    // over the calibration sample (inside the builder, collected to
+    // two literal thresholds); the SERVED frame must therefore plan
+    // no Window and no global Sort — a refactor that buckets via
+    // ntile/rank over the corpus would reintroduce the single-reducer
+    // global window this row exists to avoid
+    val p = plan("corpus_ppl_buckets")
+    assert(!p.contains("Window"), s"serving path must be windowless:\n$p")
+    assert(!p.contains("Sort ["), s"serving path must not globally sort:\n$p")
+  }
+
+  test("text_contamination_report folds once, broadcast joins only") {
+    val p = plan("text_contamination_report")
+    assert(!p.contains("SortMergeJoin"),
+      s"test-gram probes must broadcast, never shuffle-join:\n$p")
+    // ONE per-doc fold computes both counts (r11 review: the
+    // two-aggregate + doc_id-join shape spent three shuffles); the
+    // gram-keyed distincts (test set, matched set) are their own
+    // aggregates and don't count
+    val docFolds = "HashAggregate\\(keys=\\[doc_id".r.findAllIn(p).length
+    assert(docFolds == 2, // partial + final of the single fold
+      s"the per-test-doc fold must run once, got $docFolds doc_id aggregates:\n$p")
+  }
+
   test("q_join_dims plans broadcast joins only — no shuffle join") {
     val p = plan("q_join_dims")
     assert(p.contains("BroadcastHashJoin"), p)
