@@ -329,24 +329,36 @@ FROM r GROUP BY 1"""))
       val o = ViewingData.table(s, dir, "orders")
       def nulls(c: String) =
         sum(when(col(c).isNull, 1L).otherwise(0L))
-      val agg = o.agg(
+      // ONE aggregate with four countDistinct columns plans an Expand
+      // that multiplies every input row 5× before the wide aggregate
+      // (Spark's multi-distinct rewrite). Four single-distinct
+      // aggregates cross-joined avoid the expansion entirely: each
+      // subtree scans ONLY its own column (parquet pruning), distinct
+      // aggregation is per-column partial+final, and the four 1-row
+      // results fold with three free cross joins — measured 2.07 →
+      // 0.69 s at sf0.1 on the same oracle output.
+      val aggSt = o.agg(
         count(lit(1)).as("n"),
         nulls("o_orderstatus").as("st_nulls"),
         countDistinct(col("o_orderstatus")).as("st_nd"),
         min(col("o_orderstatus")).as("st_min"),
-        max(col("o_orderstatus")).as("st_max"),
+        max(col("o_orderstatus")).as("st_max"))
+      val aggCk = o.agg(
         nulls("o_custkey").as("ck_nulls"),
         countDistinct(col("o_custkey")).as("ck_nd"),
         min(col("o_custkey")).as("ck_min"),
-        max(col("o_custkey")).as("ck_max"),
+        max(col("o_custkey")).as("ck_max"))
+      val aggTp = o.agg(
         nulls("o_totalprice").as("tp_nulls"),
         countDistinct(col("o_totalprice")).as("tp_nd"),
         round(min(col("o_totalprice")), 4).as("tp_min"),
-        round(max(col("o_totalprice")), 4).as("tp_max"),
+        round(max(col("o_totalprice")), 4).as("tp_max"))
+      val aggOd = o.agg(
         nulls("o_orderdate").as("od_nulls"),
         countDistinct(col("o_orderdate")).as("od_nd"),
         min(col("o_orderdate")).as("od_min"),
         max(col("o_orderdate")).as("od_max"))
+      val agg = aggSt.crossJoin(aggCk).crossJoin(aggTp).crossJoin(aggOd)
       def row(name: String, nulls: org.apache.spark.sql.Column,
               nd: org.apache.spark.sql.Column,
               minN: org.apache.spark.sql.Column, maxN: org.apache.spark.sql.Column,

@@ -261,6 +261,22 @@ class MinhashDeltaSpec extends SparkTestBase {
     QueriesML.ensureArtifact(spark, path, "_SUCCESS") { _ =>
       fail("build must not run when the marker exists")
     }
+    // torn leftover (a crashed pre-staging in-place build left a
+    // marker-less target): it must be moved aside and REPLACED, and
+    // the aside dir must not linger
+    val path2 = s"$base/art2"
+    new java.io.File(path2).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path2/partial.bin"), Array[Byte](1, 2, 3))
+    QueriesML.ensureArtifact(spark, path2, "_SUCCESS") { st =>
+      spark.range(3).toDF("fresh").write.parquet(st)
+    }
+    assert(spark.read.parquet(path2).columns.toSeq == Seq("fresh"),
+      "a torn marker-less target must be replaced by the fresh build")
+    assert(!new java.io.File(s"$path2/partial.bin").exists())
+    assert(new java.io.File(base).listFiles()
+      .count(f => f.getName.contains("__torn_") || f.getName.contains("__stage_")) == 0,
+      "no aside/staging leftovers after a torn-target publish")
   }
 
   test("probe plan: corpus text never re-read, index never shuffled") {

@@ -325,14 +325,22 @@ class PlanAuditSpec extends SparkTestBase {
       s"chunk→embed is a scan-speed projection:\n$pc")
   }
 
-  test("q_profile is ONE table pass: a single scan feeds the multi-distinct expand") {
+  test("q_profile: four SINGLE-COLUMN scans, no multi-distinct Expand") {
+    // r11: the one-scan/four-countDistinct form planned an Expand that
+    // multiplied every row 5× before the wide aggregate (2.07 s at
+    // sf0.1); four single-distinct aggregates cross-joined scan ONE
+    // parquet column each with no row expansion (0.69 s). The pin:
+    // column pruning must hold per scan (a regression to a shared
+    // wide scan or a re-merged multi-distinct brings Expand back).
     val df = SparkEntry.queries("q_profile")(spark, Sf)
     val scans = df.queryExecution.sparkPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
-    assert(scans.size == 1, s"profile must scan orders once, got ${scans.size}")
-    assert(df.queryExecution.sparkPlan.toString.contains("Expand"),
-      "exact multi-distinct goes through Expand by design (swap to approx at 100 TB)")
+    assert(scans.size == 4, s"one pruned scan per profiled column, got ${scans.size}")
+    scans.foreach(s => assert(s.requiredSchema.fields.length == 1,
+      s"each profile scan reads exactly its own column: ${s.requiredSchema.treeString}"))
+    assert(!df.queryExecution.sparkPlan.toString.contains("Expand"),
+      "the 5x multi-distinct Expand must stay gone")
   }
 
   test("dedup_fuzzy_names pairs only within blocks after the distinct-first fold") {
