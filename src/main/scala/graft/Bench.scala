@@ -139,6 +139,22 @@ object Bench {
     }
     def calibLine(sec: Double): Unit =
       println(s"""{"query":"__calib__","sec":$sec,"passes":1}""")
+    // SECOND calibration anchor, with an IO+decode term (r11
+    // forensics: the pure-CPU calib dropped 35% day-over-day while
+    // every query was raw-flat, so single-anchor normalization lied
+    // about a 1.36× "regression"; a full lineitem scan-and-sum moves
+    // with the machine's IO/decode profile instead). Same-SF entries
+    // only ever compare to each other, so sf-dependence is fine.
+    // Recorded in the committed history line ONLY — the stdout
+    // contract (driver-parsed) stays untouched.
+    def calibIo(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      graft.sources.ViewingData.table(spark, sfDir, "lineitem")
+        .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // Per-run random EXECUTION order (r10 forensics: the pass-2 soft
@@ -157,6 +173,7 @@ object Bench {
     names.take(2).foreach(exec)
     calib() // calib's own warm-up (first run JITs its codegen'd stage)
     val calibBefore = calib()
+    val calibIoBefore = { calibIo(); calibIo() } // first run warms footers/JIT
     // Wall times swing ~2× run to run (GC/JIT/VM noise lands on random
     // queries); per-query MIN over two back-to-back passes reports
     // steady-state throughput, the JMH practice. Second passes stop once
@@ -225,6 +242,7 @@ object Bench {
       case None => results
     }
     val calibAfter = calib()
+    val calibIoAfter = calibIo()
     calibLine(calibBefore)
     retried.foreach { case (n, best, p) =>
       println(s"""{"query":"$n","sec":${best.map(_.toString).getOrElse("null")},"passes":$p}""")
@@ -242,7 +260,7 @@ object Bench {
     if (only.isEmpty)
       BenchHistory.append(histPath,
         BenchHistory.line(sfDir, calibBefore, calibAfter, total, retried,
-          prevForGate))
+          prevForGate, calibIo = Some((calibIoBefore, calibIoAfter))))
     spark.stop()
   }
 }
@@ -274,7 +292,8 @@ object BenchHistory {
       calibAfter: Double,
       total: Double,
       results: Seq[(String, Option[Double], Int)],
-      prev: Option[(Double, Map[String, Double])] = None): String = {
+      prev: Option[(Double, Map[String, Double])] = None,
+      calibIo: Option[(Double, Double)] = None): String = {
     val ts = java.time.Instant.now().toString
     val calibMean = (calibBefore + calibAfter) / 2.0
     val qs = results.sortBy(_._1).map { case (n, sec, passes) =>
@@ -289,7 +308,9 @@ object BenchHistory {
     }.mkString(",")
     val calibVs = prev.collect { case (pCalib, _) if pCalib > 0 =>
       f""","calib_vs_prev":${calibMean / pCalib}%.3f""" }.getOrElse("")
-    f"""{"ts":"$ts","git":"${gitHead()}","sf":"$sfDir","calib_sec":[$calibBefore%.4f,$calibAfter%.4f],"calib_mean":$calibMean%.4f$calibVs,"total_sec":$total%.4f,"n_queries":${results.size},"queries":{$qs}}"""
+    val io = calibIo.map { case (a, b) =>
+      f""","calib_io_sec":[$a%.4f,$b%.4f]""" }.getOrElse("")
+    f"""{"ts":"$ts","git":"${gitHead()}","sf":"$sfDir","calib_sec":[$calibBefore%.4f,$calibAfter%.4f],"calib_mean":$calibMean%.4f$io$calibVs,"total_sec":$total%.4f,"n_queries":${results.size},"queries":{$qs}}"""
   }
 
   private val CalibMeanRe = """"calib_mean":([0-9.eE+-]+)""".r

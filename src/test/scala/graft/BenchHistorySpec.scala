@@ -12,6 +12,21 @@ class BenchHistorySpec extends SparkTestBase {
     ("q_a", Some(0.5), 2),
     ("q_fail", None, 2))
 
+  test("line: carries the optional IO calib anchor") {
+    // r11: the pure-CPU calib proved non-comparable across days (it
+    // dropped 35% while queries were raw-flat); the second anchor
+    // with an IO+decode term rides in the history line only
+    val line = BenchHistory.line("/sf/x", 0.4, 0.6, 1.0, results,
+      calibIo = Some((1.25, 1.35)))
+    assert(line.contains(""""calib_io_sec":[1.2500,1.3500]"""), line)
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    // round-trips through the same-sf parser unchanged
+    val dir = java.nio.file.Files.createTempDirectory("bench-io")
+    val p = dir.resolve("h.jsonl").toString
+    BenchHistory.append(p, line)
+    assert(BenchHistory.prevEntry(p, "/sf/x").exists(_._1 == 0.5))
+  }
+
   test("line: one JSON object, sorted query keys, null for failures") {
     val line = BenchHistory.line("/root/testdata/sf0.1", 0.4, 0.6, 1.73456, results)
     assert(!line.contains("\n"), "one run = one jsonl line")
