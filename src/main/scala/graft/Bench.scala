@@ -46,6 +46,20 @@ object Bench {
   private[graft] def isSuspect(best: Option[Double], prevSec: Option[Double]): Boolean =
     best.exists(b => b > 0.3 && prevSec.exists(ps => ps > 0 && b / ps > SuspectRatio))
 
+  /** Loaded-run self-description (r11: BENCH_r11.json snapshotted an
+    * afternoon-load run at 160.3 s vs the 131.6 s clean entry, and
+    * nothing in the entry itself said so). A run whose calib bracket
+    * mean exceeds [[CalibFlagRatio]]× the MIN calib over recent
+    * same-SF entries ran on a loaded VM: its entry (and the stdout
+    * total line) carries `calib_flagged` so any later reader —
+    * including a driver snapshot that lands on it — sees the caveat
+    * without cross-referencing history. The entry still appends
+    * (refusing would blind vs_prev for the next run). */
+  private[graft] val CalibFlagRatio = 1.5
+  private[graft] def isCalibFlagged(
+      runCalibMean: Double, minRecentCalib: Option[Double]): Boolean =
+    minRecentCalib.exists(m => m > 0 && runCalibMean / m > CalibFlagRatio)
+
   /** Which queries get a suspect-retry pass, in retry ORDER. Pure so
     * the policy is spec-testable (BenchHistorySpec).
     *
@@ -162,15 +176,19 @@ object Bench {
     // so one query family was systematically the least-measured in
     // every long run). The history line still sorts by name; only the
     // run order varies.
-    val names = new scala.util.Random().shuffle(
-      SparkEntry.queries.keys.toSeq.sorted
-        .filter(n => only.forall(_.contains(n))))
+    val sortedNames = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val names = new scala.util.Random().shuffle(sortedNames)
     // Warm-up: touch every table (first-scan I/O + footer caching) and
     // run two queries (codegen/JIT) so measured runs reflect compute.
+    // The warm pair is FIXED (alphabetically first two), not the
+    // shuffled head — a random pair would get an extra JIT-warm pass
+    // on a different pair each run, injecting per-query cross-run
+    // variance into the history the suspect gate consumes.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
       .foreach(t => graft.sources.ViewingData.table(spark, sfDir, t).count())
-    names.take(2).foreach(exec)
+    sortedNames.take(2).foreach(exec)
     calib() // calib's own warm-up (first run JITs its codegen'd stage)
     val calibBefore = calib()
     val calibIoBefore = { calibIo(); calibIo() } // first run warms footers/JIT
@@ -205,6 +223,10 @@ object Bench {
     val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench/history.jsonl")
     val prevForGate =
       if (only.isEmpty) BenchHistory.prevEntry(histPath, sfDir) else None
+    val prevIo =
+      if (only.isEmpty) BenchHistory.prevCalibIo(histPath, sfDir) else None
+    val minRecentCalib =
+      if (only.isEmpty) BenchHistory.minCalibOverRecent(histPath, sfDir, 5) else None
     // The gate's baseline is the per-query MIN over the last few
     // entries, not the single last entry: a junk entry measured under
     // a VM load burst (calib 2-4× normal — two such landed in r10)
@@ -253,14 +275,19 @@ object Bench {
     // sec:null on their own line; they must not zero the contract field)
     val succeeded = retried.filter(_._2.isDefined)
     val minPasses = if (succeeded.isEmpty) 0 else succeeded.map(_._3).min
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$minPasses,"n_queries":${retried.size},"calib_sec":[$calibBefore,$calibAfter]}""")
+    val flagged = isCalibFlagged((calibBefore + calibAfter) / 2.0, minRecentCalib)
+    if (flagged) System.err.println(
+      f"[bench] calib_flagged: bracket mean ${(calibBefore + calibAfter) / 2.0}%.3f exceeds ${CalibFlagRatio}x the recent min ${minRecentCalib.getOrElse(0.0)}%.3f — loaded VM, totals are not comparable raw")
+    val flagField = if (flagged) ""","calib_flagged":true""" else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$minPasses,"n_queries":${retried.size},"calib_sec":[$calibBefore,$calibAfter]$flagField}""")
     // Narrowed iteration runs stay out of the committed history: a
     // 3-query line would become the next full run's vs_prev baseline
     // and blind the per-query deltas for everything it omits.
     if (only.isEmpty)
       BenchHistory.append(histPath,
         BenchHistory.line(sfDir, calibBefore, calibAfter, total, retried,
-          prevForGate, calibIo = Some((calibIoBefore, calibIoAfter))))
+          prevForGate, calibIo = Some((calibIoBefore, calibIoAfter)),
+          prevCalibIoMean = prevIo, calibFlagged = flagged))
     spark.stop()
   }
 }
@@ -293,7 +320,9 @@ object BenchHistory {
       total: Double,
       results: Seq[(String, Option[Double], Int)],
       prev: Option[(Double, Map[String, Double])] = None,
-      calibIo: Option[(Double, Double)] = None): String = {
+      calibIo: Option[(Double, Double)] = None,
+      prevCalibIoMean: Option[Double] = None,
+      calibFlagged: Boolean = false): String = {
     val ts = java.time.Instant.now().toString
     val calibMean = (calibBefore + calibAfter) / 2.0
     val qs = results.sortBy(_._1).map { case (n, sec, passes) =>
@@ -310,11 +339,68 @@ object BenchHistory {
       f""","calib_vs_prev":${calibMean / pCalib}%.3f""" }.getOrElse("")
     val io = calibIo.map { case (a, b) =>
       f""","calib_io_sec":[$a%.4f,$b%.4f]""" }.getOrElse("")
-    f"""{"ts":"$ts","git":"${gitHead()}","sf":"$sfDir","calib_sec":[$calibBefore%.4f,$calibAfter%.4f],"calib_mean":$calibMean%.4f$io$calibVs,"total_sec":$total%.4f,"n_queries":${results.size},"queries":{$qs}}"""
+    // Cross-day instruments (PLANS.md r11: the pure-CPU calib dropped
+    // 35% day-over-day while queries were raw-flat, so single-anchor
+    // normalized totals lied). Two additions make any entry readable
+    // on its own: `calib_io_vs_prev` — the IO+decode anchor's drift,
+    // the second opinion on whether the MACHINE moved — and
+    // `median_raw_ratio` — the median of per-query RAW sec ratios vs
+    // the previous entry, the robust code-change instrument (a VM
+    // shift moves the calibs; a plan change moves the median).
+    val ioVs = (for {
+      (a, b) <- calibIo; p <- prevCalibIoMean if p > 0
+    } yield f""","calib_io_vs_prev":${((a + b) / 2.0) / p}%.3f""").getOrElse("")
+    val medRaw = prev.map(_._2).map { pSecs =>
+      val ratios = results.flatMap { case (n, sec, _) =>
+        for (cur <- sec; p <- pSecs.get(n) if p > 0) yield cur / p
+      }.sorted
+      ratios
+    }.filter(_.nonEmpty).map { r =>
+      val m = if (r.size % 2 == 1) r(r.size / 2)
+              else (r(r.size / 2 - 1) + r(r.size / 2)) / 2.0
+      f""","median_raw_ratio":$m%.3f"""
+    }.getOrElse("")
+    val flag = if (calibFlagged) ""","calib_flagged":true""" else ""
+    f"""{"ts":"$ts","git":"${gitHead()}","sf":"$sfDir","calib_sec":[$calibBefore%.4f,$calibAfter%.4f],"calib_mean":$calibMean%.4f$io$ioVs$calibVs$medRaw$flag,"total_sec":$total%.4f,"n_queries":${results.size},"queries":{$qs}}"""
   }
 
   private val CalibMeanRe = """"calib_mean":([0-9.eE+-]+)""".r
   private val QuerySecRe = """"([A-Za-z0-9_]+)":\{"sec":([0-9.eE+-]+)""".r
+  private val CalibIoRe =
+    """"calib_io_sec":\[([0-9.eE+-]+),([0-9.eE+-]+)\]""".r
+
+  /** Shared last-k reader: the most recent `k` same-SF history lines,
+    * newest first. */
+  private def lastEntries(path: String, sfDir: String, k: Int): List[String] =
+    try {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) Nil
+      else {
+        val needle = s""""sf":"$sfDir""""
+        val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+        try src.getLines().filter(_.contains(needle))
+          .foldLeft(List.empty[String])((acc, l) => (l :: acc).take(k))
+        finally src.close()
+      }
+    } catch { case _: Exception => Nil }
+
+  /** Mean of the last same-SF entry's `calib_io_sec` bracket — the
+    * IO+decode anchor's previous value for `calib_io_vs_prev`. */
+  def prevCalibIo(path: String, sfDir: String): Option[Double] =
+    lastEntries(path, sfDir, 1).headOption.flatMap { l =>
+      CalibIoRe.findFirstMatchIn(l)
+        .map(m => (m.group(1).toDouble + m.group(2).toDouble) / 2.0)
+    }
+
+  /** MIN `calib_mean` over the last `k` same-SF entries — the
+    * loaded-run flag's baseline ([[Bench.isCalibFlagged]]). Min, not
+    * last: a junk (loaded) previous entry would otherwise make the
+    * next clean run look normal-by-comparison and the next loaded
+    * run unflaggable. */
+  def minCalibOverRecent(path: String, sfDir: String, k: Int): Option[Double] =
+    lastEntries(path, sfDir, k)
+      .flatMap(l => CalibMeanRe.findFirstMatchIn(l).map(_.group(1).toDouble))
+      .minOption
 
   /** The last history entry for the SAME sf dir — (calib_mean,
     * query→sec). Parsed with regexes over the format [[line]] itself
@@ -349,20 +435,9 @@ object BenchHistory {
     * present in any of the k entries are absent (new rows have no
     * baseline). */
   def minOverRecent(path: String, sfDir: String, k: Int): Map[String, Double] =
-    try {
-      val p = java.nio.file.Paths.get(path)
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else {
-        val needle = s""""sf":"$sfDir""""
-        val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
-        val lastK = try src.getLines().filter(_.contains(needle))
-          .foldLeft(List.empty[String])((acc, l) => (l :: acc).take(k))
-          finally src.close()
-        lastK.flatMap { l =>
-          QuerySecRe.findAllMatchIn(l).map(q => q.group(1) -> q.group(2).toDouble)
-        }.groupMapReduce(_._1)(_._2)(math.min)
-      }
-    } catch { case _: Exception => Map.empty }
+    lastEntries(path, sfDir, k).flatMap { l =>
+      QuerySecRe.findAllMatchIn(l).map(q => q.group(1) -> q.group(2).toDouble)
+    }.groupMapReduce(_._1)(_._2)(math.min)
 
   /** Append (create parents on first run). Best-effort by design: a
     * read-only checkout must not fail the bench — stdout is still the

@@ -511,18 +511,44 @@ FROM s"""))
     },
     None)
 
+  /** F35's calibration cap: threshold selection reads an EXPECTED
+    * ≤ cap docs whatever the corpus size. Two deterministic gates
+    * compose: the `doc_id % 10` pool (the CCNet 10% convention), then
+    * a 16-bit md5 slice vs a rate threshold derived from the pool
+    * count (the F18 `q_sample_weighted` idiom — rate = min(1, cap /
+    * |pool|), keep when `md5[0:4] < hex(rate·2^16)`). The pool count
+    * is one distributed aggregate; the rank window downstream sorts
+    * only the gated sample, so the single-task sort is bounded by the
+    * cap's binomial envelope, not the corpus. Both gates are pure key
+    * arithmetic both engines express bit-identically. */
+  private[graft] def pplCalibrationPool(
+      lp: org.apache.spark.sql.DataFrame,
+      cap: Long): org.apache.spark.sql.DataFrame = {
+    val pool = lp.filter(col("doc_id") % 10 === 0)
+      .select(col("logprob"), col("doc_id"))
+    val poolCnt = math.max(1L, pool.count())
+    val rate = math.min(1.0, cap.toDouble / poolCnt)
+    val thHex = f"${math.min(65535L, math.floor(rate * 65536.0).toLong)}%04x"
+    pool.filter(substring(
+      md5(concat(lit("graft-ppl-cal:"), col("doc_id").cast("string")).cast("binary")),
+      1, 4) < lit(thHex))
+  }
+
+  private[graft] val PplCalCap = 65536L
+
   /** F35 — CCNet-style LM-quality bucketing (Wenzek et al. 2020:
     * documents are split head/middle/tail by language-model
     * perplexity tertiles and training mixes upsample the head). The
     * per-doc signal is F16's unigram logprob (higher = more fluent =
     * lower perplexity); tertile THRESHOLDS come from a DETERMINISTIC
-    * calibration sample (doc_id % 10 — production caps the sample, so
-    * threshold selection is control-plane regardless of corpus size)
-    * selected BY RANK over the 6-dp-rounded logprob, which both
-    * engines order identically; the full corpus is then bucketed by a
-    * scan-speed comparison against the two literal thresholds — no
-    * global sort or window ever touches the serving path, the CCNet
-    * shape at 100 TB. */
+    * capped calibration sample ([[pplCalibrationPool]]: doc_id % 10,
+    * then an md5 rate gate targeting [[PplCalCap]] docs — threshold
+    * selection is control-plane regardless of corpus size) selected
+    * BY RANK over the 6-dp-rounded logprob, which both engines order
+    * identically; the full corpus is then bucketed by a scan-speed
+    * comparison against the two literal thresholds — no global sort
+    * or window ever touches the serving path, the CCNet shape at
+    * 100 TB. */
   private val corpusPplBuckets = Q(
     "corpus_ppl_buckets",
     (s, dir) => {
@@ -530,10 +556,8 @@ FROM s"""))
         .localCheckpoint() // consumed twice: threshold sample + bucketing
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("logprob"), col("doc_id"))
-      // the rank window runs over the SAMPLE only (bounded by the
-      // calibration-rate contract above)
-      val samp = lp.filter(col("doc_id") % 10 === 0)
-        .select(col("logprob"), col("doc_id"))
+      // the rank window runs over the CAPPED sample only
+      val samp = pplCalibrationPool(lp, PplCalCap)
         .withColumn("rn", row_number().over(w))
         .localCheckpoint()
       val cnt = samp.count()
@@ -556,10 +580,17 @@ FROM s"""))
         bucket.as("bucket"))
     },
     Some(s"""WITH $unigramLpCte,
+pool AS (SELECT logprob, doc_id FROM lp WHERE doc_id % 10 = 0),
+gate AS (
+  SELECT lpad(lower(to_hex(CAST(least(65535, floor(
+           least(1.0, CAST($PplCalCap AS DOUBLE) / greatest(1, COUNT(*))) * 65536.0))
+         AS BIGINT))), 4, '0') AS keep_below
+  FROM pool),
 samp AS (
   SELECT logprob, row_number() OVER (ORDER BY logprob, doc_id) AS rn,
          COUNT(*) OVER () AS cnt
-  FROM lp WHERE doc_id % 10 = 0),
+  FROM pool CROSS JOIN gate
+  WHERE substring(md5('graft-ppl-cal:' || CAST(doc_id AS VARCHAR)), 1, 4) < keep_below),
 th AS (
   SELECT max(CASE WHEN rn = greatest(1, cnt // 3) THEN logprob END) AS t1,
          max(CASE WHEN rn = greatest(1, (2 * cnt) // 3) THEN logprob END) AS t2

@@ -1024,7 +1024,16 @@ FROM top"""))
     * against DATA changes; a code change to the scheme must change
     * this token or a stale /tmp index from the previous code would be
     * probed with incompatible keys (zero collisions, silently empty
-    * candidates). */
+    * candidates).
+    *
+    * Tmpdir growth: a stamp change (testdata regen, scheme bump)
+    * orphans the previously built artifacts under java.io.tmpdir —
+    * they are never deleted here BY DESIGN: a sweep keyed on "not the
+    * current stamp" would race concurrent graft JVMs (bench + the
+    * correctness harness run together on the driver) still probing an
+    * index built moments earlier from another sf dir. /tmp is
+    * machine-managed scratch; long-lived deployments should point
+    * java.io.tmpdir at a quota'd scratch volume. */
   private[graft] def stampedIndexPath(s: SparkSession, dir: String,
       table: String, scheme: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${scheme}_" +
@@ -1077,12 +1086,21 @@ FROM top"""))
           fs.delete(aside, true) // confirmed torn leftover
         }
       }
-      fs.rename(staged, target)
+      val renamed = fs.rename(staged, target)
       // mv semantics: if a winner landed between the check and the
       // rename, our staged dir nested INSIDE it — remove the nested
       // copy; the winner is complete and stands
       val nested = new org.apache.hadoop.fs.Path(target, staged.getName)
       if (fs.exists(nested)) fs.delete(nested, true)
+      // r11 advice: on filesystems where rename onto an existing dir
+      // returns FALSE instead of nesting (HDFS), a silently-discarded
+      // publish would surface later as an obscure read error — verify
+      // that either our publish or a concurrent winner holds the
+      // marker, and fail loudly otherwise
+      if (!renamed && !fs.exists(done))
+        throw new IllegalStateException(
+          s"artifact publish failed: rename($staged -> $target) returned " +
+            s"false and no complete artifact holds $done")
     } finally
       // failed build, lost race, or leftover: never leak staging dirs
       if (fs.exists(staged)) fs.delete(staged, true)
@@ -1095,7 +1113,16 @@ FROM top"""))
   private[graft] def rebuildArtifact(s: SparkSession, path: String)(
       build: String => Unit): Unit = {
     val staged = s"$path.__stage_${java.util.UUID.randomUUID()}__"
-    build(staged)
+    // a failed build must not leak its staged dir next to the live
+    // index (r11 advice: ensureArtifact cleaned this case, the
+    // rebuild flavor did not)
+    try build(staged)
+    catch { case e: Throwable =>
+      val p = new org.apache.hadoop.fs.Path(staged)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      throw e
+    }
     sources.LakeWriter.publish(s, staged, path)
   }
 

@@ -107,6 +107,14 @@ object Icws {
     // frame it would evaluate the whole ICWS draw chain once for the
     // guard and AGAIN for the banding (r10 advice: a silent 2-3×
     // regression for any caller that forgot to checkpoint).
+    // LIFETIME: the checkpoint taken here is never explicitly
+    // unpersisted — the returned band frame references it lazily, so
+    // an eager unpersist would kill blocks a not-yet-run consumer
+    // cannot recompute (localCheckpoint truncates lineage). Its
+    // blocks are freed by the ContextCleaner when the frame becomes
+    // unreachable; long-running processes that band many corpora
+    // should materialize sigs themselves (the root-is-checkpoint test
+    // below then skips this internal copy) and manage that lifetime.
     // Materialize unless the frame ITSELF is a checkpoint (root is a
     // LogicalRDD) — a leaves-only test would misread signatures built
     // ON TOP of a checkpointed source as already computed (r11

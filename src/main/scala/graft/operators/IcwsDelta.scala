@@ -37,13 +37,20 @@ import org.apache.spark.sql.functions._
   * Constants are dedup_icws's (h=16, 8 bands × 2 rows, τ=0.55,
   * (lang, n_chars) blocks).
   */
-object IcwsDelta {
+object IcwsDelta extends CompactableIndex {
 
   val H = 16
   val Bands = 8
   val RowsPerBand = 2
   val Tau = 0.55
   val BlockCols: Seq[String] = Seq("lang", "n_chars")
+
+  /** The layout is [[MinhashDelta]]'s verbatim, so the compaction
+    * parameterization is too: band-hash range lay + the shared
+    * `_mh_stats` manifest feeding the pruned probe. */
+  override protected def clusterCols: Seq[String] = Seq("lsh_key.band_hash")
+  override protected def postFold(spark: SparkSession): String => Unit =
+    MinhashDelta.writeManifest(spark)
 
   /** One row per (document, band): the index unit. `docs` must carry
     * idCol, textCol, and [[BlockCols]]. */
@@ -63,70 +70,27 @@ object IcwsDelta {
         col("sig"))
   }
 
-  /** Lands one ingestion batch in the index (same batch id → same
-    * directory → overwrite: replay-idempotent by layout; negative ids
-    * are the compaction slot, as in [[MinhashDelta.writeBatch]]). */
+  /** Lands one ingestion batch in the index —
+    * [[CompactableIndex.landBatch]] over this family's band rows. */
   def writeBatch(docs: DataFrame, idCol: String, textCol: String,
-      path: String, batchId: Long): Unit = {
-    require(batchId >= 0L,
-      s"negative batch ids are reserved for compaction, got $batchId")
-    bandRows(docs, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
-  }
-
-  /** Stream batch ids live strictly BELOW this; seeds live at or
-    * above it. Splitting the id space structurally is what stops a
-    * foreachBatch stream (whose ids start at 0) from silently
-    * OVERWRITING the standing corpus it probes — a seed landed at
-    * batch 0 would be replaced by the stream's first micro-batch and
-    * every subsequent probe would miss all delta-vs-standing pairs
-    * with no error (review finding). The split point sits at
-    * Long.MaxValue/2, NOT some human-scale round number: micro-batch
-    * ids are monotone across restarts (they persist in the stream
-    * checkpoint), so a low cap like 10⁶ would give a 1-second-trigger
-    * pipeline a built-in crash after ~12 days (second review
-    * finding); no stream reaches 2⁶² batches. */
-  val SeedBatchId = Long.MaxValue / 2
+      path: String, batchId: Long): Unit =
+    landBatch(bandRows(docs, idCol, textCol), path, batchId)
 
   /** Seeds the standing corpus for a [[graft.streaming.StreamWeightedDedup]]
-    * loop — [[writeBatch]] constrained to the seed id space. */
+    * loop — the landing constrained to the seed id space (see
+    * [[CompactableIndex]] for the id-space split rationale: a seed at
+    * batch 0 would be silently replaced by the stream's first
+    * micro-batch and every later probe would miss all
+    * delta-vs-standing pairs). */
   def seedBatch(docs: DataFrame, idCol: String, textCol: String,
-      path: String, seedId: Long = SeedBatchId): Unit = {
-    require(seedId >= SeedBatchId,
-      s"seed ids must be >= $SeedBatchId (stream micro-batch ids own 0..${SeedBatchId - 1}), got $seedId")
-    writeBatch(docs, idCol, textCol, path, seedId)
-  }
+      path: String, seedId: Long = SeedBatchId): Unit =
+    landSeedBatch(bandRows(docs, idCol, textCol), path, seedId)
 
   /** Lands PREBUILT band rows under a STREAM micro-batch id — the
-    * append side of the streaming loop. Refuses the seed space and
-    * the compaction slot, so no foreachBatch id can ever collide with
-    * a seed. */
-  def writeBandRows(d: DataFrame, path: String, batchId: Long): Unit = {
-    require(batchId >= 0L && batchId < SeedBatchId,
-      s"stream batch ids must be in [0, $SeedBatchId), got $batchId")
-    d.write.mode("overwrite").parquet(s"$path/batch=$batchId")
-  }
-
-  /** The full index (all batches; `batch` dropped — probes are
-    * batch-agnostic). */
-  def readIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("batch")
-
-  /** Shares [[MinhashDelta.compactIndex]] outright — the layouts are
-    * identical, so the range-lay + manifest + staged publish apply
-    * unchanged. */
-  def compactIndex(spark: SparkSession, path: String,
-      numFiles: Int = 32): Unit =
-    MinhashDelta.compactIndex(spark, path, numFiles)
-
-  /** Shares [[MinhashDelta.compactIfNeeded]] — the streaming loop's
-    * maintenance hook, with the same preserve-the-in-flight-batch
-    * replay contract. */
-  def compactIfNeeded(spark: SparkSession, path: String,
-      maxBatches: Int = 16, numFiles: Int = 32,
-      preserveBatchIds: Set[Long] = Set.empty): Boolean =
-    MinhashDelta.compactIfNeeded(spark, path, maxBatches, numFiles,
-      preserveBatchIds)
+    * append side of the streaming loop; refuses the seed space and
+    * the compaction slot. */
+  def writeBandRows(d: DataFrame, path: String, batchId: Long): Unit =
+    landStreamBatch(d, path, batchId)
 
   /** Candidate pairs involving the delta: delta×corpus (via the index)
     * plus delta×delta, both bucket-local on lsh_key. The index is

@@ -27,13 +27,19 @@ import graft.functions.HashFunctions
   * restricted to pairs touching the delta — exact, because seeded
   * xxhash64 signatures are deterministic.
   */
-object MinhashDelta {
+object MinhashDelta extends CompactableIndex {
 
   val ShingleN = 5
   val K = 32
   val Bands = 4
   val RowsPerBand = 8
   val Threshold = 0.4
+
+  /** Fold key of the compacted `batch=-1` slot: range-laying by the
+    * band hash keeps per-file [min, max] tight for the manifest. */
+  override protected def clusterCols: Seq[String] = Seq("lsh_key.band_hash")
+  override protected def postFold(spark: SparkSession): String => Unit =
+    writeManifest(spark)
 
   /** One row per (document, band): the index unit. MinHash runs in
     * WholeStageCodegen (k MIN aggregates over exploded shingle
@@ -44,24 +50,13 @@ object MinhashDelta {
       .select(col(idCol).as("doc_id"), explode(col("bands")).as("lsh_key"),
         col("sig"))
 
-  /** Lands one ingestion batch in the index. Same batch id → same
-    * directory → overwrite: replay-idempotent by layout. Negative ids
-    * are reserved ([[compactIndex]]'s folded slot is `batch=-1`) —
-    * a user batch there would make its own replay destroy the
-    * compacted index. */
+  /** Lands one ingestion batch in the index — [[CompactableIndex]]'s
+    * replay-idempotent overwrite-by-dir landing over this family's
+    * band rows. */
   def writeBatch(
       docs: DataFrame, idCol: String, textCol: String,
-      path: String, batchId: Long): Unit = {
-    require(batchId >= 0L,
-      s"negative batch ids are reserved for compaction, got $batchId")
-    bandRows(docs, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
-  }
-
-  /** The full index (all batches). `batch` is a partition column —
-    * dropped, probes are batch-agnostic. */
-  def readIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("batch")
+      path: String, batchId: Long): Unit =
+    landBatch(bandRows(docs, idCol, textCol), path, batchId)
 
   /** Signature-estimate Jaccard — [[HashFunctions.signatureEstimate]],
     * the SAME expression dedup_minhash filters on. Symmetric, so
@@ -133,51 +128,18 @@ object MinhashDelta {
 
   private[operators] def statsPath(path: String) = s"$path/_mh_stats"
 
-  /** Compacts every `batch=N` dir into ONE range-laid batch sorted by
-    * the band hash, and writes a per-file `[hash_min, hash_max]`
-    * manifest (`_mh_stats`, underscore path — invisible to normal
-    * readers) so [[incrementalPairsPruned]] can drop index files
-    * BEFORE any footer opens. The swap is staged + published
-    * ([[graft.sources.LakeWriter.publish]]): readers never see a torn
-    * index, a crash rolls back.
-    *
-    * The compacted layout lands under `batch=-1` — a RESERVED id
-    * [[writeBatch]] rejects — so NO pre-compaction batch replayed
-    * after the swap can ever overwrite it: the replay recreates its
-    * `batch=N` dir next to the compacted slot (duplicate index rows,
-    * which cost probe work but not correctness — the pair `distinct`
-    * collapses duplicate candidates; the next compaction absorbs
-    * them). A compacted slot named after a USER batch id would
-    * instead be silently REPLACED by that batch's replay, losing
-    * every other folded batch and orphaning the manifest.
-    *
-    * `preserveBatchIds` names batch dirs carried into the compacted
-    * index UNFOLDED (copied verbatim, outside the manifest — read
-    * whole like any post-compaction append). The streaming loops pass
-    * the batch id currently in flight: committed batches never replay
-    * (Structured Streaming commits in order), but the in-flight one
-    * can — and a replay of a FOLDED batch would recreate its
-    * `batch=N` dir beside the compacted rows, duplicating every one
-    * of its index rows. MinHash probes survive that (`distinct`
-    * collapses candidates) but [[Winnow]]'s n_shared COUNTS rows, so
-    * the loop-safe contract is uniform: never fold a batch that can
-    * still replay; its replay then overwrites its own preserved dir,
-    * byte-for-byte idempotent. */
-  def compactIndex(spark: SparkSession, path: String,
-      numFiles: Int = 32, preserveBatchIds: Set[Long] = Set.empty): Unit =
-    // fold/preserve/publish protocol shared via BatchIndex (incl. the
-    // stale-staging clear); only the cluster key and the range
-    // manifest are this index's own
-    BatchIndex.compact(spark, path, numFiles, Seq("lsh_key.band_hash"),
-      preserveBatchIds, writeManifest(spark))
-
-  /** Per-file range stats over the staged fold, grouped by
-    * _metadata.file_path — the same one-scan build as
-    * sources.StatsIndex (which can't index a struct field by name,
-    * hence the local manifest). ROOT-RELATIVE file paths: the
-    * manifest is written in the staging dir, so an absolute path
-    * would die at publish. */
-  private def writeManifest(spark: SparkSession)(staged: String): Unit =
+  /** Per-file `[hash_min, hash_max]` range stats over the staged fold
+    * (`_mh_stats`, underscore path — invisible to normal readers), so
+    * [[incrementalPairsPruned]] can drop index files BEFORE any
+    * footer opens — this family's [[CompactableIndex.postFold]];
+    * the fold/preserve/publish protocol itself (reserved `batch=-1`
+    * slot, stale-staging clear, preserve-the-in-flight-batch replay
+    * contract) is the trait's. Grouped by _metadata.file_path — the
+    * same one-scan build as sources.StatsIndex (which can't index a
+    * struct field by name, hence the local manifest). ROOT-RELATIVE
+    * file paths: the manifest is written in the staging dir, so an
+    * absolute path would die at publish. */
+  private[operators] def writeManifest(spark: SparkSession)(staged: String): Unit =
     spark.read.parquet(s"$staged/batch=-1")
       .groupBy(substring_index(col("_metadata.file_path"),
         ".__staging__/", -1).as("file"))
@@ -185,19 +147,6 @@ object MinhashDelta {
         max(col("lsh_key.band_hash")).as("hash_max"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$staged/_mh_stats")
-
-  /** Compacts when the accumulated batch count crosses `maxBatches` —
-    * the streaming loop's maintenance hook (call after each
-    * [[writeBatch]]): keeps the probe's batch union bounded the same
-    * way [[graft.sources.LakeWriter.compact]] bounds small files.
-    * The compacted `batch=-1` slot does not count toward the
-    * threshold (it IS the compaction product). Returns whether a
-    * compaction ran. */
-  def compactIfNeeded(spark: SparkSession, path: String,
-      maxBatches: Int = 16, numFiles: Int = 32,
-      preserveBatchIds: Set[Long] = Set.empty): Boolean =
-    BatchIndex.compactIfNeeded(spark, path, maxBatches, numFiles,
-      Seq("lsh_key.band_hash"), preserveBatchIds, writeManifest(spark))
 
   /** Index files that can share a band hash with `hashes` (sorted
     * search per file range) and the total file count. Driver-side

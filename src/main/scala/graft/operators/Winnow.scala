@@ -24,7 +24,18 @@ import org.apache.spark.sql.functions._
   * never all-pairs. A boilerplate-hot fingerprint is ordinary
   * equi-join skew (AQE splits it).
   */
-object Winnow {
+object Winnow extends CompactableIndex {
+
+  /** Fold key of the compacted `batch=-1` slot. No range manifest
+    * ([[CompactableIndex.postFold]] stays the no-op): the incremental
+    * probe buckets on `fp` over the whole standing side, so what
+    * compaction buys here is bounded file/dir counts (a 1 s-trigger
+    * stream is ~86k dirs/day otherwise), not range pruning. NOTE this
+    * family's preserve-the-in-flight-batch contract is a CORRECTNESS
+    * requirement, not hygiene: n_shared COUNTS rows, so a replayed
+    * folded batch's duplicated (id, fp) rows would double-count into
+    * the threshold. */
+  override protected def clusterCols: Seq[String] = Seq("fp")
 
   /** First 48 bits of md5 as a long — collision odds at 2^48 are
     * negligible for candidate generation (and a collision only adds
@@ -151,50 +162,11 @@ object Winnow {
     }
   }
 
-  /** Persist one batch of fingerprints under `path/batch=<id>` —
-    * the [[MinhashDelta]] layout discipline: write-by-batch-dir is
-    * replay-idempotent (an at-least-once foreachBatch overwrites its
-    * own partition instead of appending a second copy). */
-  def writeBatch(fps: DataFrame, path: String, batchId: Long): Unit = {
-    require(batchId >= 0L, s"negative batch ids are reserved, got $batchId")
-    fps.write.mode("overwrite").parquet(s"$path/batch=$batchId")
-  }
-
-  /** The full standing fingerprint index (all batches); `batch` is a
-    * partition column, dropped — probes are batch-agnostic. */
-  def readIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
-    spark.read.parquet(path).drop("batch")
-
-  /** Folds every `batch=N` dir into ONE range-laid `batch=-1` slot
-    * sorted by fingerprint — [[MinhashDelta.compactIndex]]'s
-    * discipline on the winnowing layout (staged + published swap, the
-    * RESERVED negative slot [[writeBatch]] rejects, so no replayed
-    * user batch can ever overwrite the folded data). Unlike the
-    * MinHash index there is no range manifest: [[incrementalPairs]]
-    * buckets on `fp` over the whole standing side, so what compaction
-    * buys here is bounded file/dir counts (a 1 s-trigger stream is
-    * ~86k dirs/day otherwise) — probe listing cost stays flat.
-    *
-    * `preserveBatchIds` carries the named dirs UNFOLDED (copied
-    * verbatim): the loop passes its in-flight batch id, because a
-    * replay of a FOLDED batch would duplicate its (id, fp) rows and
-    * Winnow's n_shared COUNTS rows — a duplicated fingerprint would
-    * double-count into the threshold. Preserved, the replay just
-    * overwrites its own dir. */
-  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      numFiles: Int = 32, preserveBatchIds: Set[Long] = Set.empty): Unit =
-    BatchIndex.compact(spark, path, numFiles, Seq("fp"), preserveBatchIds)
-
-  /** Compacts when the accumulated batch count crosses `maxBatches` —
-    * the [[graft.streaming.StreamSubstringDedup]] maintenance hook;
-    * the compacted `batch=-1` slot does not count. Returns whether a
-    * compaction ran. */
-  def compactIfNeeded(spark: org.apache.spark.sql.SparkSession,
-      path: String, maxBatches: Int = 16, numFiles: Int = 32,
-      preserveBatchIds: Set[Long] = Set.empty): Boolean =
-    BatchIndex.compactIfNeeded(spark, path, maxBatches, numFiles,
-      Seq("fp"), preserveBatchIds)
+  /** Persist one batch of fingerprints —
+    * [[CompactableIndex.landBatch]]'s replay-idempotent
+    * overwrite-by-dir landing. */
+  def writeBatch(fps: DataFrame, path: String, batchId: Long): Unit =
+    landBatch(fps, path, batchId)
 
   /** Candidate pairs (a < b) sharing at least `minShared`
     * fingerprints, with the shared count — the verification-ready

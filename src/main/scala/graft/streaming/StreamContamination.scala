@@ -31,7 +31,14 @@ import graft.QueriesLLM
   * (duplicates here are harmless to the distinct readout — the
   * uniform contract is kept so the state layout stays interchangeable
   * with the counted families). */
-object StreamContamination {
+object StreamContamination extends graft.operators.CompactableIndex {
+
+  /** Fold key of the compacted state: the gram the readout distincts
+    * on. Duplicates here are harmless to the distinct readout — the
+    * uniform [[graft.operators.CompactableIndex]] contract is kept so
+    * the state layout stays interchangeable with the counted
+    * families. */
+  override protected def clusterCols: Seq[String] = Seq("gram")
 
   /** The fixed held-out set's distinct (doc_id, gram) rows — build
     * once with [[QueriesLLM.wordGramRows]] and localCheckpoint; the
@@ -52,11 +59,12 @@ object StreamContamination {
       .select(explode(col("grams")).as("gram"))
       .join(broadcast(testG.select("gram").distinct()), "gram")
       .distinct()
-    testG.join(broadcast(hit), Seq("gram"), "left_semi")
-      .select("doc_id", "gram")
-      .write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
-    graft.operators.BatchIndex.compactIfNeeded(spark, statePath,
-      maxBatches = compactEvery, numFiles = 8, clusterCols = Seq("gram"),
+    landStreamBatch(
+      testG.join(broadcast(hit), Seq("gram"), "left_semi")
+        .select("doc_id", "gram"),
+      statePath, batchId)
+    compactIfNeeded(spark, statePath,
+      maxBatches = compactEvery, numFiles = 8,
       preserveBatchIds = Set(batchId))
   }
 

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, IcwsDelta}
+import graft.operators.Components
 import graft.{QueriesLLM, QueriesML}
 
 /** Always-on corpus prep — F14b (`corpus_prep_incremental`) as a
@@ -29,12 +29,15 @@ import graft.{QueriesLLM, QueriesML}
   * writes overwrite their own `batch=N` dirs — byte-for-byte
   * convergent, pinned in StreamCorpusPrepSpec.
   */
-object StreamCorpusPrep {
+object StreamCorpusPrep extends graft.operators.CompactableIndex {
 
-  /** Stream batch ids own [0, SeedBatchId); seeds live at or above it
-    * — the [[IcwsDelta.SeedBatchId]] structural split, so micro-batch
-    * 0 can never overwrite the standing corpus. */
-  val SeedBatchId: Long = IcwsDelta.SeedBatchId
+  /** Fold key of the compacted `batch=-1` slot: the (lang, n_chars)
+    * blocking keys the probe joins on. No manifest — the probe is a
+    * blocked equi-join, so compaction buys bounded file/dir counts,
+    * not range pruning. Id-space split, landing guards, and the
+    * preserve-the-in-flight-batch contract are
+    * [[graft.operators.CompactableIndex]]'s. */
+  override protected def clusterCols: Seq[String] = Seq("lang", "n_chars")
 
   /** Gram rows (doc_id, lang, n_chars, grams) — the index unit; the
     * SAME shingle/blocking definition as the F14b registry row (one
@@ -44,44 +47,13 @@ object StreamCorpusPrep {
   /** Seeds the standing corpus's gram rows outside the stream's
     * id space. */
   def seedBatch(docs: DataFrame, path: String,
-      seedId: Long = SeedBatchId): Unit = {
-    require(seedId >= SeedBatchId,
-      s"seed ids must be >= $SeedBatchId (stream ids own 0..${SeedBatchId - 1}), got $seedId")
-    gramRows(docs).write.mode("overwrite").parquet(s"$path/batch=$seedId")
-  }
+      seedId: Long = SeedBatchId): Unit =
+    landSeedBatch(gramRows(docs), path, seedId)
 
   /** Lands prebuilt gram rows under a stream micro-batch id —
     * overwrite-by-batch-dir, replay-idempotent. */
-  def writeBatch(g: DataFrame, path: String, batchId: Long): Unit = {
-    require(batchId >= 0L && batchId < SeedBatchId,
-      s"stream batch ids must be in [0, $SeedBatchId), got $batchId")
-    g.write.mode("overwrite").parquet(s"$path/batch=$batchId")
-  }
-
-  /** The standing gram index (all batches, batch-agnostic). */
-  def readIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("batch")
-
-  /** Folds batch dirs into the reserved `batch=-1` slot, clustered by
-    * the (lang, n_chars) blocking keys the probe joins on — the
-    * [[graft.operators.Winnow.compactIndex]] discipline on the gram
-    * layout (no manifest: the probe is a blocked equi-join, so
-    * compaction buys bounded file/dir counts, not range pruning).
-    * `preserveBatchIds` carries the in-flight batch unfolded — its
-    * replay then overwrites its own dir instead of duplicating rows
-    * beside the folded copy. */
-  def compactIndex(spark: SparkSession, path: String,
-      numFiles: Int = 32, preserveBatchIds: Set[Long] = Set.empty): Unit =
-    graft.operators.BatchIndex.compact(spark, path, numFiles,
-      Seq("lang", "n_chars"), preserveBatchIds)
-
-  /** Compacts when the batch count crosses `maxBatches`; the
-    * `batch=-1` slot does not count. */
-  def compactIfNeeded(spark: SparkSession, path: String,
-      maxBatches: Int = 16, numFiles: Int = 32,
-      preserveBatchIds: Set[Long] = Set.empty): Boolean =
-    graft.operators.BatchIndex.compactIfNeeded(spark, path, maxBatches,
-      numFiles, Seq("lang", "n_chars"), preserveBatchIds)
+  def writeBatch(g: DataFrame, path: String, batchId: Long): Unit =
+    landStreamBatch(g, path, batchId)
 
   /** THE F14b decision kernel on explicit frames: delta doc ids to
     * DROP under FIRST-ARRIVAL-WINS. Edges are delta×standing +

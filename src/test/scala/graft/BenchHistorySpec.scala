@@ -158,6 +158,68 @@ class BenchHistorySpec extends SparkTestBase {
     assert(BenchHistory.minOverRecent("/nonexistent/h.jsonl", "/sf/x", 3).isEmpty)
   }
 
+  test("calib_flagged: loaded runs self-describe against the recent calib band") {
+    // r11: BENCH_r11.json snapshotted an afternoon-load run (calib
+    // 0.82 vs the 0.38-0.45 band) with nothing in the entry saying so
+    assert(Bench.isCalibFlagged(0.82, Some(0.40)), "2x the band min flags")
+    assert(!Bench.isCalibFlagged(0.55, Some(0.40)), "1.37x stays quiet")
+    assert(!Bench.isCalibFlagged(0.82, None), "no history -> no flag")
+    assert(!Bench.isCalibFlagged(0.82, Some(0.0)), "zero band never divides")
+    // the marker lands in the history line only when flagged
+    val flagged = BenchHistory.line("/sf/x", 0.8, 0.84, 1.0, results,
+      calibFlagged = true)
+    assert(flagged.contains(""""calib_flagged":true"""), flagged)
+    assert(flagged.count(_ == '{') == flagged.count(_ == '}'))
+    val clean = BenchHistory.line("/sf/x", 0.4, 0.4, 1.0, results)
+    assert(!clean.contains("calib_flagged"), clean)
+    // minCalibOverRecent: min of calib_mean over last k same-sf entries
+    val dir = java.nio.file.Files.createTempDirectory("bench-flag")
+    val p = dir.resolve("h.jsonl").toString
+    BenchHistory.append(p, BenchHistory.line("/sf/x", 0.4, 0.4, 1.0,
+      Seq(("q_a", Some(0.5), 2))))
+    BenchHistory.append(p, BenchHistory.line("/sf/x", 0.9, 0.9, 2.0,
+      Seq(("q_a", Some(1.0), 2))))  // the loaded entry
+    BenchHistory.append(p, BenchHistory.line("/sf/other", 0.1, 0.1, 1.0,
+      Seq(("q_a", Some(0.1), 2))))  // other sf ignored
+    assert(BenchHistory.minCalibOverRecent(p, "/sf/x", 5).contains(0.4),
+      "min over the band, so one loaded entry can't blind the flag")
+    assert(BenchHistory.minCalibOverRecent(p, "/sf/x", 1).contains(0.9),
+      "k=1 degenerates to the last entry")
+    assert(BenchHistory.minCalibOverRecent(p, "/sf/absent", 5).isEmpty)
+  }
+
+  test("two-anchor cross-day normalization: calib_io_vs_prev + median_raw_ratio") {
+    // prev entry carries the IO anchor; the new line must report the
+    // anchor's drift and the median of per-query RAW ratios (the
+    // PLANS.md r11 rule: across days, trust the raw-ratio median —
+    // r11's CPU calib dropped 35% while queries were raw-flat)
+    val dir = java.nio.file.Files.createTempDirectory("bench-anchor")
+    val p = dir.resolve("h.jsonl").toString
+    BenchHistory.append(p, BenchHistory.line("/sf/x", 0.5, 0.5, 3.0,
+      Seq(("q_a", Some(1.0), 2), ("q_b", Some(2.0), 2), ("q_c", Some(4.0), 2)),
+      calibIo = Some((1.0, 1.2))))
+    assert(BenchHistory.prevCalibIo(p, "/sf/x").contains(1.1), "io anchor mean")
+    assert(BenchHistory.prevCalibIo(p, "/sf/absent").isEmpty)
+    val prev = BenchHistory.prevEntry(p, "/sf/x")
+    val cur = Seq(
+      ("q_a", Some(1.0), 2),   // raw ratio 1.0
+      ("q_b", Some(3.0), 2),   // raw ratio 1.5
+      ("q_c", Some(8.0), 2),   // raw ratio 2.0
+      ("q_new", Some(0.1), 2), // no prev -> excluded from the median
+      ("q_fail", None, 2))
+    val line = BenchHistory.line("/sf/x", 0.5, 0.5, 12.1, cur, prev,
+      calibIo = Some((1.3, 1.5)),
+      prevCalibIoMean = BenchHistory.prevCalibIo(p, "/sf/x"))
+    assert(line.contains(""""calib_io_vs_prev":1.273"""), line) // 1.4/1.1
+    assert(line.contains(""""median_raw_ratio":1.500"""), line)
+    assert(line.count(_ == '{') == line.count(_ == '}'))
+    // no prev -> neither instrument appears
+    val bare = BenchHistory.line("/sf/x", 0.5, 0.5, 1.0, cur,
+      calibIo = Some((1.3, 1.5)))
+    assert(!bare.contains("calib_io_vs_prev") && !bare.contains("median_raw_ratio"),
+      bare)
+  }
+
   test("gitHead resolves this repo's HEAD to a 12-char sha") {
     val sha = BenchHistory.gitHead("/root/repo")
     assert(sha.length == 12 && sha.forall(c => c.isDigit || ('a' to 'f').contains(c)),

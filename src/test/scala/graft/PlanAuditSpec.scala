@@ -39,6 +39,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Sort ["), s"serving path must not globally sort:\n$p")
   }
 
+  test("corpus_ppl_buckets threshold selection reads a rate-CAPPED sample") {
+    // the r11 weak item: the calibration pool (doc_id % 10) fed the
+    // single-task rank window uncapped — 10% of a 100-TB corpus
+    // through one sort task. The fix gates the pool by an md5 rate
+    // threshold targeting a fixed N; this pin builds the calibration
+    // frame directly and asserts (a) the gate is in-plan below the
+    // window stage and (b) the sample lands in the cap's binomial
+    // envelope, not at pool size.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val lp = spark.range(0L, 50000L).toDF("doc_id")
+      .withColumn("logprob", col("doc_id").cast("double") / 100.0)
+    val gated = QueriesLLM.pplCalibrationPool(lp, cap = 128L)
+    val n = gated.count() // pool is 5000; expected 128, sd ~11
+    assert(n > 60 && n < 256, s"cap=128 over a 5000-doc pool drew $n")
+    val gp = gated.queryExecution.executedPlan.toString
+    assert(gp.contains("md5"), s"the rate gate must be in-plan:\n$gp")
+    // and at cap >= pool the gate keeps (65535/65536 of) everything
+    val full = QueriesLLM.pplCalibrationPool(lp, cap = 1000000L).count()
+    assert(full >= 4998 && full <= 5000, s"uncapped pool must survive: $full")
+  }
+
   test("text_contamination_report folds once, broadcast joins only") {
     val p = plan("text_contamination_report")
     assert(!p.contains("SortMergeJoin"),
