@@ -405,11 +405,31 @@ FROM thresholded WHERE samp_key < keep_below"""))
     * for both consumers. */
   private def unigramLogprobPerDoc(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val toks = ViewingData.table(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val toks = tokenRows(ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism))
       .localCheckpoint()
-    val freq = toks.groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
+    logprobOfToks(toks, unigramFreqOfToks(toks))
+  }
+
+  /** The (doc_id, tok) exploded token table — the LM chain's input
+    * unit, shared with [[graft.streaming.StreamPplBuckets]]. */
+  private[graft] def tokenRows(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+
+  /** Unigram counts (tok, c double) of a token table — one |vocab|
+    * shuffle, map-side combined. */
+  private[graft] def unigramFreqOfToks(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    toks.groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
+
+  /** Per-doc mean log probability of `toks` under a FIXED freq table
+    * — the F16 scoring arithmetic on an explicit LM (inner join:
+    * out-of-vocabulary tokens are skipped and score nothing; a doc
+    * with no in-vocab tokens is absent). The freq join carries no
+    * hint: vocab ≪ corpus, so AQE broadcasts while it fits. */
+  private[graft] def logprobOfToks(toks: org.apache.spark.sql.DataFrame,
+      freq: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val total = freq.agg(sum("c").as("n"))
     toks.join(freq, "tok").crossJoin(broadcast(total))
       .groupBy("doc_id")
@@ -536,6 +556,38 @@ FROM s"""))
 
   private[graft] val PplCalCap = 65536L
 
+  /** Tertile thresholds BY RANK over the capped calibration sample —
+    * 0, 1, or 2 values (0 when the pool is empty). Control-plane:
+    * the rank window's input is bounded by [[PplCalCap]]'s binomial
+    * envelope. Shared by the F35 registry row and the streaming
+    * twin's recalibration. */
+  private[graft] def pplThresholds(lp: org.apache.spark.sql.DataFrame)
+      : Array[Double] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("logprob"), col("doc_id"))
+    val samp = pplCalibrationPool(lp, PplCalCap)
+      .withColumn("rn", row_number().over(w))
+      .localCheckpoint()
+    val cnt = samp.count()
+    val (k1, k2) = (math.max(1L, cnt / 3), math.max(1L, 2 * cnt / 3))
+    samp.filter(col("rn") === k1 || col("rn") === k2)
+      .orderBy("rn").select("logprob").collect().map(_.getDouble(0))
+  }
+
+  /** The scan-speed bucket projection against literal thresholds.
+    * Empty calibration sample: the oracle's thresholds are NULL and
+    * `logprob <= NULL` is never true, so everything lands 'head' —
+    * mirrored exactly instead of crashing (r11 review: th.head threw
+    * on a corpus with no doc_id % 10 docs while DuckDB silently
+    * bucketed all-head). */
+  private[graft] def pplBucketCol(th: Array[Double])
+      : org.apache.spark.sql.Column =
+    if (th.isEmpty) lit("head")
+    else
+      when(col("logprob") <= th.head, lit("tail"))
+        .when(col("logprob") <= th.last, lit("middle"))
+        .otherwise(lit("head"))
+
   /** F35 — CCNet-style LM-quality bucketing (Wenzek et al. 2020:
     * documents are split head/middle/tail by language-model
     * perplexity tertiles and training mixes upsample the head). The
@@ -554,30 +606,8 @@ FROM s"""))
     (s, dir) => {
       val lp = unigramLogprobPerDoc(s, dir)
         .localCheckpoint() // consumed twice: threshold sample + bucketing
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("logprob"), col("doc_id"))
-      // the rank window runs over the CAPPED sample only
-      val samp = pplCalibrationPool(lp, PplCalCap)
-        .withColumn("rn", row_number().over(w))
-        .localCheckpoint()
-      val cnt = samp.count()
-      val (k1, k2) = (math.max(1L, cnt / 3), math.max(1L, 2 * cnt / 3))
-      val th = samp.filter(col("rn") === k1 || col("rn") === k2)
-        .orderBy("rn").select("logprob").collect().map(_.getDouble(0))
-      val bucket =
-        if (th.isEmpty)
-          // empty calibration sample: the oracle's thresholds are NULL
-          // and `logprob <= NULL` is never true, so everything lands
-          // 'head' — mirror that exactly instead of crashing (r11
-          // review: th.head threw on a corpus with no doc_id % 10 docs
-          // while DuckDB silently bucketed all-head)
-          lit("head")
-        else
-          when(col("logprob") <= th.head, lit("tail"))
-            .when(col("logprob") <= th.last, lit("middle"))
-            .otherwise(lit("head"))
       lp.select(col("doc_id"), col("logprob"), col("n_tokens"),
-        bucket.as("bucket"))
+        pplBucketCol(pplThresholds(lp)).as("bucket"))
     },
     Some(s"""WITH $unigramLpCte,
 pool AS (SELECT logprob, doc_id FROM lp WHERE doc_id % 10 = 0),

@@ -353,6 +353,68 @@ object Sweep {
             p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
           }
         println(f"SWEEP pipeline_dag               x$factor%-3d $sec%8.3f s")
+      case "hybrid_dense_costed" =>
+        // F28b economics with a COST-BEARING embedder (r11 verdict
+        // #4): the registry pair shows wall-clock parity at sf0.1
+        // because the md5 stand-in embeds the whole corpus in ~0.3 s;
+        // a real encoder charges per document. CostedEmbedder bills a
+        // deterministic LCG spin per text, and this pair isolates the
+        // term that moves: the brute dense side re-embeds |corpus|
+        // per query batch (grows with factor), the indexed side
+        // re-embeds only the ladder-selected candidate set (flat).
+        // The embed-once index build is untimed — build-once/
+        // probe-many, the production shape; it embeds through the
+        // UNcosted twin (bit-identical vectors), so both probes serve
+        // from the same geometry.
+        graft.plans.GraftExtensions.register(spark)
+        import graft.functions.VectorFunctions.dot
+        val emb = operators.CostedEmbedder(8, spinPerDoc = 2000000)
+        val docs = sweepDocs(spark, work).localCheckpoint()
+        val qv = emb.embed(Seq("table stream merge")).head.toSeq
+        def denseTop20(d: DataFrame): DataFrame =
+          operators.Embed.withEmbeddings(d, "text", "e", emb)
+            .select(col("doc_id"), dot(col("e"), typedLit(qv)).as("cos"))
+            .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
+        val bruteSec = minOfTwo {
+          denseTop20(docs).write.format("noop").mode("overwrite").save()
+        }
+        println(f"SWEEP hybrid_dense_brute_costed  x$factor%-3d $bruteSec%8.3f s")
+        val hybPath = s"$work/hyb_ivf_index"
+        probeCase(spark, "hybrid_dense_indexed_costed", factor, hybPath) {
+          // orthant-seeded cells over the contract-embedded corpus —
+          // the F28b build, driven through Embed.withEmbeddings
+          val v = operators.Embed.withEmbeddings(
+              docs, "text", "e0", operators.HashEmbedder(8))
+            .select(col("doc_id"), col("e0").as("e"))
+            .withColumn("cell",
+              (when(element_at(col("e"), 1) >= 0, 8).otherwise(0) +
+                when(element_at(col("e"), 2) >= 0, 4).otherwise(0) +
+                when(element_at(col("e"), 3) >= 0, 2).otherwise(0) +
+                when(element_at(col("e"), 4) >= 0, 1).otherwise(0)).cast("int"))
+            .localCheckpoint()
+          val cents = operators.Ivf.centroids(v, "cell", "e").localCheckpoint()
+          operators.Ivf.writeIndex(
+            operators.Ivf.assign(v, cents, "doc_id", "e", "cell"),
+            cents, "cell", hybPath)
+          operators.Ivf.writeCellStats(spark, hybPath, "e", "cell")
+        } {
+          // descending τ ladder (the F28b cost knob): tightest radius
+          // whose candidate set can hold a top-20 wins; candidates
+          // are then re-embedded through the COSTED embedder — the
+          // only per-document charge on this path
+          val qdf = spark.range(1).select(typedLit(qv).as("q"))
+          val cand = Seq(0.8, 0.5, 0.2).view.map { tau =>
+            operators.Ivf.rangeProbeIndexed(spark, hybPath, qdf,
+                "doc_id", "e", "cell", minCos = tau)
+              .select("doc_id").localCheckpoint()
+          }.find(_.count() >= 20)
+          val base = cand match {
+            case Some(ids) =>
+              docs.join(broadcast(ids), Seq("doc_id"), "left_semi")
+            case None => docs
+          }
+          denseTop20(base).write.format("noop").mode("overwrite").save()
+        }
       case "dedup_prefix_capped" =>
         // the registry row's exact PPJoin with the maxDf stop-gram cap
         // engaged — compare with dedup_prefix_filter at the same

@@ -56,6 +56,35 @@ final case class HashEmbedder(dim: Int) extends Embedder {
   }
 }
 
+/** [[HashEmbedder]] with a deterministic per-DOCUMENT cost charge (an
+  * LCG spin of `spinPerDoc` iterations before the hash arithmetic) —
+  * the measurement stand-in the free md5 fake cannot provide: a real
+  * encoder bills per document, so serving-path economics (an index
+  * probe re-embeds only candidates; the brute baseline re-embeds the
+  * corpus per query batch) only become visible when embedding carries
+  * a per-text cost. Output vectors are BIT-IDENTICAL to
+  * [[HashEmbedder]]'s — the spin feeds a guard that cannot fire — so
+  * costed and free embedders are interchangeable across any
+  * index/probe pair (an index built with one serves re-ranks under
+  * the other). Used by the `hybrid_dense_costed` Sweep case; never on
+  * a registry path. */
+final case class CostedEmbedder(dim: Int, spinPerDoc: Int) extends Embedder {
+  private val inner = HashEmbedder(dim)
+  def embed(texts: Seq[String]): Seq[Array[Double]] = {
+    texts.foreach { t =>
+      var acc = t.length.toLong
+      var i = 0
+      while (i < spinPerDoc) {
+        acc = acc * 6364136223846793005L + 1442695040888963407L
+        i += 1
+      }
+      // data-dependent sink so the JIT cannot eliminate the spin
+      require(acc != Long.MinValue + 1L, "unreachable")
+    }
+    inner.embed(texts)
+  }
+}
+
 object Embed {
 
   /** Appends `outCol` (`array<double>`, length `embedder.dim`) to
