@@ -384,12 +384,22 @@ object BenchHistory {
       }
     } catch { case _: Exception => Nil }
 
+  /** `[0-9.eE+-]+` admits strings toDouble rejects (`1.2e`, `-`);
+    * history is telemetry, not a dependency — a hand-edited line must
+    * degrade to "no data", never throw (the prevEntry contract; r12
+    * review: the refactor to [[lastEntries]] had moved the parses
+    * outside any catch). */
+  private def parseDouble(s: String): Option[Double] =
+    try Some(s.toDouble) catch { case _: NumberFormatException => None }
+
   /** Mean of the last same-SF entry's `calib_io_sec` bracket — the
     * IO+decode anchor's previous value for `calib_io_vs_prev`. */
   def prevCalibIo(path: String, sfDir: String): Option[Double] =
     lastEntries(path, sfDir, 1).headOption.flatMap { l =>
-      CalibIoRe.findFirstMatchIn(l)
-        .map(m => (m.group(1).toDouble + m.group(2).toDouble) / 2.0)
+      CalibIoRe.findFirstMatchIn(l).flatMap { m =>
+        for (a <- parseDouble(m.group(1)); b <- parseDouble(m.group(2)))
+          yield (a + b) / 2.0
+      }
     }
 
   /** MIN `calib_mean` over the last `k` same-SF entries — the
@@ -399,7 +409,8 @@ object BenchHistory {
     * run unflaggable. */
   def minCalibOverRecent(path: String, sfDir: String, k: Int): Option[Double] =
     lastEntries(path, sfDir, k)
-      .flatMap(l => CalibMeanRe.findFirstMatchIn(l).map(_.group(1).toDouble))
+      .flatMap(l => CalibMeanRe.findFirstMatchIn(l)
+        .flatMap(m => parseDouble(m.group(1))))
       .minOption
 
   /** The last history entry for the SAME sf dir — (calib_mean,
@@ -436,7 +447,8 @@ object BenchHistory {
     * baseline). */
   def minOverRecent(path: String, sfDir: String, k: Int): Map[String, Double] =
     lastEntries(path, sfDir, k).flatMap { l =>
-      QuerySecRe.findAllMatchIn(l).map(q => q.group(1) -> q.group(2).toDouble)
+      QuerySecRe.findAllMatchIn(l)
+        .flatMap(q => parseDouble(q.group(2)).map(q.group(1) -> _))
     }.groupMapReduce(_._1)(_._2)(math.min)
 
   /** Append (create parents on first run). Best-effort by design: a

@@ -548,7 +548,14 @@ FROM s"""))
       .select(col("logprob"), col("doc_id"))
     val poolCnt = math.max(1L, pool.count())
     val rate = math.min(1.0, cap.toDouble / poolCnt)
-    val thHex = f"${math.min(65535L, math.floor(rate * 65536.0).toLong)}%04x"
+    // clamp the 16-bit threshold to [1, 65535]: above ~cap·2^16 pool
+    // docs the rate rounds below one slice unit and an unclamped
+    // floor would mint "0000" — an EMPTY calibration sample, every
+    // doc bucketed 'head', and the twin oracle confirming the wrong
+    // answer (r12 review). The floor keeps an expected >= poolCnt/2^16
+    // docs instead — still sort-safe, never empty-by-arithmetic.
+    val thHex =
+      f"${math.min(65535L, math.max(1L, math.floor(rate * 65536.0).toLong))}%04x"
     pool.filter(substring(
       md5(concat(lit("graft-ppl-cal:"), col("doc_id").cast("string")).cast("binary")),
       1, 4) < lit(thHex))
@@ -612,8 +619,8 @@ FROM s"""))
     Some(s"""WITH $unigramLpCte,
 pool AS (SELECT logprob, doc_id FROM lp WHERE doc_id % 10 = 0),
 gate AS (
-  SELECT lpad(lower(to_hex(CAST(least(65535, floor(
-           least(1.0, CAST($PplCalCap AS DOUBLE) / greatest(1, COUNT(*))) * 65536.0))
+  SELECT lpad(lower(to_hex(CAST(least(65535, greatest(1, floor(
+           least(1.0, CAST($PplCalCap AS DOUBLE) / greatest(1, COUNT(*))) * 65536.0)))
          AS BIGINT))), 4, '0') AS keep_below
   FROM pool),
 samp AS (

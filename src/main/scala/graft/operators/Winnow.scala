@@ -164,9 +164,25 @@ object Winnow extends CompactableIndex {
 
   /** Persist one batch of fingerprints —
     * [[CompactableIndex.landBatch]]'s replay-idempotent
-    * overwrite-by-dir landing. */
+    * overwrite-by-dir landing (batch-mode: any non-negative id;
+    * streaming loops use the guarded pair below). */
   def writeBatch(fps: DataFrame, path: String, batchId: Long): Unit =
     landBatch(fps, path, batchId)
+
+  /** Lands a STREAM micro-batch's fingerprints — refuses the seed
+    * space, so a micro-batch id can never overwrite a seeded standing
+    * corpus (r12 review: this family was the one streaming loop still
+    * appending through the unguarded batch-mode landing, leaving the
+    * id-space split a comment instead of a `require`). */
+  def writeStreamBatch(fps: DataFrame, path: String, batchId: Long): Unit =
+    landStreamBatch(fps, path, batchId)
+
+  /** Seeds the standing corpus for a
+    * [[graft.streaming.StreamSubstringDedup]] loop — the landing
+    * constrained to the seed id space. */
+  def seedBatch(fps: DataFrame, path: String,
+      seedId: Long = SeedBatchId): Unit =
+    landSeedBatch(fps, path, seedId)
 
   /** Candidate pairs (a < b) sharing at least `minShared`
     * fingerprints, with the shared count — the verification-ready

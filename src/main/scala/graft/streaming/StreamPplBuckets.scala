@@ -60,8 +60,11 @@ object StreamPplBuckets {
       landSeedBatch(rows, path, SeedBatchId)
   }
 
+  /** The ONE unigram count definition (shared with the F16/F35
+    * chain — a drift here would break the streamed == batch
+    * bit-for-bit contract the spec pins). */
   private def tokCounts(toks: DataFrame): DataFrame =
-    toks.groupBy("tok").agg(count(lit(1)).cast("double").as("c"))
+    QueriesLLM.unigramFreqOfToks(toks)
 
   private def poolRows(toks: DataFrame): DataFrame =
     toks.filter(col("doc_id") % 10 === 0)
@@ -83,8 +86,13 @@ object StreamPplBuckets {
     val freq = readState(spark, statePath, excludeBatchId)
       .groupBy("tok").agg(sum("c").as("c"))
       .localCheckpoint() // consumed by the pool scoring AND the write
+    // materialize BEFORE pplThresholds: its rate gate runs a count()
+    // action and the rank stage re-reads the frame — unmaterialized,
+    // the pool×freq LM join (the recalibration's dominant scan) would
+    // evaluate twice (gotcha #4; the batch caller checkpoints too)
     val lp = QueriesLLM.logprobOfToks(
-      readState(spark, poolPath, excludeBatchId), freq)
+        readState(spark, poolPath, excludeBatchId), freq)
+      .localCheckpoint()
     val th = QueriesLLM.pplThresholds(lp)
     val staged = graft.sources.LakeWriter.stagingPath(artifactPath)
     val fs = new org.apache.hadoop.fs.Path(staged)

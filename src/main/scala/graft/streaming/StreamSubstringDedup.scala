@@ -25,7 +25,10 @@ object StreamSubstringDedup {
     * `textCol`: string). Requires
     * [[graft.plans.GraftExtensions.register]] on the session (the
     * native `winnow_fps` kernel). Seed the standing corpus with
-    * [[Winnow.writeBatch]] under an id clear of the stream's 0..N. */
+    * [[Winnow.seedBatch]] — seeds live at ids ≥ `Winnow.SeedBatchId`,
+    * structurally disjoint from the stream's 0..N, and the append
+    * below refuses the seed space, so a mis-seeded index fails LOUDLY
+    * instead of being silently overwritten by micro-batch N. */
   def probeThenAppendParquet(
       indexPath: String, pairsPath: String,
       idCol: String = "doc_id", textCol: String = "text",
@@ -40,7 +43,7 @@ object StreamSubstringDedup {
       Winnow.incrementalPairs(
           Winnow.readIndex(spark, indexPath), fd, idCol, minShared, maxDf)
         .write.mode("overwrite").parquet(s"$pairsPath/batch=$batchId")
-      Winnow.writeBatch(fd, indexPath, batchId)
+      Winnow.writeStreamBatch(fd, indexPath, batchId)
       // In-loop maintenance; the just-appended (uncommitted, hence
       // replayable) batch is preserved unfolded — for THIS family
       // that is a correctness requirement, not just hygiene: a folded

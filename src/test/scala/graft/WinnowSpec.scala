@@ -188,11 +188,20 @@ class WinnowSpec extends SparkTestBase {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
       .select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 4 =!= 0)
-    // standing index exists before the stream starts (user-space id
-    // clear of the stream's 0..N)
-    Winnow.writeBatch(
-      Winnow.fingerprintsFast(corpus, "doc_id", "text", K, W),
-      idxPath, 1000000L)
+    // standing index seeded OUTSIDE the stream id space — and the
+    // structural split holds (r12 review: this was the one streaming
+    // family whose append ran through the unguarded batch landing)
+    Winnow.seedBatch(
+      Winnow.fingerprintsFast(corpus, "doc_id", "text", K, W), idxPath)
+    intercept[IllegalArgumentException] {
+      Winnow.seedBatch(corpus.limit(0).select(col("doc_id"), col("doc_id").as("fp")),
+        idxPath, seedId = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Winnow.writeStreamBatch(
+        corpus.limit(0).select(col("doc_id"), col("doc_id").as("fp")),
+        idxPath, Winnow.SeedBatchId)
+    }
     val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val deltaIds = docs.filter(col("doc_id") % 4 === 0)
       .select("doc_id").as[Long].collect().sorted
