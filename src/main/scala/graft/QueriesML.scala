@@ -1344,6 +1344,105 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       FROM scored)
 WHERE rk <= 3"""))
 
+  /** E12 — the INDEX-QUALITY EVAL every production ANN deployment
+    * runs on a schedule: recall@10 of the approximate probe vs exact
+    * brute-force ground truth over a deterministic query sample (here
+    * vec_id < 8; production samples recent query logs). The probe
+    * under eval is the md5-hyperplane bucket search (E2b's exact
+    * arithmetic — both engines reproduce it verbatim, which is what
+    * makes a RECALL number hash-checkable end to end, the property no
+    * seeded-kmeans index can offer). Per query: exact top-10, bucket
+    * top-10, hits = |intersection|, recall_10 = hits/10, plus the
+    * probe's candidate count (the cost side of the recall/cost
+    * trade). Scale shape: the brute side is |sample|×|corpus| BY
+    * DESIGN — ground truth for an eval runs over a bounded query
+    * sample, not the serving path; the probe side is one bucket
+    * equi-join. Both top-10s prune map-side (WindowGroupLimit, the
+    * ann_knn_join shape). */
+  private val annRecallReport = Q(
+    "ann_recall_report",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), normalize(toDouble(col("embedding"))).as("e"))
+        .withColumn("bucket", hyperplaneBucketMd5(col("e"), 4))
+        .localCheckpoint() // build-once index: queries + both probe sides
+      val q = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("bucket").as("qbucket"))
+      def top10(cand: org.apache.spark.sql.DataFrame) = cand
+        .select(col("query_id"),
+          col("vec_id"),
+          round(dotNative(col("e"), col("qe")), 6).as("cos_sim"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+      val exact = top10(v.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id")))
+      val approx = top10(v.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id")))
+      val nCand = v.join(broadcast(q),
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+      exact.select("query_id", "vec_id")
+        .join(approx.select(col("query_id"), col("vec_id"),
+          lit(1L).as("hit")), Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(coalesce(sum("hit"), lit(0L)).as("hits"))
+        .join(nCand, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("hits"),
+          round(col("hits") / lit(10.0), 4).as("recall_10"))
+    },
+    Some("""WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v1 AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0),
+v AS (
+  SELECT vec_id, e,
+         CAST(list_sum(list_transform(generate_series(0, 3), j ->
+           CASE WHEN list_sum(list_transform(generate_series(1, len(e)), i ->
+             CASE WHEN substring(md5(CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)
+                  IN ('0','2','4','6','8','a','c','e')
+             THEN e[i] ELSE -e[i] END)) > 0
+           THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+  FROM v1),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qbucket FROM v WHERE vec_id < 8),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, v.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * q.qe[i])), 6) DESC,
+             v.vec_id) AS rk
+    FROM v, q WHERE v.vec_id <> q.query_id)
+  WHERE rk <= 10),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, v.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * q.qe[i])), 6) DESC,
+             v.vec_id) AS rk
+    FROM v JOIN q ON v.bucket = q.qbucket AND v.vec_id <> q.query_id)
+  WHERE rk <= 10),
+ncand AS (
+  SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_candidates
+  FROM v JOIN q ON v.bucket = q.qbucket AND v.vec_id <> q.query_id
+  GROUP BY 1)
+SELECT e.query_id,
+       coalesce(n.n_candidates, 0) AS n_candidates,
+       CAST(count(a.vec_id) AS BIGINT) AS hits,
+       round(count(a.vec_id) / 10.0, 4) AS recall_10
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+LEFT JOIN ncand n ON n.query_id = e.query_id
+GROUP BY 1, 2"""))
+
   // ---------------------------------------------------------------------
   // G. Multimodal
   // ---------------------------------------------------------------------
@@ -2188,7 +2287,7 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
     annIvfPq, annIvfPqBuild, annIvfPqOracle, annKnnJoin,
     annRangeSearch, annRangeSearchBatch,
     annPqOracle, annQ8, annQ8Oracle,
-    annDiversitySample, annPairMining, annClusterQuality,
+    annDiversitySample, annPairMining, annClusterQuality, annRecallReport,
     mmBinaryMeta, mmDecode, mmFrameSample, mmAudioEnergy, mmAudioSegments,
     streamBatchParity)
 }
