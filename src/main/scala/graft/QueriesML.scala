@@ -209,12 +209,17 @@ GROUP BY md5(text)"""))
       .distinct()
   }
 
-  /** DuckDB twin of [[ngramJaccardPairs]] as a CTE body (`g`, `pairs`). */
-  private[graft] val ngramPairsCte: String = s"""g AS (
+  /** DuckDB twin of [[ngramGrams]] as a CTE (`g`) — shared by the
+    * pair CTE below and D20's unfiltered similarity histogram (one
+    * gram-SQL definition, the pairs-story-in-one-place rule). */
+  private[graft] val ngramGramsCte: String = s"""g AS (
   SELECT doc_id, lang, n_chars,
          list_distinct(list_transform(generate_series(1, greatest(1, length(text) - ${NgramShingle - 1})),
                                       i -> substring(text, i, $NgramShingle))) AS grams
-  FROM documents),
+  FROM documents)"""
+
+  /** DuckDB twin of [[ngramJaccardPairs]] as a CTE body (`g`, `pairs`). */
+  private[graft] val ngramPairsCte: String = s"""$ngramGramsCte,
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
@@ -227,6 +232,47 @@ pairs AS (
     "dedup_ngram_jaccard",
     (s, dir) => ngramJaccardPairs(s, dir),
     Some(s"WITH $ngramPairsCte\nSELECT id_a, id_b, jaccard FROM pairs"))
+
+  /** D20 — the τ-CALIBRATION artifact a curation team reads BEFORE
+    * choosing a dedup threshold: the exact similarity histogram of
+    * blocked candidate pairs (D2's gram/block arithmetic, UNfiltered)
+    * in 0.1 buckets, with the cumulative count at-or-above each
+    * bucket — "how many pairs would τ = b merge?" reads straight off
+    * `n_pairs_ge`. F35 calibrates a SAMPLE because its signal needs a
+    * rank; here the histogram is a bounded aggregate (≤ 10 rows), so
+    * the full blocked-pair population folds map-side after the same
+    * bucket-local join D2 pays — never all-pairs, and the cumulative
+    * window runs over the 10-row histogram only. */
+  private val dedupThresholdReport = Q(
+    "dedup_threshold_report",
+    (s, dir) => {
+      val g = ngramGrams(s, dir)
+      val sim = g.as("a").join(g.as("b"),
+          expr("a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id"))
+        .select(round(
+          size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+            size(array_union(col("a.grams"), col("b.grams"))).cast("double"),
+          6).as("j"))
+      sim.select(least(lit(9L), floor(col("j") * 10).cast("long")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("n_pairs_ge", sum("n_pairs").over(
+          Window.orderBy(col("b").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(round(col("b") / 10.0, 1).as("sim_bucket"),
+          col("n_pairs"), col("n_pairs_ge"))
+    },
+    Some(s"""WITH $ngramGramsCte,
+sim AS (
+  SELECT round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS j
+  FROM g a JOIN g b ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+hist AS (
+  SELECT least(9, CAST(floor(j * 10) AS BIGINT)) AS b,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM sim GROUP BY 1)
+SELECT round(b / 10.0, 1) AS sim_bucket, n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY b DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pairs_ge
+FROM hist"""))
 
   /** Exact weighted Jaccard over CANDIDATE pairs: tf folds once, the
     * shared-min join is pair×shared-vocab bounded, and
@@ -2278,7 +2324,8 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
   val all: Seq[Q] = Seq(
     textTokens, textQuality, textLangid, textFingerprint, topTerms, histogram,
     bpeTrain, bpeSegment,
-    dedupExact, dedupNgramJaccard, dedupWeightedJaccard, dedupIcws,
+    dedupExact, dedupNgramJaccard, dedupThresholdReport,
+    dedupWeightedJaccard, dedupIcws,
     dedupIcwsIncremental, dedupMinhash, dedupSimhash,
     dedupSimhashOracle, dedupEmbedding,
     dedupIncremental, dedupMinhashOracle, dedupIncrementalOracle,
