@@ -428,10 +428,15 @@ object BenchHistory {
         val last = try src.getLines().filter(_.contains(needle)).foldLeft(
           Option.empty[String])((_, l) => Some(l)) finally src.close()
         last.flatMap { l =>
-          CalibMeanRe.findFirstMatchIn(l).map { m =>
-            val qs = QuerySecRe.findAllMatchIn(l)
-              .map(q => q.group(1) -> q.group(2).toDouble).toMap
-            (m.group(1).toDouble, qs)
+          CalibMeanRe.findFirstMatchIn(l).flatMap { m =>
+            parseDouble(m.group(1)).map { calib =>
+              // per-value parse (r12 review): one malformed sec must
+              // skip that value, not discard the whole entry
+              val qs = QuerySecRe.findAllMatchIn(l)
+                .flatMap(q => parseDouble(q.group(2)).map(q.group(1) -> _))
+                .toMap
+              (calib, qs)
+            }
           }
         }
       }

@@ -536,7 +536,9 @@ FROM s"""))
     * compose: the `doc_id % 10` pool (the CCNet 10% convention), then
     * a 16-bit md5 slice vs a rate threshold derived from the pool
     * count (the F18 `q_sample_weighted` idiom — rate = min(1, cap /
-    * |pool|), keep when `md5[0:4] < hex(rate·2^16)`). The pool count
+    * |pool|), keep when `md5[0:4] < hex(rate·2^16)`; as there, the
+    * threshold caps at 0xffff, so rate 1.0 keeps 65535/65536 — a
+    * one-key-value bias, identical on both engines). The pool count
     * is one distributed aggregate; the rank window downstream sorts
     * only the gated sample, so the single-task sort is bounded by the
     * cap's binomial envelope, not the corpus. Both gates are pure key

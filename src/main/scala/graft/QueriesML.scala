@@ -149,7 +149,13 @@ GROUP BY md5(text)"""))
     docs.select(col("doc_id"), col("lang"), col("n_chars"),
       TextFunctions.shingles("text", NgramShingle).as("grams"))
 
-  private[graft] def scoredPairs(a: org.apache.spark.sql.DataFrame,
+  /** The blocked pair join + exact gram-Jaccard scoring WITHOUT the
+    * τ filter — one definition for every consumer of the D2
+    * arithmetic: [[scoredPairs]] adds the τ gate; D20's calibration
+    * histogram reads the unfiltered distribution (r12 review: the
+    * histogram had inlined a copy, the drift class the
+    * pairs-story-in-one-place rule exists to kill). */
+  private def scoredPairsRaw(a: org.apache.spark.sql.DataFrame,
       b: org.apache.spark.sql.DataFrame, cond: String): org.apache.spark.sql.DataFrame =
     a.as("a").join(b.as("b"),
         expr(s"a.lang = b.lang AND a.n_chars = b.n_chars AND $cond"))
@@ -160,7 +166,10 @@ GROUP BY md5(text)"""))
           size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
             size(array_union(col("a.grams"), col("b.grams"))).cast("double"),
           6).as("jaccard"))
-      .filter(col("jaccard") >= NgramTau)
+
+  private[graft] def scoredPairs(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, cond: String): org.apache.spark.sql.DataFrame =
+    scoredPairsRaw(a, b, cond).filter(col("jaccard") >= NgramTau)
 
   private[graft] def ngramJaccardPairs(
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
@@ -242,17 +251,17 @@ pairs AS (
     * rank; here the histogram is a bounded aggregate (≤ 10 rows), so
     * the full blocked-pair population folds map-side after the same
     * bucket-local join D2 pays — never all-pairs, and the cumulative
-    * window runs over the 10-row histogram only. */
+    * window runs over the 10-row histogram only. NOTE: the fixed 0.1
+    * buckets mean the tail readout is exact only at bucket-boundary
+    * τ values; a τ like 0.35 needs a finer bucket width (one
+    * constant), and DedupThresholdSpec pins the boundary coupling so
+    * a NgramTau retune that breaks it fails loudly. */
   private val dedupThresholdReport = Q(
     "dedup_threshold_report",
     (s, dir) => {
       val g = ngramGrams(s, dir)
-      val sim = g.as("a").join(g.as("b"),
-          expr("a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id"))
-        .select(round(
-          size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
-            size(array_union(col("a.grams"), col("b.grams"))).cast("double"),
-          6).as("j"))
+      val sim = scoredPairsRaw(g, g, "a.doc_id < b.doc_id")
+        .select(col("jaccard").as("j"))
       sim.select(least(lit(9L), floor(col("j") * 10).cast("long")).as("b"))
         .groupBy("b").agg(count(lit(1)).as("n_pairs"))
         .withColumn("n_pairs_ge", sum("n_pairs").over(
@@ -1417,23 +1426,32 @@ WHERE rk <= 3"""))
       val q = v.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("e").as("qe"),
           col("bucket").as("qbucket"))
-      def top10(cand: org.apache.spark.sql.DataFrame) = cand
+      def scored(cand: org.apache.spark.sql.DataFrame) = cand
         .select(col("query_id"),
           col("vec_id"),
           round(dotNative(col("e"), col("qe")), 6).as("cos_sim"))
+      val wq = Window.partitionBy("query_id")
+      val exact = scored(v.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id")))
         .withColumn("rank", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("cos_sim").desc, col("vec_id"))))
+          wq.orderBy(col("cos_sim").desc, col("vec_id"))))
         .filter(col("rank") <= 10)
-      val exact = top10(v.crossJoin(broadcast(q))
-        .filter(col("vec_id") =!= col("query_id")))
-      val approx = top10(v.join(broadcast(q),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id")))
-      val nCand = v.join(broadcast(q),
-          col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+      // the bucket probe runs ONCE (r12 review: the first cut joined
+      // twice — once for the top-10, once for the candidate count):
+      // the same window pass carries the per-query count, and the
+      // ≤ 10·|sample| surviving rows checkpoint so the hits join and
+      // the count readout share one execution
+      val approxTop = scored(v.join(broadcast(q),
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id")))
+        .withColumn("n_candidates", count(lit(1)).over(wq))
+        .withColumn("rank", row_number().over(
+          wq.orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .localCheckpoint()
+      val nCand = approxTop.groupBy("query_id")
+        .agg(max("n_candidates").as("n_candidates"))
       exact.select("query_id", "vec_id")
-        .join(approx.select(col("query_id"), col("vec_id"),
+        .join(approxTop.select(col("query_id"), col("vec_id"),
           lit(1L).as("hit")), Seq("query_id", "vec_id"), "left")
         .groupBy("query_id")
         .agg(coalesce(sum("hit"), lit(0L)).as("hits"))

@@ -19,7 +19,13 @@ class DedupThresholdSpec extends SparkTestBase {
       val suffix = rows.filter(_._1 >= b).map(_._2).sum
       assert(ge == suffix, s"bucket $b: n_pairs_ge $ge != suffix $suffix")
     }
-    // the calibration promise: the tail at D2's τ IS D2's merge count
+    // the calibration promise: the tail at D2's τ IS D2's merge count.
+    // PRECONDITION the equality rests on: τ sits on a 0.1 bucket
+    // boundary — a retune to e.g. 0.35 must also refine the report's
+    // bucket width, and this assert is the loud failure that says so
+    assert((QueriesML.NgramTau * 10) == math.floor(QueriesML.NgramTau * 10),
+      s"NgramTau ${QueriesML.NgramTau} is not a 0.1-bucket boundary — " +
+        "refine dedup_threshold_report's bucket width along with it")
     val atTau = rows.filter(_._1 >= QueriesML.NgramTau).map(_._2).sum
     val d2 = SparkEntry.queries("dedup_ngram_jaccard")(spark, Sf).count()
     assert(atTau == d2,

@@ -240,9 +240,12 @@ class WinnowSpec extends SparkTestBase {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
       .select("doc_id", "text")
     val corpus = docs.filter(col("doc_id") % 4 =!= 0)
-    Winnow.writeBatch(
-      Winnow.fingerprintsFast(corpus, "doc_id", "text", K, W),
-      idxPath, 1000000L)
+    // seedBatch, not a hand-picked low id: a seed INSIDE the stream id
+    // space is exactly what the guard cannot protect (micro-batch
+    // 1000000 would silently overwrite it) — the r12 review caught
+    // this test keeping the deprecated pattern alive as reference
+    Winnow.seedBatch(
+      Winnow.fingerprintsFast(corpus, "doc_id", "text", K, W), idxPath)
     val sink = graft.streaming.StreamSubstringDedup.probeThenAppendParquet(
       idxPath, pairsPath, k = K, w = W, minShared = 2, maxDf = 64,
       compactEvery = 1) _
