@@ -304,6 +304,82 @@ FROM train tr LEFT JOIN hits h ON tr.doc_id = h.doc_id""")
        ${piiScrubSql("text")} AS scrubbed
 FROM documents"""))
 
+  /** F37 — arrival-order novelty scan: for each doc, the fraction of
+    * its distinct word 5-grams whose FIRST corpus occurrence (min
+    * doc_id) is this doc — "how much content does this doc add that
+    * no earlier doc already had?" The curation signal behind
+    * crawl-snapshot triage (later snapshots re-crawl mostly-known
+    * content) and memorization studies (low-novelty docs are the
+    * n-gram-duplicated ones). One |grams| shuffle: first-occurrence
+    * comes from `min(doc_id) over (partition by gram)` on the
+    * exploded distinct-gram rows — no gram-key join-back — then one
+    * doc_id shuffle folds the per-doc counts. At 100 TB the gram
+    * window partitions by gram hash across executors like any
+    * aggregate; no skew beyond gram df (stop-gram-capped corpora
+    * bound it). Docs under 5 tokens emit no grams and drop out —
+    * same convention as F10's gram table. */
+  private val textNovelty = Q(
+    "text_novelty",
+    (s, dir) => {
+      val ex = gramTable(s, dir)
+        .select(col("doc_id"), explode(array_distinct(col("grams"))).as("gram"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+      ex.withColumn("first_id", min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+    },
+    Some("""WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+g AS (
+  SELECT doc_id, CASE WHEN len(toks) < 5 THEN []
+           ELSE list_transform(range(1, len(toks)-3),
+                i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]) END AS grams
+  FROM t),
+ex AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g),
+f AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY gram) AS first_id FROM ex)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       round(SUM(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM f GROUP BY doc_id"""))
+
+  /** F38 — the dataset-card composition table every corpus release
+    * publishes (per source × language: volume, token mass, exact-dup
+    * rate, length profile). One documents scan, one groupBy — every
+    * measure folds map-side; the single countDistinct(md5) plans
+    * Spark's single-distinct rewrite (two-phase, NO Expand — the
+    * multi-distinct trap q_profile escaped doesn't arise with one
+    * distinct column). At 100 TB this is the same shape as any
+    * per-source rollup: |sources × langs| groups, tiny result. */
+  private val datasetCard = Q(
+    "dataset_card",
+    (s, dir) => ViewingData.table(s, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_unique_texts"),
+        sum(TextFunctions.wsTokenCount(col("text"))).as("total_tokens"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        round(sum(when(col("n_chars") < 200, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), 6).as("pct_short"))
+      .withColumn("dup_rate", round(
+        lit(1.0) - col("n_unique_texts").cast("double") / col("n_docs"), 6)),
+    Some("""SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens,
+       round(AVG(n_chars), 2) AS avg_chars,
+       round(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS pct_short,
+       round(1.0 - COUNT(DISTINCT md5(text)) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM documents
+GROUP BY source, lang"""))
+
   /** Deterministic corpus shuffle: the pre-training global shuffle as
     * a pure key derivation (md5 of seeded id) — writers range-sort by
     * shuffle_key, readers stream in that order; shard is the leading
@@ -1596,5 +1672,6 @@ FROM fused QUALIFY rank <= 10"""
       qualityModelTrained, qualityModelEval, mmHeaderParse, qualityGate, corpusPrep,
       corpusPrepIncremental,
       docChunk, textTfidf, sampleWeightedK, chunkEmbed, textBm25, hybridSearch,
-      hybridSearchIndexed, corpusPplBuckets, contaminationReport)
+      hybridSearchIndexed, corpusPplBuckets, contaminationReport, textNovelty,
+      datasetCard)
 }

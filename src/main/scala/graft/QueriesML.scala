@@ -586,6 +586,138 @@ est AS (
 SELECT id_a, id_b, jaccard_est FROM est
 WHERE jaccard_est >= 0.4 AND (id_a % 4 = 0 OR id_b % 4 = 0)"""))
 
+  /** D21 — the (bands × rows-per-band) TUNING report an LSH dedup
+    * deployment reads before picking its banding (the S-curve table
+    * in Leskovec/Rajaraman/Ullman ch.3): for each config derivable
+    * from one k=16 signature (1×16, 2×8, 4×4, 8×2), the measured
+    * recall and precision of band-collision candidate generation
+    * against EXACT ground truth. Ground truth is exact distinct-
+    * 5-gram Jaccard ≥ 0.5 between a fixed-size query sample and the
+    * corpus — the τ≥0.5 test is the integer ratio form
+    * `3·|I| ≥ |a|+|b|` (one exact integer compare, no FP threshold);
+    * the sample is md5-rate-gated to an expected [[LshTuneCap]] docs
+    * whatever the corpus size (the F35/F18 idiom), so the
+    * |sample|×|corpus| truth join is bounded BY DESIGN — the E12
+    * discipline: the eval pays a capped brute pass the serving path
+    * never runs. Signatures are the D9 md5 flavor, so every stage —
+    * gate, truth, bands, collisions, recall arithmetic — hash-checks
+    * against DuckDB. Expected shape: recall climbs as rows-per-band
+    * shrinks (collision prob 1-(1-J^r)^b) while candidate volume
+    * (and so precision) degrades — the trade the report exists to
+    * price. */
+  private[graft] val LshTuneCap = 48L
+
+  private val dedupLshTuning = Q(
+    "dedup_lsh_tuning",
+    (s, dir) => {
+      import s.implicits._
+      val docs = ViewingData.table(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("text"))
+      // distinct 5-char substring gram sets — the signature's own gram
+      // definition, so truth and index measure the same universe
+      val grams = docs.select(col("doc_id"),
+          array_distinct(transform(
+            sequence(lit(1), greatest(lit(1), length(col("text")) - 4)),
+            i => call_function("substring", col("text"), i, lit(5)))).as("grams"))
+        .localCheckpoint() // consumed by the gate filter and the corpus side
+      val poolCnt = math.max(1L, grams.count())
+      val rate = math.min(1.0, LshTuneCap.toDouble / poolCnt)
+      val thHex =
+        f"${math.min(65535L, math.max(1L, math.floor(rate * 65536.0).toLong))}%04x"
+      val qs = grams.filter(substring(
+        md5(concat(lit("graft-lsh-rec:"), col("doc_id").cast("string")).cast("binary")),
+        1, 4) < lit(thHex))
+      // exact directed truth pairs: (sampled query, corpus doc) with
+      // distinct-gram Jaccard >= 0.5 — broadcast the capped sample,
+      // evaluate one integer compare per (q, c)
+      val truth = grams.as("c").join(broadcast(qs).as("q"), expr(
+          "q.doc_id <> c.doc_id AND " +
+          "3 * size(array_intersect(q.grams, c.grams)) >= size(q.grams) + size(c.grams)"))
+        .select(col("q.doc_id").as("qid"), col("c.doc_id").as("cid"))
+        .localCheckpoint() // consumed by the hits join and the count
+      val sig = HashFunctions.md5MinhashSignaturesText(docs, "doc_id", "text", 5, 16)
+        .localCheckpoint() // one signature build feeds all four configs
+      val bandAll = Seq(16, 8, 4, 2).map { r =>
+        sig.select(lit(r.toLong).as("rows_per_band"), col("doc_id"),
+          explode(HashFunctions.md5Bands(col("sig"), 16 / r, r)).as("bk"))
+      }.reduce(_ unionAll _)
+      val qids = qs.select(col("doc_id").as("qid"))
+      val cand = bandAll.join(broadcast(qids), col("doc_id") === col("qid")).as("a")
+        .join(bandAll.as("b"), expr(
+          "a.rows_per_band = b.rows_per_band AND a.bk = b.bk AND a.doc_id <> b.doc_id"))
+        .select(col("a.rows_per_band").as("rows_per_band"),
+          col("a.qid").as("qid"), col("b.doc_id").as("cid"))
+        .distinct()
+        .localCheckpoint() // consumed by the per-config count and the hits join
+      val nCand = cand.groupBy("rows_per_band").agg(count(lit(1)).as("n_cand"))
+      val nHits = cand.join(truth, Seq("qid", "cid"))
+        .groupBy("rows_per_band").agg(count(lit(1)).as("n_hits"))
+      val cfg = Seq((1L, 16L), (2L, 8L), (4L, 4L), (8L, 2L))
+        .toDF("bands", "rows_per_band")
+      cfg.crossJoin(truth.agg(count(lit(1)).as("n_true")))
+        .join(nCand, Seq("rows_per_band"), "left")
+        .join(nHits, Seq("rows_per_band"), "left")
+        .select(col("bands"), col("rows_per_band"), col("n_true"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            greatest(col("n_true"), lit(1L)), 4).as("recall"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            greatest(coalesce(col("n_cand"), lit(0L)), lit(1L)), 6).as("prec"))
+    },
+    Some(s"""WITH g0 AS (
+  SELECT doc_id, list_transform(generate_series(1, greatest(1, length(text)-4)),
+                                i -> substring(text, i, 5)) AS grams
+  FROM documents),
+gd AS (SELECT doc_id, list_distinct(grams) AS grams FROM g0),
+gate AS (
+  SELECT lpad(lower(to_hex(CAST(least(65535, greatest(1, floor(
+           least(1.0, CAST($LshTuneCap AS DOUBLE) / greatest(1, COUNT(*))) * 65536.0)))
+         AS BIGINT))), 4, '0') AS keep_below
+  FROM gd),
+q AS (
+  SELECT gd.* FROM gd CROSS JOIN gate
+  WHERE substring(md5('graft-lsh-rec:' || CAST(doc_id AS VARCHAR)), 1, 4) < keep_below),
+truth AS (
+  SELECT q.doc_id AS qid, c.doc_id AS cid
+  FROM q JOIN gd c ON c.doc_id <> q.doc_id
+   AND 3 * length(list_intersect(q.grams, c.grams)) >= length(q.grams) + length(c.grams)),
+sig AS (
+  SELECT doc_id, s AS seed,
+         list_min(list_transform(grams, g2 -> md5(g2 || ':' || s))) AS h
+  FROM g0, generate_series(0, 15) t(s)),
+band AS (
+  SELECT doc_id, r, seed // r AS band_id,
+         md5(string_agg(h, '|' ORDER BY seed)) AS bh
+  FROM sig, (VALUES (16), (8), (4), (2)) cfgr(r)
+  GROUP BY doc_id, r, seed // r),
+cand AS (
+  SELECT DISTINCT a.r, a.doc_id AS qid, b.doc_id AS cid
+  FROM band a
+  JOIN band b ON b.r = a.r AND b.band_id = a.band_id AND b.bh = a.bh
+             AND b.doc_id <> a.doc_id
+  WHERE a.doc_id IN (SELECT doc_id FROM q)),
+ncand AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand GROUP BY r),
+nhits AS (
+  SELECT c.r, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM cand c JOIN truth t ON t.qid = c.qid AND t.cid = c.cid
+  GROUP BY c.r),
+tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+cfg AS (SELECT * FROM (VALUES (1, 16), (2, 8), (4, 4), (8, 2)) t(bands, r))
+SELECT CAST(cfg.bands AS BIGINT) AS bands,
+       CAST(cfg.r AS BIGINT) AS rows_per_band,
+       tc.n_true,
+       CAST(COALESCE(ncand.n_cand, 0) AS BIGINT) AS n_cand,
+       CAST(COALESCE(nhits.n_hits, 0) AS BIGINT) AS n_hits,
+       round(CAST(COALESCE(nhits.n_hits, 0) AS DOUBLE)
+             / greatest(tc.n_true, 1), 4) AS recall,
+       round(CAST(COALESCE(nhits.n_hits, 0) AS DOUBLE)
+             / greatest(COALESCE(ncand.n_cand, 0), 1), 6) AS prec
+FROM cfg CROSS JOIN tc
+LEFT JOIN ncand ON ncand.r = cfg.r
+LEFT JOIN nhits ON nhits.r = cfg.r"""))
+
   private val dedupSimhash = Q(
     "dedup_simhash",
     (s, dir) => {
@@ -1414,6 +1546,60 @@ WHERE rk <= 3"""))
     * sample, not the serving path; the probe side is one bucket
     * equi-join. Both top-10s prune map-side (WindowGroupLimit, the
     * ann_knn_join shape). */
+  /** E13 — the INDEX-HEALTH report an ANN deployment watches next to
+    * E12's recall eval: per-bucket occupancy of the hyperplane index,
+    * each bucket's share of the corpus, its skew vs the uniform
+    * expectation (n · buckets / N — a balanced random-hyperplane
+    * index sits near 1.0), and the global expected candidate count
+    * for a random query, E[occupancy of the query's bucket] =
+    * Σn²/N — THE number that prices a single-bucket probe before
+    * anyone runs one (compare: E12 measures the same trade after).
+    * Same md5-hyperplane arithmetic as E2b, so every column
+    * hash-checks. One scan + a ≤ 2^planes-row aggregate; the
+    * unpartitioned window runs over that bounded 16-row frame only
+    * (the plan-audit convention for report rows). */
+  private val annBucketBalance = Q(
+    "ann_bucket_balance",
+    (s, dir) => {
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), normalize(toDouble(col("embedding"))).as("e"))
+        .withColumn("bucket", hyperplaneBucketMd5(col("e"), 4))
+      val w = Window.partitionBy(lit(1))
+      v.groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+        .withColumn("total", sum("n_vecs").over(w))
+        .withColumn("n_buckets", count(lit(1)).over(w))
+        .select(col("bucket"), col("n_vecs"),
+          round(col("n_vecs").cast("double") / col("total"), 6).as("share"),
+          round(col("n_vecs").cast("double") * col("n_buckets") / col("total"), 4)
+            .as("skew"),
+          round(sum(col("n_vecs") * col("n_vecs")).over(w).cast("double")
+            / col("total"), 2).as("expected_candidates"))
+    },
+    Some("""WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v1 AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0),
+v AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(generate_series(0, 3), j ->
+           CASE WHEN list_sum(list_transform(generate_series(1, len(e)), i ->
+             CASE WHEN substring(md5(CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)
+                  IN ('0','2','4','6','8','a','c','e')
+             THEN e[i] ELSE -e[i] END)) > 0
+           THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+  FROM v1),
+occ AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM v GROUP BY bucket)
+SELECT bucket, n_vecs,
+       round(n_vecs / CAST(SUM(n_vecs) OVER () AS DOUBLE), 6) AS share,
+       round(n_vecs * CAST(COUNT(*) OVER () AS DOUBLE) / SUM(n_vecs) OVER (), 4) AS skew,
+       round(SUM(n_vecs * n_vecs) OVER () / CAST(SUM(n_vecs) OVER () AS DOUBLE), 2)
+         AS expected_candidates
+FROM occ"""))
+
   private val annRecallReport = Q(
     "ann_recall_report",
     (s, dir) => {
@@ -2346,13 +2532,14 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
     dedupWeightedJaccard, dedupIcws,
     dedupIcwsIncremental, dedupMinhash, dedupSimhash,
     dedupSimhashOracle, dedupEmbedding,
-    dedupIncremental, dedupMinhashOracle, dedupIncrementalOracle,
+    dedupIncremental, dedupMinhashOracle, dedupIncrementalOracle, dedupLshTuning,
     dedupEmbeddingIncremental, dedupFuzzyNames,
     annBruteforce, annBucketed, annBucketedOracle, annIvf, annIvfOracle,
     annIvfPq, annIvfPqBuild, annIvfPqOracle, annKnnJoin,
     annRangeSearch, annRangeSearchBatch,
     annPqOracle, annQ8, annQ8Oracle,
     annDiversitySample, annPairMining, annClusterQuality, annRecallReport,
+    annBucketBalance,
     mmBinaryMeta, mmDecode, mmFrameSample, mmAudioEnergy, mmAudioSegments,
     streamBatchParity)
 }
