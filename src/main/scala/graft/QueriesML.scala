@@ -1600,6 +1600,113 @@ SELECT bucket, n_vecs,
          AS expected_candidates
 FROM occ"""))
 
+  /** E14 — MULTI-PROBE LSH (Lv et al., VLDB 2007): probe the query's
+    * bucket PLUS its four Hamming-1 neighbors (one hyperplane sign
+    * flipped — the buckets a borderline vector most likely fell
+    * into), trading ~5× probe volume for recall WITHOUT touching the
+    * index — the standard serving-knob between E2's single-probe and
+    * a rebuild with more planes. Measured with E12's exact recall
+    * methodology and emitted in E12's schema, so the two reports read
+    * side by side: same queries, same ground truth, single- vs
+    * multi-probe recall/cost. Probe set is exploded to an equi-join
+    * on bucket (5 keys per query, hash join, never a scan); the
+    * ≤ 10·|sample| top frame checkpoints so hits join and count
+    * readout share one execution (the E12 discipline). */
+  private val annMultiprobeRecall = Q(
+    "ann_multiprobe_recall",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), normalize(toDouble(col("embedding"))).as("e"))
+        .withColumn("bucket", hyperplaneBucketMd5(col("e"), 4))
+        .localCheckpoint()
+      val q = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("bucket").as("qbucket"))
+      val probes = q.withColumn("pbucket", explode(array(
+        col("qbucket"), expr("qbucket ^ 1"), expr("qbucket ^ 2"),
+        expr("qbucket ^ 4"), expr("qbucket ^ 8"))))
+      def scored(cand: org.apache.spark.sql.DataFrame) = cand
+        .select(col("query_id"), col("vec_id"),
+          round(dotNative(col("e"), col("qe")), 6).as("cos_sim"))
+      val wq = Window.partitionBy("query_id")
+      val exact = scored(v.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("query_id")))
+        .withColumn("rank", row_number().over(
+          wq.orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+      val approxTop = scored(v.join(broadcast(probes),
+          col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id")))
+        .withColumn("n_candidates", count(lit(1)).over(wq))
+        .withColumn("rank", row_number().over(
+          wq.orderBy(col("cos_sim").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .localCheckpoint()
+      val nCand = approxTop.groupBy("query_id")
+        .agg(max("n_candidates").as("n_candidates"))
+      exact.select("query_id", "vec_id")
+        .join(approxTop.select(col("query_id"), col("vec_id"),
+          lit(1L).as("hit")), Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(coalesce(sum("hit"), lit(0L)).as("hits"))
+        .join(nCand, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("hits"),
+          round(col("hits") / lit(10.0), 4).as("recall_10"))
+    },
+    Some("""WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v1 AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0),
+v AS (
+  SELECT vec_id, e,
+         CAST(list_sum(list_transform(generate_series(0, 3), j ->
+           CASE WHEN list_sum(list_transform(generate_series(1, len(e)), i ->
+             CASE WHEN substring(md5(CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)
+                  IN ('0','2','4','6','8','a','c','e')
+             THEN e[i] ELSE -e[i] END)) > 0
+           THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+  FROM v1),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qbucket FROM v WHERE vec_id < 8),
+probes AS (
+  SELECT query_id, qe,
+         unnest([qbucket, xor(qbucket, CAST(1 AS BIGINT)), xor(qbucket, CAST(2 AS BIGINT)),
+                 xor(qbucket, CAST(4 AS BIGINT)), xor(qbucket, CAST(8 AS BIGINT))]) AS pbucket
+  FROM q),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, v.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * q.qe[i])), 6) DESC,
+             v.vec_id) AS rk
+    FROM v, q WHERE v.vec_id <> q.query_id)
+  WHERE rk <= 10),
+approx AS (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, v.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+             round(list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * p.qe[i])), 6) DESC,
+             v.vec_id) AS rk
+    FROM v JOIN probes p ON v.bucket = p.pbucket AND v.vec_id <> p.query_id)
+  WHERE rk <= 10),
+ncand AS (
+  SELECT p.query_id, CAST(count(*) AS BIGINT) AS n_candidates
+  FROM v JOIN probes p ON v.bucket = p.pbucket AND v.vec_id <> p.query_id
+  GROUP BY 1)
+SELECT e.query_id,
+       coalesce(n.n_candidates, 0) AS n_candidates,
+       CAST(count(a.vec_id) AS BIGINT) AS hits,
+       round(count(a.vec_id) / 10.0, 4) AS recall_10
+FROM exact e
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+LEFT JOIN ncand n ON n.query_id = e.query_id
+GROUP BY 1, 2"""))
+
   private val annRecallReport = Q(
     "ann_recall_report",
     (s, dir) => {
@@ -2539,7 +2646,7 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
     annRangeSearch, annRangeSearchBatch,
     annPqOracle, annQ8, annQ8Oracle,
     annDiversitySample, annPairMining, annClusterQuality, annRecallReport,
-    annBucketBalance,
+    annBucketBalance, annMultiprobeRecall,
     mmBinaryMeta, mmDecode, mmFrameSample, mmAudioEnergy, mmAudioSegments,
     streamBatchParity)
 }
