@@ -629,12 +629,23 @@ WHERE jaccard_est >= 0.4 AND (id_a % 4 = 0 OR id_b % 4 = 0)"""))
         md5(concat(lit("graft-lsh-rec:"), col("doc_id").cast("string")).cast("binary")),
         1, 4) < lit(thHex))
       // exact directed truth pairs: (sampled query, corpus doc) with
-      // distinct-gram Jaccard >= 0.5 — broadcast the capped sample,
-      // evaluate one integer compare per (q, c)
-      val truth = grams.as("c").join(broadcast(qs).as("q"), expr(
-          "q.doc_id <> c.doc_id AND " +
-          "3 * size(array_intersect(q.grams, c.grams)) >= size(q.grams) + size(c.grams)"))
-        .select(col("q.doc_id").as("qid"), col("c.doc_id").as("cid"))
+      // distinct-gram Jaccard >= 0.5. Overlap counts come from a
+      // broadcast HASH join of exploded corpus grams against the
+      // capped sample's gram rows + a map-side partial count per
+      // (qid, cid) — measured 2.1x faster at x10 than a broadcast
+      // nested-loop join evaluating array_intersect per pair (25.3 →
+      // 12.1 s; identical at sf0.1 where the signature build
+      // dominates). The τ test stays the exact integer ratio form.
+      val qex = qs.select(col("doc_id").as("qid"), size(col("grams")).as("nq"),
+        explode(col("grams")).as("gram"))
+      val truth = grams.select(col("doc_id").as("cid"),
+          size(col("grams")).as("nc"), explode(col("grams")).as("gram"))
+        .join(broadcast(qex), "gram")
+        .filter(col("qid") =!= col("cid"))
+        .groupBy("qid", "cid", "nq", "nc")
+        .agg(count(lit(1)).as("ni"))
+        .filter(col("ni") * 3 >= col("nq") + col("nc"))
+        .select(col("qid"), col("cid"))
         .localCheckpoint() // consumed by the hits join and the count
       val sig = HashFunctions.md5MinhashSignaturesText(docs, "doc_id", "text", 5, 16)
         .localCheckpoint() // one signature build feeds all four configs
