@@ -607,6 +607,49 @@ WHERE jaccard_est >= 0.4 AND (id_a % 4 = 0 OR id_b % 4 = 0)"""))
     * price. */
   private[graft] val LshTuneCap = 48L
 
+  /** D21's exact-truth stage, exposed un-checkpointed so
+    * PlanAuditSpec can pin its shape (the registry row checkpoints
+    * the result, which truncates the audited plan): overlap counts
+    * from a broadcast HASH join of exploded corpus grams against the
+    * capped sample's gram rows, folded map-side per (qid, cid) — then
+    * the exact integer ratio test. Measured 2.1× faster at ×10 than a
+    * nested-loop join evaluating array_intersect per pair (25.3 →
+    * 12.1 s; tied at sf0.1 where the signature build dominates). */
+  private[graft] def lshTuningTruth(grams: org.apache.spark.sql.DataFrame,
+      qs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val qex = qs.select(col("doc_id").as("qid"), size(col("grams")).as("nq"),
+      explode(col("grams")).as("gram"))
+    grams.select(col("doc_id").as("cid"),
+        size(col("grams")).as("nc"), explode(col("grams")).as("gram"))
+      .join(broadcast(qex), "gram")
+      .filter(col("qid") =!= col("cid"))
+      .groupBy("qid", "cid", "nq", "nc")
+      .agg(count(lit(1)).as("ni"))
+      .filter(col("ni") * 3 >= col("nq") + col("nc"))
+      .select(col("qid"), col("cid"))
+  }
+
+  /** D21's distinct-gram frame + capped sample, shared with the plan
+    * audit. The gate's count() action materializes the checkpoint. */
+  private[graft] def lshTuningGramsAndSample(s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val docs = ViewingData.table(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"))
+    val grams = docs.select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(lit(1), length(col("text")) - 4)),
+          i => call_function("substring", col("text"), i, lit(5)))).as("grams"))
+      .localCheckpoint() // consumed by the gate filter and the corpus side
+    val poolCnt = math.max(1L, grams.count())
+    val rate = math.min(1.0, LshTuneCap.toDouble / poolCnt)
+    val thHex =
+      f"${math.min(65535L, math.max(1L, math.floor(rate * 65536.0).toLong))}%04x"
+    (grams, grams.filter(substring(
+      md5(concat(lit("graft-lsh-rec:"), col("doc_id").cast("string")).cast("binary")),
+      1, 4) < lit(thHex)))
+  }
+
   private val dedupLshTuning = Q(
     "dedup_lsh_tuning",
     (s, dir) => {
@@ -614,38 +657,13 @@ WHERE jaccard_est >= 0.4 AND (id_a % 4 = 0 OR id_b % 4 = 0)"""))
       val docs = ViewingData.table(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("text"))
-      // distinct 5-char substring gram sets — the signature's own gram
-      // definition, so truth and index measure the same universe
-      val grams = docs.select(col("doc_id"),
-          array_distinct(transform(
-            sequence(lit(1), greatest(lit(1), length(col("text")) - 4)),
-            i => call_function("substring", col("text"), i, lit(5)))).as("grams"))
-        .localCheckpoint() // consumed by the gate filter and the corpus side
-      val poolCnt = math.max(1L, grams.count())
-      val rate = math.min(1.0, LshTuneCap.toDouble / poolCnt)
-      val thHex =
-        f"${math.min(65535L, math.max(1L, math.floor(rate * 65536.0).toLong))}%04x"
-      val qs = grams.filter(substring(
-        md5(concat(lit("graft-lsh-rec:"), col("doc_id").cast("string")).cast("binary")),
-        1, 4) < lit(thHex))
+      // distinct 5-char substring gram sets (the signature's own gram
+      // definition, so truth and index measure the same universe) +
+      // the rate-capped query sample
+      val (grams, qs) = lshTuningGramsAndSample(s, dir)
       // exact directed truth pairs: (sampled query, corpus doc) with
-      // distinct-gram Jaccard >= 0.5. Overlap counts come from a
-      // broadcast HASH join of exploded corpus grams against the
-      // capped sample's gram rows + a map-side partial count per
-      // (qid, cid) — measured 2.1x faster at x10 than a broadcast
-      // nested-loop join evaluating array_intersect per pair (25.3 →
-      // 12.1 s; identical at sf0.1 where the signature build
-      // dominates). The τ test stays the exact integer ratio form.
-      val qex = qs.select(col("doc_id").as("qid"), size(col("grams")).as("nq"),
-        explode(col("grams")).as("gram"))
-      val truth = grams.select(col("doc_id").as("cid"),
-          size(col("grams")).as("nc"), explode(col("grams")).as("gram"))
-        .join(broadcast(qex), "gram")
-        .filter(col("qid") =!= col("cid"))
-        .groupBy("qid", "cid", "nq", "nc")
-        .agg(count(lit(1)).as("ni"))
-        .filter(col("ni") * 3 >= col("nq") + col("nc"))
-        .select(col("qid"), col("cid"))
+      // distinct-gram Jaccard >= 0.5 ([[lshTuningTruth]])
+      val truth = lshTuningTruth(grams, qs)
         .localCheckpoint() // consumed by the hits join and the count
       val sig = HashFunctions.md5MinhashSignaturesText(docs, "doc_id", "text", 5, 16)
         .localCheckpoint() // one signature build feeds all four configs

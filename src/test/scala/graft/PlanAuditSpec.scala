@@ -661,4 +661,40 @@ class PlanAuditSpec extends SparkTestBase {
     val docFolds = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).size
     assert(docFolds == 1, s"rebuild must fold per doc exactly once, got $docFolds:\n$p")
   }
+
+  test("dataset_card plans the single-distinct rewrite — no Expand") {
+    val p = plan("dataset_card")
+    assert(!p.contains("Expand"),
+      s"one countDistinct must not plan an Expand:\n$p")
+  }
+
+  test("text_novelty shuffles grams once — window min, no gram join-back") {
+    val p = plan("text_novelty")
+    val gramKeyed = "Exchange hashpartitioning\\(gram".r.findAllIn(p).size
+    assert(gramKeyed == 1, s"expected exactly one gram exchange:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"first-occurrence must come from the window, not a join-back:\n$p")
+  }
+
+  test("ann_multiprobe_recall's ground truth prunes top-10 map-side") {
+    // the probe branch localCheckpoints (its BroadcastHashJoin +
+    // WindowGroupLimit execute inside the checkpoint and vanish from
+    // the final plan — same probe shape as E12, behavior-pinned in
+    // MultiprobeSpec); the EXACT branch stays in-plan and must prune
+    // its per-query top-10 before the shuffle
+    val p = plan("ann_multiprobe_recall")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("dedup_lsh_tuning's truth stage: broadcast hash join, one (qid,cid) exchange, no nested loop") {
+    val (grams, qs) = QueriesML.lshTuningGramsAndSample(spark, Sf)
+    val p = QueriesML.lshTuningTruth(grams, qs)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no per-pair nested-loop evaluation:\n$p")
+    // partial count folds map-side; ONE shuffle on the pair key
+    val pairKeyed = "Exchange hashpartitioning\\(qid".r.findAllIn(p).size
+    assert(pairKeyed == 1, s"expected one (qid, cid) exchange:\n$p")
+  }
 }
