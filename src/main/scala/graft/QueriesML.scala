@@ -629,10 +629,13 @@ WHERE jaccard_est >= 0.4 AND (id_a % 4 = 0 OR id_b % 4 = 0)"""))
       .select(col("qid"), col("cid"))
   }
 
-  /** D21's distinct-gram frame + capped sample, shared with the plan
-    * audit. The gate's count() action materializes the checkpoint. */
+  /** D21's docs frame + distinct-gram frame + capped sample, shared
+    * with the plan audit; the docs frame rides along so the registry
+    * row's signature build reuses the ONE table scan (r12 review).
+    * The gate's count() action materializes the checkpoint. */
   private[graft] def lshTuningGramsAndSample(s: org.apache.spark.sql.SparkSession,
-      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      dir: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val docs = ViewingData.table(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("text"))
@@ -645,7 +648,7 @@ WHERE jaccard_est >= 0.4 AND (id_a % 4 = 0 OR id_b % 4 = 0)"""))
     val rate = math.min(1.0, LshTuneCap.toDouble / poolCnt)
     val thHex =
       f"${math.min(65535L, math.max(1L, math.floor(rate * 65536.0).toLong))}%04x"
-    (grams, grams.filter(substring(
+    (docs, grams, grams.filter(substring(
       md5(concat(lit("graft-lsh-rec:"), col("doc_id").cast("string")).cast("binary")),
       1, 4) < lit(thHex)))
   }
@@ -654,13 +657,10 @@ WHERE jaccard_est >= 0.4 AND (id_a % 4 = 0 OR id_b % 4 = 0)"""))
     "dedup_lsh_tuning",
     (s, dir) => {
       import s.implicits._
-      val docs = ViewingData.table(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), col("text"))
-      // distinct 5-char substring gram sets (the signature's own gram
-      // definition, so truth and index measure the same universe) +
-      // the rate-capped query sample
-      val (grams, qs) = lshTuningGramsAndSample(s, dir)
+      // one documents scan feeds grams, the rate-capped query sample,
+      // and the signature build; grams use the signature's own gram
+      // definition so truth and index measure the same universe
+      val (docs, grams, qs) = lshTuningGramsAndSample(s, dir)
       // exact directed truth pairs: (sampled query, corpus doc) with
       // distinct-gram Jaccard >= 0.5 ([[lshTuningTruth]])
       val truth = lshTuningTruth(grams, qs)
@@ -1578,8 +1578,10 @@ WHERE rk <= 3"""))
   /** E13 — the INDEX-HEALTH report an ANN deployment watches next to
     * E12's recall eval: per-bucket occupancy of the hyperplane index,
     * each bucket's share of the corpus, its skew vs the uniform
-    * expectation (n · buckets / N — a balanced random-hyperplane
-    * index sits near 1.0), and the global expected candidate count
+    * expectation over the FULL 2^planes bucket space (n · 2^p / N — a
+    * balanced random-hyperplane index sits near 1.0, and empty
+    * buckets push the survivors' skew up where an occupied-count
+    * denominator would hide them), and the global expected candidate count
     * for a random query, E[occupancy of the query's bucket] =
     * Σn²/N — THE number that prices a single-bucket probe before
     * anyone runs one (compare: E12 measures the same trade after).
@@ -1595,12 +1597,15 @@ WHERE rk <= 3"""))
         .select(col("vec_id"), normalize(toDouble(col("embedding"))).as("e"))
         .withColumn("bucket", hyperplaneBucketMd5(col("e"), 4))
       val w = Window.partitionBy(lit(1))
+      // skew normalizes by the FULL 2^planes bucket space, not the
+      // occupied-bucket count (r12 review: an all-in-one-bucket index
+      // would otherwise report skew = 1.0 — the "balanced" value —
+      // with every empty bucket invisible to the metric)
       v.groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
         .withColumn("total", sum("n_vecs").over(w))
-        .withColumn("n_buckets", count(lit(1)).over(w))
         .select(col("bucket"), col("n_vecs"),
           round(col("n_vecs").cast("double") / col("total"), 6).as("share"),
-          round(col("n_vecs").cast("double") * col("n_buckets") / col("total"), 4)
+          round(col("n_vecs").cast("double") * lit(16) / col("total"), 4)
             .as("skew"),
           round(sum(col("n_vecs") * col("n_vecs")).over(w).cast("double")
             / col("total"), 2).as("expected_candidates"))
@@ -1624,10 +1629,52 @@ v AS (
 occ AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM v GROUP BY bucket)
 SELECT bucket, n_vecs,
        round(n_vecs / CAST(SUM(n_vecs) OVER () AS DOUBLE), 6) AS share,
-       round(n_vecs * CAST(COUNT(*) OVER () AS DOUBLE) / SUM(n_vecs) OVER (), 4) AS skew,
+       round(n_vecs * 16.0 / SUM(n_vecs) OVER (), 4) AS skew,
        round(SUM(n_vecs * n_vecs) OVER () / CAST(SUM(n_vecs) OVER () AS DOUBLE), 2)
          AS expected_candidates
 FROM occ"""))
+
+  /** The ONE recall-eval readout shared by E12 (single-probe) and E14
+    * (multi-probe) — exact brute top-10 per query vs an approximate
+    * CANDIDATE frame (columns query_id, vec_id, e, qe), emitting
+    * (query_id, n_candidates, hits, recall_10). Kept in one place so
+    * a fix to either report's readout cannot drift from the other
+    * (r12 review — the same rule as scoredPairsRaw). The approx top
+    * frame carries its per-query count through the same window pass
+    * and checkpoints, so the hits join and the count readout share
+    * one execution (the r12 E12 fix, now inherited by every probe
+    * flavor). */
+  private def recallReadout(v: org.apache.spark.sql.DataFrame,
+      q: org.apache.spark.sql.DataFrame,
+      approxCand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def scored(cand: org.apache.spark.sql.DataFrame) = cand
+      .select(col("query_id"), col("vec_id"),
+        round(dotNative(col("e"), col("qe")), 6).as("cos_sim"))
+    val wq = Window.partitionBy("query_id")
+    val exact = scored(v.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id")))
+      .withColumn("rank", row_number().over(
+        wq.orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 10)
+    val approxTop = scored(approxCand)
+      .withColumn("n_candidates", count(lit(1)).over(wq))
+      .withColumn("rank", row_number().over(
+        wq.orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= 10)
+      .localCheckpoint()
+    val nCand = approxTop.groupBy("query_id")
+      .agg(max("n_candidates").as("n_candidates"))
+    exact.select("query_id", "vec_id")
+      .join(approxTop.select(col("query_id"), col("vec_id"),
+        lit(1L).as("hit")), Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(coalesce(sum("hit"), lit(0L)).as("hits"))
+      .join(nCand, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("hits"),
+        round(col("hits") / lit(10.0), 4).as("recall_10"))
+  }
 
   /** E14 — MULTI-PROBE LSH (Lv et al., VLDB 2007): probe the query's
     * bucket PLUS its four Hamming-1 neighbors (one hyperplane sign
@@ -1656,34 +1703,8 @@ FROM occ"""))
       val probes = q.withColumn("pbucket", explode(array(
         col("qbucket"), expr("qbucket ^ 1"), expr("qbucket ^ 2"),
         expr("qbucket ^ 4"), expr("qbucket ^ 8"))))
-      def scored(cand: org.apache.spark.sql.DataFrame) = cand
-        .select(col("query_id"), col("vec_id"),
-          round(dotNative(col("e"), col("qe")), 6).as("cos_sim"))
-      val wq = Window.partitionBy("query_id")
-      val exact = scored(v.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= col("query_id")))
-        .withColumn("rank", row_number().over(
-          wq.orderBy(col("cos_sim").desc, col("vec_id"))))
-        .filter(col("rank") <= 10)
-      val approxTop = scored(v.join(broadcast(probes),
-          col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id")))
-        .withColumn("n_candidates", count(lit(1)).over(wq))
-        .withColumn("rank", row_number().over(
-          wq.orderBy(col("cos_sim").desc, col("vec_id"))))
-        .filter(col("rank") <= 10)
-        .localCheckpoint()
-      val nCand = approxTop.groupBy("query_id")
-        .agg(max("n_candidates").as("n_candidates"))
-      exact.select("query_id", "vec_id")
-        .join(approxTop.select(col("query_id"), col("vec_id"),
-          lit(1L).as("hit")), Seq("query_id", "vec_id"), "left")
-        .groupBy("query_id")
-        .agg(coalesce(sum("hit"), lit(0L)).as("hits"))
-        .join(nCand, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-          col("hits"),
-          round(col("hits") / lit(10.0), 4).as("recall_10"))
+      recallReadout(v, q, v.join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("query_id")))
     },
     Some("""WITH v0 AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1748,40 +1769,10 @@ GROUP BY 1, 2"""))
       val q = v.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("e").as("qe"),
           col("bucket").as("qbucket"))
-      def scored(cand: org.apache.spark.sql.DataFrame) = cand
-        .select(col("query_id"),
-          col("vec_id"),
-          round(dotNative(col("e"), col("qe")), 6).as("cos_sim"))
-      val wq = Window.partitionBy("query_id")
-      val exact = scored(v.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= col("query_id")))
-        .withColumn("rank", row_number().over(
-          wq.orderBy(col("cos_sim").desc, col("vec_id"))))
-        .filter(col("rank") <= 10)
-      // the bucket probe runs ONCE (r12 review: the first cut joined
-      // twice — once for the top-10, once for the candidate count):
-      // the same window pass carries the per-query count, and the
-      // ≤ 10·|sample| surviving rows checkpoint so the hits join and
-      // the count readout share one execution
-      val approxTop = scored(v.join(broadcast(q),
-          col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id")))
-        .withColumn("n_candidates", count(lit(1)).over(wq))
-        .withColumn("rank", row_number().over(
-          wq.orderBy(col("cos_sim").desc, col("vec_id"))))
-        .filter(col("rank") <= 10)
-        .localCheckpoint()
-      val nCand = approxTop.groupBy("query_id")
-        .agg(max("n_candidates").as("n_candidates"))
-      exact.select("query_id", "vec_id")
-        .join(approxTop.select(col("query_id"), col("vec_id"),
-          lit(1L).as("hit")), Seq("query_id", "vec_id"), "left")
-        .groupBy("query_id")
-        .agg(coalesce(sum("hit"), lit(0L)).as("hits"))
-        .join(nCand, Seq("query_id"), "left")
-        .select(col("query_id"),
-          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-          col("hits"),
-          round(col("hits") / lit(10.0), 4).as("recall_10"))
+      // probe + exact + readout live in [[recallReadout]], shared with
+      // E14 so the two reports cannot drift
+      recallReadout(v, q, v.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id")))
     },
     Some("""WITH v0 AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -66,7 +66,17 @@ object AnnBuckets extends CompactableIndex {
   def matches(delta: DataFrame, index: DataFrame,
       tau: Double = Tau): DataFrame = {
     graft.plans.GraftExtensions.register(delta.sparkSession)
-    val oldNew = index.as("i")
+    // ABSORB the delta's own ids out of the standing side (the
+    // Winnow.incrementalPairs discipline): under an at-least-once
+    // replay the delta's rows already stand in the index, and a bare
+    // `<>` guard would re-pair two DISTINCT delta members through the
+    // index join — each in-batch pair emitted three times, one of
+    // them orientation-violating. Anti-joined, in-batch pairs come
+    // from `self` exactly once and a replay reproduces its original
+    // output byte-for-byte.
+    val standing = index.join(
+      delta.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+    val oldNew = standing.as("i")
       .join(delta.as("d"), expr("i.bucket = d.bucket AND i.vec_id <> d.vec_id"))
       .select(col("d.vec_id").as("id_new"), col("i.vec_id").as("id_std"),
         cos(col("i.e"), col("d.e")).as("cos_sim"))

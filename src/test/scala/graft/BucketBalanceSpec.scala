@@ -15,11 +15,16 @@ class BucketBalanceSpec extends SparkTestBase {
         r.getDouble(4)))
     assert(rows.nonEmpty && rows.length <= 16)
     assert(rows.map(_._1).distinct.length == rows.length)
+    val total = spark.read.parquet(s"$Sf/embeddings.parquet").count()
     rows.foreach { case (b, n, share, skew, _) =>
       assert(b >= 0 && b < 16 && n > 0)
-      assert(share > 0.0 && share <= 1.0 && skew > 0.0)
+      assert(share > 0.0 && share <= 1.0)
+      // skew normalizes by the FULL 16-bucket space (an
+      // all-in-one-bucket index must read 16.0, not 1.0)
+      assert(skew == BigDecimal(n.toDouble * 16 / total)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"bucket $b: skew $skew != ${n.toDouble * 16 / total}")
     }
-    val total = spark.read.parquet(s"$Sf/embeddings.parquet").count()
     assert(rows.map(_._2).sum == total)
     // one global expected_candidates value, >= N / n_buckets
     val exp = rows.map(_._5).distinct

@@ -687,7 +687,7 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("dedup_lsh_tuning's truth stage: broadcast hash join, one (qid,cid) exchange, no nested loop") {
-    val (grams, qs) = QueriesML.lshTuningGramsAndSample(spark, Sf)
+    val (_, grams, qs) = QueriesML.lshTuningGramsAndSample(spark, Sf)
     val p = QueriesML.lshTuningTruth(grams, qs)
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)

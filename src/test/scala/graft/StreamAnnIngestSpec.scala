@@ -46,11 +46,31 @@ class StreamAnnIngestSpec extends SparkTestBase {
     assert(streamed() == expected,
       s"missing=${(expected -- streamed()).take(5)} extra=${(streamed() -- expected).take(5)}")
 
+    // RAW rows, not the canonicalized set (r12 review: least/greatest +
+    // toSet would hide duplicated or mis-oriented emissions): each pair
+    // lands exactly once, oriented id_new = the later arrival
+    def raw() = spark.read.parquet(matchesPath)
+      .select("id_new", "id_std", "cos_sim")
+      .as[(Long, Long, Double)].collect().toSeq
+    val before = raw().sorted
+    assert(before.size == expected.size,
+      s"each pair must land exactly once: ${before.size} rows for ${expected.size} pairs")
+    // arrival rank: seed corpus (0) < batch 0 (1) < batch 1 (2);
+    // id_new must be the strictly-later member, or the larger id
+    // within one batch
+    def rank(id: Long) = if (id % 4 != 0) 0 else if (id % 8 == 0) 1 else 2
+    before.foreach { case (nw, std, _) =>
+      assert(rank(nw) > rank(std) || (rank(nw) == rank(std) && nw > std),
+        s"orientation: id_new=$nw (rank ${rank(nw)}) vs id_std=$std (rank ${rank(std)})")
+    }
+
     // replay the in-flight batch across the compaction boundary: its
     // rows are standing (preserved unfolded), so the re-probe must
     // reproduce its original matches and not duplicate index rows
     sink(parts(1), 1L)
     assert(streamed() == expected, "replay must converge to the same matches")
+    assert(raw().sorted == before,
+      "replay must reproduce the original oriented rows byte-for-byte")
     val idx = AnnBuckets.readIndex(spark, idxPath).localCheckpoint()
     assert(idx.count() == idx.distinct().count(),
       "a replayed batch must not duplicate (vec_id, bucket) rows")
