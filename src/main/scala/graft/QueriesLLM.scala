@@ -834,6 +834,18 @@ GROUP BY p.doc_id"""))
     },
     None)
 
+  /** Bit-valid PNG signature + IHDR with the given planted dims —
+    * shared by G4 (parse round-trip) and G8 (dims card), one header
+    * synthesis so the two rows cannot drift. */
+  private def synthPng(w: org.apache.spark.sql.Column,
+      h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unhex(concat(
+      lit("89504E470D0A1A0A"), // PNG signature
+      lit("0000000D"), // IHDR length 13
+      lit("49484452"), // "IHDR"
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+      lit("0806000000"))) // bit depth 8, RGBA, deflate/adam7 defaults
+
   /** REAL container-header decode, oracle-checked by construction:
     * build a bit-valid PNG signature + IHDR and a JPEG (APP0 + SOF0)
     * with doc-derived dimensions, then recover them — PNG via
@@ -849,12 +861,7 @@ GROUP BY p.doc_id"""))
       graft.plans.GraftExtensions.register(s)
       val w = (col("doc_id") % 640 + 1).cast("int")
       val h = (col("doc_id") % 480 + 1).cast("int")
-      val png = unhex(concat(
-        lit("89504E470D0A1A0A"), // PNG signature
-        lit("0000000D"), // IHDR length 13
-        lit("49484452"), // "IHDR"
-        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
-        lit("0806000000"))) // bit depth 8, RGBA, deflate/adam7 defaults
+      val png = synthPng(w, h)
       val jw = (col("doc_id") % 1920 + 1).cast("int")
       val jh = (col("doc_id") % 1080 + 1).cast("int")
       val jpeg = unhex(concat(
@@ -880,6 +887,53 @@ GROUP BY p.doc_id"""))
        CAST(doc_id % 1920 + 1 AS INTEGER) AS jpeg_width,
        CAST(doc_id % 1080 + 1 AS INTEGER) AS jpeg_height
 FROM documents"""))
+
+  /** G8 — the MULTIMODAL dataset card (F38's sibling for vision
+    * data): composition per orientation × resolution bucket — asset
+    * counts, payload mass, average dims — the table that drives
+    * resize/crop policy and storage planning before a vision-data
+    * release. Dims come from the REAL header parse
+    * ([[Multimodal.pngDims]] over a bit-valid synthesized IHDR, the
+    * G4 discipline), so the card aggregates PARSED values and the
+    * planted-arithmetic oracle catches any parse or bucketing drift.
+    * Scan-speed projection + one small groupBy; the payload stand-in
+    * for asset size is the text byte length (G1's convention). */
+  private val mmDimsCard = Q(
+    "mm_dims_card",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val w = (col("doc_id") % 640 + 1).cast("int")
+      val h = (col("doc_id") % 480 + 1).cast("int")
+      val dims = Multimodal.pngDims(synthPng(w, h))
+      ViewingData.table(s, dir, "documents")
+        .select(octet_length(col("text")).cast("long").as("n_bytes"),
+          dims.getField("width").as("w"), dims.getField("height").as("h"))
+        .select(
+          when(col("w") > col("h"), "landscape")
+            .when(col("w") < col("h"), "portrait")
+            .otherwise("square").as("orientation"),
+          floor(col("w") * col("h") / lit(65536.0)).cast("long").as("px_bucket"),
+          col("n_bytes"), col("w"), col("h"))
+        .groupBy("orientation", "px_bucket")
+        .agg(count(lit(1)).as("n_assets"),
+          sum("n_bytes").as("total_bytes"),
+          round(avg("w"), 2).as("avg_width"),
+          round(avg("h"), 2).as("avg_height"))
+    },
+    Some("""WITH d AS (
+  SELECT doc_id,
+         CAST(strlen(text) AS BIGINT) AS n_bytes,
+         CAST(doc_id % 640 + 1 AS INTEGER) AS w,
+         CAST(doc_id % 480 + 1 AS INTEGER) AS h
+  FROM documents)
+SELECT CASE WHEN w > h THEN 'landscape' WHEN w < h THEN 'portrait'
+            ELSE 'square' END AS orientation,
+       CAST(floor((w * h) / 65536.0) AS BIGINT) AS px_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       round(AVG(w), 2) AS avg_width,
+       round(AVG(h), 2) AS avg_height
+FROM d GROUP BY 1, 2"""))
 
   /** C4/Gopher-style composite quality gate: every per-doc signal
     * (length, repetition, language, quality score) computed from ONE
@@ -1673,5 +1727,5 @@ FROM fused QUALIFY rank <= 10"""
       corpusPrepIncremental,
       docChunk, textTfidf, sampleWeightedK, chunkEmbed, textBm25, hybridSearch,
       hybridSearchIndexed, corpusPplBuckets, contaminationReport, textNovelty,
-      datasetCard)
+      datasetCard, mmDimsCard)
 }
