@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Always-on ARRIVAL-ORDER NOVELTY scoring (the streaming twin of the
+  * oracled F37 `text_novelty` row — the crawl-monitoring loop that
+  * watches novelty decay across snapshots): each micro-batch of
+  * documents is scored against the STANDING gram index ("how much of
+  * this batch's content has the corpus never seen?"), its per-doc
+  * report written, and only its NOVEL grams appended — the index
+  * stays a SET, each gram attributed to its first arrival
+  * (first-arrival-wins, the F14b survivorship discipline at the gram
+  * level). Seventh `CompactableIndex` family; fold clusters on gram.
+  *
+  * Within a batch, a gram shared by several new docs is novel only
+  * for the LOWEST doc_id (the window min below) — so under
+  * doc_id-ordered arrival the streamed reports equal the batch F37
+  * row EXACTLY (gram first-seen = global min doc_id), which
+  * StreamNoveltySpec pins.
+  *
+  * Replay: the probe reads the index EXCLUDING the in-flight batch's
+  * own dir — a re-delivered batch sees exactly what its first
+  * delivery saw (its own appended grams cannot mask its novelty) —
+  * and both writes are overwrite-by-batch-dir, so an at-least-once
+  * replay reproduces report and append byte-for-byte. Compaction
+  * folds only committed batches (the in-flight id is preserved
+  * unfolded per the CompactableIndex contract), so the exclusion
+  * stays sound across the crash window.
+  */
+object StreamNovelty extends graft.operators.CompactableIndex {
+
+  override protected def clusterCols: Seq[String] = Seq("gram")
+
+  /** Bootstrap: the standing corpus's distinct grams (or an empty
+    * frame to start a stream from nothing). */
+  def seedGrams(grams: DataFrame, path: String): Unit =
+    landSeedBatch(grams.select("gram").distinct(), path, SeedBatchId)
+
+  /** The standing gram set as seen by batch `batchId`: every landed
+    * dir EXCEPT the in-flight batch's own — the replay-absorb for
+    * this family (grams carry no doc ids to anti-join on; the batch
+    * dir IS the delta's identity). */
+  private def standingExcept(spark: SparkSession, path: String,
+      batchId: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("batch") =!= batchId)
+      .select("gram")
+
+  /** Returns a (batchDF, batchId) function for
+    * `writeStream.foreachBatch`. `batch` must carry `doc_id` and
+    * `text`. Per-doc reports land at `reportPath/batch=N` with the
+    * F37 schema (doc_id, n_grams, n_novel, novelty). */
+  def scoreThenAppendParquet(indexPath: String, reportPath: String,
+      compactEvery: Int = 16)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val ex = graft.QueriesLLM.wordGramRows(batch)
+      .select(col("doc_id"), explode(array_distinct(col("grams"))).as("gram"))
+      .localCheckpoint()
+    try {
+      val standing = standingExcept(spark, indexPath, batchId)
+      // a gram is novel for the batch's LOWEST doc carrying it, and
+      // only if the standing corpus has never seen it
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+      val scored = ex.withColumn("first_in_batch", min("doc_id").over(w))
+        .join(standing.withColumn("seen", lit(1)).distinct(), Seq("gram"), "left")
+        .withColumn("novel",
+          col("seen").isNull && col("doc_id") === col("first_in_batch"))
+        .localCheckpoint() // consumed by the report and the append
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("novel"), 1L).otherwise(0L)).as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+        .write.mode("overwrite").parquet(s"$reportPath/batch=$batchId")
+      landStreamBatch(
+        scored.filter(col("novel")).select("gram").distinct(),
+        indexPath, batchId)
+      compactIfNeeded(spark, indexPath,
+        maxBatches = compactEvery, preserveBatchIds = Set(batchId))
+    } finally ex.unpersist(blocking = false)
+  }
+}
