@@ -57,27 +57,34 @@ object StreamNovelty extends graft.operators.CompactableIndex {
     val ex = graft.QueriesLLM.wordGramRows(batch)
       .select(col("doc_id"), explode(array_distinct(col("grams"))).as("gram"))
       .localCheckpoint()
+    // a gram is novel for the batch's LOWEST doc carrying it (one row
+    // per gram after the filter), and only if the standing corpus has
+    // never seen it. LEFT_ANTI, not left-join-and-null-check (r12
+    // review): an anti join cannot duplicate left rows, so it needs no
+    // protective distinct over the standing index — the biggest frame
+    // in the loop stays un-shuffled — and the checkpoint shrinks to
+    // the small novel-rows frame.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+    val novelRows = ex.withColumn("first_in_batch", min("doc_id").over(w))
+      .filter(col("doc_id") === col("first_in_batch"))
+      .join(standingExcept(spark, indexPath, batchId), Seq("gram"), "left_anti")
+      .select(col("doc_id"), col("gram"))
+      .localCheckpoint() // consumed by the report join and the append
     try {
-      val standing = standingExcept(spark, indexPath, batchId)
-      // a gram is novel for the batch's LOWEST doc carrying it, and
-      // only if the standing corpus has never seen it
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
-      val scored = ex.withColumn("first_in_batch", min("doc_id").over(w))
-        .join(standing.withColumn("seen", lit(1)).distinct(), Seq("gram"), "left")
-        .withColumn("novel",
-          col("seen").isNull && col("doc_id") === col("first_in_batch"))
-        .localCheckpoint() // consumed by the report and the append
-      scored.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("novel"), 1L).otherwise(0L)).as("n_novel"))
-        .select(col("doc_id"), col("n_grams"), col("n_novel"),
-          round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+      ex.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        .join(novelRows.groupBy("doc_id").agg(count(lit(1)).as("n_novel")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams"), 6)
+            .as("novelty"))
         .write.mode("overwrite").parquet(s"$reportPath/batch=$batchId")
-      landStreamBatch(
-        scored.filter(col("novel")).select("gram").distinct(),
-        indexPath, batchId)
+      landStreamBatch(novelRows.select("gram"), indexPath, batchId)
       compactIfNeeded(spark, indexPath,
         maxBatches = compactEvery, preserveBatchIds = Set(batchId))
-    } finally ex.unpersist(blocking = false)
+    } finally {
+      ex.unpersist(blocking = false)
+      novelRows.unpersist(blocking = false)
+    }
   }
 }
