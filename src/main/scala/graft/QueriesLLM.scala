@@ -626,14 +626,9 @@ FROM s"""))
       .select(col("logprob"), col("doc_id"))
     val poolCnt = math.max(1L, pool.count())
     val rate = math.min(1.0, cap.toDouble / poolCnt)
-    // clamp the 16-bit threshold to [1, 65535]: above ~cap·2^16 pool
-    // docs the rate rounds below one slice unit and an unclamped
-    // floor would mint "0000" — an EMPTY calibration sample, every
-    // doc bucketed 'head', and the twin oracle confirming the wrong
-    // answer (r12 review). The floor keeps an expected >= poolCnt/2^16
-    // docs instead — still sort-safe, never empty-by-arithmetic.
-    val thHex =
-      f"${math.min(65535L, math.max(1L, math.floor(rate * 65536.0).toLong))}%04x"
+    // clamp semantics live in the ONE shared gate helper — see
+    // HashFunctions.rateGateHex (never "0000", caps at 0xffff)
+    val thHex = graft.functions.HashFunctions.rateGateHex(rate)
     pool.filter(substring(
       md5(concat(lit("graft-ppl-cal:"), col("doc_id").cast("string")).cast("binary")),
       1, 4) < lit(thHex))

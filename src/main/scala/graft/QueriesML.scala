@@ -646,8 +646,7 @@ WHERE jaccard_est >= 0.4 AND (id_a % 4 = 0 OR id_b % 4 = 0)"""))
       .localCheckpoint() // consumed by the gate filter and the corpus side
     val poolCnt = math.max(1L, grams.count())
     val rate = math.min(1.0, LshTuneCap.toDouble / poolCnt)
-    val thHex =
-      f"${math.min(65535L, math.max(1L, math.floor(rate * 65536.0).toLong))}%04x"
+    val thHex = HashFunctions.rateGateHex(rate)
     (docs, grams, grams.filter(substring(
       md5(concat(lit("graft-lsh-rec:"), col("doc_id").cast("string")).cast("binary")),
       1, 4) < lit(thHex)))

@@ -61,6 +61,17 @@ object HashFunctions {
       .select(col(idCol), array((0 until k).map(s => col(s"h$s")): _*).as("sig"))
   }
 
+  /** 16-bit md5 rate-gate threshold as 4 lowercase hex chars, clamped
+    * to [1, 65535] slice units — the ONE clamp for every fixed-N
+    * calibration gate (F35's ppl pool, D21's query sample): never
+    * "0000" (floor(rate·2^16) of a huge pool would mint an EMPTY
+    * sample that both engines agree on — the r12 review class), and
+    * rate 1.0 caps at 0xffff (keeps 65535/65536, a one-key-value
+    * bias identical in both engines). Oracles restate the same
+    * arithmetic in SQL. */
+  def rateGateHex(rate: Double): String =
+    f"${math.min(65535L, math.max(1L, math.floor(rate * 65536.0).toLong))}%04x"
+
   /** Signature-estimate Jaccard: matching components / k, rounded to
     * 6 dp — the one verification expression shared by dedup_minhash
     * and the incremental MinhashDelta probe (a drift here would
