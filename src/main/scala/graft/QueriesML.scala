@@ -1756,6 +1756,89 @@ LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
 LEFT JOIN ncand n ON n.query_id = e.query_id
 GROUP BY 1, 2"""))
 
+  /** E15 — the PLANES-COUNT tuning table (the vector-side analog of
+    * D21's banding S-curve): recall@10 and candidate cost of the
+    * single-bucket probe at every index granularity p ∈ {1,2,3,4}
+    * hyperplanes, all derived from ONE 4-plane bucketing — plane
+    * signs are independent bits, so the p-plane bucket is the 4-plane
+    * bucket's low p bits (`bucket & (2^p − 1)`), and the whole sweep
+    * reuses the one checkpointed index. Answers "how many planes?"
+    * the way D21 answers "which banding?": halving planes doubles
+    * expected candidates and can only grow recall (coarser buckets
+    * are supersets — the E14 dominance argument). Emitted per
+    * (planes, query) through the shared [[recallReadout]]. */
+  private val annPlanesTuning = Q(
+    "ann_planes_tuning",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), normalize(toDouble(col("embedding"))).as("e"))
+        .withColumn("bucket", hyperplaneBucketMd5(col("e"), 4))
+        .localCheckpoint()
+      val q = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("e").as("qe"),
+          col("bucket").as("qbucket"))
+      (1 to 4).map { p =>
+        val mask = (1 << p) - 1
+        recallReadout(v, q, v.join(broadcast(q),
+            expr(s"(bucket & $mask) = (qbucket & $mask)") &&
+              col("vec_id") =!= col("query_id")))
+          .select(lit(p.toLong).as("planes"), col("query_id"),
+            col("n_candidates"), col("hits"), col("recall_10"))
+      }.reduce(_ unionAll _)
+    },
+    Some("""WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v1 AS (
+  SELECT vec_id,
+         list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0),
+v AS (
+  SELECT vec_id, e,
+         CAST(list_sum(list_transform(generate_series(0, 3), j ->
+           CASE WHEN list_sum(list_transform(generate_series(1, len(e)), i ->
+             CASE WHEN substring(md5(CAST(j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1)
+                  IN ('0','2','4','6','8','a','c','e')
+             THEN e[i] ELSE -e[i] END)) > 0
+           THEN CAST(pow(2, j) AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+  FROM v1),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket AS qbucket FROM v WHERE vec_id < 8),
+cfg AS (SELECT * FROM (VALUES (1), (2), (3), (4)) t(p)),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, v.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             round(list_sum(list_transform(generate_series(1, len(v.e)), i -> v.e[i] * q.qe[i])), 6) DESC,
+             v.vec_id) AS rk
+    FROM v, q WHERE v.vec_id <> q.query_id)
+  WHERE rk <= 10),
+cand AS (
+  SELECT cfg.p, q.query_id, v.vec_id, v.e, q.qe
+  FROM v JOIN q ON v.vec_id <> q.query_id CROSS JOIN cfg
+  WHERE (v.bucket & ((1 << cfg.p) - 1)) = (q.qbucket & ((1 << cfg.p) - 1))),
+approx AS (
+  SELECT p, query_id, vec_id FROM (
+    SELECT p, query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p, query_id ORDER BY
+             round(list_sum(list_transform(generate_series(1, len(e)), i -> e[i] * qe[i])), 6) DESC,
+             vec_id) AS rk
+    FROM cand)
+  WHERE rk <= 10),
+ncand AS (
+  SELECT p, query_id, CAST(count(*) AS BIGINT) AS n_candidates
+  FROM cand GROUP BY 1, 2)
+SELECT CAST(pp.p AS BIGINT) AS planes, e.query_id,
+       CAST(COALESCE(n.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(count(a.vec_id) AS BIGINT) AS hits,
+       round(count(a.vec_id) / 10.0, 4) AS recall_10
+FROM exact e
+CROSS JOIN (SELECT DISTINCT p FROM cfg) pp
+LEFT JOIN ncand n ON n.query_id = e.query_id AND n.p = pp.p
+LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id AND a.p = pp.p
+GROUP BY 1, 2, 3"""))
+
   private val annRecallReport = Q(
     "ann_recall_report",
     (s, dir) => {
@@ -2665,7 +2748,7 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
     annRangeSearch, annRangeSearchBatch,
     annPqOracle, annQ8, annQ8Oracle,
     annDiversitySample, annPairMining, annClusterQuality, annRecallReport,
-    annBucketBalance, annMultiprobeRecall,
+    annBucketBalance, annMultiprobeRecall, annPlanesTuning,
     mmBinaryMeta, mmDecode, mmFrameSample, mmAudioEnergy, mmAudioSegments,
     streamBatchParity)
 }
