@@ -1643,19 +1643,33 @@ FROM occ"""))
     * and checkpoints, so the hits join and the count readout share
     * one execution (the r12 E12 fix, now inherited by every probe
     * flavor). */
-  private def recallReadout(v: org.apache.spark.sql.DataFrame,
-      q: org.apache.spark.sql.DataFrame,
-      approxCand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    def scored(cand: org.apache.spark.sql.DataFrame) = cand
-      .select(col("query_id"), col("vec_id"),
-        round(dotNative(col("e"), col("qe")), 6).as("cos_sim"))
-    val wq = Window.partitionBy("query_id")
-    val exact = scored(v.crossJoin(broadcast(q))
+  private def recallScored(
+      cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = cand
+    .select(col("query_id"), col("vec_id"),
+      round(dotNative(col("e"), col("qe")), 6).as("cos_sim"))
+
+  /** Exact brute top-10 per query — the ground truth every recall
+    * report compares against. Exposed so a multi-config sweep (E15)
+    * computes it ONCE and shares the checkpointed frame across its
+    * probes (r12 review: the first cut re-ran the corpus cross join
+    * per config). */
+  private def recallExact(v: org.apache.spark.sql.DataFrame,
+      q: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    recallScored(v.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("query_id")))
       .withColumn("rank", row_number().over(
-        wq.orderBy(col("cos_sim").desc, col("vec_id"))))
+        Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
       .filter(col("rank") <= 10)
-    val approxTop = scored(approxCand)
+
+  private def recallReadout(v: org.apache.spark.sql.DataFrame,
+      q: org.apache.spark.sql.DataFrame,
+      approxCand: org.apache.spark.sql.DataFrame,
+      exactTop: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val wq = Window.partitionBy("query_id")
+    val exact = exactTop.getOrElse(recallExact(v, q))
+    val approxTop = recallScored(approxCand)
       .withColumn("n_candidates", count(lit(1)).over(wq))
       .withColumn("rank", row_number().over(
         wq.orderBy(col("cos_sim").desc, col("vec_id"))))
@@ -1779,11 +1793,14 @@ GROUP BY 1, 2"""))
       val q = v.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("e").as("qe"),
           col("bucket").as("qbucket"))
+      // ground truth is p-invariant: compute the brute top-10 ONCE
+      // and share it across the four probes (r12 review)
+      val exact = recallExact(v, q).localCheckpoint()
       (1 to 4).map { p =>
         val mask = (1 << p) - 1
         recallReadout(v, q, v.join(broadcast(q),
             expr(s"(bucket & $mask) = (qbucket & $mask)") &&
-              col("vec_id") =!= col("query_id")))
+              col("vec_id") =!= col("query_id")), Some(exact))
           .select(lit(p.toLong).as("planes"), col("query_id"),
             col("n_candidates"), col("hits"), col("recall_10"))
       }.reduce(_ unionAll _)

@@ -54,7 +54,13 @@ object StreamNovelty extends graft.operators.CompactableIndex {
   def scoreThenAppendParquet(indexPath: String, reportPath: String,
       compactEvery: Int = 16)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val ex = graft.QueriesLLM.wordGramRows(batch)
+    // dedupe the batch by doc identity FIRST (r12 review): an
+    // at-least-once source can deliver the same doc_id twice within
+    // one micro-batch, and duplicated (doc_id, gram) rows would both
+    // double the report's n_grams and land duplicate gram rows —
+    // breaking the set invariant the anti join alone cannot protect
+    // on its LEFT side
+    val ex = graft.QueriesLLM.wordGramRows(batch.dropDuplicates("doc_id"))
       .select(col("doc_id"), explode(array_distinct(col("grams"))).as("gram"))
       .localCheckpoint()
     // a gram is novel for the batch's LOWEST doc carrying it (one row
@@ -64,13 +70,17 @@ object StreamNovelty extends graft.operators.CompactableIndex {
     // protective distinct over the standing index — the biggest frame
     // in the loop stays un-shuffled — and the checkpoint shrinks to
     // the small novel-rows frame.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
-    val novelRows = ex.withColumn("first_in_batch", min("doc_id").over(w))
-      .filter(col("doc_id") === col("first_in_batch"))
-      .join(standingExcept(spark, indexPath, batchId), Seq("gram"), "left_anti")
-      .select(col("doc_id"), col("gram"))
-      .localCheckpoint() // consumed by the report join and the append
+    var novelRows: DataFrame = null
     try {
+      // inside the try: this checkpoint is EAGER (standing read +
+      // window + anti join run here), and a failure during it must
+      // still free ex's blocks in the finally
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("gram")
+      novelRows = ex.withColumn("first_in_batch", min("doc_id").over(w))
+        .filter(col("doc_id") === col("first_in_batch"))
+        .join(standingExcept(spark, indexPath, batchId), Seq("gram"), "left_anti")
+        .select(col("doc_id"), col("gram"))
+        .localCheckpoint() // consumed by the report join and the append
       ex.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
         .join(novelRows.groupBy("doc_id").agg(count(lit(1)).as("n_novel")),
           Seq("doc_id"), "left")
@@ -84,7 +94,7 @@ object StreamNovelty extends graft.operators.CompactableIndex {
         maxBatches = compactEvery, preserveBatchIds = Set(batchId))
     } finally {
       ex.unpersist(blocking = false)
-      novelRows.unpersist(blocking = false)
+      if (novelRows != null) novelRows.unpersist(blocking = false)
     }
   }
 }
