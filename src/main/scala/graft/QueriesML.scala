@@ -1163,6 +1163,80 @@ SELECT vec_id, cos_q8,
        CAST(row_number() OVER (ORDER BY cos_q8 DESC, vec_id) AS INTEGER) AS rank
 FROM top"""))
 
+  /** E16 — the QUANTIZATION-QUALITY table that decides whether int8
+    * serving is safe (the eval run before flipping an index to
+    * vec_q8 storage, completing the knob-pricing family: D21 prices
+    * banding, E15 planes, E14 multiprobe, E13 occupancy — this row
+    * prices precision): per label, the L2 reconstruction error of
+    * the NATIVE `vec_q8` kernel's round-trip (dequant = q_i·scale)
+    * and the quantized norm's drift from the unit sphere. The
+    * per-vector arithmetic runs through the same codegen'd kernel
+    * E5 serves with; the DuckDB twin restates the E5b quantization
+    * CTE and recomputes the error independently, so a kernel
+    * regression in EITHER direction (rounding convention, scale,
+    * sign) hash-mismatches. Scan + one small groupBy. */
+  private val annQ8Error = Q(
+    "ann_q8_error_report",
+    (s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      val v = ViewingData.table(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("label"),
+          normalize(toDouble(col("embedding"))).as("e"))
+        .withColumn("z", quantize(col("e")))
+        // checkpoint BEFORE the HOF readout: CollapseProject would
+        // otherwise inline `quantize(e)` into every z.q / z.scale
+        // reference inside the lambdas — the O(d²) re-evaluation the
+        // kernel's scaladoc warns about
+        .localCheckpoint()
+      val err = sqrt(aggregate(
+        zip_with(col("e"), col("z.q"), (x, qi) =>
+          (x - qi.cast("double") * col("z.scale")) *
+            (x - qi.cast("double") * col("z.scale"))),
+        lit(0.0), (acc, t) => acc + t))
+      val qnorm = sqrt(aggregate(
+        transform(col("z.q"), qi =>
+          qi.cast("double") * col("z.scale") * qi.cast("double") * col("z.scale")),
+        lit(0.0), (acc, t) => acc + t))
+      v.select(col("label"), err.as("err"), qnorm.as("qnorm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg("err"), 6).as("avg_err"),
+          round(max("err"), 6).as("max_err"),
+          round(avg("qnorm"), 6).as("avg_qnorm"))
+    },
+    Some("""WITH v0 AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings),
+v AS (
+  SELECT vec_id, label, list_transform(e, x ->
+    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+  FROM v0),
+z AS (
+  SELECT vec_id, label, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+  FROM v),
+qt AS (
+  SELECT vec_id, label, e, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(e, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+         END AS q
+  FROM z),
+m AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(generate_series(1, len(e)), i ->
+           (e[i] - q[i] * scale) * (e[i] - q[i] * scale)))) AS err,
+         sqrt(list_sum(list_transform(generate_series(1, len(e)), i ->
+           q[i] * scale * q[i] * scale))) AS qnorm
+  FROM qt)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       round(AVG(err), 6) AS avg_err,
+       round(MAX(err), 6) AS max_err,
+       round(AVG(qnorm), 6) AS avg_qnorm
+FROM m GROUP BY label"""))
+
   private val annIvf = Q(
     "ann_ivf",
     (s, dir) => {
@@ -2763,7 +2837,7 @@ FROM sc ORDER BY round(score, 6) DESC, vec_id LIMIT 10"""))
     annBruteforce, annBucketed, annBucketedOracle, annIvf, annIvfOracle,
     annIvfPq, annIvfPqBuild, annIvfPqOracle, annKnnJoin,
     annRangeSearch, annRangeSearchBatch,
-    annPqOracle, annQ8, annQ8Oracle,
+    annPqOracle, annQ8, annQ8Oracle, annQ8Error,
     annDiversitySample, annPairMining, annClusterQuality, annRecallReport,
     annBucketBalance, annMultiprobeRecall, annPlanesTuning,
     mmBinaryMeta, mmDecode, mmFrameSample, mmAudioEnergy, mmAudioSegments,
