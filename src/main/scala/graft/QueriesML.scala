@@ -671,9 +671,21 @@ WHERE jaccard_est >= 0.4 AND (id_a % 4 = 0 OR id_b % 4 = 0)"""))
           explode(HashFunctions.md5Bands(col("sig"), 16 / r, r)).as("bk"))
       }.reduce(_ unionAll _)
       val qids = qs.select(col("doc_id").as("qid"))
-      val cand = bandAll.join(broadcast(qids), col("doc_id") === col("qid")).as("a")
+      // query-side band keys from the CAPPED sample's signatures only
+      // (sig ⨝ qids first, THEN band-explode) — the old shape computed
+      // the full-corpus band explode a second time on the a-side just
+      // to filter it to ≤ LshTuneCap docs. The sample side is bounded
+      // by the cap at any corpus size, so broadcasting it keeps the
+      // corpus-side bandAll un-shuffled (one full-corpus md5Bands
+      // evaluation instead of two, no exchange on the big side).
+      val qBand = Seq(16, 8, 4, 2).map { r =>
+        sig.join(broadcast(qids), col("doc_id") === col("qid"))
+          .select(lit(r.toLong).as("rows_per_band"), col("qid"),
+            explode(HashFunctions.md5Bands(col("sig"), 16 / r, r)).as("bk"))
+      }.reduce(_ unionAll _)
+      val cand = broadcast(qBand).as("a")
         .join(bandAll.as("b"), expr(
-          "a.rows_per_band = b.rows_per_band AND a.bk = b.bk AND a.doc_id <> b.doc_id"))
+          "a.rows_per_band = b.rows_per_band AND a.bk = b.bk AND a.qid <> b.doc_id"))
         .select(col("a.rows_per_band").as("rows_per_band"),
           col("a.qid").as("qid"), col("b.doc_id").as("cid"))
         .distinct()

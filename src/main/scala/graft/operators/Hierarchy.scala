@@ -40,14 +40,24 @@ object Hierarchy {
   def connectBy(nodes: DataFrame, idCol: String, parentCol: String): DataFrame = {
     val base = nodes.select(col(idCol), col(parentCol).as("__parent"))
       .localCheckpoint()
-    var resolved = base.filter(col("__parent").isNull)
+    val roots = base.filter(col("__parent").isNull)
       .select(col(idCol), col(idCol).as("root_id"), lit(0).as("depth"),
         col(idCol).cast("string").as("path"))
       .localCheckpoint()
-    var frontier = resolved
+    // Per level: ONE join+checkpoint (next) and one anti-join
+    // checkpoint (unresolved). The resolved set is accumulated as a
+    // LIST of already-checkpointed level frames and unioned once at
+    // the end — re-checkpointing the growing union each level
+    // re-materialized every resolved row at every depth,
+    // O(depth × |resolved|) for no consumer. The separate
+    // `unresolved.isEmpty` guard action is gone too: an exhausted
+    // unresolved set yields an empty `next` (count 0) and exits the
+    // loop through the same gate.
+    var levels = List(roots)
+    var frontier = roots
     var unresolved = base.filter(col("__parent").isNotNull).localCheckpoint()
     var frontierCount = frontier.count()
-    while (frontierCount > 0 && !unresolved.isEmpty) {
+    while (frontierCount > 0) {
       val next = materialized(unresolved.as("u")
         .join(frontier.as("f"), col("u.__parent") === col(s"f.$idCol"))
         .select(col(s"u.$idCol"), col("f.root_id"),
@@ -57,10 +67,11 @@ object Hierarchy {
       if (frontierCount > 0) {
         unresolved = unresolved.join(next.select(col(idCol)), Seq(idCol), "left_anti")
           .localCheckpoint()
-        resolved = resolved.unionByName(next).localCheckpoint()
+        levels ::= next
         frontier = next
       }
     }
+    val resolved = levels.reverse.reduce(_ unionByName _)
     val orphans = unresolved.select(
       col(idCol), lit(null).cast(nodes.schema(idCol).dataType).as("root_id"),
       lit(null).cast("int").as("depth"), lit(null).cast("string").as("path"))

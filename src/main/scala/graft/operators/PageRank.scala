@@ -37,12 +37,21 @@ object PageRank {
       val contribs = linked.join(ranks, linked("src") === ranks("id"))
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
         .groupBy("id").agg(sum("c").as("inflow"))
-      val danglingMass = ranks.join(sinkIds, Seq("id"), "left_semi")
-        .agg(coalesce(sum("rank"), lit(0.0))).head.getDouble(0)
+      // dangling mass rides the SAME plan as the rank update (a 1-row
+      // aggregate cross-joined in) instead of a per-iteration .head
+      // action — the iteration count is fixed, so the loop's only
+      // action is the checkpoint: one job per superstep, not two.
+      // col("__dm") / n.toDouble is the identical IEEE division the
+      // driver-side lit(danglingMass / n) evaluated (n: Long widens
+      // to Double either way), so ranks are bit-equal (PageRankSpec
+      // pins hand-computed fixpoints; the oracle hash pins the rest).
+      val dangling = ranks.join(sinkIds, Seq("id"), "left_semi")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("__dm"))
       ranks = nodes.join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit(1.0 - damping) + lit(damping) *
-            (coalesce(col("inflow"), lit(0.0)) + lit(danglingMass / n))).as("rank"))
+            (coalesce(col("inflow"), lit(0.0)) + col("__dm") / lit(n.toDouble))).as("rank"))
         .localCheckpoint()
     }
     ranks
