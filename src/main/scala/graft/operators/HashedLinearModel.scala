@@ -73,26 +73,61 @@ object HashedLinearModel {
       .collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
       .sortBy(t => (t._1, t._3)) // collect order is nondeterministic; the fit must not be
-    val byDoc = rows.groupBy(_._1).toArray.sortBy(_._1).map { case (_, rs) =>
-      val tot = rs.map(_._4).sum.toDouble
-      (rs.head._2, rs.map(t => (t._3, t._4 / tot))) // (y, sparse L1-normalized x)
+    // CSR layout over the sorted rows (docs in id order, features in
+    // bucket order within each doc — exactly the old boxed byDoc
+    // grouping's iteration order, so every FP accumulation below runs
+    // in the SAME order and the fitted weights stay bit-identical).
+    // Primitive arrays instead of Array[(Int, Double)] per doc: the
+    // 1500-iteration full-batch loop is the row's driver-side hot
+    // path, and the boxed form spent most of it in tuple allocation
+    // and pointer chasing (guide §1.2 step 2 — per-task work).
+    val nnz = rows.length
+    val fIdx = new Array[Int](nnz)
+    val fVal = new Array[Double](nnz)
+    val offB = scala.collection.mutable.ArrayBuilder.make[Int]
+    val yB = scala.collection.mutable.ArrayBuilder.make[Double]
+    var p = 0
+    while (p < nnz) {
+      val docId = rows(p)._1
+      offB += p
+      yB += rows(p)._2
+      var tot = 0L
+      var q = p
+      while (q < nnz && rows(q)._1 == docId) { tot += rows(q)._4; q += 1 }
+      val totD = tot.toDouble
+      while (p < q) {
+        fIdx(p) = rows(p)._3
+        fVal(p) = rows(p)._4 / totD
+        p += 1
+      }
     }
+    offB += nnz
+    val off = offB.result()
+    val ys = yB.result()
+    val nDocs = ys.length
     val w = new Array[Double](dims)
     var b = 0.0
-    val m = byDoc.length.toDouble
-    for (_ <- 0 until iters) {
+    val m = nDocs.toDouble
+    var it = 0
+    while (it < iters) {
       var gb = 0.0
       val gw = new Array[Double](dims)
-      byDoc.foreach { case (y, xs) =>
+      var d = 0
+      while (d < nDocs) {
         var z = b
-        xs.foreach { case (j, x) => z += w(j) * x }
-        val err = y - 1.0 / (1.0 + math.exp(-z))
+        var k = off(d)
+        val end = off(d + 1)
+        while (k < end) { z += w(fIdx(k)) * fVal(k); k += 1 }
+        val err = ys(d) - 1.0 / (1.0 + math.exp(-z))
         gb += err
-        xs.foreach { case (j, x) => gw(j) += err * x }
+        k = off(d)
+        while (k < end) { gw(fIdx(k)) += err * fVal(k); k += 1 }
+        d += 1
       }
       b += lr * gb / m
       var j = 0
       while (j < dims) { w(j) += lr * gw(j) / m; j += 1 }
+      it += 1
     }
     Model(w, b, dims)
   }
