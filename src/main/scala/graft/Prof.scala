@@ -44,6 +44,40 @@ object Prof {
           println(f"$name%-40s ${math.min(once, once)}%8.3f s")
         }
         args.drop(1).foreach(n => time(n)(SparkEntry.queries(n)(spark, dir)))
+      case "floor" =>
+        // per-exec fixed-cost isolation: what does ONE table() call pay
+        // (listing is session-cached; schema inference reads footers
+        // per spark.read.parquet call), and what does a minimal
+        // file-backed noop exec cost end to end?
+        def ms[A](n: Int)(f: => A): Double = {
+          f // warm
+          val t0 = System.nanoTime(); (1 to n).foreach(_ => f)
+          (System.nanoTime() - t0) / 1e6 / n
+        }
+        val rd = ms(40)(spark.read.parquet(s"$dir/lineitem.parquet").schema)
+        val tb = ms(40)(graft.sources.ViewingData.table(spark, dir, "lineitem").schema)
+        val ev = ms(40)(graft.sources.ViewingData.table(spark, dir, "events").schema)
+        val ex = ms(10) {
+          graft.sources.ViewingData.table(spark, dir, "region")
+            .select(col("r_regionkey"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"FLOOR read.parquet(lineitem).schema: $rd%.1f ms; table(lineitem): $tb%.1f ms; table(events): $ev%.1f ms; trivial exec: $ex%.1f ms")
+      case "icws" =>
+        // signature-build isolation (r12: the dim-join rewrite)
+        val docs = graft.sources.ViewingData.table(spark, dir, "documents")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          graft.operators.Icws.signatures(docs, "doc_id", "text", 16)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once()
+        println(f"ICWS signatures: ${(1 to 3).map(_ => once()).min}%.3f s")
+        graft.operators.Icws.signatures(docs, "doc_id", "text", 16)
+          .explain("formatted")
       case "compactsweep" =>
         // Probe cost vs batch-dir fragmentation (r11: the streaming
         // loops' in-loop compaction claim) — seed an ICWS band index,
