@@ -38,23 +38,45 @@ object ViewingData {
     * Downstream operators (range-join bucketing, session_window,
     * unix_micros) all assume a zoned TimestampType; SourceContractSpec
     * pins this post-load schema so the next generator drift fails in
-    * one named place instead of three queries deep. */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (!df.columns.contains("ts")) df
-    else df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        // field-wise rebuild with an explicit UTC zone — a
-        // convert-into-session-zone round-trip would mis-shift rows
-        // whose local wall clock falls in a DST overlap
-        df.withColumn("ts",
-          graft.functions.TimeFunctions.ntzWallClockAsUtc(col("ts")))
-      case _ => df
-    }
-  }
+    * one named place instead of three queries deep.
+    *
+    * The RESOLVED relation is memoized per (session, dir, name) — the
+    * catalog role Spark's metastore-backed tables play for managed
+    * data. A bare `spark.read.parquet(path)` re-resolves the
+    * DataSource, re-lists the directory, and re-reads the footer for
+    * schema inference on EVERY call — measured ~70-90 ms per call on
+    * this sandbox (graft.Prof floor), paid thousands of times across a
+    * bench/verify run for paths whose contents never change within a
+    * session. This caches ONLY metadata (the analyzed logical plan +
+    * file listing): every execution still scans the parquet data —
+    * nothing about results or computed intermediates is reused.
+    * Contract, unchanged from what callers already assumed: a source
+    * dir is immutable for the lifetime of a session (every caller —
+    * registry queries, Verify, Bench, Sweep replicas, specs — reads
+    * generated-once inputs; Sweep builds its replica dirs BEFORE the
+    * first read and pins them with _SWEEP_META). Keys hold the session
+    * by reference; entries die with the JVM — plans are KB-sized and
+    * test JVMs create a bounded handful of sessions. */
+  private val relCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    relCache.getOrElseUpdate((spark, dir, name), {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (!df.columns.contains("ts")) df
+      else df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // field-wise rebuild with an explicit UTC zone — a
+          // convert-into-session-zone round-trip would mis-shift rows
+          // whose local wall clock falls in a DST overlap
+          df.withColumn("ts",
+            graft.functions.TimeFunctions.ntzWallClockAsUtc(col("ts")))
+        case _ => df
+      }
+    })
 
   /** Epoch seconds (UTC, floor) — the reference keeps exposure timestamps
     * as NUMBER(38,0) unix seconds (ingest-ddl.sql:4-5). */
