@@ -1689,9 +1689,15 @@ FROM fused QUALIFY rank <= 10"""
       // superset probe would have paid anyway, so the ladder never
       // worse than doubles the winning rung's cost
       val ladder = Seq(0.8, 0.5, 0.2)
+      // the freshness check + the three index relation resolutions run
+      // ONCE for the whole ladder (r12: each rung re-resolved
+      // cellstats/centroids/cells and re-ran the two staleness actions
+      // — pure per-rung metadata cost on an index that cannot change
+      // mid-query); the query vector plan is likewise shared
+      val idx = operators.Ivf.rangeProbeFrames(s, path)
+      val qv = s.range(1).select(normalize(hybridQv).as("q"))
       def rerankAt(tau: Double) = {
-        val candIds = operators.Ivf.rangeProbeIndexed(s, path,
-            s.range(1).select(normalize(hybridQv).as("q")),
+        val candIds = operators.Ivf.rangeProbeWithFrames(idx, qv,
             "doc_id", "e", "cell", minCos = tau)
           .select("doc_id")
         // exact re-rank of candidate ids only, oracle FP sequence; the
@@ -1700,12 +1706,16 @@ FROM fused QUALIFY rank <= 10"""
         val r = hybridDenseCos(
             docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
           .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
-          .localCheckpoint() // 20 rows: guarantee check + fusion
+        // ONE action on the 20-row result: the collected rows both
+        // decide the guarantee check and BECOME the winning frame (a
+        // LocalRelation), where the old localCheckpoint+collect pair
+        // paid two actions per rung for identical values
         val top = r.collect()
         // the probe returns EVERY doc with cos ≥ τ, so 20 rows above
         // τ + an FP/rounding margin prove the global top-20 ⊆ candidates
         if (top.length == 20 && top.map(_.getDouble(1)).min >= tau + 1e-5)
-          Some(r)
+          Some(s.createDataFrame(
+            java.util.Arrays.asList(top: _*), r.schema))
         else None
       }
       val dense20 = ladder.view.flatMap(rerankAt).headOption

@@ -285,17 +285,39 @@ object Ivf {
     * for query sets. */
   def rangeProbeIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, query: DataFrame, idCol: String, vecCol: String,
-      cellCol: String, minCos: Double, qCol: String = "q"): DataFrame = {
-    val stats = requireFreshStats(spark, path)
-    val cents = spark.read.parquet(s"$path/centroids")
+      cellCol: String, minCos: Double, qCol: String = "q"): DataFrame =
+    rangeProbeWithFrames(rangeProbeFrames(spark, path), query,
+      idCol, vecCol, cellCol, minCos, qCol)
+
+  /** Freshness-checked index frames for REPEATED radius probes against
+    * ONE immutable index state — the τ-ladder shape
+    * (q_hybrid_search_indexed probes up to three rungs): the staleness
+    * check (two actions) and the three parquet relation resolutions
+    * (directory listing + footer each) run ONCE here instead of per
+    * probe. Same refusal contract as [[rangeProbeIndexed]]; callers
+    * must not append to the index while holding the frames. */
+  final case class RangeProbeFrames(stats: DataFrame, cents: DataFrame,
+      cells: DataFrame)
+
+  def rangeProbeFrames(spark: org.apache.spark.sql.SparkSession,
+      path: String): RangeProbeFrames =
+    RangeProbeFrames(requireFreshStats(spark, path),
+      spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/cells"))
+
+  /** [[rangeProbeIndexed]] over pre-resolved [[RangeProbeFrames]] —
+    * identical plan and result, minus the per-probe metadata cost. */
+  def rangeProbeWithFrames(f: RangeProbeFrames, query: DataFrame,
+      idCol: String, vecCol: String, cellCol: String, minCos: Double,
+      qCol: String = "q"): DataFrame = {
     val t = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCos))
-    val surviving = cents.join(stats, cellCol)
+    val surviving = f.cents.join(f.stats, cellCol)
       .crossJoin(broadcast(query))
       .filter(sqrt(greatest(lit(0.0),
         lit(2.0) - lit(2.0) * dotNative(col("centroid"), col(qCol)))) -
         col("r") <= lit(t + 1e-9))
       .select(col(cellCol)).collect().map(_.get(0))
-    spark.read.parquet(s"$path/cells")
+    f.cells
       .filter(col(cellCol).isin(surviving.toIndexedSeq: _*))
       .crossJoin(broadcast(query))
       .withColumn("__cos", dotNative(col(vecCol), col(qCol)))
