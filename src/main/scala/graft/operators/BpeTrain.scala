@@ -79,10 +79,27 @@ object BpeTrain {
     * both (the train-then-apply registry shape) pay ONE corpus scan
     * and one merge fold instead of re-deriving the vocabulary and
     * replaying every merge through [[segmentVocabulary]] (which
-    * remains the tool for applying SAVED merges to a NEW corpus). */
+    * remains the tool for applying SAVED merges to a NEW corpus).
+    *
+    * Bounded driver-local fast path (the [[Components]] tryLocalSolve
+    * discipline): when the checkpointed vocabulary is small enough to
+    * collect (≤ `localMaxVocab` words — one cheap count on the
+    * already-materialized frame decides), the merge rounds run as a
+    * driver loop over the collected (cnt, syms) rows instead of
+    * `nMerges` cluster jobs whose per-round aggregate touches a
+    * control-plane-sized frame — at bench scale the loop was ~30
+    * driver-sync jobs of pure scheduling overhead. The merges are
+    * IDENTICAL by construction: pair counts are exact integer sums
+    * (order-free), the argmax tie-break compares strings by UTF-8
+    * bytes (exactly Spark's UTF8String ordering), and the greedy
+    * apply is the same left-to-right fold. BpeTrainSpec pins both
+    * paths equal. A 100-TB corpus's multi-million-word vocabulary
+    * fails the probe and takes the distributed rounds unchanged. */
   def trainAndSegment(docs: DataFrame, textCol: String,
-      nMerges: Int): (Seq[Merge], DataFrame) = {
+      nMerges: Int, localMaxVocab: Long = 1L << 16): (Seq[Merge], DataFrame) = {
     var vocab = vocabulary(docs, textCol)
+    if (vocab.count() <= localMaxVocab)
+      return trainAndSegmentLocal(vocab, nMerges)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
     var round = 0
@@ -114,6 +131,97 @@ object BpeTrain {
     (merges.toSeq, vocab.select(col("w"), col("syms").as("segments")))
   }
 
+  /** Spark's string comparisons run on UTF8String — unsigned byte-wise
+    * over the UTF-8 encoding. The driver-local tie-break must order
+    * identically (Java String.compareTo differs on supplementary
+    * characters), so compare raw UTF-8 bytes. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The greedy left-to-right merge on a driver-side symbol array —
+    * [[applyMerge]]'s fold, verbatim. */
+  private def applyMergeLocal(syms: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == a && syms(i) == b)
+        out(out.length - 1) = a + b
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Driver-local merge rounds over a collected vocabulary — same
+    * integer pair counts, same (count desc, left, right) argmax with
+    * the UTF-8 byte tie-break, same greedy apply, same early stop. */
+  private def trainAndSegmentLocal(vocab: DataFrame,
+      nMerges: Int): (Seq[Merge], DataFrame) = {
+    val spark = vocab.sparkSession
+    val rows = vocab.select(col("w"), col("cnt"), col("syms")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[String](2).toArray))
+    val syms = rows.map(_._3)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    var round = 0
+    while (round < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < rows.length) {
+        val s = syms(i); val c = rows(i)._2
+        var j = 0
+        while (j + 1 < s.length) {
+          val k = (s(j), s(j + 1))
+          counts(k) = counts.getOrElse(k, 0L) + c
+          j += 1
+        }
+        i += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // max count, ties to the UTF-8-smaller (left, right) — the
+        // distributed loop's orderBy(c desc, l, r) head(1)
+        var best: ((String, String), Long) = null
+        counts.foreach { e =>
+          if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (utf8Lt(e._1._1, best._1._1) ||
+              (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2)))))
+            best = e
+        }
+        val ((l, r), c) = best
+        merges += Merge(round, l, r, c)
+        i = 0
+        while (i < rows.length) {
+          syms(i) = applyMergeLocal(syms(i), l, r)
+          i += 1
+        }
+        round += 1
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("segments",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+    val out: Array[org.apache.spark.sql.Row] = rows.indices.map(i =>
+      org.apache.spark.sql.Row(rows(i)._1, syms(i).toSeq)).toArray
+    (merges.toSeq, spark.createDataFrame(
+      java.util.Arrays.asList(out: _*), schema))
+  }
+
   /** Persists learned merges as a tiny rank-ordered parquet table —
     * the tokenizer ARTIFACT: train once, segment everywhere. The
     * merge list is control-plane-sized (its row count is the merge
@@ -141,13 +249,29 @@ object BpeTrain {
     * arrays. Returns (word, segments) for the corpus vocabulary —
     * join it to any exploded token stream. */
   def segmentVocabulary(docs: DataFrame, textCol: String,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge], localMaxVocab: Long = 1L << 16): DataFrame = {
     val start = docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .distinct()
       .select(col("w"), chars(col("w")).as("segments"))
-    merges.zipWithIndex.foldLeft(start) { case (df, (m, i)) =>
-      val next = df.withColumn("segments", applyMerge(col("segments"), m.left, m.right))
-      if ((i + 1) % 4 == 0) next.localCheckpoint() else next
-    }
+      .localCheckpoint()
+    // bounded driver-local fast path, mirroring [[trainAndSegment]]:
+    // a collectable vocabulary replays the merge fold as a driver
+    // loop (identical greedy apply) instead of `merges`/4 checkpoint
+    // jobs over interpreted higher-order folds; a huge vocabulary
+    // takes the distributed fold unchanged (the upfront checkpoint
+    // replaces the fold's own first one)
+    if (start.count() <= localMaxVocab) {
+      val spark = start.sparkSession
+      val rows = start.collect().map { r =>
+        var s = r.getSeq[String](1).toArray
+        merges.foreach(m => s = applyMergeLocal(s, m.left, m.right))
+        org.apache.spark.sql.Row(r.getString(0), s.toSeq)
+      }
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), start.schema)
+    } else
+      merges.zipWithIndex.foldLeft(start) { case (df, (m, i)) =>
+        val next = df.withColumn("segments", applyMerge(col("segments"), m.left, m.right))
+        if ((i + 1) % 4 == 0) next.localCheckpoint() else next
+      }
   }
 }

@@ -68,6 +68,29 @@ class BpeTrainSpec extends SparkTestBase {
     assert(a == b, "training must be deterministic across runs")
   }
 
+  test("distributed rounds equal the bounded driver-local fast path exactly") {
+    // the r12 fast path (Components tryLocalSolve discipline) collects
+    // a ≤ localMaxVocab vocabulary and runs the merge loop driver-side;
+    // localMaxVocab = 0 forces the distributed rounds on the same
+    // corpus — merges AND final segmentation must be identical (exact
+    // integer counts, UTF-8-byte tie-break, same greedy fold)
+    val docs = graft.sources.ViewingData.table(spark, Sf, "documents")
+      .limit(200).localCheckpoint()
+    val (mLocal, segLocal) = BpeTrain.trainAndSegment(docs, "text", 12)
+    val (mDist, segDist) =
+      BpeTrain.trainAndSegment(docs, "text", 12, localMaxVocab = 0L)
+    assert(mLocal == mDist, s"local=$mLocal dist=$mDist")
+    val a = segLocal.as[(String, Seq[String])].collect().toMap
+    val b = segDist.as[(String, Seq[String])].collect().toMap
+    assert(a == b, "segmentations must match between paths")
+    // and the saved-merges replay path agrees between its two regimes
+    val sa = BpeTrain.segmentVocabulary(docs, "text", mLocal)
+      .as[(String, Seq[String])].collect().toMap
+    val sb = BpeTrain.segmentVocabulary(docs, "text", mLocal, localMaxVocab = 0L)
+      .as[(String, Seq[String])].collect().toMap
+    assert(sa == sb, "segmentVocabulary regimes must match")
+  }
+
   test("empty and whitespace-only docs: no phantom symbols, reference parity") {
     // tokens('') = [''] — the empty word must contribute NO adjacent
     // pairs (chars('') is an empty array, not two phantom '' symbols
