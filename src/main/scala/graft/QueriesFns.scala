@@ -939,8 +939,15 @@ FROM per"""))
   private val marketBasket = Q(
     "q_market_basket",
     (s, dir) => {
+      // repartition by the SELF-JOIN key before the checkpoint: the
+      // distinct leaves the frame hash-partitioned by (orderkey,
+      // partkey), so the pair join would re-exchange BOTH sides on
+      // l_orderkey; a checkpoint preserves its plan's partitioning
+      // (LogicalRDD), so pre-partitioning makes the self-join
+      // exchange-free — one added exchange buys out two
       val it = ViewingData.table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .repartition(col("l_orderkey"))
         .localCheckpoint()
       val nOrders = it.select(countDistinct("l_orderkey").as("n_orders"))
       val itemSup = it.groupBy(col("l_partkey")).agg(count(lit(1)).as("s"))
