@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
   *   - one line PER QUERY next:  {"query":"q1_agg","sec":1.234,"passes":2}
   *     (`sec` is null when the query failed — never a -1 sentinel)
   *   - a second `__calib__` line (same query, run after the whole suite),
-  *   - then ONE SHORT final line: {"metric":"total","value":N,"unit":"sec",
-  *     "sf":"...","passes":2,"n_queries":N,"calib_sec":[a,b]}
+  *   - then ONE final line: {"metric":"total","value":N,"unit":"sec",
+  *     "queries":{"name":sec,...},"sf":"...","passes":2,"n_queries":N,
+  *     "calib_sec":[a,b]}
   *
   * Calibration: per-query wall times on the driver VM swing ~2× run to
   * run for reasons unrelated to the plans (noisy-neighbor VM drift, GC).
@@ -21,14 +22,21 @@ import org.apache.spark.sql.SparkSession
   * comparing across rounds. A round where calib itself doubled is a slow
   * VM, not a regression. `value` (total) still excludes calibration.
   *
-  * The final line deliberately carries no per-query map: with 76 queries
-  * that map exceeded the driver's tail buffer and truncated the line's
-  * head, yielding an unparseable bench in rounds 1–2. The FULL map goes
-  * to the committed side file instead (`bench/history.jsonl`, one line
-  * per run via [[BenchHistory]]) — stdout is for the driver's bounded
-  * tail buffer, the file is the falsifiable record: when a round's
-  * total moves, the per-query history says WHICH queries moved and
-  * whether calib moved with them (VM drift) or alone (real regression).
+  * The final line carries the per-query map (`"queries"`) — the driver
+  * contract field its scaling/per-query comparison reads. History note:
+  * rounds 1–2 emitted the map and the driver's parse came back empty,
+  * which was misdiagnosed at the time as tail-buffer truncation and the
+  * map was dropped from rounds 3–12. Round-13 forensics (BENCH_r01.json)
+  * show the r01 final line was COMPLETE and valid JSON inside the
+  * captured tail — the parse failed because sbt's logger glued an
+  * `[info] ` prefix onto the line, which later rounds' raw stdout no
+  * longer has. Dropping the map meant PERF_r12 measured nothing
+  * per-query (`per_query: {}`, `now_bench_ok: false`, the 32-vs-8-cpu
+  * scaling section empty), so the map is restored. The committed side
+  * file (`bench/history.jsonl`, one line per run via [[BenchHistory]])
+  * stays the richer falsifiable record: when a round's total moves, the
+  * per-query history says WHICH queries moved and whether calib moved
+  * with them (VM drift) or alone (real regression).
   */
 object Bench {
   /** Suspect-retry trigger ratio. Round-9 forensics: all three of that
@@ -100,6 +108,27 @@ object Bench {
     val singlePass =
       if (wholeRunDrift) Nil else suspects.collect { case (n, _, 1) => n }
     (inBudget ++ singlePass).distinct
+  }
+
+  /** The ONE contract line the driver parses (last JSON line on stdout).
+    * Carries the per-query map (`"queries"`) the driver's per-query and
+    * 32-vs-8-cpu scaling comparisons read — restored r13, see the object
+    * scaladoc for the r01 misdiagnosis. Sorted names so runs diff
+    * cleanly; a failed query renders `null`, matching its per-query
+    * line. Pure so BenchHistorySpec can pin the shape. */
+  private[graft] def totalLine(
+      total: Double,
+      sfDir: String,
+      minPasses: Int,
+      results: Seq[(String, Option[Double], Int)],
+      calibBefore: Double,
+      calibAfter: Double,
+      flagged: Boolean): String = {
+    val flagField = if (flagged) ""","calib_flagged":true""" else ""
+    val qMap = results.sortBy(_._1).map { case (n, best, _) =>
+      s""""$n":${best.map(v => f"$v%.4f").getOrElse("null")}"""
+    }.mkString(",")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":{$qMap},"sf":"$sfDir","passes":$minPasses,"n_queries":${results.size},"calib_sec":[$calibBefore,$calibAfter]$flagField}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -198,7 +227,14 @@ object Bench {
     // the soft deadline is hit (first passes always run), so a long
     // suite degrades to single-pass per query instead of being skipped
     // wholesale — and each line records how many passes it got.
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toDouble
+    // 900, not 420 (r13): at 250 queries the driver's own r12 runs blew
+    // the 420 s soft deadline mid-suite (loaded 32-cpu pass 1 alone was
+    // 463 s; the 8-cpu run crossed it halfway), so most rows recorded
+    // passes:1 — single-pass numbers exactly where the driver measures.
+    // The deadline still degrades a pathological run to single-pass
+    // instead of hanging; it just no longer truncates a NORMAL 250-query
+    // run's second pass at either core count.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
     val started = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - started) / 1e9
     val results = names.map { n =>
@@ -278,8 +314,8 @@ object Bench {
     val flagged = isCalibFlagged((calibBefore + calibAfter) / 2.0, minRecentCalib)
     if (flagged) System.err.println(
       f"[bench] calib_flagged: bracket mean ${(calibBefore + calibAfter) / 2.0}%.3f exceeds ${CalibFlagRatio}x the recent min ${minRecentCalib.getOrElse(0.0)}%.3f — loaded VM, totals are not comparable raw")
-    val flagField = if (flagged) ""","calib_flagged":true""" else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$minPasses,"n_queries":${retried.size},"calib_sec":[$calibBefore,$calibAfter]$flagField}""")
+    println(totalLine(total, sfDir, minPasses, retried, calibBefore,
+      calibAfter, flagged))
     // Narrowed iteration runs stay out of the committed history: a
     // 3-query line would become the next full run's vs_prev baseline
     // and blind the per-query deltas for everything it omits.

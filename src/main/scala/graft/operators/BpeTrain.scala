@@ -98,7 +98,7 @@ object BpeTrain {
   def trainAndSegment(docs: DataFrame, textCol: String,
       nMerges: Int, localMaxVocab: Long = 1L << 16): (Seq[Merge], DataFrame) = {
     var vocab = vocabulary(docs, textCol)
-    if (vocab.count() <= localMaxVocab)
+    if (fitsOnDriver(vocab, "syms", localMaxVocab))
       return trainAndSegmentLocal(vocab, nMerges)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var done = false
@@ -129,6 +129,23 @@ object BpeTrain {
       }
     }
     (merges.toSeq, vocab.select(col("w"), col("syms").as("segments")))
+  }
+
+  /** Driver-local-path probe over an already-materialized vocabulary
+    * frame: ONE aggregate returning (rows, total symbols). The word
+    * count alone bounds the wrong quantity (r12 ADVICE): 65k natural
+    * words are driver-cheap, but 65k long words (URLs, concatenated
+    * tokens) collect tens of millions of symbol strings plus per-round
+    * pair HashMaps. [[LocalMaxSyms]] (4M symbols ≈ low hundreds of MB
+    * of driver strings at worst) bounds what the collect actually
+    * costs; a corpus failing EITHER bound takes the distributed rounds
+    * unchanged. Same action count as the old count() probe. */
+  private[graft] val LocalMaxSyms = 1L << 22
+  private[graft] def fitsOnDriver(vocab: DataFrame, symsCol: String,
+      localMaxVocab: Long, maxSyms: Long = LocalMaxSyms): Boolean = {
+    val r = vocab.agg(count(lit(1)), sum(size(col(symsCol)))).head()
+    r.getLong(0) <= localMaxVocab &&
+      (r.isNullAt(1) || r.getLong(1) <= maxSyms)
   }
 
   /** Spark's string comparisons run on UTF8String — unsigned byte-wise
@@ -255,12 +272,12 @@ object BpeTrain {
       .select(col("w"), chars(col("w")).as("segments"))
       .localCheckpoint()
     // bounded driver-local fast path, mirroring [[trainAndSegment]]:
-    // a collectable vocabulary replays the merge fold as a driver
-    // loop (identical greedy apply) instead of `merges`/4 checkpoint
-    // jobs over interpreted higher-order folds; a huge vocabulary
-    // takes the distributed fold unchanged (the upfront checkpoint
-    // replaces the fold's own first one)
-    if (start.count() <= localMaxVocab) {
+    // a collectable vocabulary (bounded on BOTH word count and total
+    // symbols — fitsOnDriver) replays the merge fold as a driver loop
+    // (identical greedy apply) instead of `merges`/4 checkpoint jobs
+    // over interpreted higher-order folds; a huge vocabulary takes
+    // the distributed fold unchanged
+    if (fitsOnDriver(start, "segments", localMaxVocab)) {
       val spark = start.sparkSession
       val rows = start.collect().map { r =>
         var s = r.getSeq[String](1).toArray
@@ -271,7 +288,12 @@ object BpeTrain {
     } else
       merges.zipWithIndex.foldLeft(start) { case (df, (m, i)) =>
         val next = df.withColumn("segments", applyMerge(col("segments"), m.left, m.right))
-        if ((i + 1) % 4 == 0) next.localCheckpoint() else next
+        // the upfront checkpoint above IS round 0's materialization,
+        // so the fold's first checkpoint is skipped (r12 ADVICE: the
+        // distributed path was paying one extra full materialization);
+        // the first segment's lineage runs 8 merges, the cadence-4
+        // depth elsewhere was conservative
+        if ((i + 1) % 4 == 0 && i > 3) next.localCheckpoint() else next
       }
   }
 }

@@ -295,9 +295,13 @@ object Ivf {
     * check (two actions) and the three parquet relation resolutions
     * (directory listing + footer each) run ONCE here instead of per
     * probe. Same refusal contract as [[rangeProbeIndexed]]; callers
-    * must not append to the index while holding the frames. */
-  final case class RangeProbeFrames(stats: DataFrame, cents: DataFrame,
-      cells: DataFrame)
+    * must not append to the index while holding the frames. The
+    * constructor is private (r12 ADVICE): a caller-built instance from
+    * raw frames would reach [[rangeProbeWithFrames]] without ever
+    * passing [[requireFreshStats]]'s refusal check —
+    * [[rangeProbeFrames]] is the only way to obtain one. */
+  final case class RangeProbeFrames private[Ivf] (stats: DataFrame,
+      cents: DataFrame, cells: DataFrame)
 
   def rangeProbeFrames(spark: org.apache.spark.sql.SparkSession,
       path: String): RangeProbeFrames =

@@ -54,14 +54,32 @@ object ViewingData {
     * dir is immutable for the lifetime of a session (every caller —
     * registry queries, Verify, Bench, Sweep replicas, specs — reads
     * generated-once inputs; Sweep builds its replica dirs BEFORE the
-    * first read and pins them with _SWEEP_META). Keys hold the session
-    * by reference; entries die with the JVM — plans are KB-sized and
-    * test JVMs create a bounded handful of sessions. */
+    * first read and pins them with _SWEEP_META). The immutability
+    * contract is ENFORCEABLE, not just documented (r12 ADVICE): any
+    * future caller that rewrites `$dir/$name.parquet` mid-session must
+    * call [[invalidate]] (per dir) or [[clearCache]]; and entries whose
+    * session has been STOPPED are purged on every cache miss, so test
+    * JVMs that cycle sessions don't retain dead plans for the JVM
+    * lifetime (misses are rare after warm-up, and a stopped session
+    * can never be a future lookup key, so purge-on-miss bounds growth
+    * without a per-hit scan). */
   private val relCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
 
+  /** Drops every cached relation under `dir` — the hook anything that
+    * rewrites a source dir mid-session must call. */
+  def invalidate(dir: String): Unit =
+    relCache.keys.filter(_._2 == dir).foreach(relCache.remove)
+
+  /** Drops the whole relation cache (all sessions, all dirs). */
+  def clearCache(): Unit = relCache.clear()
+
+  private def purgeStoppedSessions(): Unit =
+    relCache.keys.filter(_._1.sparkContext.isStopped).foreach(relCache.remove)
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     relCache.getOrElseUpdate((spark, dir, name), {
+      purgeStoppedSessions()
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (!df.columns.contains("ts")) df

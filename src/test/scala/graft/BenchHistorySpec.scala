@@ -220,6 +220,26 @@ class BenchHistorySpec extends SparkTestBase {
       bare)
   }
 
+  test("totalLine: contract line carries the per-query map, sorted, null on failure") {
+    // r13: PERF_r12 came back per_query:{} / now_bench_ok:false because
+    // the final stdout line had no "queries" key — the driver's
+    // per-query and 32-vs-8-cpu scaling comparisons read THIS map.
+    val line = Bench.totalLine(1.73456, "/sf/x", 2, results, 0.4, 0.6,
+      flagged = false)
+    assert(line.startsWith("""{"metric":"total","value":1.73456,"unit":"sec","queries":{"""),
+      line)
+    assert(line.contains(""""q_a":0.5000""") &&
+      line.contains(""""q_b":1.2346""") &&
+      line.contains(""""q_fail":null"""), line)
+    assert(line.indexOf("\"q_a\"") < line.indexOf("\"q_b\""), "sorted keys")
+    assert(line.contains(""""sf":"/sf/x","passes":2,"n_queries":3,"calib_sec":[0.4,0.6]}"""),
+      line)
+    assert(!line.contains("\n") && line.count(_ == '{') == line.count(_ == '}'))
+    val flagged = Bench.totalLine(1.0, "/sf/x", 1, results, 0.9, 0.9,
+      flagged = true)
+    assert(flagged.endsWith(""","calib_flagged":true}"""), flagged)
+  }
+
   test("gitHead resolves this repo's HEAD to a 12-char sha") {
     val sha = BenchHistory.gitHead("/root/repo")
     assert(sha.length == 12 && sha.forall(c => c.isDigit || ('a' to 'f').contains(c)),

@@ -91,6 +91,30 @@ class BpeTrainSpec extends SparkTestBase {
     assert(sa == sb, "segmentVocabulary regimes must match")
   }
 
+  test("driver-local probe bounds SYMBOLS, not just words (long-word corpus)") {
+    // r12 ADVICE: localMaxVocab bounded the word COUNT while the
+    // driver collect's real cost is the symbol arrays — a corpus of
+    // few but very long words must fail the probe (and take the
+    // distributed path, with identical results).
+    val longWord = "ab" * 600 // 1200 symbols/word, natural-word outlier
+    val docs = (Seq.fill(4)(longWord) ++ Seq.fill(5)("low") ++
+      Seq.fill(6)("newest")).map(Tuple1(_)).toDF("text")
+    val vocab = BpeTrain.vocabulary(docs, "text")
+    // 3 words, 1200+3+6 = 1209 symbols: the word bound alone passes...
+    assert(BpeTrain.fitsOnDriver(vocab, "syms", localMaxVocab = 1L << 16))
+    // ...but a symbol budget below the total refuses the collect —
+    // the quantity the probe guards is driver memory, not row count
+    assert(!BpeTrain.fitsOnDriver(vocab, "syms", localMaxVocab = 1L << 16,
+      maxSyms = 1000L))
+    // and both paths still agree on this corpus
+    val (mFast, segFast) = BpeTrain.trainAndSegment(docs, "text", 6)
+    val (mDist, segDist) =
+      BpeTrain.trainAndSegment(docs, "text", 6, localMaxVocab = 0L)
+    assert(mFast == mDist)
+    assert(segFast.as[(String, Seq[String])].collect().toMap ==
+      segDist.as[(String, Seq[String])].collect().toMap)
+  }
+
   test("empty and whitespace-only docs: no phantom symbols, reference parity") {
     // tokens('') = [''] — the empty word must contribute NO adjacent
     // pairs (chars('') is an empty array, not two phantom '' symbols

@@ -125,6 +125,24 @@ class SourceContractSpec extends SparkTestBase {
     assert(loaded == raw, s"loaded instant $loaded != raw wall-clock-as-UTC $raw")
   }
 
+  test("relCache: invalidate(dir) drops stale relations after a rewrite") {
+    // r12 ADVICE: the cache's dir-immutability contract needs an
+    // enforcement path — a caller that rewrites a source dir
+    // mid-session must be able to invalidate it and read fresh.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("relcache").toString
+    spark.range(3).toDF("x").write.parquet(s"$dir/events.parquet")
+    assert(ViewingData.table(spark, dir, "events").count() == 3)
+    spark.range(5).toDF("x").write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    // without invalidation the cached entry is stale by design (it may
+    // read old rows or fail on the deleted listing — both are the
+    // documented contract violation); after the hook the read is fresh
+    ViewingData.invalidate(dir)
+    assert(ViewingData.table(spark, dir, "events").count() == 5)
+    ViewingData.invalidate(dir) // cleanup for any later reader
+  }
+
   test("documents.text is ASCII — the substring-row oracle contract") {
     // The dedup_substring_fast/incremental oracles restate WinnowHash's
     // code-point iteration with DuckDB's string_split(text, '') +
