@@ -263,10 +263,18 @@ SELECT x, y, common, jaccard FROM j WHERE jaccard >= 0.2"""))
       val und = undirectedEdges(s, dir).localCheckpoint()
       val adj = adjacency(und).localCheckpoint()
       val nodes = adj.select(col("a").as("node")).distinct()
-      var reached = nodes.filter(col("node") % 100 === 0)
+      val seeds = nodes.filter(col("node") % 100 === 0)
         .select(col("node"), lit(0L).as("dist"))
         .localCheckpoint()
-      var frontier = reached
+      // `reached` is the LAZY union of the per-round checkpointed
+      // frontiers, never re-checkpointed as a whole (r13, guide §5):
+      // each round's `next` is already a materialized LogicalRDD, so
+      // re-materializing their cumulative union every round paid one
+      // extra job plus a Σ|reached_i| rewrite per round for a plan the
+      // union of ≤ 11 checkpointed leaves expresses at constant depth.
+      val rounds = scala.collection.mutable.ArrayBuffer(seeds)
+      def reached = rounds.reduce(_ unionByName _)
+      var frontier = seeds
       var depth = 0L
       while (depth < 10 && !frontier.isEmpty) {
         depth += 1
@@ -277,7 +285,7 @@ SELECT x, y, common, jaccard FROM j WHERE jaccard >= 0.2"""))
           .join(reached, Seq("node"), "left_anti")
           .select(col("node"), lit(depth).as("dist"))
           .localCheckpoint()
-        reached = reached.unionByName(next).localCheckpoint()
+        rounds += next
         frontier = next
       }
       reached

@@ -738,14 +738,26 @@ FROM lp CROSS JOIN th"""))
         .localCheckpoint()
       val total = uni.agg(sum("uc").as("n"))
       val bi = pairs.groupBy("prev", "cur").agg(count(lit(1)).cast("double").as("bc"))
-      pairs
-        .join(bi, Seq("prev", "cur"), "left")
+      // the transition score depends only on (prev, cur), so it is
+      // computed ONCE PER DISTINCT BIGRAM (bc/uc/backoff joined on the
+      // |V²|-bounded bi table) and the corpus-sized pairs frame joins
+      // the finished score table in ONE join — r13, guide §2.3: the
+      // first cut ran three joins over the exploded transition frame
+      // (bi + unigram-as-prev + unigram-as-cur), shuffling/probing the
+      // big side three times to attach values that are per-key
+      // constants. Same arithmetic per key (the when() is evaluated on
+      // identical (bc, pc, cc, n)), same per-doc multiset → identical
+      // output. Inner join is exact here: every pairs key is in bi by
+      // construction (bi = pairs.groupBy).
+      val score = bi
         .join(uni.select(col("tok").as("prev"), col("uc").as("pc")), Seq("prev"), "left")
         .join(uni.select(col("tok").as("cur"), col("uc").as("cc")), Seq("cur"), "left")
         .crossJoin(broadcast(total))
-        .select(col("doc_id"),
+        .select(col("prev"), col("cur"),
           when(col("bc").isNotNull, col("bc") / col("pc"))
             .otherwise(lit(0.4) * col("cc") / col("n")).as("s"))
+      pairs
+        .join(score, Seq("prev", "cur"))
         .groupBy("doc_id")
         .agg(round(avg(log(col("s"))), 6).as("logprob_bi"),
           count(lit(1)).cast("long").as("n_transitions"))

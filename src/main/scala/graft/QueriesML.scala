@@ -1752,10 +1752,22 @@ FROM occ"""))
       q: org.apache.spark.sql.DataFrame,
       approxCand: org.apache.spark.sql.DataFrame,
       exactTop: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame =
+    recallReadoutScored(exactTop.getOrElse(recallExact(v, q)),
+      recallScored(approxCand))
+
+  /** [[recallReadout]] over an ALREADY-SCORED candidate frame
+    * (query_id, vec_id, cos_sim) — split out (r13) so a multi-config
+    * sweep whose candidate sets are nested (E15: the p-plane set is
+    * the (p+1)-plane superset) scores each pair ONCE and feeds per-
+    * config FILTERS of the one scored frame through the same readout,
+    * instead of re-running the dot products per config. */
+  private def recallReadoutScored(
+      exact: org.apache.spark.sql.DataFrame,
+      scored: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val wq = Window.partitionBy("query_id")
-    val exact = exactTop.getOrElse(recallExact(v, q))
-    val approxTop = recallScored(approxCand)
+    val approxTop = scored
       .withColumn("n_candidates", count(lit(1)).over(wq))
       .withColumn("rank", row_number().over(
         wq.orderBy(col("cos_sim").desc, col("vec_id"))))
@@ -1882,11 +1894,28 @@ GROUP BY 1, 2"""))
       // ground truth is p-invariant: compute the brute top-10 ONCE
       // and share it across the four probes (r12 review)
       val exact = recallExact(v, q).localCheckpoint()
+      // the p-plane candidate set is the low-p-bits agreement set, so
+      // the four sets are NESTED (cand(4) ⊆ cand(3) ⊆ … ⊆ cand(1)):
+      // ONE broadcast join at the coarsest mask computes every pair's
+      // cos_sim once, annotated with its agreement DEPTH (lvl = count
+      // of consecutive matching low bits); probe p filters lvl ≥ p —
+      // r13, guide §1.2/§2.4: the first cut re-joined v per p and
+      // re-evaluated ~1.9× the coarse set's dot products across the
+      // sweep, all of which the p=1 join already contains.
+      val lvl = expr("""CASE WHEN (bucket ^ qbucket) & 15 = 0 THEN 4
+                             WHEN (bucket ^ qbucket) & 7 = 0 THEN 3
+                             WHEN (bucket ^ qbucket) & 3 = 0 THEN 2
+                             ELSE 1 END""")
+      val scoredAll = v.join(broadcast(q),
+          expr("(bucket & 1) = (qbucket & 1)") &&
+            col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), lvl.as("lvl"),
+          round(dotNative(col("e"), col("qe")), 6).as("cos_sim"))
+        .localCheckpoint()
       (1 to 4).map { p =>
-        val mask = (1 << p) - 1
-        recallReadout(v, q, v.join(broadcast(q),
-            expr(s"(bucket & $mask) = (qbucket & $mask)") &&
-              col("vec_id") =!= col("query_id")), Some(exact))
+        recallReadoutScored(exact,
+            scoredAll.filter(col("lvl") >= p)
+              .select("query_id", "vec_id", "cos_sim"))
           .select(lit(p.toLong).as("planes"), col("query_id"),
             col("n_candidates"), col("hits"), col("recall_10"))
       }.reduce(_ unionAll _)
