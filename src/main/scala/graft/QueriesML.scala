@@ -643,7 +643,16 @@ WHERE jaccard_est >= 0.4 AND (id_a % 4 = 0 OR id_b % 4 = 0)"""))
         array_distinct(transform(
           sequence(lit(1), greatest(lit(1), length(col("text")) - 4)),
           i => call_function("substring", col("text"), i, lit(5)))).as("grams"))
-      .localCheckpoint() // consumed by the gate filter and the corpus side
+      // consumed by the gate filter and the corpus side. Keeping the
+      // checkpoint is MEASURED, not assumed (r13 honest negative):
+      // dropping it regressed the row 4.3-5.3 → 6.8-8.1 s isolated
+      // (anchor query steady) — without the materialization the
+      // gram-array expression is re-evaluated per consumer, and
+      // CollapseProject additionally inlines it TWICE into the truth
+      // stage's `size(grams)` + `explode(grams)` projections, so the
+      // ~5×-corpus-bytes write it saves is far cheaper than the 4-5
+      // re-evaluations it prevents.
+      .localCheckpoint()
     val poolCnt = math.max(1L, grams.count())
     val rate = math.min(1.0, LshTuneCap.toDouble / poolCnt)
     val thHex = HashFunctions.rateGateHex(rate)

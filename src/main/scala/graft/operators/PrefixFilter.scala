@@ -118,6 +118,27 @@ object PrefixFilter {
       .withColumn("prefix", slice(col("sorted_grams"), lit(1),
         greatest(lit(0),
           (size(col("sorted_grams")) - col("__minov") + 1).cast("int"))))
+      // candidate buckets key on xxhash64(gram), not the gram string
+      // (r13): the bucket key's only job is "same gram → same bucket";
+      // a 64-bit hash keeps that (a collision can only ADD a candidate
+      // pair, which exact verification removes — same one-sided
+      // argument as the maxDf cap, in the other direction), while the
+      // prefix arrays, the checkpoint write, and the self-join shuffle
+      // all shrink from ~25-byte strings to longs and the join
+      // compares longs. The rarest-first ORDER is untouched — it was
+      // fixed upstream by sort_array over (df, gram).
+      .select(col(idCol), col("n"),
+        expr("transform(prefix, g -> xxhash64(g))").as("prefix"))
+      // materialized: BOTH sides of the candidate self-join below
+      // derive from this frame, and without the checkpoint the planner
+      // compiles the whole universe-shuffle + rarest-first
+      // ObjectHashAggregate chain TWICE (the broadcast side is a
+      // BroadcastExchange, so ReuseExchange never fires — plan audit
+      // r13, plans/r13/dedup_prefix_filter_before.txt ops 10-18 vs
+      // 34-42). One |docs|-row write with hashed-prefix arrays buys
+      // out a full second aggregation pass — the q_market_basket
+      // discipline.
+      .localCheckpoint()
     val pref = ranked.select(col(idCol), col("n"),
       posexplode(col("prefix")).as(Seq("pos", "gram")))
     // LENGTH FILTER (AllPairs, exactness-preserving): J >= tau forces
