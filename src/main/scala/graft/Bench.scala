@@ -139,6 +139,17 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // parallelismFirst stays at its DEFAULT (true) — measured, not
+      // assumed (r13 honest negative): size-first AQE coalescing
+      // (`coalescePartitions.parallelismFirst=false`, the guide §2.2
+      // posture for byte-bound shuffles) ran the full suite at 181.8 s
+      // vs 156.1 back-to-back (median per-query raw ratio 1.103, 83
+      // rows >1.2× vs 14 <0.8×): this suite's shuffles are CPU-heavy
+      // but small in bytes (md5/gram/vector arithmetic over ≤ tens of
+      // MB), so folding them toward 64 MB partitions serializes the
+      // compute (dedup_prefix_filter 2.7 → 6.2 s). The same shape
+      // holds on a cluster — partition sizing must follow compute
+      // density here, which parallelism-first already does.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
