@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Synchronous label propagation (Raghavan 2007) as a driver-
@@ -21,7 +20,8 @@ import org.apache.spark.sql.functions._
   * deterministic choice between the two alternating states.
   *
   * Per round: ONE |edges| shuffle (adjacency ⋈ labels) + a map-side-
-  * combined (node, label) count + a WindowGroupLimit top-1, labels
+  * combined (node, label) count + a map-side-combined min_by modal
+  * pick (no sort anywhere in the round), labels
   * localCheckpoint'd so lineage stays flat; the convergence barrier
   * is a join-and-count like Components' label-sum barrier (label sums
   * here aren't monotone, so the exact compare is the honest check).
@@ -31,16 +31,21 @@ object LabelProp {
   case class Result(labels: DataFrame, rounds: Int, cycled: Boolean)
 
   /** One synchronous round: every node adopts its neighbors' modal
-    * label. `adj` must be the both-direction adjacency (a, b). */
-  def step(adj: DataFrame, labels: DataFrame): DataFrame = {
-    val w = Window.partitionBy("node").orderBy(col("c").desc, col("label").asc)
+    * label. `adj` must be the both-direction adjacency (a, b).
+    *
+    * The modal pick is a `min_by` over (−count, label) — identical to
+    * the (count DESC, label ASC) row_number it replaces (r13, guide
+    * §2.4: an orderless aggregate where a window only picks a per-key
+    * extremum): same argmax, same tie-break, but the per-node top-1
+    * folds map-side inside the count exchange instead of paying a
+    * second exchange + sort per round. */
+  def step(adj: DataFrame, labels: DataFrame): DataFrame =
     adj.join(labels.withColumnRenamed("node", "b"), "b")
       .groupBy(col("a").as("node"), col("label"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy("node")
+      .agg(min_by(col("label"), struct(-col("c"), col("label"))).as("label"))
       .select("node", "label")
-  }
 
   /** Self-labeled start: every node is its own community. */
   def seed(adj: DataFrame): DataFrame =
